@@ -1,0 +1,180 @@
+"""Reference-derived queries (SURVEY.md §2.A) over the ``events`` table.
+
+The reference's public query surface is point lookup and inclusive key-range
+scan over (key, value, timestamp) rows with (key, timestamp) dedup and
+(key ASC, timestamp ASC) result order (reference: src/merge_tree.cpp:37-67).
+``events`` is the engine analog per FIXTURES.md: user_id ↔ key, ts ↔ the
+uint64 version timestamp (we use epoch microseconds as a long — faithful to
+the reference's opaque-integer timestamps, src/row.h:12).
+
+Dedup determinism note: the reference keeps the *first* row after sorting on
+(key, ts) when two rows share (key, ts) (src/merge_tree.cpp:57-60) — which
+row wins is an internal ordering artifact. We pin a deterministic winner
+(lowest event_id) via row_number so Spark and the DuckDB oracle agree.
+
+Scale notes: every query here is a single parquet scan with the range
+predicate pushed to the reader (PushedFilters — the Spark analog of the
+reference's part/granule min-max pruning, src/part.cpp:201-203 and
+src/sparse_index.cpp:17-27); dedup plans as partial+final hash aggregate, so
+the only shuffle is on the dedup/window key — exactly one exchange at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.tables import load
+
+# Inclusive key range used by q_range_scan — covers ~25% of the keyspace at
+# every SF (user_id is 0..14 at sf0.001, 0..149 at sf0.01).
+RANGE_START, RANGE_END = 3, 7
+POINT_KEY = 7
+
+
+def _kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events projected onto the reference row model: key/value/version ts."""
+    return load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+
+_KV_SQL = (
+    "SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id, event_type, value "
+    "FROM events"
+)
+
+
+def _dedup_first(df: DataFrame) -> DataFrame:
+    """(key, ts) dedup with deterministic first-wins (lowest event_id).
+
+    Spark re-expression of the reference's sort+std::unique on (key, ts)
+    (src/merge_tree.cpp:56-60).
+    """
+    w = W.partitionBy("key", "ts_us").orderBy("event_id")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _dedup_first_sql(inner: str, where: str = "TRUE") -> str:
+    return f"""
+        SELECT key, ts_us, event_id, event_type, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY key, ts_us ORDER BY event_id) AS rn
+            FROM ({inner}) WHERE {where}
+        ) WHERE rn = 1
+    """
+
+
+@declared_query(
+    "q_range_scan",
+    oracle=_dedup_first_sql(_KV_SQL, f"key BETWEEN {RANGE_START} AND {RANGE_END}"),
+)
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: inclusive key-range scan + (key,ts) dedup (src/merge_tree.cpp:37-63)."""
+    kv = _kv(spark, sf_dir).filter(F.col("key").between(RANGE_START, RANGE_END))
+    return _dedup_first(kv)
+
+
+@declared_query(
+    "q_point_lookup",
+    oracle=_dedup_first_sql(_KV_SQL, f"key = {POINT_KEY}"),
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: all versions of one key = range scan with start==end (src/merge_tree.cpp:65-67)."""
+    kv = _kv(spark, sf_dir).filter(F.col("key") == POINT_KEY)
+    return _dedup_first(kv)
+
+
+@declared_query(
+    "q_dedup_exact",
+    oracle=f"""
+        SELECT key, ts_us, min(event_id) AS first_event, count(*) AS n_rows
+        FROM ({_KV_SQL}) GROUP BY key, ts_us
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14: exact (key, timestamp) duplicate groups (src/merge_tree.cpp:57-60)."""
+    return (
+        _kv(spark, sf_dir)
+        .groupBy("key", "ts_us")
+        .agg(F.min("event_id").alias("first_event"), F.count("*").alias("n_rows"))
+    )
+
+
+@declared_query(
+    "q_count_total",
+    oracle="SELECT count(*) AS total_rows, count(DISTINCT user_id) AS distinct_keys FROM events",
+)
+def q_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R37: total row count + key cardinality (src/merge_tree.cpp:119-135)."""
+    return load(spark, sf_dir, "events").agg(
+        F.count("*").alias("total_rows"),
+        F.countDistinct("user_id").alias("distinct_keys"),
+    )
+
+
+@declared_query(
+    "q_part_stats",
+    oracle=f"""
+        SELECT min(key) AS min_key, max(key) AS max_key,
+               min(ts_us) AS min_ts, max(ts_us) AS max_ts,
+               count(*) AS row_count
+        FROM ({_KV_SQL})
+    """,
+)
+def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24: part-metadata aggregate — min/max key & ts, row count (src/part.cpp:219-246)."""
+    return _kv(spark, sf_dir).agg(
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+        F.min("ts_us").alias("min_ts"),
+        F.max("ts_us").alias("max_ts"),
+        F.count("*").alias("row_count"),
+    )
+
+
+@declared_query(
+    "q_latest_version",
+    oracle=f"""
+        SELECT key, ts_us, event_id, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY key ORDER BY ts_us DESC, event_id DESC) AS rn
+            FROM ({_KV_SQL})
+        ) WHERE rn = 1
+    """,
+)
+def q_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E30: ReplacingMergeTree-style read — latest version per key (SURVEY §1.5)."""
+    w = W.partitionBy("key").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    return (
+        _kv(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@declared_query(
+    "q_merge_equivalence",
+    oracle=_dedup_first_sql(_KV_SQL),
+)
+def q_merge_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R26: k-way merge ≡ union + dedup (src/merger.cpp:176-196).
+
+    Splits the table into 3 disjoint "parts" (mod event_id), unions them, and
+    dedups on (key, ts) — the oracle runs the dedup on the unsplit table, so
+    a hash match proves merge-equivalence. In Spark the union is free
+    (no shuffle); only the dedup exchanges.
+    """
+    kv = _kv(spark, sf_dir)
+    parts = [kv.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    merged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return _dedup_first(merged)

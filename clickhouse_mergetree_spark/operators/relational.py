@@ -1,0 +1,617 @@
+"""Relational operator surface (SURVEY.md §2.B E1-E19, E26 batch analog).
+
+These capabilities are absent in the reference (SURVEY §2.9 — no joins,
+aggregations, windows, or scalar functions anywhere in its 2,084 LoC); they
+enter via the driver's north star and are expressed as pure DataFrame plans
+so Catalyst gets full freedom: filter/projection pushdown to parquet,
+broadcast-vs-sortmerge join selection, partial aggregation, AQE re-planning.
+
+Determinism rules for the DuckDB-oracle hash compare:
+- money aggregates are computed in exact DECIMAL on both sides and cast to
+  double at the end — double addition is order-dependent and `round()` can
+  land on a .xx5 boundary where the engines disagree; decimal sums are exact,
+  so the final double cast is bit-identical;
+- averages divide the exact decimal sum (as double) by the count — identical
+  operands → identical IEEE division;
+- ranking windows always carry a unique tie-break column;
+- temporal outputs are DATE or formatted strings, never raw timestamps;
+- raw stored doubles pass through unrounded (same bits on both sides).
+
+Scale notes inline per query; the general shape: dimension joins broadcast
+(customer/supplier/nation are ~1e5 rows even at TPC-H SF1k), fact-fact
+joins shuffle on the join key once, aggregations are partial+final.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.tables import load
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    """Cast a 2-decimal-place money/ratio double to exact DECIMAL."""
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def _dsum(col) -> F.Column:
+    """Exact decimal sum of a 2dp double column, returned as double."""
+    return F.sum(_dec(col)).cast("double")
+
+
+# --------------------------------------------------------------------------
+# E1 projection / E2 filter
+# --------------------------------------------------------------------------
+
+@declared_query(
+    "q_projection",
+    oracle="SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity FROM lineitem",
+)
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: column pruning — ReadSchema must show only 4 of 11 columns."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+
+
+_FILTER_PRED = (
+    "l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 30 "
+    "AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '2000-01-01' "
+    "AND (l_discount > 0.05 OR l_tax < 0.03)"
+)
+
+
+@declared_query(
+    "q_filter_compound",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount, l_tax
+        FROM lineitem WHERE {_FILTER_PRED}
+    """,
+)
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: compound predicate (IN / BETWEEN / range / OR) — all pushed to parquet."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(_FILTER_PRED)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+                "l_discount", "l_tax")
+    )
+
+
+# --------------------------------------------------------------------------
+# E3-E7 joins
+# --------------------------------------------------------------------------
+
+@declared_query(
+    "q_join_inner",
+    oracle="""
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: inner equi-join chain (TPC-H Q3 shape).
+
+    Scale: customer is a dimension → explicit broadcast (no shuffle of the
+    lineitem fact for that join); orders⨝lineitem shuffles once on orderkey.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", 8)))
+             .cast("double").alias("revenue"))
+    )
+
+
+@declared_query(
+    "q_join_outer",
+    oracle="""
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+               CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+                 AS total_spend
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: left outer join — customers with zero orders survive with count 0."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0))
+             .cast("double").alias("total_spend"))
+    )
+
+
+@declared_query(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: left semi join (EXISTS) — big-ticket customers."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@declared_query(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: left anti join (NOT EXISTS) — customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_BAND_US = 5 * 60 * 1_000_000  # 5-minute band in microseconds
+
+
+@declared_query(
+    "q_join_range",
+    oracle=f"""
+        SELECT e1.user_id, count(*) AS n_pairs
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND epoch_us(e2.ts) > epoch_us(e1.ts)
+         AND epoch_us(e2.ts) <= epoch_us(e1.ts) + {_BAND_US}
+        GROUP BY e1.user_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: band (range) join — same-user event pairs within 5 minutes.
+
+    Scale path: a naive theta-join is O(n²) broadcast-nested-loop. We bucket
+    ts into band-width buckets and equi-join on (user_id, bucket), probing
+    each right-side row into its own bucket and the previous one — turns the
+    range join into a hash join whose cost is pairs-per-bucket, not n².
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    e1 = ev.withColumn("bucket", (F.col("ts_us") / _BAND_US).cast("long"))
+    e2 = ev.select(
+        F.col("user_id").alias("user_id2"), F.col("ts_us").alias("ts2_us"),
+        F.explode(F.array(
+            (F.col("ts_us") / _BAND_US).cast("long"),
+            (F.col("ts_us") / _BAND_US).cast("long") - 1,
+        )).alias("bucket"),
+    )
+    pairs = e1.join(
+        e2,
+        (e1.user_id == e2.user_id2) & (e1.bucket == e2.bucket)
+        & (e2.ts2_us > e1.ts_us) & (e2.ts2_us <= e1.ts_us + _BAND_US),
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+@declared_query(
+    "q_join_asof",
+    oracle="""
+        SELECT event_id, user_id, ts_us, asof_purchase_value FROM (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS asof_purchase_value
+            FROM events
+        )
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: as-of join — for each event, the value of the latest strictly-earlier
+    purchase by the same user.
+
+    Scale path: instead of a per-row range join, one sort within user_id
+    partitions + `last(... ignorenulls)` over a preceding-rows frame — a
+    single shuffle on user_id, linear within partition. (This is the
+    sort-based as-of join; a two-table variant unions tagged streams first.)
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pval"),
+    )
+    w = (W.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    return ev.select(
+        "event_id", "user_id", "ts_us",
+        F.last("pval", ignorenulls=True).over(w).alias("asof_purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E8-E10 aggregation
+# --------------------------------------------------------------------------
+
+@declared_query(
+    "q_agg_basic",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(24,4))
+                        * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+                 AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+                 AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*), 6)
+                 AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: hash aggregation, TPC-H Q1 shape — partial+final agg, one shuffle
+    on a 6-value grouping key (trivially skew-free at any SF)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount", 8))
+    charge = disc_price.cast("decimal(24,4)") * (1 + _dec("l_tax", 8))
+    cnt = F.count("*")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(_dsum("l_quantity") / cnt, 6).alias("avg_qty"),
+        F.round(_dsum("l_extendedprice") / cnt, 6).alias("avg_price"),
+        F.round(F.sum(_dec("l_discount", 8)).cast("double") / cnt, 6).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@declared_query(
+    "q_agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: exact distinct aggregation (expand + two-phase agg under the hood)."""
+    return load(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@declared_query("q_agg_approx_distinct")  # rows-only: HLL estimates differ across engines
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: approx_count_distinct (HyperLogLog++) — the scale path for distinct
+    counts (no expand, mergeable sketches). Rows-only check: estimate is
+    engine-specific by construction."""
+    return load(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@declared_query(
+    "q_agg_rollup",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: rollup — hierarchical grouping sets in one pass (Expand operator)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum("l_quantity").alias("sum_qty"),
+             F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty", "n_rows",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# E11-E13 windows / top-k
+# --------------------------------------------------------------------------
+
+@declared_query(
+    "q_window_rank",
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               row_number() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS rn,
+               rank()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+               dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk,
+               ntile(4)     OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+        FROM supplier
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: ranking windows — one shuffle on the partition key, sort within."""
+    s = load(spark, sf_dir, "supplier")
+    by_bal = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    by_bal_uniq = W.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey", "s_nationkey",
+        F.row_number().over(by_bal_uniq).alias("rn"),
+        F.rank().over(by_bal).alias("rnk"),
+        F.dense_rank().over(by_bal).alias("drnk"),
+        F.ntile(4).over(by_bal_uniq).alias("quartile"),
+    )
+
+
+@declared_query(
+    "q_window_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DOUBLE)
+                 AS running_spend,
+               lag(o_totalprice)  OVER w_ord AS prev_price,
+               lead(o_totalprice) OVER w_ord AS next_price,
+               CAST(first_value(o_orderdate) OVER w_run AS DATE) AS first_order_date
+        FROM orders
+        WINDOW
+          w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: analytic windows with explicit frames — running sum, lag/lead."""
+    o = load(spark, sf_dir, "orders")
+    w_ord = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w_run).cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(w_ord).alias("prev_price"),
+        F.lead("o_totalprice").over(w_ord).alias("next_price"),
+        F.first("o_orderdate").over(w_run).cast("date").alias("first_order_date"),
+    )
+
+
+@declared_query(
+    "q_topk",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: top-k — plans as TakeOrderedAndProject (per-partition heap + merge
+    on the driver), never a global sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# E14 set ops
+# --------------------------------------------------------------------------
+
+@declared_query(
+    "q_set_ops",
+    oracle="""
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey AS c_custkey FROM orders)
+        UNION
+        (SELECT o_custkey AS c_custkey FROM orders
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: UNION / INTERSECT / EXCEPT with SQL distinct-set semantics."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        building.subtract(with_orders)
+        .union(with_orders.intersect(negative))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# E15-E19 scalar functions
+# --------------------------------------------------------------------------
+
+@declared_query(
+    "q_fn_string",
+    oracle="""
+        SELECT c_custkey,
+               lower(c_name) AS lname,
+               upper(c_mktsegment) AS useg,
+               substring(c_name, 1, 8) AS prefix,
+               length(c_name) AS name_len,
+               concat(c_mktsegment, '/', c_name) AS tagged,
+               trim(c_mktsegment) AS seg_trim,
+               regexp_extract(c_name, '([0-9]+)', 1) AS digits
+        FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15: string scalar functions — all JVM-side, codegen'd."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("/", "c_mktsegment", "c_name").alias("tagged"),
+        F.trim("c_mktsegment").alias("seg_trim"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+    )
+
+
+@declared_query(
+    "q_fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16: date/time scalar functions."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@declared_query(
+    "q_fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 1) AS price_r1,
+               round(abs(l_discount - 0.05), 6) AS disc_dev,
+               round(pow(l_quantity, 2), 4) AS qty_sq,
+               round(sqrt(l_extendedprice), 6) AS price_sqrt,
+               round(ln(l_extendedprice), 6) AS price_ln
+        FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17: math scalar functions."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+    )
+
+
+@declared_query(
+    "q_fn_array",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark,
+               list_max(list_transform(string_split(text, ' '), t -> length(t))) AS max_token_len
+        FROM documents
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18: array functions — split / size / distinct / contains / transform+max."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_max(F.transform(toks, lambda t: F.length(t))).alias("max_token_len"),
+    )
+
+
+@declared_query(
+    "q_fn_json",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19: JSON extraction over events.props."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E26 batch analog: tumbling window aggregation
+# --------------------------------------------------------------------------
+
+@declared_query(
+    "q_window_tumbling",
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26 (batch analog): tumbling 1-hour window aggregation over event time.
+
+    The streaming version (readStream + watermark) lives in
+    streaming/windows.py and is checked against this batch recomputation.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("value")).cast("double").alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test harness; the config is written so the same code is
+correct on a multi-executor cluster: AQE on (runtime re-plan, skew-join,
+partition coalescing), parquet filter pushdown on, Arrow on for the
+Pandas-UDF slow path, and shuffle partitions sized to the local core count
+rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "clickhouse_mergetree_spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle_parts = str(cpus if cpus else (os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
+        # reader rejects; read as long (ns since epoch) and convert in
+        # tables.load — DuckDB equivalently truncates ns → µs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # granule analog: cap rows per output file chunk like the reference's
+        # 8192-row granule (reference: src/granule.h:10) — parquet row groups
+        # carry the min/max stats that replace the sparse index.
+        .config("spark.hadoop.parquet.block.size", str(8 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,33 @@
+"""Loaders for the driver's synthetic tables (TESTDATA.md / FIXTURES.md §2).
+
+Every declared query receives (spark, sf_dir) and loads via these helpers so
+scans stay plain ``spark.read.parquet`` — Catalyst handles column pruning and
+predicate pushdown from there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) read as long ns (nanosAsLong); truncate to µs like
+        # DuckDB does. `div` keeps the arithmetic in int64 — a double would
+        # lose precision above 2^53.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
