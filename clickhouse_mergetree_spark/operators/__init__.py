@@ -16,5 +16,8 @@ _OPTIONAL_MODULES = (
 for _m in _OPTIONAL_MODULES:
     try:
         __import__(f"clickhouse_mergetree_spark.operators.{_m}")
-    except ImportError:
-        pass
+    except ModuleNotFoundError as exc:
+        # Only swallow "the optional module itself doesn't exist yet"; a
+        # broken import *inside* an existing module must fail loudly.
+        if exc.name != f"clickhouse_mergetree_spark.operators.{_m}":
+            raise

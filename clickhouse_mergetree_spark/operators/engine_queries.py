@@ -175,6 +175,8 @@ def q_merge_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no shuffle); only the dedup exchanges.
     """
     kv = _kv(spark, sf_dir)
-    parts = [kv.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    # pmod (not %) so negative ids can never fall outside buckets 0..2 — the
+    # union provably covers every row of the scan.
+    parts = [kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
     merged = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return _dedup_first(merged)

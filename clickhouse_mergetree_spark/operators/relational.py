@@ -127,15 +127,27 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: left outer join — customers with zero orders survive with count 0."""
+    """E4: left outer join — customers with zero orders survive with count 0.
+
+    Scale: orders is pre-aggregated by o_custkey *before* the join (Spark
+    does not push aggregates through joins), so the join probes one row per
+    customer instead of shuffling the full fact table through it.
+    """
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
+    o_agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"),
-             F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0))
-             .cast("double").alias("total_spend"))
+             F.sum(_dec("o_totalprice")).alias("spend_dec"))
+    )
+    return (
+        c.join(o_agg, c.c_custkey == o_agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend_dec").cast("double"), F.lit(0.0))
+            .alias("total_spend"),
+        )
     )
 
 

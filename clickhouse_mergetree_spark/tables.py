@@ -20,6 +20,12 @@ TABLE_NAMES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark 4
+        # parquet reader rejects outright. nanosAsLong is a runtime SQL conf,
+        # so set it here rather than only in our session factory — callers
+        # (e.g. the driver) hand us their own vanilla SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as long ns (nanosAsLong); truncate to µs like
