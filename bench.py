@@ -1,0 +1,88 @@
+"""Benchmark harness (BASELINE.md workload B, driver BENCH contract).
+
+Times every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
+JSON line on stdout:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q_agg_basic": sec, ...}, "sf": 0.1}
+
+Execution is forced with the `noop` sink so we time the full plan
+(scan → shuffle → agg) without driver-side collect overhead — the same
+thing a cluster job would spend. Failures are recorded per-query as -1 and
+never abort the run. Everything except the JSON line goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+import traceback
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from clickhouse_mergetree_spark.registry import all_queries
+    from clickhouse_mergetree_spark.session import get_spark
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    for name, q in sorted(all_queries().items()):
+        try:
+            # One untimed warm-up of the parquet footer/listing cache would
+            # flatter the numbers; we time cold, like the driver sees it.
+            sec = run_query(q.fn, spark, sf_dir)
+            timings[name] = round(sec, 4)
+            total += sec
+            _log(f"{name}: {sec:.3f}s")
+        except Exception:
+            timings[name] = -1.0
+            _log(f"{name}: FAILED\n{traceback.format_exc()}")
+
+    # Workload A (reference-shaped; BASELINE.md): 50k rows ≈ 10k keys × 5
+    # versions through the SparkMergeTree write path, then a range scan over
+    # ~10% of the keyspace (reference: examples/demo.cpp:100-153).
+    try:
+        from bench_workload_a import run_workload_a  # optional until M2 lands
+
+        wa = run_workload_a(spark)
+        timings.update({f"workload_a_{k}": round(v, 4) for k, v in wa.items()})
+        _log(f"workload_a: {wa}")
+    except ImportError:
+        _log("workload_a: skipped (engine module not present)")
+    except Exception:
+        timings["workload_a_total_sec"] = -1.0
+        _log(f"workload_a: FAILED\n{traceback.format_exc()}")
+
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
