@@ -1,0 +1,240 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.B E20-E21).
+
+Absent in the reference (its only dedup is exact (key,ts) row dedup,
+reference: src/merge_tree.cpp:56-60); these are the driver-mandated
+content-level dedup family over the ``documents`` table.
+
+Scale design (the part that matters at 100 TB):
+- exact dedup is a hash-groupBy on a 256-bit content hash — one shuffle on
+  a uniformly-distributed key, no skew possible;
+- candidate generation for near-dup is ALWAYS bucket-joined (inverted
+  shingle index / LSH band buckets), never an all-pairs cross join — cost
+  is Σ pairs-per-bucket, not n²;
+- at production scale you additionally drop shingles with document
+  frequency above a cap (they generate quadratic bucket blowup and carry no
+  signal); kept exact here so the DuckDB oracle can reproduce the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.tables import load
+
+# 3-token shingles; MinHash with 16 permutations banded 4×4; verify at 0.5.
+SHINGLE_N = 3
+MINHASH_PERMS = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+JACCARD_THRESHOLD = 0.35
+NEAR_DUP_THRESHOLD = 0.5
+
+
+def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) pairs — DISTINCT 3-token shingles per document.
+
+    Built with JVM-side array functions only (transform over a sequence of
+    start offsets); no Python UDF in the path.
+    """
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+# DuckDB equivalent of _shingles: 1-based list indexing, range() end-exclusive.
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split(text, ' ')) - {SHINGLE_N - 2}),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]
+               )) AS shingle
+        FROM documents
+    )
+"""
+
+
+@declared_query(
+    "q_dedup_content",
+    oracle="""
+        SELECT sha256(text) AS content_hash,
+               min(doc_id) AS keeper_doc,
+               count(*) AS n_copies
+        FROM documents GROUP BY sha256(text)
+    """,
+)
+def q_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20: exact content dedup — sha2-256 hash groupBy, keep lowest doc_id.
+
+    One shuffle on a 256-bit uniform key; the dedup itself is a partial+final
+    hash aggregate, so map-side combine removes most duplicates before the
+    exchange. This is the canonical first pass of any training-data pipeline.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc"),
+             F.count("*").alias("n_copies"))
+    )
+
+
+@declared_query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.n_common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - p.n_common) AS jaccard
+        FROM pairs p
+        JOIN card ca ON ca.doc_id = p.doc_a
+        JOIN card cb ON cb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE)
+                / (ca.n_sh + cb.n_sh - p.n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    Candidate pairs come from an equi-join on shingle (only documents that
+    SHARE a shingle ever meet) — the classic scale-safe alternative to an
+    O(n²) cross join. Jaccard is |A∩B| / (|A|+|B|-|A∩B|) on distinct-shingle
+    sets; the division is int/int in double, bit-identical across engines.
+    """
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@declared_query("q_near_dedup")  # rows-only: MinHash-LSH is not DuckDB-expressible
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21: banded MinHash-LSH near-dup pairs (shingle→minhash→band→bucket-join).
+
+    Pipeline, all JVM-side:
+      1. distinct 3-token shingles per doc;
+      2. 16 minhashes: h_i(doc) = min over shingles of xxhash64(i, shingle)
+         (seeding by prepending the permutation index — one scan, 16 aggs);
+      3. band into 4 bands × 4 rows; band signature = hash of the 4 minhashes;
+      4. candidate pairs = equi-join on (band_id, band_sig) — never all-pairs;
+      5. verify candidates with exact shingle-set Jaccard ≥ 0.5.
+
+    At 100 TB each stage is one shuffle (agg on doc_id, join on band bucket,
+    join on shingle for verification of the — tiny — candidate set).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(MINHASH_PERMS)
+    ])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(f"h{b * LSH_ROWS + r}")
+                             for r in range(LSH_ROWS)]).alias("band_sig"),
+            )
+            for b in range(LSH_BANDS)
+        ])).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_sig")
+
+    l, r = bands.alias("l"), bands.alias("r")
+    candidates = (
+        l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
+               & (F.col("l.band_sig") == F.col("r.band_sig"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # Exact-Jaccard verification of the candidate set only.
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        candidates.join(a, candidates.doc_a == F.col("a.doc_id"))
+        .join(b, (candidates.doc_b == F.col("b.doc_id"))
+              & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+    )
+
+
+@declared_query("q_dedup_simhash")  # rows-only: bit-vote signature, engine-specific hash
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures (63-bit, xxhash64 token hashes).
+
+    Per document: every distinct token votes ±1 on each signature bit
+    according to the corresponding bit of its 64-bit hash; bit b of the
+    signature is 1 iff the vote sum is positive. Near-duplicates land at
+    small Hamming distance. Bits 0..62 only, so the packed signature stays
+    non-negative in a signed long.
+
+    One explode + one groupBy(doc_id) with 63 conditional-sum aggregates —
+    entirely whole-stage-codegen, no Python in the path.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = toks.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(63)
+    ])
+    sig = None
+    for b in range(63):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (SURVEY §2.B E22).
+
+Two paths over ``embeddings`` (array<float>, 64-dim — FIXTURES.md):
+- q_sim_search: brute-force exact cosine top-k — the DuckDB-checkable
+  baseline; one scan, per-row O(d) arithmetic fully JVM-side
+  (zip_with + aggregate), then TakeOrderedAndProject for the top-k
+  (per-partition heaps, no global sort).
+- q_sim_search_lsh: random-hyperplane LSH bucketing — the 100 TB path:
+  the query probes only its own sign-bucket, so the scan is pruned to
+  ~n/2^bits candidates (a real deployment stores data pre-partitioned by
+  bucket so the probe is a partition-pruned read, and multi-probes
+  neighboring buckets for recall).
+
+Float→double casts are exact and both engines accumulate the dot product
+sequentially over the list, so the cosine doubles are bit-identical —
+rounding to 9 dp is belt-and-braces for the value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.tables import load
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+DIM = 64
+LSH_BITS = 8
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Σ a[i]·b[i] in double — JVM-side, no UDF."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+@declared_query(
+    "q_sim_search",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+        scored AS (
+            SELECT e.vec_id,
+                   list_sum(list_transform(range(1, {DIM + 1}),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+                   AS cos_raw
+            FROM embeddings e, q
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+        )
+        SELECT vec_id, round(cos_raw, 9) AS cosine
+        FROM scored ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
+    """,
+)
+def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22: exact brute-force cosine top-k against the vec_id=0 embedding.
+
+    The 1-row query vector is broadcast; the scan stays a single pass with
+    per-row O(d) array arithmetic; top-k plans as TakeOrderedAndProject.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qv"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (_dot("embedding", "qv")
+             / (_norm("embedding") * _norm("qv"))).alias("cos_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("cos_raw", 9).alias("cosine"))
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """LSH_BITS deterministic random hyperplanes (seed 42), as plan literals."""
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((LSH_BITS, DIM)).tolist()
+
+
+@declared_query("q_sim_search_lsh")  # rows-only: approximate by construction
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 scale path: sign-random-projection LSH bucketed ANN top-k.
+
+    bucket(v) = Σ [v·p_b > 0]·2^b over 8 fixed hyperplanes (seed 42, plan
+    literals — no lookup table to join). Search scans only rows whose bucket
+    equals the query's bucket (~n/256 of the data), then exact cosine +
+    top-k within the bucket. Recall < 1 by design; pair with q_sim_search
+    as the exact baseline. At scale, write the table partitioned by
+    `bucket` so this filter becomes partition pruning, and probe buckets at
+    Hamming distance 1 for higher recall.
+    """
+    planes = _hyperplanes()
+    emb = load(spark, sf_dir, "embeddings")
+
+    def bucket_of(vec_col: str) -> Column:
+        acc = F.lit(0)
+        for b, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+            dot = _dot(vec_col, lit_plane)
+            acc = acc + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        return acc
+
+    bucketed = emb.withColumn("bucket", bucket_of("embedding"))
+    q = (
+        bucketed.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
+    )
+    candidates = (
+        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id", "bucket",
+            (_dot("embedding", "qv")
+             / (_norm("embedding") * _norm("qv"))).alias("cos_raw"),
+        )
+    )
+    return (
+        candidates.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "bucket", F.round("cos_raw", 9).alias("cosine"))
+    )

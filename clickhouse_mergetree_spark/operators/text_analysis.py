@@ -1,0 +1,198 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2.B E23).
+
+Everything here is built from pyspark.sql.functions array/string built-ins
+(whole-stage-codegen, no Python in the hot path) over the ``documents``
+table: term frequency, per-document quality metrics, heuristic language ID,
+and shingle fingerprinting. All four are DuckDB-expressible → hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.tables import load
+
+TF_TOP_N = 50
+
+# Tiny per-language stopword lists for the n-gram/stopword-vote heuristic.
+# Deliberately minimal — the point is the distributed argmax pattern, not
+# linguistic accuracy.
+_EN_STOP = ("the", "a", "of", "and", "to", "in", "is")
+_ES_STOP = ("el", "la", "de", "y", "que", "en", "es")
+_DE_STOP = ("der", "die", "das", "und", "zu", "ist", "ein")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@declared_query(
+    "q_text_tf",
+    oracle=f"""
+        SELECT token, count(*) AS tf
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY tf DESC, token
+        LIMIT {TF_TOP_N}
+    """,
+)
+def q_text_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: corpus term frequency, top-N tokens.
+
+    explode → partial+final count agg (map-side combine collapses each
+    partition's counts before the shuffle) → TakeOrderedAndProject. The
+    classic word-count; at 100 TB the only knob is shuffle partitions.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(TF_TOP_N)
+    )
+
+
+@declared_query(
+    "q_text_quality",
+    oracle="""
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_unique,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS unique_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_token_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> list_contains(['the','a','of','and','to','in','is'], t)))
+                    AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: per-document quality metrics — length, lexical diversity,
+    average token length, stopword ratio.
+
+    Standard pre-training quality filters (cf. C4/Gopher rules). Pure
+    row-local array arithmetic: zero shuffles, scales embarrassingly.
+    All ratios are int/int divisions in double — bit-identical to the
+    oracle.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stops = F.array(*[F.lit(w) for w in _EN_STOP])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens)
+        .alias("unique_ratio"),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens)
+        .alias("avg_token_len"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+    )
+
+
+@declared_query(
+    "q_text_langid",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CASE
+                 WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+                 WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+                 WHEN de_hits > 0 THEN 'de'
+                 ELSE 'und'
+               END AS pred_lang,
+               en_hits, es_hits, de_hits
+        FROM (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains([{_sql_list(_EN_STOP)}], t))) AS en_hits,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains([{_sql_list(_ES_STOP)}], t))) AS es_hits,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains([{_sql_list(_DE_STOP)}], t))) AS de_hits
+            FROM documents
+        )
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: heuristic language ID by stopword vote, with a deterministic
+    argmax tie-break (en > es > de > und). Row-local; no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = d.select(
+        "doc_id", "lang",
+        hits(_EN_STOP).alias("en_hits"),
+        hits(_ES_STOP).alias("es_hits"),
+        hits(_DE_STOP).alias("de_hits"),
+    )
+    pred = (
+        F.when((F.col("en_hits") >= F.col("es_hits"))
+               & (F.col("en_hits") >= F.col("de_hits"))
+               & (F.col("en_hits") > 0), F.lit("en"))
+        .when((F.col("es_hits") >= F.col("de_hits"))
+              & (F.col("es_hits") > 0), F.lit("es"))
+        .when(F.col("de_hits") > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"),
+                         "en_hits", "es_hits", "de_hits")
+
+
+@declared_query(
+    "q_text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               min(md5(shingle)) AS fp_min,
+               max(md5(shingle)) AS fp_max,
+               count(DISTINCT shingle) AS n_shingles
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]
+                   )) AS shingle
+            FROM documents
+        )
+        GROUP BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: shingle-hash document fingerprint (min/max md5 over 3-gram
+    shingles — a 1-permutation MinHash). Equal fingerprints ⇒ near-identical
+    leading content; used as a cheap pre-filter before full near-dedup."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(sh).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("shingle")).alias("fp_min"),
+            F.max(F.md5("shingle")).alias("fp_max"),
+            F.countDistinct("shingle").alias("n_shingles"),
+        )
+    )
