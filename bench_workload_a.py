@@ -1,0 +1,71 @@
+"""Workload A — the reference-shaped engine benchmark (BASELINE.md).
+
+Mirrors examples/demo.cpp:100-153 (test_performance): 50k rows over 10k
+keys (≈5 versions each) through the SparkMergeTree write path in
+threshold-sized batches, a full optimize() pass, then a range scan over
+~10% of the keyspace. Rows are generated JVM-side with spark.range — no
+driver-side row loop, so the timing measures the engine, not createDataFrame.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+NUM_ROWS = 50_000
+NUM_KEYS = 10_000
+BATCH_ROWS = 5_000  # == flush threshold → one part per batch, 10 parts
+
+
+def run_workload_a(spark: SparkSession) -> dict[str, float]:
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    base = tempfile.mkdtemp(prefix="workload_a_")
+    cfg = MergeTreeConfig(memtable_flush_threshold=BATCH_ROWS, max_parts=4)
+    out: dict[str, float] = {}
+    try:
+        t = SparkMergeTree(spark, base, config=cfg)
+
+        rows = spark.range(NUM_ROWS).select(
+            F.format_string("key_%05d", (F.col("id") % NUM_KEYS)).alias("key"),
+            F.format_string("value_%d", F.col("id")).alias("value"),
+            F.col("id").cast("long").alias("timestamp"),
+        )
+
+        t0 = time.perf_counter()
+        for b in range(NUM_ROWS // BATCH_ROWS):
+            batch = rows.filter(
+                (F.col("timestamp") >= b * BATCH_ROWS)
+                & (F.col("timestamp") < (b + 1) * BATCH_ROWS))
+            t.insert_batch(batch, row_count=BATCH_ROWS)
+        t.flush()
+        out["insert_sec"] = time.perf_counter() - t0
+        out["parts_after_insert"] = float(t.part_count())
+
+        t1 = time.perf_counter()
+        t.optimize()
+        out["optimize_sec"] = time.perf_counter() - t1
+        out["parts_after_optimize"] = float(t.part_count())
+
+        t2 = time.perf_counter()
+        n = t.query("key_01000", "key_02000").count()
+        out["range_scan_sec"] = time.perf_counter() - t2
+        out["range_scan_rows"] = float(n)
+
+        out["total_sec"] = out["insert_sec"] + out["optimize_sec"] + out["range_scan_sec"]
+        t.close()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+if __name__ == "__main__":
+    from clickhouse_mergetree_spark.session import get_spark
+
+    s = get_spark("workload_a")
+    print(run_workload_a(s))
+    s.stop()

@@ -1,0 +1,28 @@
+"""SparkMergeTree — the reference's LSM storage engine, re-expressed on Spark.
+
+Reference identity (SURVEY §1): memtable + immutable sorted columnar parts +
+manifest metadata + background compaction. Spark mapping: a driver-side row
+buffer (memtable analog), Parquet part directories written key-sorted
+(repartitionByRange + sortWithinPartitions), a JSON manifest carrying the
+reference's part metadata (R24), and a compaction job scored with the
+reference's formula (R29).
+"""
+
+from clickhouse_mergetree_spark.engine.manifest import Manifest, PartMeta
+from clickhouse_mergetree_spark.engine.merge_tree import (
+    MergeTreeConfig,
+    SparkMergeTree,
+)
+from clickhouse_mergetree_spark.engine.merger import (
+    calculate_merge_score,
+    select_merge_candidates,
+)
+
+__all__ = [
+    "Manifest",
+    "MergeTreeConfig",
+    "PartMeta",
+    "SparkMergeTree",
+    "calculate_merge_score",
+    "select_merge_candidates",
+]

@@ -1,0 +1,134 @@
+"""Part manifest — the engine's metadata layer.
+
+Replaces the reference's per-part ``metadata.bin`` (src/part.cpp:125-161)
+and directory-scan recovery (src/merge_tree.cpp:164-197) with one JSON
+manifest per table, Delta-style. Carries exactly the reference's metadata
+fields (src/part.h:12-26): part id, min/max key, min/max timestamp, row
+count, disk size, creation time — these drive part-level query pruning (R8)
+and compaction scoring (R29) without touching data files.
+
+Swap atomicity (R33): write-temp-then-``os.replace`` — readers of the old
+manifest keep a consistent view because parts are immutable; single-writer
+assumption matches the reference's single-process model (src/merge_tree.h:34-41).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartMeta:
+    """One part's metadata row (reference src/part.h:12-26)."""
+
+    part_id: int
+    path: str           # directory of the part's parquet files
+    min_key: object
+    max_key: object
+    min_ts: int
+    max_ts: int
+    row_count: int
+    disk_size: int
+    created_at: float = field(default_factory=time.time)
+
+    def overlaps_range(self, start_key, end_key) -> bool:
+        """Part-level min/max pruning predicate (reference src/part.cpp:201-203)."""
+        return not (self.max_key < start_key or self.min_key > end_key)
+
+
+MANIFEST_NAME = "manifest.json"
+
+
+class Manifest:
+    """Atomic JSON manifest of live parts for one SparkMergeTree table."""
+
+    def __init__(self, base_path: str):
+        self.base_path = base_path
+        self.file_path = os.path.join(base_path, MANIFEST_NAME)
+        self.parts: list[PartMeta] = []
+        self.next_part_id: int = 1
+
+    # -- persistence --------------------------------------------------------
+
+    @classmethod
+    def load(cls, base_path: str) -> "Manifest":
+        """Load the manifest; if absent, recover by scanning part_<id> dirs
+        (reference recovery path, src/merge_tree.cpp:164-197)."""
+        m = cls(base_path)
+        if os.path.exists(m.file_path):
+            with open(m.file_path) as f:
+                doc = json.load(f)
+            m.parts = [PartMeta(**p) for p in doc["parts"]]
+            m.next_part_id = doc["next_part_id"]
+            return m
+        # manifest-less recovery: list part_* dirs, resume the id counter
+        if os.path.isdir(base_path):
+            ids = []
+            for name in os.listdir(base_path):
+                if name.startswith("part_") and os.path.isdir(
+                        os.path.join(base_path, name)):
+                    try:
+                        ids.append(int(name[5:]))
+                    except ValueError:
+                        continue
+            if ids:
+                m.next_part_id = max(ids) + 1
+                # metadata must be rebuilt by the engine (needs a scan);
+                # record paths with placeholder stats
+                m.parts = [
+                    PartMeta(part_id=i,
+                             path=os.path.join(base_path, f"part_{i}"),
+                             min_key=None, max_key=None, min_ts=0, max_ts=0,
+                             row_count=-1, disk_size=-1)
+                    for i in sorted(ids)
+                ]
+        return m
+
+    def save(self) -> None:
+        """Atomic write-temp-then-rename (R33)."""
+        os.makedirs(self.base_path, exist_ok=True)
+        tmp = self.file_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "next_part_id": self.next_part_id,
+                "parts": [asdict(p) for p in self.parts],
+            }, f, indent=1, default=str)
+        os.replace(tmp, self.file_path)
+
+    # -- mutation (callers persist with save()) ------------------------------
+
+    def allocate_part_id(self) -> int:
+        pid = self.next_part_id
+        self.next_part_id += 1
+        return pid
+
+    def append(self, part: PartMeta) -> None:
+        self.parts.append(part)
+
+    def swap(self, removed_ids: list[int], added: PartMeta) -> None:
+        """Compaction commit: drop merged-away parts, add the merged part
+        (reference perform_merge, src/merge_tree.cpp:245-288)."""
+        removed = set(removed_ids)
+        self.parts = [p for p in self.parts if p.part_id not in removed]
+        self.parts.append(added)
+
+    # -- queries over metadata ----------------------------------------------
+
+    def live_paths(self) -> list[str]:
+        return [p.path for p in self.parts]
+
+    def prune(self, start_key, end_key) -> list[PartMeta]:
+        """Parts whose [min_key, max_key] intersects the query range (R8)."""
+        return [
+            p for p in self.parts
+            if p.min_key is None or p.overlaps_range(start_key, end_key)
+        ]
+
+    def total_rows(self) -> int:
+        return sum(p.row_count for p in self.parts)
+
+    def disk_usage(self) -> int:
+        return sum(p.disk_size for p in self.parts)

@@ -1,0 +1,400 @@
+"""SparkMergeTree — insert / flush / query / compact / recover.
+
+The reference's MergeTree (src/merge_tree.cpp) re-expressed Spark-first:
+
+| reference                                  | here                                  |
+|--------------------------------------------|---------------------------------------|
+| skip-list memtable (src/memtable.cpp)      | driver-side row/DataFrame buffer —    |
+|                                            | ordering imposed once at flush        |
+| flush → sorted granule part (src/part.cpp:39-65) | repartitionByRange(key) +       |
+|                                            | sortWithinPartitions(key, ts) parquet |
+| sparse index / granule stats (src/sparse_index.cpp) | parquet row-group min/max    |
+|                                            | stats (written sorted ⇒ tight ranges) |
+| part min/max pruning (src/part.cpp:201-203)| manifest prune before spark.read      |
+| query: union + sort + (key,ts) dedup       | unionByName + dropDuplicates +        |
+| (src/merge_tree.cpp:37-63)                 | orderBy — one lazy DataFrame          |
+| k-way heap merge (src/merger.cpp:7-59)     | read-dedup-sort-write compaction job  |
+| background thread (src/merge_tree.cpp:207-226) | optional driver-side timer thread |
+
+User-visible contract reproduced exactly (SURVEY §1.5): append-only version
+semantics — re-inserting a key adds a version; results sorted (key ASC,
+ts ASC) with exact (key, ts) duplicates removed. When two rows share
+(key, ts) but differ in value, which survives is merge-order-dependent in
+the reference and partition-order-dependent here — equally unspecified.
+
+Scale notes: parts are written key-sorted so range predicates prune at
+file AND row-group level; the query path is a single lazy plan (scan ∪
+buffer → hash-agg dedup → sort) whose only shuffle is the dedup/sort key;
+compaction reads only the selected parts. Nothing here collects data to
+the driver except explicit stats.
+
+Unlike the reference, old parts are DELETED after a merge commits —
+the reference leaks them on disk (verified: data/test_merge/ still holds
+all 14 pre-merge part dirs; delete_from_disk has no call site in the merge
+path).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import threading
+from dataclasses import dataclass, field
+from math import ceil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_mergetree_spark.engine.manifest import Manifest, PartMeta
+from clickhouse_mergetree_spark.engine.merger import select_merge_candidates
+
+# Reference row model (src/row.h:10-12), timestamps as signed long (SURVEY §1.2).
+DEFAULT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType(), False),
+    T.StructField("value", T.StringType(), False),
+    T.StructField("timestamp", T.LongType(), False),
+])
+
+
+@dataclass
+class MergeTreeConfig:
+    """Reference MergeTreeConfig defaults (src/merge_tree.h:17-20)."""
+
+    memtable_flush_threshold: int = 1000
+    max_parts: int = 10
+    merge_interval_seconds: float = 30.0
+    enable_background_merge: bool = False
+    # granule analog: rows per parquet file within a part; row-group stats
+    # inside each file replace the sparse index (reference src/granule.h:10)
+    rows_per_file: int = 512 * 1024
+    key_col: str = "key"
+    ts_col: str = "timestamp"
+
+
+class SparkMergeTree:
+    """One MergeTree table rooted at ``base_path``."""
+
+    def __init__(self, spark: SparkSession, base_path: str,
+                 schema: T.StructType | None = None,
+                 config: MergeTreeConfig | None = None):
+        self.spark = spark
+        self.base_path = base_path
+        self.schema = schema or DEFAULT_SCHEMA
+        self.config = config or MergeTreeConfig()
+        self._buffer_rows: list[tuple] = []
+        self._buffer_dfs: list[tuple[DataFrame, int]] = []  # (df, row_count)
+        self._buffer_count = 0
+        self._lock = threading.RLock()
+        self._closed = False
+        os.makedirs(base_path, exist_ok=True)
+        self.manifest = Manifest.load(base_path)
+        self._rebuild_missing_metadata()
+        self._bg_stop = threading.Event()
+        self._bg_thread: threading.Thread | None = None
+        if self.config.enable_background_merge:
+            self.start_background_maintenance()
+
+    # ------------------------------------------------------------------ utils
+
+    @property
+    def _key(self) -> str:
+        return self.config.key_col
+
+    @property
+    def _ts(self) -> str:
+        return self.config.ts_col
+
+    def _empty_df(self) -> DataFrame:
+        return self.spark.createDataFrame([], self.schema)
+
+    def _rebuild_missing_metadata(self) -> None:
+        """Manifest-less recovery: parts found by directory scan carry
+        placeholder stats — rebuild them with one aggregate per part
+        (reference lazily loads metadata at open, src/merge_tree.cpp:185-190)."""
+        dirty = False
+        for p in self.manifest.parts:
+            if p.row_count >= 0:
+                continue
+            stats = self._part_stats(self.spark.read.schema(self.schema)
+                                     .parquet(p.path))
+            p.min_key, p.max_key = stats["min_key"], stats["max_key"]
+            p.min_ts, p.max_ts = stats["min_ts"], stats["max_ts"]
+            p.row_count = stats["row_count"]
+            p.disk_size = _dir_size(p.path)
+            dirty = True
+        if dirty:
+            self.manifest.save()
+
+    def _part_stats(self, df: DataFrame) -> dict:
+        """R24 metadata aggregate (reference src/part.cpp:219-246)."""
+        row = df.agg(
+            F.min(self._key).alias("min_key"),
+            F.max(self._key).alias("max_key"),
+            F.min(self._ts).alias("min_ts"),
+            F.max(self._ts).alias("max_ts"),
+            F.count("*").alias("row_count"),
+        ).collect()[0]
+        return row.asDict()
+
+    # ----------------------------------------------------------------- writes
+
+    def insert(self, key, value, timestamp) -> None:
+        """R1: single-row insert → buffer, threshold-flush
+        (reference src/merge_tree.cpp:24-35). Batch is the native unit in
+        Spark; single rows are a degenerate batch (SURVEY §7.3)."""
+        with self._lock:
+            self._buffer_rows.append((key, value, timestamp))
+            self._buffer_count += 1
+        self.trigger_flush_if_needed()
+
+    def insert_batch(self, df: DataFrame, row_count: int | None = None) -> None:
+        """Batch insert. ``row_count`` avoids a count() job when the caller
+        already knows it (e.g. foreachBatch gives exact micro-batch sizes)."""
+        n = row_count if row_count is not None else df.count()
+        if n == 0:
+            return
+        with self._lock:
+            self._buffer_dfs.append((df, n))
+            self._buffer_count += n
+        self.trigger_flush_if_needed()
+
+    def insert_rows(self, rows: list[tuple]) -> None:
+        with self._lock:
+            self._buffer_rows.extend(rows)
+            self._buffer_count += len(rows)
+        self.trigger_flush_if_needed()
+
+    def trigger_flush_if_needed(self) -> None:
+        """R17 (reference src/merge_tree.cpp:228-238)."""
+        if self._buffer_count >= self.config.memtable_flush_threshold:
+            self.flush()
+
+    def _buffer_df(self) -> DataFrame | None:
+        with self._lock:
+            if self._buffer_count == 0:
+                return None
+            dfs = [d for d, _ in self._buffer_dfs]
+            if self._buffer_rows:
+                dfs.append(self.spark.createDataFrame(
+                    self._buffer_rows, self.schema))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def flush(self) -> int | None:
+        """R16: drain buffer → one sorted parquet part + manifest append
+        (reference src/merge_tree.cpp:69-91, src/part.cpp:39-65).
+        Returns the new part id, or None if the buffer was empty."""
+        with self._lock:
+            df = self._buffer_df()
+            if df is None:
+                return None
+            n_rows = self._buffer_count
+            self._buffer_rows = []
+            self._buffer_dfs = []
+            self._buffer_count = 0
+            part_id = self.manifest.allocate_part_id()
+        meta = self._write_part(part_id, df, n_rows)
+        with self._lock:
+            self.manifest.append(meta)
+            self.manifest.save()
+        return part_id
+
+    def _write_part(self, part_id: int, df: DataFrame, n_rows: int) -> PartMeta:
+        """Sorted columnar part write (R12+R18). repartitionByRange makes
+        per-file key ranges disjoint; sortWithinPartitions orders rows inside
+        each file so parquet row-group min/max stats are tight — together the
+        Spark analog of the reference's global sort + sparse index
+        (src/part.cpp:44-45, src/part.cpp:248-257)."""
+        path = os.path.join(self.base_path, f"part_{part_id}")
+        n_files = max(1, ceil(n_rows / self.config.rows_per_file))
+        writer = (
+            df.repartitionByRange(n_files, self._key, self._ts)
+            .sortWithinPartitions(self._key, self._ts)
+            if n_files > 1
+            else df.coalesce(1).sortWithinPartitions(self._key, self._ts)
+        )
+        writer.write.mode("overwrite").parquet(path)
+        stats = self._part_stats(
+            self.spark.read.schema(self.schema).parquet(path))
+        return PartMeta(
+            part_id=part_id, path=path,
+            min_key=stats["min_key"], max_key=stats["max_key"],
+            min_ts=stats["min_ts"], max_ts=stats["max_ts"],
+            row_count=stats["row_count"], disk_size=_dir_size(path),
+        )
+
+    # ----------------------------------------------------------------- reads
+
+    def query(self, start_key, end_key) -> DataFrame:
+        """R3: inclusive key-range scan over buffer ∪ parts, (key,ts) dedup,
+        (key ASC, ts ASC) order (reference src/merge_tree.cpp:37-63).
+
+        One lazy plan: manifest-pruned parquet scan (the filter also pushes
+        to row-group stats) ∪ buffer → dropDuplicates (partial+final hash
+        agg) → sort. Only the dedup/sort key shuffles.
+        """
+        pred = F.col(self._key).between(start_key, end_key)
+        return self._assemble(pred, key_range=(start_key, end_key))
+
+    def query_key(self, key) -> DataFrame:
+        """R4 (reference src/merge_tree.cpp:65-67)."""
+        return self._assemble(F.col(self._key) == key, key_range=(key, key))
+
+    def query_all(self) -> DataFrame:
+        return self._assemble(None)
+
+    def _assemble(self, pred, key_range=None) -> DataFrame:
+        with self._lock:
+            if key_range is None:
+                pruned = list(self.manifest.parts)
+            else:
+                # R8: manifest min/max pruning — skipped parts are never
+                # listed, opened, or scheduled (reference src/part.cpp:201-203)
+                pruned = self.manifest.prune(*key_range)
+            buf = self._buffer_df()
+        sources = []
+        if pruned:
+            df = self.spark.read.schema(self.schema).parquet(
+                *[p.path for p in pruned])
+            sources.append(df)
+        if buf is not None:
+            sources.append(buf)
+        if not sources:
+            return self._empty_df()
+        out = sources[0]
+        for s in sources[1:]:
+            out = out.unionByName(s)
+        if pred is not None:
+            out = out.filter(pred)
+        other_cols = [c for c in out.columns if c not in (self._key, self._ts)]
+        return (
+            out.dropDuplicates([self._key, self._ts])
+            .orderBy(self._key, self._ts, *other_cols)
+        )
+
+    # ------------------------------------------------------------ compaction
+
+    def should_trigger_merge(self) -> bool:
+        """R30 (reference src/merge_tree.cpp:240-243)."""
+        with self._lock:
+            return len(self.manifest.parts) > self.config.max_parts
+
+    def merge_parts_sync(self) -> bool:
+        """R32: one synchronous merge round if triggered
+        (reference src/merge_tree.cpp:93-97). Returns True if a merge ran."""
+        if self.should_trigger_merge():
+            return self.perform_merge()
+        return False
+
+    def perform_merge(self) -> bool:
+        """R27+R33: best-scored candidate → read-dedup-sort-write → atomic
+        manifest swap → delete old part dirs (reference
+        src/merge_tree.cpp:245-288 — minus its disk leak).
+
+        Spark's sort-shuffle-with-spill replaces the reference's k-way heap
+        (src/merger.cpp:7-59), which materialized everything anyway.
+        """
+        with self._lock:
+            candidates = select_merge_candidates(self.manifest.parts)
+            if not candidates:
+                return False
+            best = candidates[0]
+            selected = [p for p in self.manifest.parts
+                        if p.part_id in best.part_ids]
+            part_id = self.manifest.allocate_part_id()
+
+        merged = (
+            self.spark.read.schema(self.schema)
+            .parquet(*[p.path for p in selected])
+            .dropDuplicates([self._key, self._ts])
+        )
+        meta = self._write_part(part_id, merged, best.total_rows)
+
+        with self._lock:
+            self.manifest.swap([p.part_id for p in selected], meta)
+            self.manifest.save()
+        # commit point passed — old parts are unreachable, reclaim the disk
+        for p in selected:
+            shutil.rmtree(p.path, ignore_errors=True)
+        return True
+
+    def optimize(self) -> None:
+        """R32 OPTIMIZE: flush, then merge until ≤ max_parts
+        (reference src/merge_tree.cpp:199-205)."""
+        self.flush()
+        while self.should_trigger_merge():
+            if not self.perform_merge():
+                break
+
+    # ----------------------------------------------------------- maintenance
+
+    def start_background_maintenance(self) -> None:
+        """R31: driver-side timer thread — flush-if-needed + merge-if-needed
+        every merge_interval_seconds (reference src/merge_tree.cpp:207-226).
+        Submitting jobs from a second driver thread is safe in Spark; this is
+        NOT a per-executor thread."""
+        if self._bg_thread is not None:
+            return
+        self._bg_stop.clear()
+
+        def loop() -> None:
+            while not self._bg_stop.wait(self.config.merge_interval_seconds):
+                try:
+                    self.trigger_flush_if_needed()
+                    if self.should_trigger_merge():
+                        self.perform_merge()
+                except Exception:  # error-swallowing loop, like the reference
+                    pass
+
+        self._bg_thread = threading.Thread(target=loop, daemon=True)
+        self._bg_thread.start()
+
+    def stop_background_maintenance(self) -> None:
+        if self._bg_thread is not None:
+            self._bg_stop.set()
+            self._bg_thread.join()
+            self._bg_thread = None
+
+    # ----------------------------------------------------------------- stats
+
+    def part_count(self) -> int:
+        with self._lock:
+            return len(self.manifest.parts)
+
+    def total_rows(self) -> int:
+        """R37: buffer + Σ manifest row_count — no scan
+        (reference src/merge_tree.cpp:119-135)."""
+        with self._lock:
+            return self._buffer_count + self.manifest.total_rows()
+
+    def disk_usage(self) -> int:
+        """R39 (reference src/merge_tree.cpp:155-162)."""
+        with self._lock:
+            return self.manifest.disk_usage()
+
+    # ------------------------------------------------------------- lifecycle
+
+    def close(self) -> None:
+        """R40: stop maintenance, final flush (reference src/merge_tree.cpp:99-112)."""
+        if self._closed:
+            return
+        self._closed = True
+        self.stop_background_maintenance()
+        self.flush()
+
+    def __enter__(self) -> "SparkMergeTree":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def _dir_size(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            total += os.path.getsize(os.path.join(root, name))
+    return total

@@ -1,0 +1,282 @@
+"""SparkMergeTree engine-semantics suite (SURVEY §5.2–5.4).
+
+Reproduces the reference's demo scenarios (examples/demo.cpp:9-98,155-190)
+against the Spark engine: version semantics, flush thresholds, compaction
+invariants (row multiset preserved, dup collapse, part count shrinks),
+persistence/recovery, and the R8 pruning proof via inputFiles().
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from clickhouse_mergetree_spark.engine import (
+    Manifest,
+    MergeTreeConfig,
+    SparkMergeTree,
+    calculate_merge_score,
+    select_merge_candidates,
+)
+
+
+@pytest.fixture()
+def base_path(tmp_path):
+    return str(tmp_path / "table")
+
+
+def _rows(df):
+    return [(r["key"], r["value"], r["timestamp"]) for r in df.collect()]
+
+
+# --------------------------------------------------------- demo test_basic
+
+def test_basic_operations(spark, base_path):
+    """examples/demo.cpp:9-38 — insert, re-insert same key, point + range."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=100, max_parts=5)
+    with SparkMergeTree(spark, base_path, config=cfg) as t:
+        t.insert("key1", "value1", 1000)
+        t.insert("key2", "value2", 2000)
+        t.insert("key3", "value3", 3000)
+        t.insert("key1", "updated_value1", 4000)
+
+        # append-only version semantics: both versions of key1 visible
+        k1 = _rows(t.query_key("key1"))
+        assert k1 == [("key1", "value1", 1000), ("key1", "updated_value1", 4000)]
+
+        rng = _rows(t.query("key1", "key3"))
+        assert len(rng) == 4
+        keys_ts = [(k, ts) for k, _v, ts in rng]
+        assert keys_ts == sorted(keys_ts)  # (key ASC, ts ASC)
+
+
+def test_exact_duplicate_collapses(spark, base_path):
+    """Same (key, ts) inserted twice → one row survives (SURVEY §1.5)."""
+    with SparkMergeTree(spark, base_path) as t:
+        t.insert("dup", "v", 100)
+        t.insert("dup", "v", 100)
+        t.flush()
+        t.insert("dup", "v", 100)  # and once more in the buffer
+        assert _rows(t.query_key("dup")) == [("dup", "v", 100)]
+
+
+# --------------------------------------------------------- demo test_flush
+
+def test_memtable_flush(spark, base_path):
+    """examples/demo.cpp:40-64 — threshold 10, 25 inserts → 2 auto-flushes,
+    manual flush drains the remaining 5."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    for i in range(25):
+        t.insert(f"key{i}", f"value{i}", i * 1000)
+    assert t.part_count() == 2
+    assert t.total_rows() == 25  # buffer rows counted without a scan
+
+    t.flush()
+    assert t.part_count() == 3
+    assert t.total_rows() == 25
+    assert t.disk_usage() > 0
+
+    # flush of an empty buffer is a no-op, not an empty part
+    assert t.flush() is None
+    assert t.part_count() == 3
+    t.close()
+
+
+def test_query_sees_buffer_and_parts(spark, base_path):
+    """Union of memtable + parts (R15, reference src/merge_tree.cpp:37-63)."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=1000)
+    with SparkMergeTree(spark, base_path, config=cfg) as t:
+        t.insert("a", "flushed", 1)
+        t.flush()
+        t.insert("b", "buffered", 2)
+        got = _rows(t.query("a", "b"))
+        assert got == [("a", "flushed", 1), ("b", "buffered", 2)]
+
+
+# --------------------------------------------------------- demo test_merge
+
+def test_merge_operations(spark, base_path):
+    """examples/demo.cpp:66-98 — parts shrink to ≤ max_parts, row multiset
+    preserved, range query still correct on merged data."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=20, max_parts=3)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    expected = []
+    for batch in range(10):
+        rows = [
+            (f"batch{batch}_key{i}", f"value_{batch}_{i}", batch * 1000 + i)
+            for i in range(25)
+        ]
+        expected.extend(rows)
+        t.insert_rows(rows)
+
+    before = t.part_count()
+    assert before > cfg.max_parts
+    assert t.total_rows() == 250
+
+    t.optimize()
+
+    assert t.part_count() <= cfg.max_parts
+    assert t.total_rows() == 250  # multiset preserved (no dups in input)
+    # old part dirs reclaimed (unlike the reference, which leaks them)
+    live = {os.path.basename(p.path) for p in t.manifest.parts}
+    on_disk = {d for d in os.listdir(t.base_path) if d.startswith("part_")}
+    assert on_disk == live
+
+    got = _rows(t.query("batch0", "batch3"))
+    want = sorted(r for r in expected if "batch0" <= r[0] <= "batch3")
+    assert got == want
+    t.close()
+
+
+def test_merge_collapses_cross_part_duplicates(spark, base_path):
+    """Compaction dedups exact (key,ts) pairs that live in different parts
+    (reference k-way merge semantics, src/merger.cpp:7-59)."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=1)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    t.insert_rows([("k", "v", 1), ("x", "x1", 5)])
+    t.flush()
+    t.insert_rows([("k", "v", 1), ("y", "y1", 6)])  # same (k,1) again
+    t.flush()
+    assert t.part_count() == 2
+    assert t.perform_merge()
+    assert t.part_count() == 1
+    assert t.manifest.total_rows() == 3  # dup physically collapsed
+    assert _rows(t.query_all()) == [("k", "v", 1), ("x", "x1", 5), ("y", "y1", 6)]
+    t.close()
+
+
+def test_merge_scoring_and_selection():
+    """Driver-side policy arithmetic (reference src/merger.cpp:84-174)."""
+    def pm(pid, rows, size):
+        from clickhouse_mergetree_spark.engine import PartMeta
+        return PartMeta(part_id=pid, path=f"/p/{pid}", min_key="a",
+                        max_key="z", min_ts=0, max_ts=1,
+                        row_count=rows, disk_size=size)
+
+    # similar sizes score higher than skewed ones
+    even = calculate_merge_score([pm(1, 10, 5 << 20), pm(2, 10, 5 << 20)])
+    skew = calculate_merge_score([pm(1, 10, 9 << 20), pm(2, 10, 1 << 20)])
+    assert even > skew
+    # pairs preferred over triples at equal sizes (1/num_parts factor)
+    pair = calculate_merge_score([pm(1, 10, 6 << 20), pm(2, 10, 6 << 20)])
+    triple = calculate_merge_score(
+        [pm(1, 10, 6 << 20), pm(2, 10, 6 << 20), pm(3, 10, 6 << 20)])
+    assert pair > triple
+    # tiny merges are de-prioritized by the 10 MiB I/O factor
+    tiny = calculate_merge_score([pm(1, 10, 1024), pm(2, 10, 1024)])
+    assert tiny < even
+
+    cands = select_merge_candidates([pm(1, 10, 5 << 20), pm(2, 10, 5 << 20),
+                                     pm(3, 10, 1 << 20)])
+    assert cands[0].score == max(c.score for c in cands)
+    assert select_merge_candidates([pm(1, 10, 1024)]) == []
+
+
+# --------------------------------------------------- demo test_persistence
+
+def test_persistence(spark, base_path):
+    """examples/demo.cpp:155-190 — reopen sees the same parts and data."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    t.insert_rows([(f"persistent_key{i:03d}", f"persistent_value{i}", i * 1000)
+                   for i in range(100)])
+    t.flush()
+    parts_before = t.part_count()
+    t.close()
+
+    t2 = SparkMergeTree(spark, base_path, config=cfg)
+    assert t2.part_count() == parts_before
+    assert t2.total_rows() == 100
+    got = _rows(t2.query("persistent_key050", "persistent_key060"))
+    assert [r[0] for r in got] == [f"persistent_key{i:03d}" for i in range(50, 61)]
+    # id counter resumed — new flush must not overwrite an existing part
+    t2.insert("zzz", "after-reopen", 1)
+    new_id = t2.flush()
+    assert new_id == parts_before + 1
+    t2.close()
+
+
+def test_recovery_without_manifest(spark, base_path):
+    """Manifest lost → directory-scan recovery rebuilds part metadata
+    (reference src/merge_tree.cpp:164-197)."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    t.insert_rows([("a", "1", 1), ("m", "2", 2)])
+    t.flush()
+    t.insert_rows([("n", "3", 3), ("z", "4", 4)])
+    t.flush()
+    t.close()
+
+    os.remove(os.path.join(base_path, "manifest.json"))
+    t2 = SparkMergeTree(spark, base_path, config=cfg)
+    assert t2.part_count() == 2
+    assert t2.total_rows() == 4
+    # rebuilt min/max drive pruning again
+    metas = sorted(t2.manifest.parts, key=lambda p: p.part_id)
+    assert (metas[0].min_key, metas[0].max_key) == ("a", "m")
+    assert (metas[1].min_key, metas[1].max_key) == ("n", "z")
+    assert _rows(t2.query("a", "z")) == [
+        ("a", "1", 1), ("m", "2", 2), ("n", "3", 3), ("z", "4", 4)]
+    t2.close()
+
+
+# ----------------------------------------------------------- pruning proof
+
+def test_manifest_pruning_skips_part_files(spark, base_path):
+    """R8 proof: a range query touching one part's key range must not read
+    the other parts' files at all (Spark analog of reference
+    src/part.cpp:201-203 min/max pruning)."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    t.insert_rows([(f"a{i:02d}", "v", i) for i in range(50)])
+    t.flush()
+    t.insert_rows([(f"m{i:02d}", "v", i) for i in range(50)])
+    t.flush()
+    t.insert_rows([(f"z{i:02d}", "v", i) for i in range(50)])
+    t.flush()
+    assert t.part_count() == 3
+
+    pruned = t.manifest.prune("m00", "m99")
+    assert [os.path.basename(p.path) for p in pruned] == ["part_2"]
+
+    df = t.query("m00", "m99")
+    files = df.inputFiles()
+    assert files, "plan should read exactly the one overlapping part"
+    assert all("/part_2/" in f for f in files)
+    assert df.count() == 50
+    t.close()
+
+
+def test_point_lookup_prunes(spark, base_path):
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    t.insert_rows([("a", "1", 1)])
+    t.flush()
+    t.insert_rows([("q", "2", 2)])
+    t.flush()
+    df = t.query_key("q")
+    assert all("/part_2/" in f for f in df.inputFiles())
+    assert _rows(df) == [("q", "2", 2)]
+    t.close()
+
+
+def test_background_maintenance(spark, base_path):
+    """R31: timer thread flushes and merges without explicit calls
+    (reference src/merge_tree.cpp:207-226)."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10, max_parts=2,
+                          merge_interval_seconds=0.2,
+                          enable_background_merge=True)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    try:
+        for i in range(60):
+            t.insert(f"k{i:02d}", "v", i)
+        deadline = time.time() + 30
+        while t.part_count() > cfg.max_parts and time.time() < deadline:
+            time.sleep(0.2)
+        assert t.part_count() <= cfg.max_parts
+        assert t.total_rows() == 60
+    finally:
+        t.close()
