@@ -180,3 +180,46 @@ def q_merge_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
     merged = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return _dedup_first(merged)
+
+
+@declared_query(
+    "q_mergetree_engine",
+    oracle=f"""
+        SELECT DISTINCT user_id AS key, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id BETWEEN {RANGE_START} AND {RANGE_END}
+    """,
+)
+def q_mergetree_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SparkMergeTree: events → insert_batch ×3 → flush (3 sorted
+    parquet parts + manifest) → one compaction round → manifest-pruned range
+    query with (key, ts) dedup (reference lifecycle, src/merge_tree.cpp:24-97).
+
+    Oracle checks the deduped (key, ts) pair set — which *row* survives a
+    (key, ts) tie is merge-order-dependent in the reference and here alike,
+    so only the pair set is deterministic.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12,
+                          max_parts=2, key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_mergetree_"),
+                           schema=schema, config=cfg)
+    kv = _kv(spark, sf_dir)
+    for i in range(3):
+        table.insert_batch(
+            kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i))
+        table.flush()
+    table.merge_parts_sync()
+    # query() already dedups on (key, ts_us) — the projection stays distinct
+    return table.query(RANGE_START, RANGE_END).select("key", "ts_us")
