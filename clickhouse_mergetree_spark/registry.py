@@ -37,6 +37,6 @@ def declared_query(name: str, oracle: str | None = None) -> Callable[[QueryFn], 
 
 
 def all_queries() -> dict[str, DeclaredQuery]:
-    # Import operator modules for their registration side effects.
-    from clickhouse_mergetree_spark import operators  # noqa: F401
+    # Import operator + streaming modules for their registration side effects.
+    from clickhouse_mergetree_spark import operators, streaming  # noqa: F401
     return dict(REGISTRY)

@@ -1,0 +1,197 @@
+"""Structured Streaming operators E26–E29 (SURVEY §2.B).
+
+Each query runs a REAL streaming pipeline — ``readStream`` file source over
+the events parquet, event-time semantics, ``availableNow`` trigger, memory
+sink — and returns the sink's contents as the batch DataFrame the driver
+contract expects. With a bounded replay, streaming results are deterministic
+functions of the input, so E26/E27/E29 carry exact DuckDB oracles and E28's
+oracle encodes the watermark cutoff arithmetic itself.
+
+The streaming insert path into SparkMergeTree (foreachBatch as the memtable
+feed, SURVEY §7.1 M4) is exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_mergetree_spark.registry import declared_query
+
+# File-source schema: ts arrives as long ns (nanosAsLong), converted to a
+# µs timestamp exactly like tables.load() does for batch reads.
+_EVENTS_RAW = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file source streams a *directory*; events.parquet is one file.
+    Stage a per-sf symlink dir under /tmp (stable path → reused across calls)."""
+    import hashlib
+    import os
+
+    d = os.path.join(tempfile.gettempdir(),
+                     "events_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded-style file stream (bounded replay)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(_EVENTS_RAW)
+        .parquet(_stream_dir(sf_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Drain a bounded stream into a memory sink, return its table.
+
+    availableNow processes every available file then keeps triggering until
+    pending event-time state (closed windows) is flushed, so append-mode
+    results are complete up to the final watermark.
+    """
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@declared_query(
+    "q_stream_tumbling",
+    oracle="""
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26: streaming tumbling-window aggregation (1h event-time windows).
+
+    Complete output mode — every window's final value, which for a bounded
+    replay equals the batch recomputation (same oracle as q_window_tumbling,
+    proving stream/batch equivalence).
+    """
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast(T.DecimalType(18, 2)))
+             .cast("double").alias("sum_value"))
+    )
+    return run_to_memory(agg, "complete").select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "sum_value",
+    )
+
+
+@declared_query(
+    "q_stream_session",
+    oracle="""
+        WITH marks AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marks
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E27: streaming session windows — 30-minute inactivity gap per user.
+
+    Spark merges an event into a session iff it lands strictly inside the
+    session's current [start, last+gap) span; the oracle reproduces that with
+    a lag/cumsum sessionization, so a hash match checks the gap semantics,
+    not just row counts.
+    """
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_to_memory(agg, "complete").select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+@declared_query(
+    "q_stream_watermark",
+    oracle="""
+        SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, n FROM (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, count(*) AS n
+            FROM events GROUP BY 1
+        ) WHERE w + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E28: watermark + append mode — only windows the 1-hour watermark has
+    closed are emitted; trailing windows stay open (withheld) at end of
+    replay. The oracle computes the same cutoff (window_end ≤ max_ts − 1h),
+    so the hash match verifies the watermark arithmetic itself.
+    """
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    return run_to_memory(agg, "append").select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+    )
+
+
+@declared_query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, epoch_us(ts) AS ts_us FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E29: stateful streaming dedup — dropDuplicatesWithinWatermark on
+    (user_id, ts). State for keys older than the watermark is evicted, so
+    memory is bounded by the delay window, not the stream length — the
+    property that makes this run forever on an unbounded stream.
+    """
+    dedup = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "ts"])
+    )
+    return run_to_memory(dedup, "append").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"),
+    )
