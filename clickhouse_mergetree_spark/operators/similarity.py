@@ -137,3 +137,89 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "bucket", F.round("cos_raw", 9).alias("cosine"))
     )
+
+
+PAIR_TOP_K = 20
+
+
+@declared_query(
+    "q_near_dedup_cosine",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_sum(list_transform(range(1, {DIM + 1}),
+                       k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                          k -> CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, {DIM + 1}),
+                          k -> CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))))
+                   AS cos_raw
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(cos_raw, 9) AS cosine
+        FROM pairs ORDER BY cos_raw DESC, id_a, id_b LIMIT {PAIR_TOP_K}
+    """,
+)
+def q_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: the top-{20} most-similar document pairs.
+
+    Exact all-pairs baseline (the DuckDB-checkable audit path): self-join on
+    vec_id < vec_id — O(n²) by construction, acceptable only for audits and
+    oracle checks. The 100 TB path is q_near_dedup_cosine_lsh below, where
+    the same arithmetic runs only inside LSH buckets.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b",
+        (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cos_raw"),
+    )
+    return (
+        pairs.orderBy(F.col("cos_raw").desc(), "id_a", "id_b")
+        .limit(PAIR_TOP_K)
+        .select("id_a", "id_b", F.round("cos_raw", 9).alias("cosine"))
+    )
+
+
+@declared_query("q_near_dedup_cosine_lsh")  # rows-only: approximate by construction
+def q_near_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, scale path: candidate pairs only within the
+    same sign-projection LSH bucket (equi-join on bucket — a hash join, never
+    a cross join), then exact cosine on the candidates.
+
+    At 100 TB: bucket count scales with n (more hyperplanes), the self-join
+    shuffles on bucket so each reducer sees ~n/2^bits rows, and skewed
+    buckets split under AQE. High-cosine pairs land in the same bucket with
+    probability (1 - θ/π)^bits — multi-probe neighboring buckets for recall.
+    """
+    planes = _hyperplanes()
+    emb = load(spark, sf_dir, "embeddings")
+
+    def bucket_of(vec_col: str) -> Column:
+        acc = F.lit(0)
+        for bb, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+            acc = acc + F.when(_dot(vec_col, lit_plane) > 0,
+                               F.lit(1 << bb)).otherwise(F.lit(0))
+        return acc
+
+    bucketed = emb.select("vec_id", "embedding",
+                          bucket_of("embedding").alias("bucket"))
+    a = bucketed.select(F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("va"),
+                        F.col("bucket").alias("ba"))
+    b = bucketed.select(F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("vb"),
+                        F.col("bucket").alias("bb"))
+    pairs = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "ba",
+                (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cos_raw"))
+    )
+    return (
+        pairs.orderBy(F.col("cos_raw").desc(), "id_a", "id_b")
+        .limit(PAIR_TOP_K)
+        .select("id_a", "id_b", F.col("ba").alias("bucket"),
+                F.round("cos_raw", 9).alias("cosine"))
+    )
