@@ -47,10 +47,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
 
+    # Untimed JVM/codegen warm-up on synthetic data (NOT the bench tables —
+    # parquet footer/listing caches stay cold). Without this, whichever query
+    # sorts first eats ~4s of JIT noise and per-query deltas across rounds
+    # are meaningless.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite").save()
+
     for name, q in sorted(all_queries().items()):
         try:
-            # One untimed warm-up of the parquet footer/listing cache would
-            # flatter the numbers; we time cold, like the driver sees it.
             sec = run_query(q.fn, spark, sf_dir)
             timings[name] = round(sec, 4)
             total += sec

@@ -37,3 +37,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so callers can use plain
+    ``spark.sql`` (the idiomatic Spark query surface) over the dataset.
+    Views are lazy — no scan happens until a query runs against one."""
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

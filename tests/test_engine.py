@@ -263,6 +263,36 @@ def test_point_lookup_prunes(spark, base_path):
     t.close()
 
 
+def test_multifile_part_has_disjoint_key_ranges(spark, base_path):
+    """A part bigger than rows_per_file splits into range-partitioned files
+    whose key ranges are disjoint — the property that lets parquet footer
+    stats prune at file level inside one part (R12 analog)."""
+    import glob
+
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, rows_per_file=100)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    t.insert_rows([(f"k{i:04d}", "v", i) for i in range(400)])
+    pid = t.flush()
+
+    part_dir = next(p.path for p in t.manifest.parts if p.part_id == pid)
+    files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    assert len(files) >= 3  # 400 rows / 100 per file, range-partitioned
+
+    ranges = []
+    for f in files:
+        rows = spark.read.parquet(f).agg(
+            {"key": "min"}).collect()[0][0], spark.read.parquet(f).agg(
+            {"key": "max"}).collect()[0][0]
+        ranges.append(rows)
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {ranges}"
+
+    assert _rows(t.query("k0150", "k0250")) == [
+        (f"k{i:04d}", "v", i) for i in range(150, 251)]
+    t.close()
+
+
 def test_background_maintenance(spark, base_path):
     """R31: timer thread flushes and merges without explicit calls
     (reference src/merge_tree.cpp:207-226)."""
