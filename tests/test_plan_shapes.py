@@ -1,0 +1,58 @@
+"""Physical-plan lint over EVERY declared query (scale guardrails).
+
+Correctness at sf0.01 says nothing about behavior at 100 TB — these
+assertions pin the *plan shapes* that survive scale-up:
+
+- no unintended cartesian / broadcast-nested-loop joins (O(n·m) at scale);
+- no row-at-a-time Python UDFs (BatchEvalPython) — only Arrow-vectorized
+  exchange (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas);
+- filters reach the parquet reader (PushedFilters) for the scan-shaped
+  queries, the Spark analog of the reference's granule pruning (R8/R9).
+
+New queries inherit these checks automatically via the registry sweep.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_mergetree_spark.registry import all_queries
+
+# Queries whose nested-loop join is the documented *point* of the query:
+# 1-row broadcast query vector (q_sim_search) or the exact all-pairs audit
+# baseline that the *_lsh variants exist to replace at scale.
+NESTED_LOOP_OK = {"q_sim_search", "q_near_dedup_cosine"}
+
+_QUERIES = sorted(all_queries())
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_no_unintended_nested_loop_join(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    if name in NESTED_LOOP_OK:
+        return
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name} plans a nested-loop join — unbounded at scale")
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_no_row_at_a_time_python_udf(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, (
+        f"{name} uses a row-at-a-time Python UDF — Arrow-vectorize it")
+
+
+@pytest.mark.parametrize(
+    "name", ["q_range_scan", "q_point_lookup", "q_filter_compound", "q_join_inner"])
+def test_filter_pushdown_reaches_scan(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "PushedFilters: [" in plan
+    # at least one pushed predicate — an empty list means a full scan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"{name}: no filters pushed to the parquet reader"
