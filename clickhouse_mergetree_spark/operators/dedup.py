@@ -120,6 +120,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHARE a shingle ever meet) — the classic scale-safe alternative to an
     O(n²) cross join. Jaccard is |A∩B| / (|A|+|B|-|A∩B|) on distinct-shingle
     sets; the division is int/int in double, bit-identical across engines.
+
+    Caveat at 100 TB: output of the shingle join is quadratic in shingle
+    document frequency, so a stopword-heavy corpus needs the prefix-filtered
+    variant below (q_dedup_ngram_prefix) — same exact result, df-bounded
+    candidate set. On this corpus (near-uniform shingle df) the plain join
+    is ~2× faster, which is why both are kept.
     """
     sh = _shingles(load(spark, sf_dir, "documents"))
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -138,6 +144,87 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         pairs.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@declared_query(
+    "q_dedup_ngram_prefix",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.n_common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - p.n_common) AS jaccard
+        FROM pairs p
+        JOIN card ca ON ca.doc_id = p.doc_a
+        JOIN card cb ON cb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE)
+                / (ca.n_sh + cb.n_sh - p.n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via a PREFIX-FILTERED inverted index
+    (PPJoin-style similarity join) — the skew-bounded 100 TB path.
+
+    A plain inverted-index join is quadratic in shingle document frequency:
+    one stopword-ish shingle shared by k documents emits k² candidate rows.
+    Prefix filtering bounds this exactly — order each doc's shingles
+    rare-first (global df, then shingle) and index only the first
+    |A| − ⌈t·|A|⌉ + 1 of them; any pair with J ≥ t provably shares a prefix
+    shingle, so the candidate join runs over the RAREST slice of the index.
+    Candidates are verified exactly with array_intersect on the full
+    per-doc shingle sets. Identical result set to q_dedup_ngram_jaccard
+    (same oracle); pays ~2 extra shuffles, wins whenever shingle df is
+    skewed — which real text always is.
+    """
+    from pyspark.sql import Window as W
+
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    # global document frequency per shingle → canonical rare-first order
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("r", F.row_number().over(
+            W.partitionBy("doc_id").orderBy("df", "shingle")))
+        .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    # prefix length for Jaccard ≥ t: |A| - ceil(t·|A|) + 1
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n_sh")
+        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1)
+
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verification: full sorted shingle set per doc, set intersection
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sset"),
+             F.count("*").alias("n_sh"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sset").alias("set_a"), F.col("n_sh").alias("n_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sset").alias("set_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
