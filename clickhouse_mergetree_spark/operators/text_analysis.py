@@ -187,12 +187,13 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 3),
         ),
     )
-    return (
-        d.select("doc_id", F.explode(sh).alias("shingle"))
-        .groupBy("doc_id")
-        .agg(
-            F.min(F.md5("shingle")).alias("fp_min"),
-            F.max(F.md5("shingle")).alias("fp_max"),
-            F.countDistinct("shingle").alias("n_shingles"),
-        )
+    # No explode/groupBy: min/max/distinct-count are per-row array
+    # aggregations, so the whole query is narrow past the load()
+    # redistribute — md5 work runs at full map-stage width, no agg shuffle.
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_shingles"),
     )

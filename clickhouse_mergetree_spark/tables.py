@@ -17,7 +17,8 @@ TABLE_NAMES = (
 )
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, name: str,
+         redistribute: bool = True) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
@@ -32,6 +33,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # DuckDB does. `div` keeps the arithmetic in int64 — a double would
         # lose precision above 2^53.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if redistribute and name in ("documents", "embeddings") and (
+            df.rdd.getNumPartitions()
+            < (n := spark.sparkContext.defaultParallelism)):
+        # The content tables are a SINGLE parquet row group, and Spark
+        # cannot split a row group — without this, every shingling/hashing/
+        # vector-math map stage is pinned to ONE core regardless of cluster
+        # size. An input-sized round-robin exchange buys full-width map
+        # stages (measured −33% on the content-query group at sf0.1).
+        # Relational/events queries are scan- or shuffle-bound, where the
+        # extra exchange only costs (measured +25%), so they keep the raw
+        # scan; on well-laid-out multi-file tables the partition-count
+        # condition is false and no shuffle is added anywhere.
+        df = df.repartition(n)
     return df
 
 
