@@ -197,3 +197,41 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(hashes).alias("fp_max"),
         F.size(F.array_distinct(sh)).cast("long").alias("n_shingles"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs / digit runs / punctuation runs — the
+# split shape GPT-2-style byte-pair pre-tokenization produces, minus the
+# byte-level details. Chosen so Spark (Java regex) and DuckDB (RE2) agree
+# exactly on every input.
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@declared_query(
+    "q_text_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '{_TOKEN_RE}')) AS bpe_tokens,
+               CAST(length(text) AS DOUBLE)
+                 / NULLIF(len(regexp_extract_all(text, '{_TOKEN_RE}')), 0)
+                 AS chars_per_token
+        FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pre-tokenization (letter/digit/punct runs), plus chars-per-token — the
+    standard cost estimator for LLM training corpora. Row-local regex work
+    at full map width (content-table redistribute); no shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    bpe = F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(bpe).alias("bpe_tokens"),
+        # try_divide: a token-less document (whitespace-only text) yields
+        # NULL, not a divide-by-zero under ANSI mode
+        F.try_divide(F.length("text").cast("double"), F.size(bpe))
+        .alias("chars_per_token"),
+    )
