@@ -109,6 +109,35 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_stream_sliding",
+    oracle="""
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR,
+                           time_bucket(INTERVAL 1 HOUR, ts)]) AS ws
+            FROM events
+        )
+        GROUP BY ws
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26: sliding windows — 2-hour windows advancing every hour, so each
+    event lands in exactly two windows. The oracle replays that expansion
+    with an explicit 2-element unnest per event; matching counts prove the
+    slide/overlap arithmetic, not just totals.
+    """
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    return run_to_memory(agg, "complete").select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+    )
+
+
+@declared_query(
     "q_stream_session",
     oracle="""
         WITH marks AS (

@@ -1,0 +1,139 @@
+"""SparkMergeTree demo — mirrors the reference's examples/demo.cpp scenarios
+(test_basic_operations, test_memtable_flush, test_merge_operations,
+test_performance, test_persistence) on the Spark engine.
+
+Run: python examples/demo.py     (writes under a temp dir, cleans up)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+from clickhouse_mergetree_spark.session import get_spark
+
+
+def test_basic_operations(spark, root):
+    print("=== Testing Basic Operations ===")
+    cfg = MergeTreeConfig(memtable_flush_threshold=100, max_parts=5)
+    with SparkMergeTree(spark, f"{root}/test_basic", config=cfg) as engine:
+        print("Inserting test data...")
+        engine.insert("key1", "value1", 1000)
+        engine.insert("key2", "value2", 2000)
+        engine.insert("key3", "value3", 3000)
+        engine.insert("key1", "updated_value1", 4000)
+
+        print("Querying single key...")
+        rows = engine.query_key("key1").collect()
+        print(f"Found {len(rows)} entries for key1")
+        for r in rows:
+            print(f"  {r.key} -> {r.value} (ts: {r.timestamp})")
+
+        print("Querying range...")
+        rng = engine.query("key1", "key3").collect()
+        print(f"Found {len(rng)} entries in range [key1, key3]")
+    print("Basic operations test completed successfully!\n")
+
+
+def test_memtable_flush(spark, root):
+    print("=== Testing Memtable Flush ===")
+    cfg = MergeTreeConfig(memtable_flush_threshold=10)
+    engine = SparkMergeTree(spark, f"{root}/test_flush", config=cfg)
+    print("Inserting data to trigger flush...")
+    for i in range(25):
+        engine.insert(f"key{i}", f"value{i}", i * 1000)
+    print(f"Parts after inserts: {engine.part_count()}")
+    print(f"Total rows: {engine.total_rows()}")
+    engine.flush()
+    print(f"Parts after manual flush: {engine.part_count()}")
+    engine.close()
+    print("Memtable flush test completed successfully!\n")
+
+
+def test_merge_operations(spark, root):
+    print("=== Testing Merge Operations ===")
+    cfg = MergeTreeConfig(memtable_flush_threshold=20, max_parts=3)
+    engine = SparkMergeTree(spark, f"{root}/test_merge", config=cfg)
+    print("Creating multiple parts...")
+    for batch in range(10):
+        engine.insert_rows([
+            (f"batch{batch}_key{i}", f"value_{batch}_{i}", batch * 1000 + i)
+            for i in range(25)
+        ])
+    print(f"Parts before merge: {engine.part_count()}")
+    print(f"Total rows before merge: {engine.total_rows()}")
+    engine.optimize()
+    print(f"Parts after optimization: {engine.part_count()}")
+    print(f"Total rows after merge: {engine.total_rows()}")
+    n = engine.query("batch0", "batch2").count()
+    print(f"Query results from merged data: {n} rows")
+    engine.close()
+    print("Merge operations test completed successfully!\n")
+
+
+def test_performance(spark, root):
+    print("=== Performance Test ===")
+    from bench_workload_a import run_workload_a
+
+    out = run_workload_a(spark)
+    rate = 50_000 / out["insert_sec"]
+    print(f"Insert performance: 50000 rows in {out['insert_sec']*1000:.0f} ms "
+          f"({rate:.0f} rows/sec) across {out['parts_after_insert']:.0f} parts")
+    print(f"Optimize: {out['optimize_sec']:.2f} s "
+          f"-> {out['parts_after_optimize']:.0f} parts")
+    print(f"Query performance: {out['range_scan_rows']:.0f} results in "
+          f"{out['range_scan_sec']*1e6:.0f} us")
+    print("Performance test completed successfully!\n")
+
+
+def test_persistence(spark, root):
+    print("=== Testing Persistence ===")
+    path = f"{root}/test_persistence"
+    print("Creating engine and inserting data...")
+    engine = SparkMergeTree(spark, path)
+    engine.insert_rows([
+        (f"persistent_key{i}", f"persistent_value{i}", i * 1000)
+        for i in range(100)
+    ])
+    engine.flush()
+    print(f"Data written, parts: {engine.part_count()}")
+    engine.close()
+
+    print("Recreating engine and loading existing data...")
+    engine = SparkMergeTree(spark, path)
+    print(f"Loaded parts: {engine.part_count()}")
+    print(f"Total rows: {engine.total_rows()}")
+    rows = engine.query("persistent_key50", "persistent_key60").collect()
+    print(f"Query results from persistent data: {len(rows)} rows")
+    for r in rows[:3]:
+        print(f"  {r.key} -> {r.value}")
+    engine.close()
+    print("Persistence test completed successfully!\n")
+
+
+def main():
+    print("ClickHouse MergeTree (Spark) Implementation Demo")
+    print("=========================================\n")
+    spark = get_spark("demo", cpus=8)
+    root = tempfile.mkdtemp(prefix="mergetree_demo_")
+    t0 = time.perf_counter()
+    try:
+        test_basic_operations(spark, root)
+        test_memtable_flush(spark, root)
+        test_merge_operations(spark, root)
+        test_performance(spark, root)
+        test_persistence(spark, root)
+        print(f"All demos completed in {time.perf_counter()-t0:.1f} s")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
