@@ -86,6 +86,14 @@ class SparkMergeTree:
         self._buffer_dfs: list[tuple[DataFrame, int]] = []  # (df, row_count)
         self._buffer_count = 0
         self._lock = threading.RLock()
+        # Serializes whole merge rounds. Without it, a user-thread optimize()
+        # racing the background thread could select the SAME candidate parts
+        # (selection and commit are separate _lock critical sections, with
+        # the Spark job between them) and append the merged rows twice.
+        # The reference holds parts_mutex_ across its entire merge
+        # (src/merge_tree.cpp:245-288) — this is the same serialization with
+        # reads and flushes still concurrent.
+        self._merge_lock = threading.Lock()
         self._closed = False
         os.makedirs(base_path, exist_ok=True)
         self.manifest = Manifest.load(base_path)
@@ -297,29 +305,30 @@ class SparkMergeTree:
         Spark's sort-shuffle-with-spill replaces the reference's k-way heap
         (src/merger.cpp:7-59), which materialized everything anyway.
         """
-        with self._lock:
-            candidates = select_merge_candidates(self.manifest.parts)
-            if not candidates:
-                return False
-            best = candidates[0]
-            selected = [p for p in self.manifest.parts
-                        if p.part_id in best.part_ids]
-            part_id = self.manifest.allocate_part_id()
+        with self._merge_lock:
+            with self._lock:
+                candidates = select_merge_candidates(self.manifest.parts)
+                if not candidates:
+                    return False
+                best = candidates[0]
+                selected = [p for p in self.manifest.parts
+                            if p.part_id in best.part_ids]
+                part_id = self.manifest.allocate_part_id()
 
-        merged = (
-            self.spark.read.schema(self.schema)
-            .parquet(*[p.path for p in selected])
-            .dropDuplicates([self._key, self._ts])
-        )
-        meta = self._write_part(part_id, merged, best.total_rows)
+            merged = (
+                self.spark.read.schema(self.schema)
+                .parquet(*[p.path for p in selected])
+                .dropDuplicates([self._key, self._ts])
+            )
+            meta = self._write_part(part_id, merged, best.total_rows)
 
-        with self._lock:
-            self.manifest.swap([p.part_id for p in selected], meta)
-            self.manifest.save()
-        # commit point passed — old parts are unreachable, reclaim the disk
-        for p in selected:
-            shutil.rmtree(p.path, ignore_errors=True)
-        return True
+            with self._lock:
+                self.manifest.swap([p.part_id for p in selected], meta)
+                self.manifest.save()
+            # commit point passed — old parts unreachable, reclaim the disk
+            for p in selected:
+                shutil.rmtree(p.path, ignore_errors=True)
+            return True
 
     def optimize(self) -> None:
         """R32 OPTIMIZE: flush, then merge until ≤ max_parts

@@ -293,6 +293,40 @@ def test_multifile_part_has_disjoint_key_ranges(spark, base_path):
     t.close()
 
 
+def test_concurrent_merges_preserve_rows(spark, base_path):
+    """R41: user-thread optimize() racing another merge thread must never
+    double-apply a candidate (merge rounds are serialized; reads/flushes
+    stay concurrent)."""
+    import threading
+
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=1)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    for b in range(6):
+        t.insert_rows([(f"k{b}_{i:02d}", "v", b * 100 + i) for i in range(20)])
+        t.flush()
+    assert t.part_count() == 6
+
+    errs = []
+
+    def hammer():
+        try:
+            while t.should_trigger_merge():
+                t.perform_merge()
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=hammer) for _ in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.part_count() == 1
+    assert t.total_rows() == 120  # no duplication, no loss
+    assert t.query_all().count() == 120
+    t.close()
+
+
 def test_background_maintenance(spark, base_path):
     """R31: timer thread flushes and merges without explicit calls
     (reference src/merge_tree.cpp:207-226)."""
