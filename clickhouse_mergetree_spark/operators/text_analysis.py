@@ -235,3 +235,49 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.length("text").cast("double"), F.size(bpe))
         .alias("chars_per_token"),
     )
+
+
+TFIDF_TOP_N = 50
+
+
+@declared_query(
+    "q_text_tfidf",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, token,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+        FROM tf JOIN df USING (token), n
+        ORDER BY tfidf DESC, doc_id, token
+        LIMIT {TFIDF_TOP_N}
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: tf-idf — top-N (doc, token) scores across the corpus.
+
+    Three aggregations sharing one tokenized scan: per-doc term frequency,
+    corpus document frequency, and the doc count; the df side is a
+    token-level aggregate (small — vocabulary-sized) and is broadcast into
+    the join, so the only large shuffle is the (doc_id, token) tf groupBy.
+    Top-N plans as TakeOrderedAndProject — per-partition heaps, no global
+    sort.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar, computed once on the driver
+    score = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select("doc_id", "token", score.alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), "doc_id", "token")
+        .limit(TFIDF_TOP_N)
+    )
