@@ -59,11 +59,20 @@ class Manifest:
         (reference recovery path, src/merge_tree.cpp:164-197)."""
         m = cls(base_path)
         if os.path.exists(m.file_path):
-            with open(m.file_path) as f:
-                doc = json.load(f)
-            m.parts = [PartMeta(**p) for p in doc["parts"]]
-            m.next_part_id = doc["next_part_id"]
-            return m
+            try:
+                with open(m.file_path) as f:
+                    doc = json.load(f)
+                m.parts = [PartMeta(**p) for p in doc["parts"]]
+                m.next_part_id = doc["next_part_id"]
+                return m
+            except (json.JSONDecodeError, KeyError, TypeError):
+                # Corrupt/truncated manifest (e.g. torn write from a crashed
+                # process on a filesystem without atomic replace): parts on
+                # disk are still immutable and self-describing, so fall
+                # through to the same directory-scan recovery used when the
+                # manifest is absent.
+                m.parts = []
+                m.next_part_id = 1
         # manifest-less recovery: list part_* dirs, resume the id counter
         if os.path.isdir(base_path):
             ids = []

@@ -199,6 +199,24 @@ def test_persistence(spark, base_path):
     t2.close()
 
 
+def test_recovery_from_corrupt_manifest(spark, base_path):
+    """A truncated/garbage manifest.json must degrade to directory-scan
+    recovery, not crash the table open."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9)
+    t = SparkMergeTree(spark, base_path, config=cfg)
+    t.insert_rows([("a", "1", 1), ("b", "2", 2)])
+    t.flush()
+    t.close()
+
+    with open(os.path.join(base_path, "manifest.json"), "w") as f:
+        f.write('{"next_part_id": 2, "parts": [{"truncated...')
+    t2 = SparkMergeTree(spark, base_path, config=cfg)
+    assert t2.part_count() == 1
+    assert t2.total_rows() == 2
+    assert _rows(t2.query_all()) == [("a", "1", 1), ("b", "2", 2)]
+    t2.close()
+
+
 def test_recovery_without_manifest(spark, base_path):
     """Manifest lost → directory-scan recovery rebuilds part metadata
     (reference src/merge_tree.cpp:164-197)."""
