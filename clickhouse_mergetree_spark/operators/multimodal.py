@@ -161,3 +161,121 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
     feats = media.mapInPandas(make_extractor(), schema=FEATURES_SCHEMA)
     return feats.select("doc_id", "n_bytes", "n_features")
+
+
+N_FRAMES = 4
+FRAME_BYTES = 16
+RESIZE_BYTES = 64
+
+
+@declared_query(
+    "q_media_frames",
+    oracle=f"""
+        SELECT d.doc_id, f.i AS frame_idx,
+               (f.i * octet_length(encode(d.text))) // {N_FRAMES} AS frame_offset,
+               least({FRAME_BYTES},
+                     octet_length(encode(d.text))
+                       - (f.i * octet_length(encode(d.text))) // {N_FRAMES})
+                   AS frame_len
+        FROM documents d, (SELECT unnest(range({N_FRAMES})) AS i) f
+    """,
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque binary media: {N_FRAMES} evenly spaced
+    byte windows per payload, sliced inside an Arrow-batched mapInPandas
+    worker (the video frame-sample analog; a real decoder would seek to
+    these offsets). One row per (payload, frame); no shuffle — each
+    partition expands its own batches. The oracle reproduces the offset
+    arithmetic; the slices themselves are asserted in the pytest suite.
+    """
+    return sampled_frames(spark, sf_dir).select(
+        "doc_id", "frame_idx", "frame_offset", "frame_len")
+
+
+def sampled_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full frame-sample pipeline INCLUDING the sliced bytes (the declared
+    query projects the oracle-checkable arithmetic; tests check the bytes)."""
+    media = media_table(spark, sf_dir)
+    n_frames, frame_bytes = N_FRAMES, FRAME_BYTES
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def sample_frames(batches):
+        import pandas as _pd
+
+        rows = {"doc_id": [], "frame_idx": [], "frame_offset": [],
+                "frame_len": [], "frame": []}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    chunk = bytes(payload[off:off + frame_bytes])
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_len"].append(len(chunk))
+                    rows["frame"].append(chunk)
+            yield _pd.DataFrame(rows)
+            rows = {k: [] for k in rows}
+
+    return media.mapInPandas(sample_frames, schema=out_schema)
+
+
+@declared_query(
+    "q_media_resize",
+    oracle=f"""
+        SELECT doc_id,
+               octet_length(encode(text)) AS orig_bytes,
+               least({RESIZE_BYTES}, octet_length(encode(text))) AS resized_bytes
+        FROM documents
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing: stride-sample each payload down to at
+    most {RESIZE_BYTES} bytes inside the Arrow worker (the image-resize
+    analog — same batch shape a real thumbnailer would use). Oracle checks
+    the size contract; the sampled bytes are pytest-asserted.
+    """
+    return resized_media(spark, sf_dir).select(
+        "doc_id", "orig_bytes", "resized_bytes")
+
+
+def resized_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full resize pipeline INCLUDING the downsampled bytes."""
+    media = media_table(spark, sf_dir)
+    k = RESIZE_BYTES
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ])
+
+    def resize(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "orig_bytes": [], "resized_bytes": [],
+                   "resized": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n <= k:
+                    small = bytes(payload)
+                else:
+                    stride = n / k
+                    small = bytes(payload[int(j * stride)] for j in range(k))
+                out["doc_id"].append(doc_id)
+                out["orig_bytes"].append(n)
+                out["resized_bytes"].append(len(small))
+                out["resized"].append(small)
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(resize, schema=out_schema)

@@ -1,0 +1,55 @@
+"""Byte-level checks for the media plumbing (frames/resize) — the oracle
+verifies the offset/size arithmetic; these verify the actual slices."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _payloads(spark, sf_dir, n=5):
+    from clickhouse_mergetree_spark.operators.multimodal import media_table
+
+    rows = media_table(spark, sf_dir).orderBy("doc_id").limit(n).collect()
+    return {r["doc_id"]: bytes(r["payload"]) for r in rows}
+
+
+def test_frame_slices_match_python(spark, sf_dir):
+    from clickhouse_mergetree_spark.operators.multimodal import (
+        FRAME_BYTES, N_FRAMES, sampled_frames,
+    )
+
+    payloads = _payloads(spark, sf_dir)
+    got = {
+        (r["doc_id"], r["frame_idx"]): bytes(r["frame"])
+        for r in sampled_frames(spark, sf_dir)
+        .filter(F.col("doc_id").isin(list(payloads)))
+        .collect()
+    }
+    assert len(got) == len(payloads) * N_FRAMES
+    for doc_id, payload in payloads.items():
+        n = len(payload)
+        for i in range(N_FRAMES):
+            off = (i * n) // N_FRAMES
+            assert got[(doc_id, i)] == payload[off:off + FRAME_BYTES]
+
+
+def test_resize_bytes_match_python(spark, sf_dir):
+    from clickhouse_mergetree_spark.operators.multimodal import (
+        RESIZE_BYTES, resized_media,
+    )
+
+    payloads = _payloads(spark, sf_dir)
+    got = {
+        r["doc_id"]: bytes(r["resized"])
+        for r in resized_media(spark, sf_dir)
+        .filter(F.col("doc_id").isin(list(payloads)))
+        .collect()
+    }
+    for doc_id, payload in payloads.items():
+        n = len(payload)
+        if n <= RESIZE_BYTES:
+            want = payload
+        else:
+            stride = n / RESIZE_BYTES
+            want = bytes(payload[int(j * stride)] for j in range(RESIZE_BYTES))
+        assert got[doc_id] == want
