@@ -32,25 +32,44 @@ JACCARD_THRESHOLD = 0.35
 NEAR_DUP_THRESHOLD = 0.5
 
 
-def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _shingles(df: DataFrame, text_col: str = "text",
+              hashed: bool = True) -> DataFrame:
     """(doc_id, shingle) pairs — DISTINCT 3-token shingles per document.
 
     Built with JVM-side array functions only (transform over a sequence of
-    start offsets); no Python UDF in the path.
+    start offsets); no Python UDF in the path. Two deliberate perf choices:
+
+    - ``toks`` is materialized as a real column first. Higher-order-function
+      lambdas are interpreted (no codegen), so an inlined ``split(text)``
+      inside the lambda body would re-split the document for every
+      ``element_at`` — 3 × n_shingles times per row. As an attribute it is
+      computed once per row (measured ~2× on the shingle stage).
+    - with ``hashed`` (the default), shingles leave this function as
+      xxhash64 longs: every downstream shuffle/join key is 8 bytes instead
+      of a ~25-byte string — at 100 TB that is the dominant shuffle-volume
+      term of the whole dedup family. Expected collisions across 10^7
+      distinct shingles ≈ 10^-5 (n²/2^65); harmless for dedup and below the
+      oracle's resolution at test scale. The hash is applied AFTER the
+      explode, in a plain projection, so it runs in whole-stage codegen.
     """
-    toks = F.split(F.col(text_col), " ")
+    tk = F.col("__toks")
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
+        F.sequence(F.lit(0), F.size(tk) - SHINGLE_N),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
+            F.element_at(tk, i + 1),
+            F.element_at(tk, i + 2),
+            F.element_at(tk, i + 3),
         ),
     )
-    return (
-        df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    out = (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.size("__toks") >= SHINGLE_N)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
+    if hashed:
+        out = out.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    return out
 
 
 # DuckDB equivalent of _shingles: 1-based list indexing, range() end-exclusive.
