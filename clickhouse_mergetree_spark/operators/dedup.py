@@ -146,7 +146,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set. On this corpus (near-uniform shingle df) the plain join
     is ~2× faster, which is why both are kept.
     """
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    # The shingle explode feeds three distinct shuffles (cardinality agg +
+    # both sides of the self-join); without persist, Spark recomputes the
+    # split/explode per reference. Materialized once, read 3×.
+    sh = _shingles(load(spark, sf_dir, "documents")).persist()
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -206,7 +209,10 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    # sh feeds the df count, the ranked join, and the verification sets;
+    # prefix feeds both sides of the candidate self-join. Persist both so
+    # the explode and the window each run once per job.
+    sh = _shingles(load(spark, sf_dir, "documents")).persist()
     # global document frequency per shingle → canonical rare-first order
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
@@ -218,7 +224,7 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix length for Jaccard ≥ t: |A| - ceil(t·|A|) + 1
     prefix = ranked.filter(
         F.col("r") <= F.col("n_sh")
-        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1)
+        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1).persist()
 
     cand = (
         prefix.alias("a")
@@ -235,7 +241,7 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sset"),
              F.count("*").alias("n_sh"))
-    )
+    ).persist()
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("sset").alias("set_a"), F.col("n_sh").alias("n_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
@@ -265,7 +271,9 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on shingle for verification of the — tiny — candidate set).
     """
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    # reused by the signature agg, the cardinality agg, and both sides of
+    # the verification join
+    sh = _shingles(docs).persist()
 
     sig = sh.groupBy("doc_id").agg(*[
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
