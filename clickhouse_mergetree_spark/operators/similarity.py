@@ -139,6 +139,80 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 2
+
+
+@declared_query("q_sim_search_ivf")  # rows-only: approximate by construction
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 scale path #2: IVF (inverted-file) ANN top-k.
+
+    The other classic ANN family next to LSH: partition the corpus into
+    NLIST coarse cells (nearest-centroid assignment), search only the
+    NPROBE cells nearest the query. Centroids here are a deterministic
+    sample (vec_id < NLIST) standing in for k-means cluster centers — the
+    assignment/probe machinery, which is the Spark-shaped part, is real.
+
+    Plan shape, all JVM-side:
+      1. score every vector against all 16 centroids — broadcast-nested-loop
+         over a 16-row build side, O(n·k·d) map work, no shuffle;
+      2. assign = argmax centroid per vector — ONE shuffle (groupBy vec_id,
+         partial max_by combines map-side);
+      3. probe list = query's top-NPROBE centroids (16-row sort);
+      4. candidates = assignment ⋈ broadcast(probes) — prunes the corpus to
+         ~NPROBE/NLIST of the rows with no shuffle;
+      5. exact cosine + TakeOrderedAndProject top-k on the candidates.
+
+    At 100 TB: production would keep k-means centroids as a broadcast
+    (trained offline, refreshed periodically) and write the table
+    partitioned by cell id, turning step 4 into partition pruning — the
+    same layout trick as the LSH variant. Recall < 1 by design; pair with
+    q_sim_search as the exact baseline.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cent_id",
+        (_dot("embedding", "cv") / (_norm("embedding") * _norm("cv")))
+        .alias("sim"),
+    )
+    # argmax centroid per vector; ties (only identical vectors) break to the
+    # lowest cent_id so the assignment is deterministic
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id",
+            F.struct(F.col("sim"), (-F.col("cent_id")).alias("tb")),
+        ).alias("cent_id"),
+        F.first("embedding").alias("embedding"),
+    )
+    probes = (
+        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.col("sim").desc(), F.col("cent_id"))
+        .limit(IVF_NPROBE)
+        .select("cent_id")
+    )
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qv"))
+    )
+    candidates = (
+        assign.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probes), "cent_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "cent_id",
+            (_dot("embedding", "qv")
+             / (_norm("embedding") * _norm("qv"))).alias("cos_raw"),
+        )
+    )
+    return (
+        candidates.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "cent_id", F.round("cos_raw", 9).alias("cosine"))
+    )
+
+
 PAIR_TOP_K = 20
 
 

@@ -237,6 +237,81 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIN_TOKENS = 10
+_MIN_UNIQUE_RATIO = 0.3
+
+
+@declared_query(
+    "q_pipeline_prep",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS unique_ratio,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains([{_sql_list(_EN_STOP)}], t))) AS en_hits,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains([{_sql_list(_ES_STOP)}], t))) AS es_hits,
+                   len(list_filter(string_split(text, ' '),
+                       t -> list_contains([{_sql_list(_DE_STOP)}], t))) AS de_hits
+            FROM documents
+        ), kept AS (
+            SELECT * FROM scored
+            WHERE n_tokens >= {_MIN_TOKENS}
+              AND unique_ratio >= {_MIN_UNIQUE_RATIO}
+              AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0
+        )
+        SELECT sha256(text) AS content_hash,
+               min(doc_id) AS keeper_doc,
+               count(*) AS n_copies,
+               min(n_tokens) AS n_tokens
+        FROM kept GROUP BY sha256(text)
+    """,
+)
+def q_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: quality filter → language filter →
+    exact dedup, composed as ONE declarative plan.
+
+    The canonical corpus-cleaning pass (C4-style): drop short and
+    low-diversity documents, keep predicted-English only (stopword-vote
+    argmax, same rule as q_text_langid), then collapse exact duplicates on
+    the content hash keeping the lowest doc_id. Because it is one DataFrame
+    expression, Catalyst fuses all three row-local filters into the scan
+    stage — a document is hashed only if it survives every filter — and the
+    single shuffle is the final dedup groupBy on a uniform 256-bit key.
+    That plan shape (all filters map-side, one agg shuffle) is exactly what
+    you want at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    unique_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    en, es, de = hits(_EN_STOP), hits(_ES_STOP), hits(_DE_STOP)
+    kept = (
+        d.select("doc_id", "text", n_tokens.alias("n_tokens"),
+                 unique_ratio.alias("unique_ratio"),
+                 en.alias("en_hits"), es.alias("es_hits"), de.alias("de_hits"))
+        .filter(
+            (F.col("n_tokens") >= _MIN_TOKENS)
+            & (F.col("unique_ratio") >= _MIN_UNIQUE_RATIO)
+            & (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") > 0)
+        )
+    )
+    return kept.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc"),
+        F.count("*").alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+
+
 TFIDF_TOP_N = 50
 
 

@@ -206,6 +206,94 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATE_OUT_SCHEMA = (
+    "user_id long, n_events long, last_ts_us long, "
+    "max_value double, min_value double"
+)
+_STATE_SCHEMA = "n long, last_ts long, mx double, mn double"
+
+
+def make_user_profile_fn():
+    """Self-contained applyInPandasWithState closure (cloudpickled by value;
+    module-level functions break on executors without this repo on their
+    PYTHONPATH — same rationale as udfs.bpe_token_count)."""
+
+    def update_profile(key, pdfs, state):
+        import pandas as _pd
+
+        if state.exists:
+            n, last_ts, mx, mn = state.get
+        else:
+            n, last_ts, mx, mn = 0, None, None, None
+        for pdf in pdfs:
+            n += len(pdf)
+            bt = int(pdf["ts_us"].max())
+            bx = float(pdf["value"].max())
+            bn = float(pdf["value"].min())
+            last_ts = bt if last_ts is None else max(last_ts, bt)
+            mx = bx if mx is None else max(mx, bx)
+            mn = bn if mn is None else min(mn, bn)
+        state.update((n, last_ts, mx, mn))
+        yield _pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "last_ts_us": [last_ts],
+            "max_value": [mx],
+            "min_value": [mn],
+        })
+
+    return update_profile
+
+
+@declared_query(
+    "q_stream_stateful",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               epoch_us(max(ts)) AS last_ts_us,
+               max(value) AS max_value, min(value) AS min_value
+        FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState —
+    a per-user running profile (event count, last event time, value range)
+    maintained across micro-batches in explicit keyed state.
+
+    This is the escape hatch for stateful semantics the built-in streaming
+    operators can't express (windowless per-key accumulators, custom
+    eviction). State lives in the state store keyed by user_id; each batch's
+    rows for a key arrive as Arrow-backed pandas frames, and the operator
+    emits the updated cumulative row (update mode). Every statistic kept is
+    order-independent (count/max/min), so the bounded replay is an exact
+    batch-aggregate oracle. The final per-key collapse handles multi-batch
+    replays, where the memory sink holds one cumulative row per key per
+    batch and the last one (max n_events) is the total.
+
+    At 100 TB: state is partitioned by key across executors (shuffle on
+    user_id), per-key state is O(1), and RocksDB state store + changelog
+    checkpointing keep it off-heap — this exact shape runs forever on an
+    unbounded stream.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+    prof = ev.groupBy("user_id").applyInPandasWithState(
+        make_user_profile_fn(),
+        outputStructType=_STATE_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(prof, "update")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("last_ts_us").alias("last_ts_us"),
+        F.max("max_value").alias("max_value"),
+        F.min("min_value").alias("min_value"),
+    )
+
+
 @declared_query(
     "q_stream_dedup",
     oracle="SELECT DISTINCT user_id, epoch_us(ts) AS ts_us FROM events",
