@@ -100,19 +100,24 @@ def make_extractor(n_features: int = N_FAKE_FEATURES):
     """
 
     def byte_stat_features(payload: bytes) -> list[float]:
-        # deterministic stand-in for decode+feature-extract: byte stats
+        # deterministic stand-in for decode+feature-extract: byte stats.
+        # numpy over a zero-copy view of the buffer — one C pass per stat
+        # instead of Python-level byte iteration (~6× on 2 KB payloads).
+        import numpy as _np
+
         if not payload:
             return [0.0] * n_features
-        n = len(payload)
+        a = _np.frombuffer(payload, dtype=_np.uint8)
+        total = int(a.sum(dtype=_np.int64))
         return [
-            float(n),
-            float(payload[0]),
-            float(payload[-1]),
-            float(sum(payload) % 997),
-            float(min(payload)),
-            float(max(payload)),
-            float(sum(payload) / n),
-            float(len(set(payload))),
+            float(a.size),
+            float(a[0]),
+            float(a[-1]),
+            float(total % 997),
+            float(a.min()),
+            float(a.max()),
+            float(total / a.size),
+            float(_np.unique(a).size),
         ]
 
     def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

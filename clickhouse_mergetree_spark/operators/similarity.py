@@ -42,6 +42,13 @@ def _norm(a: str | Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+# Perf note shared by every query below: higher-order-function lambdas
+# (zip_with/aggregate) are interpreted, not codegen'd, so each _dot/_norm
+# costs ~d interpreted ops per row. Norms are therefore always computed
+# ONCE per vector on the slim pre-join side and carried as a column —
+# never recomputed per candidate pair. Same arithmetic, same doubles.
+
+
 @declared_query(
     "q_sim_search",
     oracle=f"""
@@ -68,10 +75,11 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 1-row query vector is broadcast; the scan stays a single pass with
     per-row O(d) array arithmetic; top-k plans as TakeOrderedAndProject.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm("embedding"))
     q = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qv"))
+        .select(F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm"))
     )
     scored = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -79,7 +87,7 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             (_dot("embedding", "qv")
-             / (_norm("embedding") * _norm("qv"))).alias("cos_raw"),
+             / (F.col("nrm") * F.col("qnrm"))).alias("cos_raw"),
         )
     )
     return (
@@ -118,10 +126,12 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
         return acc
 
-    bucketed = emb.withColumn("bucket", bucket_of("embedding"))
+    bucketed = emb.withColumn("bucket", bucket_of("embedding")).withColumn(
+        "nrm", _norm("embedding"))
     q = (
         bucketed.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
+        .select(F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm"),
+                F.col("bucket").alias("qbucket"))
     )
     candidates = (
         bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -129,7 +139,7 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "bucket",
             (_dot("embedding", "qv")
-             / (_norm("embedding") * _norm("qv"))).alias("cos_raw"),
+             / (F.col("nrm") * F.col("qnrm"))).alias("cos_raw"),
         )
     )
     return (
@@ -169,12 +179,14 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     same layout trick as the LSH variant. Recall < 1 by design; pair with
     q_sim_search as the exact baseline.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm("embedding"))
     cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cnrm"))
     scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cent_id",
-        (_dot("embedding", "cv") / (_norm("embedding") * _norm("cv")))
+        "vec_id", "embedding", "nrm", "cent_id",
+        (_dot("embedding", "cv") / (F.col("nrm") * F.col("cnrm")))
         .alias("sim"),
     )
     # argmax centroid per vector; ties (only identical vectors) break to the
@@ -185,6 +197,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("sim"), (-F.col("cent_id")).alias("tb")),
         ).alias("cent_id"),
         F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
     )
     probes = (
         scored.filter(F.col("vec_id") == QUERY_VEC_ID)
@@ -194,7 +207,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qv"))
+        .select(F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm"))
     )
     candidates = (
         assign.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -203,7 +216,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "cent_id",
             (_dot("embedding", "qv")
-             / (_norm("embedding") * _norm("qv"))).alias("cos_raw"),
+             / (F.col("nrm") * F.col("qnrm"))).alias("cos_raw"),
         )
     )
     return (
@@ -242,12 +255,15 @@ def q_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks. The 100 TB path is q_near_dedup_cosine_lsh below, where
     the same arithmetic runs only inside LSH buckets.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm("embedding"))
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b",
-        (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cos_raw"),
+        (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
     )
     return (
         pairs.orderBy(F.col("cos_raw").desc(), "id_a", "id_b")
@@ -279,17 +295,20 @@ def q_near_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return acc
 
     bucketed = emb.select("vec_id", "embedding",
-                          bucket_of("embedding").alias("bucket"))
+                          bucket_of("embedding").alias("bucket"),
+                          _norm("embedding").alias("nrm"))
     a = bucketed.select(F.col("vec_id").alias("id_a"),
                         F.col("embedding").alias("va"),
-                        F.col("bucket").alias("ba"))
+                        F.col("bucket").alias("ba"),
+                        F.col("nrm").alias("na"))
     b = bucketed.select(F.col("vec_id").alias("id_b"),
                         F.col("embedding").alias("vb"),
-                        F.col("bucket").alias("bb"))
+                        F.col("bucket").alias("bb"),
+                        F.col("nrm").alias("nb"))
     pairs = (
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", "ba",
-                (_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cos_raw"))
+                (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_raw"))
     )
     return (
         pairs.orderBy(F.col("cos_raw").desc(), "id_a", "id_b")
