@@ -63,6 +63,11 @@ def main() -> None:
         except Exception:
             timings[name] = -1.0
             _log(f"{name}: FAILED\n{traceback.format_exc()}")
+        # Queries that persist() shared intermediates cannot unpersist them
+        # from inside a lazy plan; drop them here so each query is timed
+        # from a clean cache state instead of fighting the previous
+        # query's dead blocks for executor memory.
+        spark.catalog.clearCache()
 
     # Workload A (reference-shaped; BASELINE.md): 50k rows ≈ 10k keys × 5
     # versions through the SparkMergeTree write path, then a range scan over

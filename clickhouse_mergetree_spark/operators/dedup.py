@@ -148,7 +148,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # The shingle explode feeds three distinct shuffles (cardinality agg +
     # both sides of the self-join); without persist, Spark recomputes the
-    # split/explode per reference. Materialized once, read 3×.
+    # split/explode per reference. Materialized once, read 3×. Stale cached
+    # blocks from a previously-built query are dropped first — persisted
+    # intermediates cannot be unpersisted from inside a lazy plan, so
+    # without this, back-to-back queries accumulate dead blocks that
+    # compete with execution memory (measured 3× on the next big join).
+    spark.catalog.clearCache()
     sh = _shingles(load(spark, sf_dir, "documents")).persist()
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -211,7 +216,9 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # sh feeds the df count, the ranked join, and the verification sets;
     # prefix feeds both sides of the candidate self-join. Persist both so
-    # the explode and the window each run once per job.
+    # the explode and the window each run once per job. clearCache first —
+    # see q_dedup_ngram_jaccard on why.
+    spark.catalog.clearCache()
     sh = _shingles(load(spark, sf_dir, "documents")).persist()
     # global document frequency per shingle → canonical rare-first order
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -272,7 +279,8 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     # reused by the signature agg, the cardinality agg, and both sides of
-    # the verification join
+    # the verification join; clearCache first — see q_dedup_ngram_jaccard.
+    spark.catalog.clearCache()
     sh = _shingles(docs).persist()
 
     sig = sh.groupBy("doc_id").agg(*[
