@@ -357,6 +357,115 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared_query(
+    "q_agg_cube",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: cube — all 2^k grouping sets in one pass. Like rollup, the Expand
+    operator replicates each input row once per grouping set BEFORE the
+    shuffle, so partial aggregation still combines map-side and the exchange
+    carries ~4 aggregated rows per flag pair, not 4× the data. grouping()
+    flags disambiguate real NULLs from subtotal rows."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(_dsum("l_quantity").alias("sum_qty"),
+             F.count("*").alias("n_rows"),
+             F.grouping("l_returnflag").cast("long").alias("g_flag"),
+             F.grouping("l_linestatus").cast("long").alias("g_status"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag", "g_status", "sum_qty", "n_rows",
+        )
+    )
+
+
+@declared_query(
+    "q_agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS p25_qty,
+               CAST(quantile_disc(l_quantity, 0.5)  AS DOUBLE) AS p50_qty,
+               CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS p90_price,
+               CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty_cont
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+: exact percentiles — discrete (nearest-rank) and continuous
+    (interpolated) inverse-distribution aggregates.
+
+    percentile_disc returns the smallest group value whose cumulative
+    distribution reaches p — identical to DuckDB's quantile_disc, so the
+    oracle is exact, no rounding needed. Exact percentiles sort each group;
+    at 100 TB switch to approx_percentile (mergeable t-digest sketch, no
+    per-group sort) — the same trade as q_agg_approx_distinct."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+        .cast("double").alias("p25_qty"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+        .cast("double").alias("p50_qty"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .cast("double").alias("p90_price"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+        .cast("double").alias("median_qty_cont"),
+    )
+
+
+N_SALT = 8
+
+
+@declared_query(
+    "q_join_salted",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: SALTED equi-join, hash-verified equivalent
+    to the plain join (same oracle).
+
+    A hot join key sends all its rows to one reducer; salting splits it by
+    widening the key: the big (probe) side appends salt = f(row) ∈ [0,N),
+    the small (build) side is exploded N× with every salt value, and the
+    join runs on (key, salt) — each hot key now spreads over N reducers at
+    the cost of replicating the build side N×. This is the manual fallback
+    when AQE's runtime skew-split (on by default in session.py) can't help
+    — e.g. a skewed aggregation feeding a join, or a build side too big for
+    broadcast but cheap to replicate 8×. Salt here is derived
+    deterministically (pmod of linenumber) so the result is reproducible.
+    """
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    ).withColumn("salt", F.pmod("l_linenumber", F.lit(N_SALT)))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)])))
+    joined = l.join(
+        o, (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (l["salt"] == o["salt"]))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        _dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # E11-E13 windows / top-k
 # --------------------------------------------------------------------------
