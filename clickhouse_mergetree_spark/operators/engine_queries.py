@@ -223,3 +223,58 @@ def q_mergetree_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.merge_parts_sync()
     # query() already dedups on (key, ts_us) — the projection stays distinct
     return table.query(RANGE_START, RANGE_END).select("key", "ts_us")
+
+
+@declared_query(
+    "q_mergetree_source",
+    oracle=f"""
+        SELECT DISTINCT user_id AS key, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id BETWEEN {RANGE_START} AND {RANGE_END}
+    """,
+)
+def q_mergetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine table read back through the `mergetree` Python Data
+    Source connector (spark.read.format("mergetree")) instead of the
+    engine's own query() — same build as q_mergetree_engine, same oracle.
+
+    Exercises the whole connector path end-to-end: schema discovery from
+    the part footers, filter pushdown (pushFilters collects the key
+    bounds), manifest part pruning in partitions(), and the Arrow-batch
+    worker read with row-group skipping. The (key, ts) dedup that
+    engine.query() applies is re-expressed on top of the raw scan, which
+    is exactly what the reference's query path does over its parts
+    (src/merge_tree.cpp:37-63).
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+    from clickhouse_mergetree_spark.sources import register_mergetree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12,
+                          max_parts=2, key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_mt_source_"),
+                           schema=schema, config=cfg)
+    kv = _kv(spark, sf_dir)
+    for i in range(3):
+        table.insert_batch(
+            kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i))
+        table.flush()
+    table.merge_parts_sync()
+
+    register_mergetree(spark)
+    scan = (
+        spark.read.format("mergetree")
+        .option("path", table.base_path)
+        .load()
+        .filter(F.col("key").between(RANGE_START, RANGE_END))
+    )
+    return scan.select("key", "ts_us").dropDuplicates(["key", "ts_us"])

@@ -1,0 +1,6 @@
+"""Spark connectors for SparkMergeTree tables."""
+
+from clickhouse_mergetree_spark.sources.mergetree_source import (  # noqa: F401
+    MergeTreeDataSource,
+    register_mergetree,
+)

@@ -1,0 +1,235 @@
+"""Python Data Source connector for SparkMergeTree tables.
+
+Makes an engine table a first-class Spark source:
+
+    register_mergetree(spark)
+    df = spark.read.format("mergetree").option("path", table_dir).load()
+
+Re-expresses the reference's read-path machinery inside Spark's source
+API (reference: src/merge_tree.cpp:37-63):
+
+- R8 part min/max pruning → ``pushFilters`` collects key bounds and
+  ``partitions()`` skips parts whose manifest [min_key, max_key] misses
+  them — pruned parts are never listed, opened, or scheduled;
+- R9 granule pruning → the pushed bounds become a pyarrow row-group /
+  page filter inside ``read()`` (parts are written key-sorted, so
+  row-group stats are tight);
+- one InputPartition per parquet data file → scan parallelism = file
+  count, exactly like the native parquet source.
+
+All filters are also RETURNED from pushFilters, so Spark re-applies them
+after the scan — pruning is a pure optimization and can never change
+results. Writes go through the SparkMergeTree API (flush/compaction need
+manifest coordination the one-shot writer contract can't express).
+
+SELF-CONTAINMENT CONTRACT: every method of a Python data source —
+including the "driver-side" schema()/partitions() — executes in a
+separate Python runner process that does NOT have this repo on its
+path, and ``register_mergetree`` additionally registers the module for
+cloudpickle pickle-by-value. So this module imports ONLY
+pyspark/pyarrow/stdlib and carries its own minimal manifest reader
+(format: engine/manifest.py — one JSON doc, ``parts`` list with
+path/min_key/max_key per part).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# Reference row model (src/row.h:10-12) — schema of an empty table.
+_FALLBACK_SCHEMA = StructType([
+    StructField("key", StringType(), False),
+    StructField("value", StringType(), False),
+    StructField("timestamp", LongType(), False),
+])
+
+
+def _load_parts(base_path: str) -> list[dict]:
+    """Minimal read-only view of the engine manifest: list of
+    {path, min_key, max_key} dicts, falling back to a part_<id> directory
+    scan (with unknown stats) when the manifest is absent or corrupt —
+    the same recovery rule as engine/manifest.py."""
+    mf = os.path.join(base_path, "manifest.json")
+    if os.path.exists(mf):
+        try:
+            with open(mf) as f:
+                doc = json.load(f)
+            return [
+                {"path": p["path"], "min_key": p.get("min_key"),
+                 "max_key": p.get("max_key")}
+                for p in doc["parts"]
+            ]
+        except (json.JSONDecodeError, KeyError, TypeError):
+            pass
+    parts = []
+    if os.path.isdir(base_path):
+        for name in sorted(os.listdir(base_path)):
+            d = os.path.join(base_path, name)
+            if name.startswith("part_") and os.path.isdir(d):
+                parts.append({"path": d, "min_key": None, "max_key": None})
+    return parts
+
+
+def _part_files(part_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(part_dir, f)
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+class MergeTreeFilePartition(InputPartition):
+    """One parquet data file of one part."""
+
+    def __init__(self, file_path: str):
+        self.file_path = file_path
+
+
+class MergeTreeReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mergetree source requires .option('path', ...)")
+        self.key_col = options.get("keycol", "key")
+        # inclusive key bounds collected from pushed filters; None = unbounded
+        self.lower = None
+        self.upper = None
+
+    # ----------------------------------------------------------- planning
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Collect [lower, upper] key bounds for manifest pruning.
+
+        Every filter is yielded back as unhandled, so Spark still applies
+        all of them post-scan — the bounds only *skip* parts/row-groups.
+        """
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == (self.key_col,):
+                if isinstance(f, EqualTo):
+                    self._narrow(f.value, f.value)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    # strict > narrowed as ≥: pruning may keep one extra
+                    # part; Spark's re-applied filter fixes the rows
+                    self._narrow(f.value, None)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self._narrow(None, f.value)
+                elif isinstance(f, In) and f.value:
+                    self._narrow(min(f.value), max(f.value))
+            yield f
+
+    def _narrow(self, lo, hi) -> None:
+        if lo is not None and (self.lower is None or lo > self.lower):
+            self.lower = lo
+        if hi is not None and (self.upper is None or hi < self.upper):
+            self.upper = hi
+
+    def partitions(self) -> list[MergeTreeFilePartition]:
+        # Manifest prune (R8), then one partition per data file.
+        parts = _load_parts(self.path)
+        if self.lower is not None or self.upper is not None:
+            kept = []
+            for p in parts:
+                try:
+                    if p["min_key"] is not None and (
+                        (self.upper is not None and p["min_key"] > self.upper)
+                        or (self.lower is not None and p["max_key"] < self.lower)
+                    ):
+                        continue
+                except TypeError:
+                    pass  # incomparable bound/key types: keep — prune is
+                    # best-effort, correctness comes from Spark's filter
+                kept.append(p)
+            parts = kept
+        return [
+            MergeTreeFilePartition(f)
+            for p in parts
+            for f in _part_files(p["path"])
+        ]
+
+    # --------------------------------------------------------------- scan
+
+    def read(self, partition: MergeTreeFilePartition):
+        # Runs in a Python worker: pyarrow reads the file and the pushed
+        # key bounds skip row groups whose stats miss the range (R9 —
+        # parts are written key-sorted so the stats are tight). Yields
+        # Arrow batches — zero row-at-a-time Python.
+        if partition is None:
+            # partitions() pruned everything away; Spark still schedules
+            # one task with no partition — an empty scan
+            return
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        expr = None
+        if self.lower is not None:
+            expr = pads.field(self.key_col) >= self.lower
+        if self.upper is not None:
+            e = pads.field(self.key_col) <= self.upper
+            expr = e if expr is None else expr & e
+        table = pq.read_table(partition.file_path, filters=expr)
+        yield from table.to_batches()
+
+
+class MergeTreeDataSource(DataSource):
+    """``spark.read.format("mergetree").option("path", dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mergetree"
+
+    def schema(self) -> StructType:
+        # Schema = first part file's parquet schema; an empty table falls
+        # back to the reference row model.
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("mergetree source requires .option('path', ...)")
+        for p in _load_parts(path):
+            files = _part_files(p["path"])
+            if files:
+                import pyarrow.parquet as pq
+                from pyspark.sql.pandas.types import from_arrow_schema
+
+                return from_arrow_schema(pq.read_schema(files[0]))
+        return _FALLBACK_SCHEMA
+
+    def reader(self, schema: StructType) -> MergeTreeReader:
+        return MergeTreeReader(schema, self.options)
+
+
+def register_mergetree(spark: "SparkSession") -> None:
+    """Register the 'mergetree' format on this session (idempotent).
+
+    Registers this module for cloudpickle pickle-by-value first: data
+    source methods run in separate Python runner/worker processes, and
+    by-reference pickling would require the repo on their PYTHONPATH.
+    """
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    # pushFilters() is rejected outright unless Python-source pushdown is
+    # enabled; it's a runtime conf, so set it here for vanilla sessions.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(MergeTreeDataSource)
+
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
