@@ -19,8 +19,14 @@ API (reference: src/merge_tree.cpp:37-63):
 
 All filters are also RETURNED from pushFilters, so Spark re-applies them
 after the scan — pruning is a pure optimization and can never change
-results. Writes go through the SparkMergeTree API (flush/compaction need
-manifest coordination the one-shot writer contract can't express).
+results.
+
+The write path (``df.write.format("mergetree").mode("append"/"overwrite")``)
+maps one Spark write job to one new part: tasks stream Arrow batches
+into staged parquet files, and the commit step publishes them with a
+single atomic manifest update (see MergeTreeWriter). Compaction and
+threshold-flush ingest remain SparkMergeTree API concerns — the sink
+appends parts; the engine's maintenance folds them.
 
 SELF-CONTAINMENT CONTRACT: every method of a Python data source —
 including the "driver-side" schema()/partitions() — executes in a
@@ -38,8 +44,11 @@ import json
 import os
 from typing import TYPE_CHECKING, Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -49,6 +58,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -187,6 +197,137 @@ class MergeTreeReader(DataSourceReader):
         yield from table.to_batches()
 
 
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    """Per-task result: one parquet file written into the staging dir."""
+
+    file_name: str
+    rows: int
+    n_bytes: int
+    min_key: object
+    max_key: object
+    min_ts: int
+    max_ts: int
+
+
+class MergeTreeWriter(DataSourceArrowWriter):
+    """``df.write.format("mergetree")`` — one Spark write job = ONE new part.
+
+    Each task streams its Arrow batches into one parquet file under a
+    staging directory (never visible to readers); ``commit`` — which runs
+    only if every task succeeded — renames the staging dir to
+    ``part_<id>`` and appends a single manifest entry whose min/max
+    key/ts stats are folded from the per-task commit messages. Readers
+    therefore see the whole insert atomically or not at all — the same
+    commit discipline as the engine's flush (R16/R33). ``mode("append")``
+    adds the part; ``mode("overwrite")`` truncates the table at the
+    commit point.
+
+    For tight row-group pruning later, pre-shape the frame exactly like
+    the engine's flush does:
+    ``df.repartitionByRange(key).sortWithinPartitions(key, ts)`` —
+    unsorted writes stay correct, just prune worse.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mergetree sink requires .option('path', ...)")
+        self.key_col = options.get("keycol", "key")
+        self.ts_col = options.get("tscol", "timestamp")
+        self.overwrite = overwrite
+        self.staging = os.path.join(
+            self.path, f".staging_{uuid.uuid4().hex[:12]}")
+
+    # ------------------------------------------------------- executor side
+
+    def write(self, iterator) -> _FileCommit | None:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows > 0]
+        if not batches:
+            # the runtime rejects None return values — empty-task sentinel
+            return _FileCommit(file_name=None, rows=0, n_bytes=0,
+                               min_key=None, max_key=None, min_ts=0, max_ts=0)
+        table = pa.Table.from_batches(batches)
+        os.makedirs(self.staging, exist_ok=True)
+        name = f"task-{uuid.uuid4().hex[:12]}.parquet"
+        fp = os.path.join(self.staging, name)
+        pq.write_table(table, fp)
+
+        def _minmax(col):
+            if col not in table.column_names:
+                return None, None
+            mm = pc.min_max(table[col])
+            return mm["min"].as_py(), mm["max"].as_py()
+
+        mn_k, mx_k = _minmax(self.key_col)
+        mn_t, mx_t = _minmax(self.ts_col)
+        return _FileCommit(
+            file_name=name, rows=table.num_rows,
+            n_bytes=os.path.getsize(fp),
+            min_key=mn_k, max_key=mx_k,
+            min_ts=mn_t if mn_t is not None else 0,
+            max_ts=mx_t if mx_t is not None else 0,
+        )
+
+    # --------------------------------------------------------- commit side
+
+    def commit(self, messages) -> None:
+        import shutil
+        import time
+
+        msgs = [m for m in messages if m is not None and m.rows > 0]
+        mf = os.path.join(self.path, "manifest.json")
+        doc = {"next_part_id": 1, "parts": []}
+        if os.path.exists(mf):
+            try:
+                with open(mf) as f:
+                    doc = json.load(f)
+            except (json.JSONDecodeError, KeyError):
+                pass
+        old_paths = [p["path"] for p in doc["parts"]]
+        if self.overwrite:
+            doc["parts"] = []
+        if msgs:
+            part_id = doc["next_part_id"]
+            doc["next_part_id"] = part_id + 1
+            part_dir = os.path.join(self.path, f"part_{part_id}")
+            os.replace(self.staging, part_dir)
+            mks = [m.min_key for m in msgs if m.min_key is not None]
+            xks = [m.max_key for m in msgs if m.max_key is not None]
+            doc["parts"].append({
+                "part_id": part_id, "path": part_dir,
+                "min_key": min(mks) if mks else None,
+                "max_key": max(xks) if xks else None,
+                "min_ts": min(m.min_ts for m in msgs),
+                "max_ts": max(m.max_ts for m in msgs),
+                "row_count": sum(m.rows for m in msgs),
+                "disk_size": sum(m.n_bytes for m in msgs),
+                "created_at": time.time(),
+            })
+        # atomic write-temp-then-replace, same rule as engine/manifest.py
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1, default=str)
+        os.replace(tmp, mf)
+        if self.overwrite:
+            # commit point passed — truncated parts are unreachable
+            for p in old_paths:
+                shutil.rmtree(p, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class MergeTreeDataSource(DataSource):
     """``spark.read.format("mergetree").option("path", dir).load()``."""
 
@@ -211,6 +352,9 @@ class MergeTreeDataSource(DataSource):
 
     def reader(self, schema: StructType) -> MergeTreeReader:
         return MergeTreeReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> MergeTreeWriter:
+        return MergeTreeWriter(self.options, overwrite)
 
 
 def register_mergetree(spark: "SparkSession") -> None:

@@ -121,3 +121,66 @@ def test_empty_table_schema_fallback(spark):
     df = spark.read.format("mergetree").option("path", base).load()
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["key", "value", "timestamp"]
+
+
+# ---------------------------------------------------------------- writer
+
+
+def test_write_append_then_engine_reads(spark):
+    base = tempfile.mkdtemp(prefix="ds_w1_")
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", f"v{i}", i) for i in range(200)],
+        "key string, value string, timestamp long")
+    register_mergetree(spark)
+    (df.repartition(4).write.format("mergetree")
+     .option("path", base).mode("append").save())
+
+    # one write job = one part, multi-file
+    t = SparkMergeTree(spark, base, config=MergeTreeConfig(
+        memtable_flush_threshold=10**12))
+    assert t.part_count() == 1
+    assert t.total_rows() == 200
+    got = t.query("k010", "k019")
+    assert got.count() == 10
+
+    # second append = second part; engine compaction folds them
+    (df.write.format("mergetree").option("path", base)
+     .mode("append").save())
+    t2 = SparkMergeTree(spark, base, config=MergeTreeConfig(
+        memtable_flush_threshold=10**12, max_parts=1))
+    assert t2.part_count() == 2
+    t2.optimize()
+    assert t2.part_count() == 1
+    # exact (key, ts) duplicates from the double insert collapse
+    assert t2.query_all().count() == 200
+
+
+def test_write_overwrite_truncates(spark):
+    base = tempfile.mkdtemp(prefix="ds_w2_")
+    register_mergetree(spark)
+    d1 = spark.createDataFrame([("a", "1", 1), ("b", "2", 2)],
+                               "key string, value string, timestamp long")
+    d2 = spark.createDataFrame([("c", "3", 3)],
+                               "key string, value string, timestamp long")
+    d1.write.format("mergetree").option("path", base).mode("append").save()
+    d2.write.format("mergetree").option("path", base).mode("overwrite").save()
+    got = spark.read.format("mergetree").option("path", base).load()
+    assert [r.key for r in got.collect()] == ["c"]
+    # truncated part dirs are reclaimed
+    assert len([d for d in os.listdir(base) if d.startswith("part_")]) == 1
+
+
+def test_write_manifest_stats_drive_pruning(spark):
+    base = tempfile.mkdtemp(prefix="ds_w3_")
+    register_mergetree(spark)
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(f"k{i:03d}", "v", i) for i in range(lo, lo + 100)],
+            "key string, value string, timestamp long")
+        df.write.format("mergetree").option("path", base).mode("append").save()
+    r = MergeTreeReader(None, _Opts(path=base))
+    n_all = len(r.partitions())
+    r = MergeTreeReader(None, _Opts(path=base))
+    from pyspark.sql.datasource import EqualTo
+    list(r.pushFilters([EqualTo(("key",), "k250")]))
+    assert len(r.partitions()) < n_all
