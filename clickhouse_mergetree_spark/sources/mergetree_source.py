@@ -28,6 +28,12 @@ single atomic manifest update (see MergeTreeWriter). Compaction and
 threshold-flush ingest remain SparkMergeTree API concerns — the sink
 appends parts; the engine's maintenance folds them.
 
+Streaming, both directions: ``spark.readStream.format("mergetree")``
+treats monotonically-increasing part ids as the offset log (each
+micro-batch reads exactly the parts that appeared since — Delta-style),
+and ``df.writeStream.format("mergetree")`` publishes one part per
+micro-batch with a sidecar batch-id ledger for exactly-once replays.
+
 SELF-CONTAINMENT CONTRACT: every method of a Python data source —
 including the "driver-side" schema()/partitions() — executes in a
 separate Python runner process that does NOT have this repo on its
@@ -50,6 +56,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -81,8 +89,8 @@ def _load_parts(base_path: str) -> list[dict]:
             with open(mf) as f:
                 doc = json.load(f)
             return [
-                {"path": p["path"], "min_key": p.get("min_key"),
-                 "max_key": p.get("max_key")}
+                {"part_id": p.get("part_id"), "path": p["path"],
+                 "min_key": p.get("min_key"), "max_key": p.get("max_key")}
                 for p in doc["parts"]
             ]
         except (json.JSONDecodeError, KeyError, TypeError):
@@ -92,7 +100,12 @@ def _load_parts(base_path: str) -> list[dict]:
         for name in sorted(os.listdir(base_path)):
             d = os.path.join(base_path, name)
             if name.startswith("part_") and os.path.isdir(d):
-                parts.append({"path": d, "min_key": None, "max_key": None})
+                try:
+                    pid = int(name[5:])
+                except ValueError:
+                    continue
+                parts.append({"part_id": pid, "path": d,
+                              "min_key": None, "max_key": None})
     return parts
 
 
@@ -199,9 +212,15 @@ class MergeTreeReader(DataSourceReader):
 
 @dataclass
 class _FileCommit(WriterCommitMessage):
-    """Per-task result: one parquet file written into the staging dir."""
+    """Per-task result: one parquet file written into the staging dir.
+
+    Carries its own ``staging`` path: the commit step may run from a
+    different process than the tasks (fresh writer instance → different
+    generated staging), so the message — not the writer — is the source
+    of truth for where the staged file lives."""
 
     file_name: str
+    staging: str
     rows: int
     n_bytes: int
     min_key: object
@@ -243,86 +262,218 @@ class MergeTreeWriter(DataSourceArrowWriter):
 
     # ------------------------------------------------------- executor side
 
-    def write(self, iterator) -> _FileCommit | None:
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if b.num_rows > 0]
-        if not batches:
-            # the runtime rejects None return values — empty-task sentinel
-            return _FileCommit(file_name=None, rows=0, n_bytes=0,
-                               min_key=None, max_key=None, min_ts=0, max_ts=0)
-        table = pa.Table.from_batches(batches)
-        os.makedirs(self.staging, exist_ok=True)
-        name = f"task-{uuid.uuid4().hex[:12]}.parquet"
-        fp = os.path.join(self.staging, name)
-        pq.write_table(table, fp)
-
-        def _minmax(col):
-            if col not in table.column_names:
-                return None, None
-            mm = pc.min_max(table[col])
-            return mm["min"].as_py(), mm["max"].as_py()
-
-        mn_k, mx_k = _minmax(self.key_col)
-        mn_t, mx_t = _minmax(self.ts_col)
-        return _FileCommit(
-            file_name=name, rows=table.num_rows,
-            n_bytes=os.path.getsize(fp),
-            min_key=mn_k, max_key=mx_k,
-            min_ts=mn_t if mn_t is not None else 0,
-            max_ts=mx_t if mx_t is not None else 0,
-        )
+    def write(self, iterator) -> _FileCommit:
+        return _write_staged_file(
+            self.staging, self.key_col, self.ts_col, iterator)
 
     # --------------------------------------------------------- commit side
 
     def commit(self, messages) -> None:
-        import shutil
-        import time
-
-        msgs = [m for m in messages if m is not None and m.rows > 0]
-        mf = os.path.join(self.path, "manifest.json")
-        doc = {"next_part_id": 1, "parts": []}
-        if os.path.exists(mf):
-            try:
-                with open(mf) as f:
-                    doc = json.load(f)
-            except (json.JSONDecodeError, KeyError):
-                pass
-        old_paths = [p["path"] for p in doc["parts"]]
-        if self.overwrite:
-            doc["parts"] = []
-        if msgs:
-            part_id = doc["next_part_id"]
-            doc["next_part_id"] = part_id + 1
-            part_dir = os.path.join(self.path, f"part_{part_id}")
-            os.replace(self.staging, part_dir)
-            mks = [m.min_key for m in msgs if m.min_key is not None]
-            xks = [m.max_key for m in msgs if m.max_key is not None]
-            doc["parts"].append({
-                "part_id": part_id, "path": part_dir,
-                "min_key": min(mks) if mks else None,
-                "max_key": max(xks) if xks else None,
-                "min_ts": min(m.min_ts for m in msgs),
-                "max_ts": max(m.max_ts for m in msgs),
-                "row_count": sum(m.rows for m in msgs),
-                "disk_size": sum(m.n_bytes for m in msgs),
-                "created_at": time.time(),
-            })
-        # atomic write-temp-then-replace, same rule as engine/manifest.py
-        tmp = mf + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f, indent=1, default=str)
-        os.replace(tmp, mf)
-        if self.overwrite:
-            # commit point passed — truncated parts are unreachable
-            for p in old_paths:
-                shutil.rmtree(p, ignore_errors=True)
+        _publish_part(self.path, self.staging, messages,
+                      overwrite=self.overwrite)
 
     def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+def _write_staged_file(staging: str, key_col: str, ts_col: str,
+                       iterator) -> _FileCommit:
+    """Task side of a part write: stream this task's Arrow batches into one
+    uniquely-named parquet file under the staging dir and report its stats."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows > 0]
+    if not batches:
+        # the runtime rejects None return values — empty-task sentinel
+        return _FileCommit(file_name=None, staging=staging, rows=0, n_bytes=0,
+                           min_key=None, max_key=None, min_ts=0, max_ts=0)
+    table = pa.Table.from_batches(batches)
+    os.makedirs(staging, exist_ok=True)
+    name = f"task-{uuid.uuid4().hex[:12]}.parquet"
+    fp = os.path.join(staging, name)
+    pq.write_table(table, fp)
+
+    def _minmax(col):
+        if col not in table.column_names:
+            return None, None
+        mm = pc.min_max(table[col])
+        return mm["min"].as_py(), mm["max"].as_py()
+
+    mn_k, mx_k = _minmax(key_col)
+    mn_t, mx_t = _minmax(ts_col)
+    return _FileCommit(
+        file_name=name, staging=staging, rows=table.num_rows,
+        n_bytes=os.path.getsize(fp),
+        min_key=mn_k, max_key=mx_k,
+        min_ts=mn_t if mn_t is not None else 0,
+        max_ts=mx_t if mx_t is not None else 0,
+    )
+
+
+def _publish_part(path: str, staging: str, messages,
+                  overwrite: bool = False, batch_id: int | None = None) -> None:
+    """Commit side of a part write (driver/runner process, single-writer):
+    move the staged task files into ``part_<id>/`` and publish ONE manifest
+    entry with write-temp-then-replace — readers see the whole insert or
+    none of it (the engine's R16/R33 commit discipline).
+
+    ``batch_id`` makes streaming commits idempotent: a replayed micro-batch
+    (restart between sink commit and checkpoint advance) finds its id in
+    the sidecar ledger and publishes nothing twice.
+    """
+    import shutil
+    import time
+
+    ledger = os.path.join(path, ".stream_commits.json")
+    done: list[int] = []
+    if batch_id is not None and os.path.exists(ledger):
+        try:
+            with open(ledger) as f:
+                done = json.load(f)["batch_ids"]
+        except (json.JSONDecodeError, KeyError):
+            done = []
+        if batch_id in done:
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+
+    msgs = [m for m in messages if m is not None and m.rows > 0]
+    mf = os.path.join(path, "manifest.json")
+    doc = {"next_part_id": 1, "parts": []}
+    if os.path.exists(mf):
+        try:
+            with open(mf) as f:
+                doc = json.load(f)
+        except (json.JSONDecodeError, KeyError):
+            pass
+    old_paths = [p["path"] for p in doc["parts"]]
+    if overwrite:
+        doc["parts"] = []
+    if msgs:
+        part_id = doc["next_part_id"]
+        doc["next_part_id"] = part_id + 1
+        part_dir = os.path.join(path, f"part_{part_id}")
+        os.makedirs(part_dir, exist_ok=True)
+        for m in msgs:
+            os.replace(os.path.join(m.staging, m.file_name),
+                       os.path.join(part_dir, m.file_name))
+        mks = [m.min_key for m in msgs if m.min_key is not None]
+        xks = [m.max_key for m in msgs if m.max_key is not None]
+        doc["parts"].append({
+            "part_id": part_id, "path": part_dir,
+            "min_key": min(mks) if mks else None,
+            "max_key": max(xks) if xks else None,
+            "min_ts": min(m.min_ts for m in msgs),
+            "max_ts": max(m.max_ts for m in msgs),
+            "row_count": sum(m.rows for m in msgs),
+            "disk_size": sum(m.n_bytes for m in msgs),
+            "created_at": time.time(),
+        })
+    # atomic write-temp-then-replace, same rule as engine/manifest.py
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1, default=str)
+    os.replace(tmp, mf)
+    if batch_id is not None:
+        done.append(batch_id)
+        tmp = ledger + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_ids": done[-200:]}, f)
+        os.replace(tmp, ledger)
+    shutil.rmtree(staging, ignore_errors=True)
+    for m in messages or []:
+        if m is not None and getattr(m, "staging", None):
+            shutil.rmtree(m.staging, ignore_errors=True)
+    if overwrite:
+        # commit point passed — truncated parts are unreachable
+        for p in old_paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+class MergeTreeStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("mergetree")`` — parts as the change log.
+
+    Part ids are monotonically increasing at publish time (manifest
+    ``next_part_id``), so the stream offset is simply the highest part id
+    processed; each micro-batch reads exactly the parts that appeared
+    since — the same idea as Delta's file-based streaming source. Works
+    for append-only tables (flush, sink writes). Compaction REWRITES data
+    into a new higher part id, which a running stream would re-emit:
+    pause compaction under a live stream or dedup downstream (e.g.
+    ``dropDuplicatesWithinWatermark`` on the engine's (key, ts)).
+    """
+
+    def __init__(self, schema: StructType, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mergetree source requires .option('path', ...)")
+
+    def initialOffset(self) -> dict:
+        return {"part_id": 0}
+
+    def latestOffset(self) -> dict:
+        ids = [p["part_id"] for p in _load_parts(self.path)
+               if p["part_id"] is not None]
+        return {"part_id": max(ids) if ids else 0}
+
+    def partitions(self, start: dict, end: dict):
+        parts = [
+            p for p in _load_parts(self.path)
+            if p["part_id"] is not None
+            and start["part_id"] < p["part_id"] <= end["part_id"]
+        ]
+        return [
+            MergeTreeFilePartition(f)
+            for p in parts
+            for f in _part_files(p["path"])
+        ]
+
+    def read(self, partition: MergeTreeFilePartition):
+        if partition is None:
+            return
+        import pyarrow.parquet as pq
+
+        yield from pq.read_table(partition.file_path).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to reclaim
+
+
+class MergeTreeStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("mergetree")`` — one micro-batch = one part.
+
+    Same staged-files-then-atomic-manifest-publish as the batch writer;
+    the sidecar batch ledger makes a replayed micro-batch a no-op, so the
+    sink is effectively exactly-once per part. This is the connector-level
+    equivalent of the foreachBatch → insert_batch ingest path (SURVEY
+    §7.1 M4) without needing engine code on the stream.
+    """
+
+    def __init__(self, options):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mergetree sink requires .option('path', ...)")
+        self.key_col = options.get("keycol", "key")
+        self.ts_col = options.get("tscol", "timestamp")
+        # fresh per micro-batch: Spark pickles a new writer per batch plan
+        self.staging = os.path.join(
+            self.path, f".staging_{uuid.uuid4().hex[:12]}")
+
+    def write(self, iterator) -> _FileCommit:
+        return _write_staged_file(
+            self.staging, self.key_col, self.ts_col, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        _publish_part(self.path, self.staging, messages, batch_id=batchId)
+
+    def abort(self, messages, batchId: int) -> None:
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
@@ -355,6 +506,13 @@ class MergeTreeDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> MergeTreeWriter:
         return MergeTreeWriter(self.options, overwrite)
+
+    def streamReader(self, schema: StructType) -> MergeTreeStreamReader:
+        return MergeTreeStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> MergeTreeStreamWriter:
+        return MergeTreeStreamWriter(self.options)
 
 
 def register_mergetree(spark: "SparkSession") -> None:

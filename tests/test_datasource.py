@@ -184,3 +184,90 @@ def test_write_manifest_stats_drive_pruning(spark):
     from pyspark.sql.datasource import EqualTo
     list(r.pushFilters([EqualTo(("key",), "k250")]))
     assert len(r.partitions()) < n_all
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_stream_read_incremental_parts(spark):
+    """Part ids are streaming offsets: a restarted query with the same
+    checkpoint consumes only parts that appeared since the last run."""
+    base = tempfile.mkdtemp(prefix="ds_sr_")
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=100)
+    t = SparkMergeTree(spark, base, config=cfg)
+    t.insert_rows([(f"k{i}", "v", i) for i in range(100)])
+    t.flush()
+    t.insert_rows([(f"k{i}", "v", i) for i in range(100, 150)])
+    t.flush()
+    register_mergetree(spark)
+
+    ckpt = tempfile.mkdtemp(prefix="ds_sr_ck_")
+    sink = tempfile.mkdtemp(prefix="ds_sr_out_")
+
+    def drain():
+        q = (
+            spark.readStream.format("mergetree").option("path", base).load()
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(sink).count()
+
+    assert drain() == 150
+    t.insert_rows([(f"k{i}", "v", i) for i in range(150, 170)])
+    t.flush()
+    assert drain() == 170  # only the 20-row part was re-read
+    assert drain() == 170  # no new parts -> no new rows
+
+
+def test_stream_write_one_part_per_batch(spark):
+    """writeStream.format('mergetree'): micro-batch -> staged files ->
+    atomic manifest publish; the engine then queries and compacts the
+    externally-streamed parts."""
+    register_mergetree(spark)
+    out = tempfile.mkdtemp(prefix="ds_sw_")
+    srcdir = tempfile.mkdtemp(prefix="ds_sw_src_")
+    spark.createDataFrame(
+        [(f"k{i}", "v", i) for i in range(80)],
+        "key string, value string, timestamp long",
+    ).write.mode("overwrite").parquet(srcdir)
+    q = (
+        spark.readStream.schema("key string, value string, timestamp long")
+        .parquet(srcdir)
+        .writeStream.format("mergetree").option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ds_sw_ck_"))
+        .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    t = SparkMergeTree(spark, out, config=MergeTreeConfig(
+        memtable_flush_threshold=10**12))
+    assert t.part_count() == 1
+    assert t.total_rows() == 80
+    assert t.query("k10", "k19").count() == 10
+    # staged dirs are reclaimed after commit
+    assert not [d for d in os.listdir(out) if d.startswith(".staging")]
+
+
+def test_stream_write_batch_ledger_is_idempotent(spark):
+    """A replayed micro-batch id publishes nothing twice."""
+    from clickhouse_mergetree_spark.sources.mergetree_source import (
+        _FileCommit, _publish_part)
+
+    out = tempfile.mkdtemp(prefix="ds_sl_")
+    staging = os.path.join(out, ".staging_x")
+
+    def staged_msg():
+        os.makedirs(staging, exist_ok=True)
+        fp = os.path.join(staging, "task-1.parquet")
+        with open(fp, "wb") as f:
+            f.write(b"x")
+        return _FileCommit(file_name="task-1.parquet", staging=staging,
+                           rows=1, n_bytes=1, min_key="a", max_key="a",
+                           min_ts=0, max_ts=0)
+
+    _publish_part(out, staging, [staged_msg()], batch_id=7)
+    n_parts = len([d for d in os.listdir(out) if d.startswith("part_")])
+    assert n_parts == 1
+    _publish_part(out, staging, [staged_msg()], batch_id=7)  # replay
+    n_parts = len([d for d in os.listdir(out) if d.startswith("part_")])
+    assert n_parts == 1  # no second part
