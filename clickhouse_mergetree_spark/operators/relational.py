@@ -423,6 +423,73 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared_query(
+    "q_fn_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 300000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+               greatest(o_totalprice, 150000.0) AS floor_price,
+               least(o_totalprice, 150000.0) AS capped_price,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS f_price
+        FROM orders
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15+: conditional expressions — CASE/WHEN bands, nullif/coalesce,
+    greatest/least (null-skipping in both engines), and a NULL-producing
+    partial CASE. Row-local, zero shuffles, all whole-stage codegen."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low").alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN"))
+        .alias("status_or_open"),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_price"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("capped_price"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .alias("f_price"),
+    )
+
+
+@declared_query(
+    "q_fn_map",
+    oracle="""
+        SELECT o_orderkey,
+               m['priority'][1] AS priority,
+               m['status'][1] AS status,
+               cardinality(m) AS n_entries,
+               array_to_string(map_keys(m), ',') AS keys_csv
+        FROM (
+            SELECT o_orderkey,
+                   MAP {'priority': o_orderpriority,
+                        'status': o_orderstatus} AS m
+            FROM orders
+        )
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18+: map functions — create_map / element_at / map_keys / size.
+    The map is built and consumed in one projection; the oracle checks
+    both lookups, the cardinality, and the key ORDER (create_map and
+    DuckDB MAP literals both preserve insertion order)."""
+    o = load(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("priority"), F.col("o_orderpriority"),
+        F.lit("status"), F.col("o_orderstatus"))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "priority").alias("priority"),
+        F.element_at(m, "status").alias("status"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
 N_SALT = 8
 
 
