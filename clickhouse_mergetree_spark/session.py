@@ -10,6 +10,7 @@ rather than the 200 default.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +45,10 @@ def get_spark(app_name: str = "clickhouse_mergetree_spark",
         # 8192-row granule (reference: src/granule.h:10) — parquet row groups
         # carry the min/max stats that replace the sparse index.
         .config("spark.hadoop.parquet.block.size", str(8 * 1024 * 1024))
+        # saveAsTable targets (bucketed-join demos/tests) land in a scratch
+        # warehouse, never the repo's cwd
+        .config("spark.sql.warehouse.dir",
+                os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
