@@ -3,6 +3,7 @@
 from clickhouse_mergetree_spark.operators import (  # noqa: F401
     engine_queries,
     relational,
+    sql_queries,
 )
 
 _OPTIONAL_MODULES = (

@@ -1,0 +1,79 @@
+"""Declared queries expressed through the plain-SQL surface.
+
+The same SQL text runs on BOTH engines: ``spark.sql`` over
+``register_views`` and DuckDB as the oracle — so these rows verify the
+SQL front-end end-to-end (parsing, analysis, decimal semantics, date
+literals), not just the DataFrame API. The shapes are the classic TPC-H
+multi-join aggregates (Q3/Q5 adapted to the fixture columns), which also
+exercise Catalyst's join ordering and AQE on 3- and 6-table plans.
+
+All money arithmetic is exact DECIMAL until one final cast to double, so
+the values are bit-identical across engines.
+
+Scale notes: both plans are chains of equi-joins on uniformly
+distributed keys — Catalyst broadcast-joins the dimensions
+(region/nation/supplier/customer after filter) and shuffles only the
+fact tables; the final GROUP BY keys are tiny (orderkey groups of ≤7
+lineitems; 25 nations), so partial aggregation collapses nearly all of
+the map output before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.tables import register_views
+
+_REVENUE = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+_Q3_SQL = f"""
+    SELECT l_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           {_REVENUE} AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+"""
+
+_Q5_SQL = f"""
+    SELECT n_name, {_REVENUE} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+@declared_query("q_sql_tpch_q3", oracle=_Q3_SQL)
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape via spark.sql: segment-filtered customer ⨝ orders ⨝
+    lineitem, revenue per urgent order, top 20. The identical SQL text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+@declared_query("q_sql_tpch_q5", oracle=_Q5_SQL)
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape via spark.sql: 6-table join (fact chain + 3 broadcast
+    dimensions) with local-supplier predicate, revenue per nation. The
+    identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
