@@ -14,6 +14,11 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
+# Unique per process, stable within it: a fixed path would outlive the
+# in-memory catalog across sessions, so a rerun's saveAsTable would hit
+# LOCATION_ALREADY_EXISTS on a table the new catalog has never heard of.
+_WAREHOUSE_DIR = tempfile.mkdtemp(prefix="spark_graft_wh_")
+
 
 def get_spark(app_name: str = "clickhouse_mergetree_spark",
               cpus: int | None = None) -> SparkSession:
@@ -47,8 +52,7 @@ def get_spark(app_name: str = "clickhouse_mergetree_spark",
         .config("spark.hadoop.parquet.block.size", str(8 * 1024 * 1024))
         # saveAsTable targets (bucketed-join demos/tests) land in a scratch
         # warehouse, never the repo's cwd
-        .config("spark.sql.warehouse.dir",
-                os.path.join(tempfile.gettempdir(), "spark_graft_warehouse"))
+        .config("spark.sql.warehouse.dir", _WAREHOUSE_DIR)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
