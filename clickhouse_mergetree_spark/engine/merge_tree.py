@@ -215,18 +215,36 @@ class SparkMergeTree:
         per-file key ranges disjoint; sortWithinPartitions orders rows inside
         each file so parquet row-group min/max stats are tight — together the
         Spark analog of the reference's global sort + sparse index
-        (src/part.cpp:44-45, src/part.cpp:248-257)."""
+        (src/part.cpp:44-45, src/part.cpp:248-257).
+
+        The R24 manifest stats ride along on the write job itself via
+        ``observe`` — no second read-back scan of the part. (The reference
+        also computes metadata during the part write, src/part.cpp:23-28.)
+        """
+        import uuid
+
         path = os.path.join(self.base_path, f"part_{part_id}")
         n_files = max(1, ceil(n_rows / self.config.rows_per_file))
-        writer = (
+        shaped = (
             df.repartitionByRange(n_files, self._key, self._ts)
             .sortWithinPartitions(self._key, self._ts)
             if n_files > 1
             else df.coalesce(1).sortWithinPartitions(self._key, self._ts)
         )
-        writer.write.mode("overwrite").parquet(path)
-        stats = self._part_stats(
-            self.spark.read.schema(self.schema).parquet(path))
+        obs_name = f"part_stats_{uuid.uuid4().hex[:8]}"
+        from pyspark.sql import Observation
+
+        obs = Observation(obs_name)
+        shaped = shaped.observe(
+            obs,
+            F.min(self._key).alias("min_key"),
+            F.max(self._key).alias("max_key"),
+            F.min(self._ts).alias("min_ts"),
+            F.max(self._ts).alias("max_ts"),
+            F.count(F.lit(1)).alias("row_count"),
+        )
+        shaped.write.mode("overwrite").parquet(path)
+        stats = obs.get
         return PartMeta(
             part_id=part_id, path=path,
             min_key=stats["min_key"], max_key=stats["max_key"],
