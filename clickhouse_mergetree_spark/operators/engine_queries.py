@@ -216,9 +216,16 @@ def q_mergetree_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_mergetree_"),
                            schema=schema, config=cfg)
     kv = _kv(spark, sf_dir)
+    # one grouped count instead of a count() job per insert_batch
+    counts = {
+        int(r["b"]): r["count"]
+        for r in kv.groupBy(F.pmod(F.col("event_id"), F.lit(3)).alias("b"))
+        .count().collect()
+    }
     for i in range(3):
         table.insert_batch(
-            kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i))
+            kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            row_count=counts.get(i, 0))
         table.flush()
     table.merge_parts_sync()
     # query() already dedups on (key, ts_us) — the projection stays distinct
@@ -264,9 +271,16 @@ def q_mergetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_mt_source_"),
                            schema=schema, config=cfg)
     kv = _kv(spark, sf_dir)
+    # one grouped count instead of a count() job per insert_batch
+    counts = {
+        int(r["b"]): r["count"]
+        for r in kv.groupBy(F.pmod(F.col("event_id"), F.lit(3)).alias("b"))
+        .count().collect()
+    }
     for i in range(3):
         table.insert_batch(
-            kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i))
+            kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            row_count=counts.get(i, 0))
         table.flush()
     table.merge_parts_sync()
 
