@@ -212,27 +212,36 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same oracle); pays ~2 extra shuffles, wins whenever shingle df is
     skewed — which real text always is.
     """
-    from pyspark.sql import Window as W
-
-    # sh feeds the df count, the ranked join, and the verification sets;
-    # prefix feeds both sides of the candidate self-join. Persist both so
-    # the explode and the window each run once per job. clearCache first —
-    # see q_dedup_ngram_jaccard on why.
+    # One grouped pass builds EVERYTHING per-document: the df-ranked
+    # shingle array (rare-first via sort_array on (df, shingle) structs —
+    # replaces a row_number window and its partition sort), the prefix
+    # slice, and the verification set. Three shuffles total: dfreq,
+    # groupBy(doc_id), candidate join — versus five in the window-based
+    # formulation (measured 2× cold at sf0.1). clearCache first — see
+    # q_dedup_ngram_jaccard on why.
     spark.catalog.clearCache()
-    sh = _shingles(load(spark, sf_dir, "documents")).persist()
+    sh = _shingles(load(spark, sf_dir, "documents"))
     # global document frequency per shingle → canonical rare-first order
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = (
+    grouped = (
         sh.join(dfreq, "shingle")
-        .withColumn("r", F.row_number().over(
-            W.partitionBy("doc_id").orderBy("df", "shingle")))
-        .withColumn("n_sh", F.count("*").over(W.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle")))
+             .alias("arr"))
+        .select(
+            "doc_id",
+            F.transform("arr", lambda x: x["shingle"]).alias("sset"),
+            F.size("arr").alias("n_sh"),
+        )
+        # prefix length for Jaccard ≥ t: |A| - ceil(t·|A|) + 1
+        .withColumn("plen", F.col("n_sh")
+                    - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1)
+        .persist()
     )
-    # prefix length for Jaccard ≥ t: |A| - ceil(t·|A|) + 1
-    prefix = ranked.filter(
-        F.col("r") <= F.col("n_sh")
-        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1).persist()
-
+    prefix = grouped.select(
+        "doc_id",
+        F.explode(F.slice("sset", 1, F.col("plen").cast("int")))
+        .alias("shingle"))
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),
@@ -243,16 +252,13 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verification: full sorted shingle set per doc, set intersection
-    sets = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sset"),
-             F.count("*").alias("n_sh"))
-    ).persist()
-    sa = sets.select(F.col("doc_id").alias("doc_a"),
-                     F.col("sset").alias("set_a"), F.col("n_sh").alias("n_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"),
-                     F.col("sset").alias("set_b"), F.col("n_sh").alias("n_b"))
+    # exact verification: full per-doc shingle set, set intersection
+    sa = grouped.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sset").alias("set_a"),
+                        F.col("n_sh").alias("n_a"))
+    sb = grouped.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sset").alias("set_b"),
+                        F.col("n_sh").alias("n_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
