@@ -596,6 +596,53 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_window_dist",
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               round(percent_rank() OVER w, 9) AS pct_rank,
+               round(cume_dist() OVER w, 9) AS cume,
+               first_value(s_suppkey) OVER w AS richest,
+               nth_value(s_suppkey, 2) OVER w AS second_richest
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey
+                     ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11+: distribution window functions — percent_rank / cume_dist /
+    first_value / nth_value over a deterministic (unique-key) ordering.
+    Same single shuffle-and-sort on the partition key as q_window_rank;
+    the ratios are int/int in double, rounded as belt-and-braces."""
+    s = load(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey", "s_nationkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.first("s_suppkey").over(w).alias("richest"),
+        F.nth_value("s_suppkey", 2).over(w).alias("second_richest"),
+    )
+
+
+@declared_query("q_agg_approx_percentile")  # rows-only: sketch is engine-specific
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9+ scale path for percentiles: approx_percentile — a mergeable
+    sketch built with partial aggregation, no per-group sort. This is what
+    replaces q_agg_percentile's exact inverse-distribution aggregates at
+    100 TB (same trade as HLL vs countDistinct). Rows-only check: the
+    estimate is engine-specific by construction."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.5, 0.9], 10000)
+        .alias("qty_quantiles"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000)
+        .alias("median_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@declared_query(
     "q_topk",
     oracle="""
         SELECT o_orderkey, o_totalprice FROM orders
