@@ -117,6 +117,35 @@ def test_persistence(spark, root):
     print("Persistence test completed successfully!\n")
 
 
+def test_connector(spark, root):
+    """Beyond the reference: the table as a first-class Spark source/sink."""
+    print("=== Testing Data Source Connector ===")
+    from pyspark.sql import functions as F
+
+    from clickhouse_mergetree_spark.sources import register_mergetree
+
+    register_mergetree(spark)
+    path = f"{root}/test_connector"
+    df = spark.createDataFrame(
+        [(f"key_{i:03d}", f"value{i}", i) for i in range(500)],
+        "key string, value string, timestamp long")
+    print("Writing one part via df.write.format('mergetree')...")
+    df.repartition(2).write.format("mergetree").option(
+        "path", path).mode("append").save()
+
+    back = spark.read.format("mergetree").option("path", path).load()
+    print(f"Read back {back.count()} rows")
+    n = back.filter(
+        (F.col("key") >= "key_100") & (F.col("key") <= "key_199")).count()
+    print(f"Pushdown-pruned range read: {n} rows")
+
+    engine = SparkMergeTree(spark, path)
+    print(f"Engine opened the same table: {engine.part_count()} part(s), "
+          f"{engine.total_rows()} rows")
+    engine.close()
+    print("Connector test completed successfully!\n")
+
+
 def main():
     print("ClickHouse MergeTree (Spark) Implementation Demo")
     print("=========================================\n")
@@ -129,6 +158,7 @@ def main():
         test_merge_operations(spark, root)
         test_performance(spark, root)
         test_persistence(spark, root)
+        test_connector(spark, root)
         print(f"All demos completed in {time.perf_counter()-t0:.1f} s")
     finally:
         shutil.rmtree(root, ignore_errors=True)
