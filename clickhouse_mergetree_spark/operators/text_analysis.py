@@ -312,6 +312,31 @@ def q_pipeline_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared_query(
+    "q_sample_deterministic",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE substring(md5(text), 1, 1) IN ('0', '1')
+    """,
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling — a 2/16 sample keyed on the md5
+    prefix of the document text.
+
+    The reproducible alternative to df.sample() for pipeline debugging and
+    A/B corpus cuts: the same document lands in the same bucket on every
+    engine, every run, every cluster size (sampling by VALUE, not by
+    position or RNG), and the filter is row-local so it composes with any
+    downstream operator without a shuffle. Rate tuning = widening the
+    prefix set (1/16 granularity per hex char).
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5("text"), 1, 1).isin("0", "1")
+    ).select("doc_id", "lang", "n_chars")
+
+
 TFIDF_TOP_N = 50
 
 
