@@ -90,13 +90,21 @@ def decode_media(payload: bytes, media_type: str):
         "not present in this container")
 
 
-def make_extractor(n_features: int = N_FAKE_FEATURES):
+def make_extractor(n_features: int = N_FAKE_FEATURES,
+                   real_decode: bool = False):
     """Build the mapInPandas worker function as a self-contained closure.
 
     Worker-shipped functions must be nested (pickled BY VALUE by
     cloudpickle) and reference no module globals — a module-level function
     would be pickled as "import clickhouse_mergetree_spark...", which fails
     on executors that don't have the repo on their PYTHONPATH.
+
+    ``real_decode=True`` routes every payload through ``decode_media``
+    first — the production wiring. In this container that raises
+    NotImplementedError inside the worker (no decode libraries), which is
+    exactly what the stub contract promises; the deterministic byte-stat
+    extractor below is the default stand-in that keeps the pipeline
+    testable end-to-end.
     """
 
     def byte_stat_features(payload: bytes) -> list[float]:
@@ -120,17 +128,33 @@ def make_extractor(n_features: int = N_FAKE_FEATURES):
             float(_np.unique(a).size),
         ]
 
+    def decode_then_extract(payload: bytes, media_type: str) -> list[float]:
+        # production path: decode to a tensor, then featurize. The decode
+        # stub is INLINED (not a call to module-level decode_media): the
+        # closure ships to workers by value and must not reference module
+        # globals. Same contract, same message.
+        raise NotImplementedError(
+            f"media decoding for {media_type!r} requires an image/audio "
+            "library not present in this container")
+
     def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # whole Arrow batches, never row-at-a-time; each executor core
         # streams batches independently — no shuffle
         import pandas as _pd
 
         for pdf in batches:
+            if real_decode:
+                feats = [
+                    decode_then_extract(p, m)
+                    for p, m in zip(pdf["payload"], pdf["media_type"])
+                ]
+            else:
+                feats = pdf["payload"].map(byte_stat_features)
             yield _pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
                 "n_features": n_features,
-                "features": pdf["payload"].map(byte_stat_features),
+                "features": feats,
             })
 
     return extract_features

@@ -53,3 +53,24 @@ def test_resize_bytes_match_python(spark, sf_dir):
             stride = n / RESIZE_BYTES
             want = bytes(payload[int(j * stride)] for j in range(RESIZE_BYTES))
         assert got[doc_id] == want
+
+
+def test_real_decode_path_raises_not_implemented(spark, sf_dir):
+    """The production wiring (real_decode=True) routes payloads through the
+    decode step, which must surface its NotImplementedError from inside the
+    Arrow worker — proving the decode hook is actually reachable, not dead
+    code next to the byte-stat stand-in."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from clickhouse_mergetree_spark.operators.multimodal import (
+        FEATURES_SCHEMA, make_extractor, media_table)
+
+    media = media_table(spark, sf_dir)
+    feats = media.limit(3).mapInPandas(
+        make_extractor(real_decode=True), schema=FEATURES_SCHEMA)
+    with pytest.raises((PythonException, Py4JJavaError)) as exc:
+        feats.collect()
+    assert "NotImplementedError" in str(exc.value)
+    assert "media decoding" in str(exc.value)
