@@ -149,6 +149,59 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared_query("q_sim_search_blas")  # rows-only: fp summation order differs
+def q_sim_search_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 exact scoring, vectorized: brute-force cosine top-k where the
+    per-partition scoring is a single numpy matrix-vector product inside
+    an Arrow-batched mapInPandas worker.
+
+    Same semantics as q_sim_search, different execution strategy: instead
+    of ~d interpreted JVM ops per row (zip_with/aggregate lambdas are not
+    codegen'd), each worker stacks its Arrow batch into an (n, d) float64
+    matrix and scores it with one BLAS matvec — the pattern every real
+    vector engine uses for exact scoring, and the right CPU shape at
+    100 TB (scan stays embarrassingly parallel; only per-partition top-k
+    candidates reach the final TakeOrdered). Rows-only check: BLAS
+    pairwise summation orders differ from sequential fold at the 1e-15
+    level, below any consumer's resolution but above a bit-exact hash's.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = np.array(
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding").head()[0], dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
+    top_k = TOP_K
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _np.stack(pdf["embedding"].map(
+                lambda v: _np.asarray(v, dtype=_np.float64)))
+            dots = m @ qv
+            norms = _np.sqrt((m * m).sum(axis=1))
+            cos = dots / (norms * qn)
+            out = _pd.DataFrame({"vec_id": pdf["vec_id"], "cos_raw": cos})
+            # per-batch pre-top-k: only candidates leave the worker
+            yield out.nlargest(min(top_k, len(out)), "cos_raw")
+
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, schema="vec_id long, cos_raw double")
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", F.round("cos_raw", 9).alias("cosine"))
+    )
+
+
 IVF_NLIST = 16
 IVF_NPROBE = 2
 
