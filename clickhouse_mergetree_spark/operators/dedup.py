@@ -268,6 +268,112 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact inverted-index Jaccard pairs (same as q_dedup_ngram_jaccard),
+    reused as the edge set for clustering."""
+    sh = _shingles(load(spark, sf_dir, "documents")).persist()
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
+@declared_query(
+    "q_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+        card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v
+            FROM pairs JOIN card ca ON ca.doc_id = doc_a
+                       JOIN card cb ON cb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE)
+                    / (ca.n_sh + cb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+        ),
+        bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        reach AS (
+            SELECT u, v FROM bidir
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN bidir e ON r.v = e.u
+        )
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_keeper
+        FROM reach GROUP BY u
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERING: near-dup pairs → connected components →
+    canonical keeper (min doc_id) per component — the step that turns a
+    pair list into an actual keep/drop decision for the corpus.
+
+    Components via iterative min-label propagation: every vertex starts
+    labeled with itself; each round every vertex takes the min of its own
+    and its neighbors' labels; converged when no label changes. This is
+    the standard large-graph CC shape on Spark — each round is one join +
+    one aggregate on the edge list, the label frontier shrinks
+    geometrically, and rounds ≈ component diameter (tiny for dup
+    clusters). The oracle computes the same fixpoint with a recursive
+    transitive closure — tractable for DuckDB at oracle scale, while the
+    Spark path is the one that scales.
+
+    Convergence is a driver-side count per round — the one legitimate use
+    of a driver loop (iterative algorithms), bounded by the diameter, with
+    each iteration's labels persisted and the previous round unpersisted.
+    """
+    edges = _jaccard_pairs(spark, sf_dir)
+    bidir = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(edges.select(F.col("doc_b").alias("u"),
+                                  F.col("doc_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = bidir.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")).persist()
+    while True:
+        neighbor_min = (
+            bidir.join(labels, F.col("v") == F.col("node"))
+            .groupBy(F.col("u").alias("w"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("node") == F.col("w"), "left")
+            .select("node",
+                    F.least("label", "nmin").alias("new_label"),
+                    "label")
+        ).persist()
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("label")).count()
+        old = labels
+        labels = new_labels.select(
+            "node", F.col("new_label").alias("label")).persist()
+        old.unpersist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_keeper"))
+
+
 @declared_query("q_near_dedup")  # rows-only: MinHash-LSH is not DuckDB-expressible
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E21: banded MinHash-LSH near-dup pairs (shingle→minhash→band→bucket-join).
