@@ -271,6 +271,7 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact inverted-index Jaccard pairs (same as q_dedup_ngram_jaccard),
     reused as the edge set for clustering."""
+    spark.catalog.clearCache()  # see q_dedup_ngram_jaccard on why
     sh = _shingles(load(spark, sf_dir, "documents")).persist()
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
