@@ -341,11 +341,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     each iteration's labels persisted and the previous round unpersisted.
     """
     edges = _jaccard_pairs(spark, sf_dir)
+    # no distinct needed: pairs are unique with doc_a < doc_b, so the two
+    # directions cannot collide — saves a full shuffle of the edge set
     bidir = (
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(edges.select(F.col("doc_b").alias("u"),
                                   F.col("doc_a").alias("v")))
-        .distinct()
         .persist()
     )
     labels = bidir.select(F.col("u").alias("node")).distinct().select(
