@@ -340,38 +340,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a driver loop (iterative algorithms), bounded by the diameter, with
     each iteration's labels persisted and the previous round unpersisted.
     """
+    from clickhouse_mergetree_spark.operators.graph import (
+        connected_components)
+
     edges = _jaccard_pairs(spark, sf_dir)
-    # no distinct needed: pairs are unique with doc_a < doc_b, so the two
-    # directions cannot collide — saves a full shuffle of the edge set
-    bidir = (
-        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(edges.select(F.col("doc_b").alias("u"),
-                                  F.col("doc_a").alias("v")))
-        .persist()
-    )
-    labels = bidir.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")).persist()
-    while True:
-        neighbor_min = (
-            bidir.join(labels, F.col("v") == F.col("node"))
-            .groupBy(F.col("u").alias("w"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, F.col("node") == F.col("w"), "left")
-            .select("node",
-                    F.least("label", "nmin").alias("new_label"),
-                    "label")
-        ).persist()
-        changed = new_labels.filter(
-            F.col("new_label") != F.col("label")).count()
-        old = labels
-        labels = new_labels.select(
-            "node", F.col("new_label").alias("label")).persist()
-        old.unpersist()
-        new_labels.unpersist()
-        if changed == 0:
-            break
+    labels = connected_components(edges, src="doc_a", dst="doc_b")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_keeper"))
 

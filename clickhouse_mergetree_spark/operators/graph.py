@@ -1,0 +1,62 @@
+"""Distributed connected components — the graph kernel behind duplicate
+clustering (and any entity-resolution / link-grouping pipeline).
+
+Iterative min-label propagation: every vertex starts labeled with itself;
+each round every vertex takes the min of its own and its neighbors'
+labels; fixpoint when no label changes. Each round is one join + one
+aggregate on the edge list — the standard large-graph CC shape on Spark —
+and the number of rounds is bounded by the largest component's diameter
+(near-dup clusters: tiny). The convergence check is a driver-side count
+per round, the one legitimate driver loop (iterative algorithms); every
+round's labels are persisted and the previous round's dropped.
+
+At 100 TB: edges shuffle once per round on the vertex id; for graphs with
+large-diameter components, switch to the large-star/small-star contraction
+algorithm (O(log n) rounds) — same API, different inner loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame,
+                         src: str = "u", dst: str = "v") -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+
+    ``edges`` holds one row per undirected edge (any orientation, dupes
+    allowed). Returns (node, label) with label = min node id reachable,
+    one row per node that appears in an edge.
+    """
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"),
+                                  F.col(src).alias("v")))
+        .persist()
+    )
+    labels = bidir.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")).persist()
+    while True:
+        neighbor_min = (
+            bidir.join(labels, F.col("v") == F.col("node"))
+            .groupBy(F.col("u").alias("w"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, F.col("node") == F.col("w"), "left")
+            .select("node",
+                    F.least("label", "nmin").alias("new_label"),
+                    "label")
+        ).persist()
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("label")).count()
+        old = labels
+        labels = new_labels.select(
+            "node", F.col("new_label").alias("label")).persist()
+        old.unpersist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels
