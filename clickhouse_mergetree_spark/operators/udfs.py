@@ -113,3 +113,90 @@ def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents").select("source", "n_chars")
     return d.groupBy("source").applyInPandas(make_source_stats(), schema=_GROUP_SCHEMA)
+
+
+def make_weighted_mean():
+    """GROUPED_AGG pandas_udf built lazily as a self-contained closure
+    (same rationale as bpe_token_count)."""
+
+    def wmean(disc: pd.Series, qty: pd.Series) -> float:
+        return float((disc * qty).sum() / qty.sum())
+
+    return pandas_udf(wmean, "double")
+
+
+@declared_query(
+    "q_udaf_weighted",
+    oracle="""
+        SELECT l_returnflag,
+               round(sum(CAST(l_discount AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2)))
+                     / sum(CAST(l_quantity AS DECIMAL(8,2))), 9) AS wavg_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25+: grouped-aggregate pandas UDF (UDAF surface) — quantity-weighted
+    mean discount per return flag.
+
+    The third Arrow escape hatch next to scalar and grouped-map: the whole
+    group's columns arrive as pandas Series and reduce to one scalar.
+    Plans as a full-shuffle ObjectHashAggregate (no partial agg — the UDAF
+    is opaque to Catalyst), which is the documented cost of custom
+    aggregates vs built-ins; Spark also rejects mixing it with non-pandas
+    aggregates in the same agg, so this stays a single-measure query.
+    Discount values are small (≤0.1) so the float64 reduction matches the
+    oracle's exact decimal at 9 dp.
+    """
+    from pyspark.sql import functions as F2
+
+    d = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_discount", "l_quantity")
+    return d.groupBy("l_returnflag").agg(
+        F2.round(make_weighted_mean()("l_discount", "l_quantity"), 9)
+        .alias("wavg_disc"),
+    )
+
+
+@declared_query(
+    "q_udtf_sentences",
+    oracle="""
+        SELECT doc_id, pos, sentence
+        FROM (
+            SELECT doc_id,
+                   unnest(range(0, len(string_split(text, '. ')))) AS pos,
+                   unnest(string_split(text, '. ')) AS sentence
+            FROM documents
+        ) WHERE sentence <> ''
+    """,
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E25+: Python UDTF (table function) — one row per sentence with its
+    position, applied per document via a LATERAL join.
+
+    The UDTF surface is the row-expanding escape hatch (parsing,
+    tokenization-with-state, record splitting) when the expansion logic
+    doesn't fit `explode(transform(...))`. The class is defined inside
+    this function so cloudpickle ships it by value. Row-at-a-time by
+    construction — documented as the slow path; the built-in-function
+    equivalent IS this query's oracle, which also hash-proves the UDTF
+    machinery end-to-end.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    from clickhouse_mergetree_spark.tables import load as _load
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                if s:
+                    yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    _load(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM __docs_udtf d, LATERAL split_sentences(d.text) s
+    """)
