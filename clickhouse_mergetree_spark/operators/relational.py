@@ -391,6 +391,66 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_agg_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F')
+                    AS DOUBLE) AS F_qty,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O')
+                    AS DOUBLE) AS O_qty,
+               count(*) FILTER (l_linestatus = 'F') AS F_rows,
+               count(*) FILTER (l_linestatus = 'O') AS O_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10+: pivot — rotate l_linestatus values into columns. With the
+    pivot values listed explicitly, Spark skips the extra
+    distinct-values job and plans a single partial+final agg whose
+    aggregate list is the cross product (value × measure) — exactly the
+    conditional-aggregation plan the oracle spells out with FILTER."""
+    l = load(spark, sf_dir, "lineitem")
+    out = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(_dsum("l_quantity").alias("qty"),
+             F.count(F.lit(1)).alias("rows"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_qty"), F.col("O_qty"),
+        F.col("F_rows"), F.col("O_rows"),
+    )
+
+
+@declared_query(
+    "q_agg_unpivot",
+    oracle="""
+        SELECT s_suppkey, 'acctbal' AS measure,
+               CAST(s_acctbal AS DOUBLE) AS value
+        FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 'nationkey' AS measure,
+               CAST(s_nationkey AS DOUBLE) AS value
+        FROM supplier
+    """,
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10+: unpivot/melt — rotate columns into (measure, value) rows.
+    Plans as a row-local Expand (each input row emitted once per
+    measure) — no shuffle, the exact dual of pivot."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+    )
+    return s.unpivot(
+        ids=["s_suppkey"], values=["acctbal", "nationkey"],
+        variableColumnName="measure", valueColumnName="value",
+    )
+
+
+@declared_query(
     "q_agg_percentile",
     oracle="""
         SELECT l_returnflag,
