@@ -292,3 +292,119 @@ def q_mergetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("key").between(RANGE_START, RANGE_END))
     )
     return scan.select("key", "ts_us").dropDuplicates(["key", "ts_us"])
+
+
+FUNNEL_WINDOW_H = 24
+
+
+@declared_query(
+    "q_events_funnel",
+    oracle=f"""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_H} HOUR
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT s1.user_id,
+               1 + (s2.user_id IS NOT NULL)::INT
+                 + (s3.user_id IS NOT NULL)::INT AS funnel_depth,
+               epoch_us(s1.t1) AS t_view_us,
+               epoch_us(s2.t2) AS t_click_us,
+               epoch_us(s3.t3) AS t_purchase_us
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (the ClickHouse windowFunnel shape): per user, how
+    deep into view → click → purchase did they get, with the click
+    required within {24}h of the first view.
+
+    Greedy earliest-anchor semantics — each step anchors on the MIN
+    qualifying timestamp of the previous step — which makes the result
+    deterministic and SQL-expressible on both engines. Three aggregates
+    chained by per-user joins; every stage shuffles on user_id only, so
+    the whole funnel is one exchange column at any scale (and the step
+    frames are tiny — one row per user that reached the step).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (ev.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1"))
+                & (F.col("ts") <= F.col("t1")
+                   + F.expr(f"INTERVAL {FUNNEL_WINDOW_H} HOURS")))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            (F.lit(1)
+             + F.col("t2").isNotNull().cast("int")
+             + F.col("t3").isNotNull().cast("int")).alias("funnel_depth"),
+            F.unix_micros("t1").alias("t_view_us"),
+            F.unix_micros("t2").alias("t_click_us"),
+            F.unix_micros("t3").alias("t_purchase_us"),
+        )
+    )
+
+
+@declared_query(
+    "q_events_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, time_bucket(INTERVAL 1 DAY, min(ts)) AS cohort
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day
+            FROM events
+        )
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+               datediff('day', f.cohort, a.day) AS day_offset,
+               count(*) AS n_active
+        FROM firsts f JOIN activity a ON f.user_id = a.user_id
+        WHERE datediff('day', f.cohort, a.day) BETWEEN 0 AND 7
+        GROUP BY f.cohort, day_offset
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the ClickHouse retention() shape): users grouped
+    by first-seen day, counted active on each of the next 7 days.
+
+    Two aggregates over one scan lineage — first-seen day per user and
+    distinct (user, day) activity — joined on user_id. Both sides are
+    user-cardinality (small relative to events), so at scale the join is
+    a thin shuffle after two map-side-combining aggregations; the event
+    table itself is read once per side with only 2-3 columns.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    activity = ev.distinct()
+    off = F.datediff("day", "cohort")
+    return (
+        firsts.join(activity, "user_id")
+        .filter(off.between(0, 7))
+        .groupBy(F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+                 off.alias("day_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
