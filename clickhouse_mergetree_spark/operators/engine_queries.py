@@ -408,3 +408,48 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                  off.alias("day_offset"))
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@declared_query(
+    "q_events_timeseries",
+    oracle="""
+        WITH bounds AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, min(ts)) AS lo,
+                   time_bucket(INTERVAL 1 HOUR, max(ts)) AS hi
+            FROM events
+        ), axis AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ), counts AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour, count(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(a.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+               coalesce(c.n, 0) AS n_events
+        FROM axis a LEFT JOIN counts c ON a.hour = c.hour
+    """,
+)
+def q_events_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series: hourly event counts with ZERO rows for
+    silent hours — the densified axis every monitoring/report query needs
+    (an outer join against the time dimension, ClickHouse's
+    WITH FILL analog).
+
+    The axis is generated from one aggregate row via sequence+explode —
+    no driver-side collect, and the axis side is tiny (hours in range) so
+    Spark broadcasts it into the left join with the hourly counts. One
+    shuffle total (the count groupBy) at any scale.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"))
+    axis = (
+        ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(F.explode(F.sequence(
+            "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    )
+    counts = ev.groupBy("hour").agg(F.count("*").alias("n"))
+    return (
+        axis.join(counts, "hour", "left")
+        .select(F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
