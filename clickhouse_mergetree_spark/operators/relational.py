@@ -691,14 +691,31 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch built with partial aggregation, no per-group sort. This is what
     replaces q_agg_percentile's exact inverse-distribution aggregates at
     100 TB (same trade as HLL vs countDistinct). Rows-only check: the
-    estimate is engine-specific by construction."""
+    estimate is engine-specific by construction.
+
+    The quantile array is exploded to one scalar row per (flag, level) so
+    downstream consumers (and the driver's canonicalizer) never see an
+    array-typed cell."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", [0.25, 0.5, 0.9], 10000)
-        .alias("qty_quantiles"),
+    levels = [0.25, 0.5, 0.9]
+    g = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", levels, 10000).alias("qs"),
         F.percentile_approx("l_extendedprice", 0.5, 10000)
         .alias("median_price"),
         F.count("*").alias("n_rows"),
+    )
+    return (
+        g.select(
+            "l_returnflag",
+            "median_price",
+            "n_rows",
+            F.posexplode("qs").alias("qpos", "qty_quantile"),
+        )
+        .withColumn(
+            "quantile_level",
+            F.element_at(F.array(*[F.lit(x) for x in levels]), F.col("qpos") + 1),
+        )
+        .drop("qpos")
     )
 
 
@@ -863,7 +880,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type
