@@ -103,39 +103,63 @@ def _hyperplanes() -> list[list[float]]:
     return rng.standard_normal((LSH_BITS, DIM)).tolist()
 
 
-@declared_query("q_sim_search_lsh")  # rows-only: approximate by construction
-def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E22 scale path: sign-random-projection LSH bucketed ANN top-k.
+def _bucket_of(planes: list[list[float]], vec_col: str) -> Column:
+    """Sign-projection bucket id: Σ [v·p_b > 0]·2^b, all JVM-side."""
+    acc = F.lit(0)
+    for b, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        acc = acc + F.when(_dot(vec_col, lit_plane) > 0,
+                           F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
 
-    bucket(v) = Σ [v·p_b > 0]·2^b over 8 fixed hyperplanes (seed 42, plan
-    literals — no lookup table to join). Search scans only rows whose bucket
-    equals the query's bucket (~n/256 of the data), then exact cosine +
-    top-k within the bucket. Recall < 1 by design; pair with q_sim_search
-    as the exact baseline. At scale, write the table partitioned by
-    `bucket` so this filter becomes partition pruning, and probe buckets at
-    Hamming distance 1 for higher recall.
+
+LSH_PROBE_RADIUS = 2
+
+
+def _probe_masks(bits: int = LSH_BITS, radius: int = LSH_PROBE_RADIUS) -> list[int]:
+    """XOR masks for every bucket within Hamming distance `radius`."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << b for b in range(bits)]
+    if radius >= 2:
+        masks += [(1 << a) | (1 << b)
+                  for a in range(bits) for b in range(a + 1, bits)]
+    return masks
+
+
+def sim_search_lsh_on(
+    emb: DataFrame,
+    query_vec_id: int = QUERY_VEC_ID,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k over any (vec_id, embedding) DataFrame.
+
+    The core of q_sim_search_lsh, factored so tests can run it on a
+    planted-neighbor corpus (the fixture embeddings are isotropic noise —
+    max pairwise cosine ≈0.5 — so recall against exact top-k is
+    information-theoretically meaningless there; recall is pinned on a
+    corpus where near neighbors exist, tests/test_similarity_recall.py).
     """
     planes = _hyperplanes()
-    emb = load(spark, sf_dir, "embeddings")
-
-    def bucket_of(vec_col: str) -> Column:
-        acc = F.lit(0)
-        for b, plane in enumerate(planes):
-            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-            dot = _dot(vec_col, lit_plane)
-            acc = acc + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        return acc
-
-    bucketed = emb.withColumn("bucket", bucket_of("embedding")).withColumn(
+    bucketed = emb.withColumn(
+        "bucket", _bucket_of(planes, "embedding")).withColumn(
         "nrm", _norm("embedding"))
-    q = (
-        bucketed.filter(F.col("vec_id") == QUERY_VEC_ID)
+    # probe list: every bucket within Hamming distance LSH_PROBE_RADIUS of
+    # the query's bucket (radius 2 at 8 bits = 37/256 buckets; the probed
+    # fraction shrinks quadratically as bits grow with corpus size)
+    probe_arr = F.array(
+        *[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in _probe_masks()])
+    probes = (
+        bucketed.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm"),
                 F.col("bucket").alias("qbucket"))
+        .select("qv", "qnrm", F.explode(probe_arr).alias("pbucket"))
     )
+    # each vector lives in exactly one bucket and probe buckets are
+    # distinct, so the equi-join cannot duplicate candidates
     candidates = (
-        bucketed.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        bucketed.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
         .select(
             "vec_id", "bucket",
             (_dot("embedding", "qv")
@@ -144,9 +168,29 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         candidates.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(TOP_K)
+        .limit(top_k)
         .select("vec_id", "bucket", F.round("cos_raw", 9).alias("cosine"))
     )
+
+
+@declared_query("q_sim_search_lsh")  # rows-only: approximate by construction
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 scale path: sign-random-projection LSH ANN top-k with multi-probe.
+
+    bucket(v) = Σ [v·p_b > 0]·2^b over 8 fixed hyperplanes (seed 42, plan
+    literals — no lookup table to join). The query probes every bucket
+    within Hamming distance 2 of its own (37 of 256 ≈ 14% of the corpus
+    at 8 bits) — multi-probe is what lifts sign-LSH from demo recall to
+    usable recall (pinned ≥0.9 on a planted-neighbor corpus in
+    tests/test_similarity_recall.py). Exact cosine + top-k run on the
+    candidates only.
+
+    At 100 TB: write the table partitioned by `bucket` so the probe list
+    becomes partition pruning (the probe side is a 37-row broadcast; the
+    corpus side never shuffles), and scale bits with n — the radius-2
+    probe fraction falls quadratically in the bit count.
+    """
+    return sim_search_lsh_on(load(spark, sf_dir, "embeddings"))
 
 
 @declared_query("q_sim_search_blas")  # rows-only: fp summation order differs
@@ -204,66 +248,140 @@ def q_sim_search_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_NLIST = 16
 IVF_NPROBE = 2
+IVF_KMEANS_ITERS = 3
+
+
+def _sq_l2(a: str | Column, b: str | Column) -> Column:
+    """Σ (a[i]-b[i])² in double — JVM-side, no UDF."""
+    diffs = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def train_ivf_centroids(
+    spark: SparkSession,
+    emb: DataFrame,
+    nlist: int = IVF_NLIST,
+    iters: int = IVF_KMEANS_ITERS,
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding DataFrame, Spark-side.
+
+    Each iteration is two distributed jobs (the same bounded driver-loop
+    pattern as graph.connected_components — the loop count is a small
+    constant; the per-iteration work is fully distributed):
+      1. assignment: corpus ⋈ broadcast(centroids) (nlist-row build side,
+         O(n·k·d) map work, no shuffle) → argmin-L2 cell per vector via
+         min_by (one shuffle, partial aggregation combines map-side);
+      2. update: posexplode each assigned vector, groupBy (cell, dim) avg
+         (one shuffle over nlist·d groups), collect the nlist·d means
+         (metadata-sized: 16·64 doubles) and rebuild the centroid list.
+
+    Init is the deterministic first-nlist sample by vec_id; empty cells
+    keep their previous centroid. At 100 TB: train on a hash-sample of
+    the corpus (k-means converges on a sample), persist the centroids
+    next to the table, refresh periodically — the probe path is unchanged.
+    """
+    init = emb.orderBy("vec_id").limit(nlist).select("embedding").collect()
+    cents = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cent_id int, cv array<double>",
+        )
+        assign = (
+            emb.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "embedding", "cent_id",
+                    _sq_l2("embedding", "cv").alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cent_id", F.struct(F.col("d2"), F.col("cent_id")))
+                .alias("cent_id"),
+                F.first("embedding").alias("embedding"),
+            )
+        )
+        means = (
+            assign.select(
+                "cent_id", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cent_id", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        cents = [list(c) for c in cents]
+        for r in means:
+            cents[r["cent_id"]][r["dim"]] = float(r["m"])
+    return cents
 
 
 @declared_query("q_sim_search_ivf")  # rows-only: approximate by construction
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E22 scale path #2: IVF (inverted-file) ANN top-k.
+    """E22 scale path #2: IVF (inverted-file) ANN top-k over trained
+    k-means centroids.
 
     The other classic ANN family next to LSH: partition the corpus into
-    NLIST coarse cells (nearest-centroid assignment), search only the
-    NPROBE cells nearest the query. Centroids here are a deterministic
-    sample (vec_id < NLIST) standing in for k-means cluster centers — the
-    assignment/probe machinery, which is the Spark-shaped part, is real.
+    NLIST coarse cells via k-means (IVF_KMEANS_ITERS Lloyd iterations —
+    train_ivf_centroids above), then search only the NPROBE cells whose
+    centroids are L2-nearest the query.
 
-    Plan shape, all JVM-side:
-      1. score every vector against all 16 centroids — broadcast-nested-loop
-         over a 16-row build side, O(n·k·d) map work, no shuffle;
-      2. assign = argmax centroid per vector — ONE shuffle (groupBy vec_id,
-         partial max_by combines map-side);
-      3. probe list = query's top-NPROBE centroids (16-row sort);
+    Plan shape of the search, all JVM-side:
+      1. score every vector against all 16 trained centroids —
+         broadcast-nested-loop over a 16-row build side, O(n·k·d) map
+         work, no shuffle;
+      2. assign = argmin-L2 cell per vector — ONE shuffle (groupBy
+         vec_id, partial min_by combines map-side);
+      3. probe list = query's NPROBE nearest centroids (16-row sort);
       4. candidates = assignment ⋈ broadcast(probes) — prunes the corpus to
          ~NPROBE/NLIST of the rows with no shuffle;
       5. exact cosine + TakeOrderedAndProject top-k on the candidates.
 
-    At 100 TB: production would keep k-means centroids as a broadcast
-    (trained offline, refreshed periodically) and write the table
-    partitioned by cell id, turning step 4 into partition pruning — the
-    same layout trick as the LSH variant. Recall < 1 by design; pair with
-    q_sim_search as the exact baseline.
+    At 100 TB: centroids are trained offline on a sample and kept as a
+    broadcast; the table is written partitioned by cell id, turning step 4
+    into partition pruning — the same layout trick as the LSH variant.
+    Recall < 1 by design (measured vs the exact baseline in
+    tests/test_similarity_recall.py); pair with q_sim_search.
     """
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "nrm", _norm("embedding"))
-    cents = emb.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"),
-        F.col("nrm").alias("cnrm"))
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "nrm", "cent_id",
-        (_dot("embedding", "cv") / (F.col("nrm") * F.col("cnrm")))
-        .alias("sim"),
+    return sim_search_ivf_on(spark, load(spark, sf_dir, "embeddings"))
+
+
+def sim_search_ivf_on(
+    spark: SparkSession,
+    raw: DataFrame,
+    query_vec_id: int = QUERY_VEC_ID,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Trained-IVF top-k over any (vec_id, embedding) DataFrame — the core
+    of q_sim_search_ivf, factored for planted-corpus recall tests."""
+    trained = train_ivf_centroids(spark, raw)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(trained)],
+        "cent_id int, cv array<double>",
     )
-    # argmax centroid per vector; ties (only identical vectors) break to the
-    # lowest cent_id so the assignment is deterministic
+    emb = raw.withColumn("nrm", _norm("embedding"))
+    scored = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "embedding", "nrm", "cent_id",
+        _sq_l2("embedding", "cv").alias("d2"),
+    )
+    # argmin-L2 cell per vector; ties break to the lowest cent_id so the
+    # assignment is deterministic
     assign = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cent_id",
-            F.struct(F.col("sim"), (-F.col("cent_id")).alias("tb")),
-        ).alias("cent_id"),
+        F.min_by("cent_id", F.struct(F.col("d2"), F.col("cent_id")))
+        .alias("cent_id"),
         F.first("embedding").alias("embedding"),
         F.first("nrm").alias("nrm"),
     )
     probes = (
-        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .orderBy(F.col("sim").desc(), F.col("cent_id"))
+        scored.filter(F.col("vec_id") == query_vec_id)
+        .orderBy(F.col("d2"), F.col("cent_id"))
         .limit(IVF_NPROBE)
         .select("cent_id")
     )
     q = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        emb.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm"))
     )
     candidates = (
-        assign.filter(F.col("vec_id") != QUERY_VEC_ID)
+        assign.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(probes), "cent_id")
         .crossJoin(F.broadcast(q))
         .select(
@@ -274,7 +392,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         candidates.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(TOP_K)
+        .limit(top_k)
         .select("vec_id", "cent_id", F.round("cos_raw", 9).alias("cosine"))
     )
 

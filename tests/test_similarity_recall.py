@@ -1,0 +1,103 @@
+"""Recall of the ANN scale paths (E22) on a planted-neighbor corpus.
+
+The fixture embeddings are isotropic noise — max pairwise cosine ≈0.5 —
+so "recall vs exact top-k" there measures nothing: no sublinear index can
+distinguish noise-level neighbors (curse of dimensionality), and an index
+that could would be scanning everything. The meaningful contract is
+"find the genuinely near neighbors when they exist", so these tests build
+a corpus with 12 planted neighbors at cosine ≈0.95 around the query and
+pin recall of both ANN variants against the exact (numpy) top-k.
+
+The k-means trainer is additionally pinned on the real fixture: Lloyd
+iterations must move the centroids and reduce quantization distortion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from clickhouse_mergetree_spark.operators.similarity import (
+    IVF_NLIST,
+    TOP_K,
+    sim_search_ivf_on,
+    sim_search_lsh_on,
+    train_ivf_centroids,
+)
+from clickhouse_mergetree_spark.tables import load
+
+N_NOISE = 500
+N_PLANTED = 12
+PLANTED_COS = 0.95
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """(DataFrame, exact_top_k_ids): 500 noise vectors + 12 planted
+    neighbors of vec_id 0 at cosine exactly PLANTED_COS, ids 480+ so the
+    IVF init sample (first NLIST by vec_id) stays query + noise."""
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((N_NOISE, DIM))
+    q = vecs[0] / np.linalg.norm(vecs[0])
+    rows = [(int(i), v.astype(np.float32).tolist())
+            for i, v in enumerate(vecs)]
+    for j in range(N_PLANTED):
+        g = rng.standard_normal(DIM)
+        r = g - (g @ q) * q
+        r /= np.linalg.norm(r)
+        v = PLANTED_COS * q + np.sqrt(1.0 - PLANTED_COS**2) * r
+        rows.append((1000 + j, v.astype(np.float32).tolist()))
+
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn[ids == 0][0]
+    mask = ids != 0
+    order = np.argsort(-cos[mask])
+    exact = set(ids[mask][order][:TOP_K].tolist())
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, exact
+
+
+def _recall(df, exact: set[int]) -> float:
+    found = {r["vec_id"] for r in df.select("vec_id").collect()}
+    return len(found & exact) / len(exact)
+
+
+def test_lsh_multiprobe_recall_on_planted_corpus(spark, planted):
+    df, exact = planted
+    recall = _recall(sim_search_lsh_on(df), exact)
+    # radius-2 multi-probe: per-neighbor hit prob ≈0.97 at cosine 0.95
+    assert recall >= 0.9, f"LSH multi-probe recall {recall:.2f} < 0.9"
+
+
+def test_ivf_recall_on_planted_corpus(spark, planted):
+    df, exact = planted
+    recall = _recall(sim_search_ivf_on(spark, df), exact)
+    # the planted cluster collapses into the query's k-means cell, which
+    # is always the first probe
+    assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
+
+
+def test_kmeans_training_moves_centroids_and_reduces_distortion(spark, sf_dir):
+    """On the real fixture: Lloyd iterations must actually improve the
+    codebook — total squared distance to the nearest centroid strictly
+    drops vs the init sample, and the centroids move."""
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = np.array(
+        [r[0] for r in emb.select("embedding").collect()], dtype=np.float64)
+    init = np.array(
+        [[float(x) for x in r[0]]
+         for r in emb.orderBy("vec_id").limit(IVF_NLIST)
+         .select("embedding").collect()])
+    trained = np.array(train_ivf_centroids(spark, emb))
+
+    def distortion(cents: np.ndarray) -> float:
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return float(d2.min(axis=1).sum())
+
+    assert not np.allclose(trained, init), "training left the init unchanged"
+    assert distortion(trained) < distortion(init), (
+        "k-means training did not reduce quantization distortion")
