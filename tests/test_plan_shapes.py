@@ -19,11 +19,11 @@ import pytest
 from clickhouse_mergetree_spark.registry import all_queries
 
 # Queries whose nested-loop join is the documented *point* of the query:
-# 1-row broadcast query vector (q_sim_search), the exact all-pairs audit
-# baseline that the *_lsh variants exist to replace at scale
-# (q_near_dedup_cosine), or the bounded O(n·NLIST) centroid-assignment
-# scan of IVF (q_sim_search_ivf — build side is exactly 16 rows).
-NESTED_LOOP_OK = {"q_sim_search", "q_near_dedup_cosine", "q_sim_search_ivf"}
+# 1-row broadcast query vector (q_sim_search), or the bounded O(n·NLIST)
+# centroid-assignment scan of IVF (q_sim_search_ivf — build side is
+# exactly 16 rows). q_near_dedup_cosine no longer qualifies: its blocked
+# audit join is an equi-join on the block key.
+NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf"}
 
 _QUERIES = sorted(all_queries())
 
