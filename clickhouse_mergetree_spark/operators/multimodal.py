@@ -129,13 +129,36 @@ def make_extractor(n_features: int = N_FAKE_FEATURES,
         ]
 
     def decode_then_extract(payload: bytes, media_type: str) -> list[float]:
-        # production path: decode to a tensor, then featurize. The decode
-        # stub is INLINED (not a call to module-level decode_media): the
-        # closure ships to workers by value and must not reference module
-        # globals. Same contract, same message.
-        raise NotImplementedError(
-            f"media decoding for {media_type!r} requires an image/audio "
-            "library not present in this container")
+        # production path: decode to a tensor, then featurize. Import-
+        # guarded: uses PIL when the worker has it, otherwise raises the
+        # stub contract's NotImplementedError. INLINED (not a call to
+        # module-level decode_media): the closure ships to workers by
+        # value and must not reference module globals.
+        import io as _io
+
+        import numpy as _np
+
+        try:
+            from PIL import Image as _Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                f"media decoding for {media_type!r} requires an image "
+                "library (PIL) not present in this container") from exc
+        if not media_type.startswith("image/"):
+            raise NotImplementedError(
+                f"no decoder wired for media type {media_type!r}")
+        img = _Image.open(_io.BytesIO(payload)).convert("L").resize((8, 8))
+        a = _np.asarray(img, dtype=_np.float64) / 255.0
+        return [
+            float(a.size),
+            float(a[0, 0]),
+            float(a[-1, -1]),
+            float(a.sum() % 997),
+            float(a.min()),
+            float(a.max()),
+            float(a.mean()),
+            float(_np.unique(a).size),
+        ][:n_features]
 
     def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # whole Arrow batches, never row-at-a-time; each executor core

@@ -364,6 +364,8 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus document frequency, and the doc count; the df side is a
     token-level aggregate (small — vocabulary-sized) and is broadcast into
     the join, so the only large shuffle is the (doc_id, token) tf groupBy.
+    The doc count enters as a broadcast 1-row aggregate cross-joined into
+    the plan — ONE job end-to-end, no separate driver-side count action.
     Top-N plans as TakeOrderedAndProject — per-partition heaps, no global
     sort.
     """
@@ -372,11 +374,15 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar, computed once on the driver
+    # the count joins in as a broadcast 1-row nested loop: O(n·1), the
+    # one shape where a nested-loop join is the right plan (whitelisted
+    # in tests/test_plan_shapes.py alongside q_sim_search's 1-row probe)
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     score = F.round(
-        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9)
     return (
         tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "token", score.alias("tfidf"))
         .orderBy(F.col("tfidf").desc(), "doc_id", "token")
         .limit(TFIDF_TOP_N)

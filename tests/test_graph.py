@@ -11,7 +11,10 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from clickhouse_mergetree_spark.operators.graph import connected_components
+from clickhouse_mergetree_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 
 
 class UnionFind:
@@ -69,3 +72,35 @@ def test_disjoint_cliques_keep_separate_labels(spark):
     got = _run(spark, edges)
     assert {got[n] for n in (0, 1, 2)} == {0}
     assert {got[n] for n in (10, 11, 12)} == {10}
+
+
+# --- large-star/small-star kernel: same contract, O(log n) rounds -------
+
+def _run_star(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "u long, v long")
+    out = connected_components_star(df)
+    return {r.node: r.label for r in out.collect()}
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1, max_size=10))
+def test_star_components_match_union_find(spark, edges):
+    assert _run_star(spark, edges) == _expected(edges)
+
+
+def test_star_equals_min_label_on_mixed_graph(spark):
+    edges = ([(i, i + 1) for i in range(5)]           # path
+             + [(20, 21), (21, 22), (22, 20)]          # triangle
+             + [(30, 31), (30, 31), (31, 30), (40, 40)])  # dupes + self-loop
+    assert _run_star(spark, edges) == _run(spark, edges)
+
+
+def test_star_long_path_converges_in_log_rounds(spark):
+    # a 100-node path: min-label propagation would need ~100 rounds;
+    # the star kernel's round count is logarithmic, so this stays fast
+    edges = [(i, i + 1) for i in range(99)]
+    got = _run_star(spark, edges)
+    assert got == {i: 0 for i in range(100)}

@@ -74,3 +74,32 @@ def test_real_decode_path_raises_not_implemented(spark, sf_dir):
         feats.collect()
     assert "NotImplementedError" in str(exc.value)
     assert "media decoding" in str(exc.value)
+
+
+def test_real_decode_with_pil_when_available():
+    """When the worker environment has PIL, real_decode=True must produce
+    actual decoded-image features (import-guarded production path). Skipped
+    in containers without the library — the test above pins the fallback
+    contract there."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    import pandas as pd
+    from PIL import Image
+
+    from clickhouse_mergetree_spark.operators.multimodal import make_extractor
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    batch = pd.DataFrame({
+        "doc_id": [1],
+        "media_type": ["image/png"],
+        "payload": [buf.getvalue()],
+    })
+    out = pd.concat(list(make_extractor(real_decode=True)([batch])))
+    feats = out["features"].iloc[0]
+    assert len(feats) == 8
+    assert feats[0] == 64.0          # 8×8 resized pixel count
+    assert abs(feats[6] - 128 / 255) < 1e-9  # mean gray level

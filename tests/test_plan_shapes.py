@@ -19,11 +19,12 @@ import pytest
 from clickhouse_mergetree_spark.registry import all_queries
 
 # Queries whose nested-loop join is the documented *point* of the query:
-# 1-row broadcast query vector (q_sim_search), or the bounded O(n·NLIST)
+# 1-row broadcast query vector (q_sim_search), the bounded O(n·NLIST)
 # centroid-assignment scan of IVF (q_sim_search_ivf — build side is
-# exactly 16 rows). q_near_dedup_cosine no longer qualifies: its blocked
-# audit join is an equi-join on the block key.
-NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf"}
+# exactly 16 rows), or a broadcast 1-row corpus-count aggregate
+# (q_text_tfidf — O(n·1)). q_near_dedup_cosine no longer qualifies: its
+# blocked audit join is an equi-join on the block key.
+NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_text_tfidf"}
 
 _QUERIES = sorted(all_queries())
 
