@@ -249,6 +249,7 @@ def q_sim_search_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NLIST = 16
 IVF_NPROBE = 2
 IVF_KMEANS_ITERS = 3
+IVF_TRAIN_SAMPLE_CAP = 4096
 
 
 def _sq_l2(a: str | Column, b: str | Column) -> Column:
@@ -314,29 +315,73 @@ def train_ivf_centroids(
     return cents
 
 
+def train_ivf_centroids_sampled(
+    emb: DataFrame,
+    nlist: int = IVF_NLIST,
+    iters: int = IVF_KMEANS_ITERS,
+    sample_cap: int = IVF_TRAIN_SAMPLE_CAP,
+) -> list[list[float]]:
+    """Lloyd's k-means over a bounded deterministic sample — the query-path
+    trainer, and the shape production actually runs at 100 TB.
+
+    k-means centroids converge on a uniform sample (the codebook models the
+    vector *distribution*, not individual rows), so training never needs the
+    full corpus: take the ``sample_cap`` rows with the smallest
+    xxhash64(vec_id) — a similarity-agnostic deterministic sample that plans
+    as TakeOrderedAndProject (per-partition heaps, ONE distributed job, no
+    full sort, no per-iteration shuffle) — and run the Lloyd iterations on
+    the driver in numpy. Same semantics as train_ivf_centroids (init = the
+    nlist lowest vec_ids of the corpus it sees, argmin-L2 with ties to the
+    lowest cent_id, empty cells keep their previous centroid); use the
+    distributed trainer instead when the required sample exceeds driver
+    memory. The probe path is identical either way.
+    """
+    sampled = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    sampled.sort(key=lambda r: r["vec_id"])
+    m = np.array([[float(x) for x in r["embedding"]] for r in sampled],
+                 dtype=np.float64)
+    cents = m[:nlist].copy()
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # np argmin ties → lowest index
+        for c in range(nlist):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents.tolist()
+
+
 @declared_query("q_sim_search_ivf")  # rows-only: approximate by construction
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 scale path #2: IVF (inverted-file) ANN top-k over trained
     k-means centroids.
 
     The other classic ANN family next to LSH: partition the corpus into
-    NLIST coarse cells via k-means (IVF_KMEANS_ITERS Lloyd iterations —
-    train_ivf_centroids above), then search only the NPROBE cells whose
-    centroids are L2-nearest the query.
+    NLIST coarse cells via k-means (IVF_KMEANS_ITERS Lloyd iterations over
+    a bounded deterministic sample — train_ivf_centroids_sampled above;
+    train_ivf_centroids is the fully-distributed trainer for when the
+    sample must exceed driver memory), then search only the NPROBE cells
+    whose centroids are L2-nearest the query.
 
-    Plan shape of the search, all JVM-side:
-      1. score every vector against all 16 trained centroids —
-         broadcast-nested-loop over a 16-row build side, O(n·k·d) map
-         work, no shuffle;
-      2. assign = argmin-L2 cell per vector — ONE shuffle (groupBy
-         vec_id, partial min_by combines map-side);
-      3. probe list = query's NPROBE nearest centroids (16-row sort);
-      4. candidates = assignment ⋈ broadcast(probes) — prunes the corpus to
+    Plan shape of the search, all JVM-side, ZERO full-corpus shuffles:
+      1. assign = argmin-L2 cell per vector in ONE projection — the NLIST
+         centroid distances are an array<struct<d2,cent_id>> of plan
+         literals and array_min picks the cell (struct ordering: d2 first,
+         ties to the lowest cent_id) — O(n·k·d) map work, no join, no
+         shuffle, no row blowup;
+      2. probe list = query's NPROBE nearest centroids (sort_array on the
+         query row's distance array);
+      3. candidates = assignment ⋈ broadcast(probes) — prunes the corpus to
          ~NPROBE/NLIST of the rows with no shuffle;
-      5. exact cosine + TakeOrderedAndProject top-k on the candidates.
+      4. exact cosine + TakeOrderedAndProject top-k on the candidates.
 
     At 100 TB: centroids are trained offline on a sample and kept as a
-    broadcast; the table is written partitioned by cell id, turning step 4
+    broadcast; the table is written partitioned by cell id, turning step 3
     into partition pruning — the same layout trick as the LSH variant.
     Recall < 1 by design (measured vs the exact baseline in
     tests/test_similarity_recall.py); pair with q_sim_search.
@@ -352,29 +397,25 @@ def sim_search_ivf_on(
 ) -> DataFrame:
     """Trained-IVF top-k over any (vec_id, embedding) DataFrame — the core
     of q_sim_search_ivf, factored for planted-corpus recall tests."""
-    trained = train_ivf_centroids(spark, raw)
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(trained)],
-        "cent_id int, cv array<double>",
-    )
+    trained = train_ivf_centroids_sampled(raw)
+    cells = F.array(*[
+        F.struct(
+            _sq_l2("embedding",
+                   F.array(*[F.lit(float(x)) for x in cv])).alias("d2"),
+            F.lit(i).alias("cent_id"),
+        )
+        for i, cv in enumerate(trained)
+    ])
     emb = raw.withColumn("nrm", _norm("embedding"))
-    scored = emb.crossJoin(F.broadcast(cdf)).select(
-        "vec_id", "embedding", "nrm", "cent_id",
-        _sq_l2("embedding", "cv").alias("d2"),
-    )
-    # argmin-L2 cell per vector; ties break to the lowest cent_id so the
-    # assignment is deterministic
-    assign = scored.groupBy("vec_id").agg(
-        F.min_by("cent_id", F.struct(F.col("d2"), F.col("cent_id")))
-        .alias("cent_id"),
-        F.first("embedding").alias("embedding"),
-        F.first("nrm").alias("nrm"),
+    assign = emb.select(
+        "vec_id", "embedding", "nrm",
+        F.array_min(cells)["cent_id"].alias("cent_id"),
     )
     probes = (
-        scored.filter(F.col("vec_id") == query_vec_id)
-        .orderBy(F.col("d2"), F.col("cent_id"))
-        .limit(IVF_NPROBE)
-        .select("cent_id")
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(F.explode(F.transform(
+            F.slice(F.sort_array(cells), 1, IVF_NPROBE),
+            lambda s: s["cent_id"])).alias("cent_id"))
     )
     q = (
         emb.filter(F.col("vec_id") == query_vec_id)
