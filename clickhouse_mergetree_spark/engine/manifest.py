@@ -14,15 +14,69 @@ assumption matches the reference's single-process model (src/merge_tree.h:34-41)
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
 from dataclasses import asdict, dataclass, field
 
+# -- key bloom filter (data-skipping index) ----------------------------------
+#
+# Min/max pruning (R8) answers range queries; a point lookup on a key INSIDE
+# a part's [min,max] span still has to scan the part even when the key isn't
+# there (sparse keyspaces, post-merge wide parts). The per-part bloom filter
+# closes that gap — the Spark analog of a ClickHouse bloom_filter data-
+# skipping index, held at part granularity in the manifest instead of
+# granule granularity on disk.
+#
+# The bitmap is BUILT by a distributed aggregate over the part's key column
+# but CHECKED on the driver at lookup time, so the hash must be computable
+# bit-identically in both places: h_i(key) = int(sha256("{i}:{str(key)}")
+# hex[:15], 16), i.e. 60 bits of SHA-256 over the canonical string cast —
+# Spark expresses the same value as conv(substring(sha2(...),1,15),16,10).
+# All bitmap sizes are powers of two, so positions collected at BLOOM_CAP_BITS
+# fold to any smaller size with a mask ((h mod 2^a) mod 2^b == h mod 2^b).
+
+BLOOM_K = 5              # hash functions per key
+BLOOM_BITS_PER_KEY = 16  # target fill → ~1% false-positive rate at k=5
+BLOOM_MIN_BITS = 1 << 10
+BLOOM_CAP_BITS = 1 << 16  # 64 Kib bitmap = 16 KiB hex in the manifest, max
+
+
+def bloom_positions(key, n_bits: int, k: int = BLOOM_K) -> list[int]:
+    """The k bit positions of ``key`` in an ``n_bits`` bitmap (driver side)."""
+    s = str(key)
+    return [
+        int(hashlib.sha256(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+        % n_bits
+        for i in range(k)
+    ]
+
+
+def bloom_size_for(n_distinct: int) -> int:
+    """Power-of-two bitmap size targeting BLOOM_BITS_PER_KEY bits per key,
+    clamped to [BLOOM_MIN_BITS, BLOOM_CAP_BITS]."""
+    target = max(1, n_distinct) * BLOOM_BITS_PER_KEY
+    m = BLOOM_MIN_BITS
+    while m < target and m < BLOOM_CAP_BITS:
+        m <<= 1
+    return m
+
+
+def bloom_to_hex(positions: list[int], n_bits: int) -> str:
+    """Fold hash positions (mod any power of two ≥ n_bits) into a hex bitmap."""
+    bits = bytearray(n_bits // 8)
+    mask = n_bits - 1
+    for pos in positions:
+        p = pos & mask
+        bits[p >> 3] |= 1 << (p & 7)
+    return bits.hex()
+
 
 @dataclass
 class PartMeta:
-    """One part's metadata row (reference src/part.h:12-26)."""
+    """One part's metadata row (reference src/part.h:12-26), plus the
+    optional key-bloom skipping index (no reference analog — extension)."""
 
     part_id: int
     path: str           # directory of the part's parquet files
@@ -33,10 +87,24 @@ class PartMeta:
     row_count: int
     disk_size: int
     created_at: float = field(default_factory=time.time)
+    bloom_hex: str | None = None   # hex bitmap over the key column
+    bloom_bits: int = 0            # bitmap size (power of two)
+    bloom_k: int = BLOOM_K
 
     def overlaps_range(self, start_key, end_key) -> bool:
         """Part-level min/max pruning predicate (reference src/part.cpp:201-203)."""
         return not (self.max_key < start_key or self.min_key > end_key)
+
+    def may_contain_key(self, key) -> bool:
+        """Bloom check: False ⇒ the key is definitely not in this part.
+        Parts without a bloom (recovered, pre-feature) always say True."""
+        if not self.bloom_hex or not self.bloom_bits:
+            return True
+        bits = bytes.fromhex(self.bloom_hex)
+        for p in bloom_positions(key, self.bloom_bits, self.bloom_k):
+            if not bits[p >> 3] & (1 << (p & 7)):
+                return False
+        return True
 
 
 MANIFEST_NAME = "manifest.json"

@@ -46,7 +46,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from clickhouse_mergetree_spark.engine.manifest import Manifest, PartMeta
+from clickhouse_mergetree_spark.engine.manifest import (
+    BLOOM_CAP_BITS,
+    BLOOM_K,
+    Manifest,
+    PartMeta,
+    bloom_size_for,
+    bloom_to_hex,
+)
 from clickhouse_mergetree_spark.engine.merger import select_merge_candidates
 
 # Reference row model (src/row.h:10-12), timestamps as signed long (SURVEY §1.2).
@@ -65,6 +72,10 @@ class MergeTreeConfig:
     max_parts: int = 10
     merge_interval_seconds: float = 30.0
     enable_background_merge: bool = False
+    # per-part key bloom filter (data-skipping index for point lookups on
+    # keys inside a part's [min,max] span but absent from it); costs one
+    # key-column aggregate per part write
+    enable_bloom_index: bool = True
     # granule analog: rows per parquet file within a part; row-group stats
     # inside each file replace the sparse index (reference src/granule.h:10)
     rows_per_file: int = 512 * 1024
@@ -130,6 +141,8 @@ class SparkMergeTree:
             p.min_ts, p.max_ts = stats["min_ts"], stats["max_ts"]
             p.row_count = stats["row_count"]
             p.disk_size = _dir_size(p.path)
+            if self.config.enable_bloom_index:
+                self._attach_bloom(p)
             dirty = True
         if dirty:
             self.manifest.save()
@@ -234,23 +247,77 @@ class SparkMergeTree:
         obs_name = f"part_stats_{uuid.uuid4().hex[:8]}"
         from pyspark.sql import Observation
 
-        obs = Observation(obs_name)
-        shaped = shaped.observe(
-            obs,
+        metrics = [
             F.min(self._key).alias("min_key"),
             F.max(self._key).alias("max_key"),
             F.min(self._ts).alias("min_ts"),
             F.max(self._ts).alias("max_ts"),
             F.count(F.lit(1)).alias("row_count"),
-        )
+        ]
+        if self.config.enable_bloom_index:
+            # The bloom rides the SAME write job as k collect_set metrics —
+            # no second scan of the part. Each set holds distinct bit
+            # positions (≤ BLOOM_CAP_BITS ints) regardless of part size;
+            # approx_count_distinct sizes the bitmap (observe forbids exact
+            # DISTINCT aggregates, and sizing only needs the magnitude).
+            metrics += [
+                F.collect_set(p).alias(f"bloom_p{i}")
+                for i, p in enumerate(self._bloom_pos_cols())
+            ]
+            metrics.append(
+                F.approx_count_distinct(self._key).alias("bloom_nd"))
+        obs = Observation(obs_name)
+        shaped = shaped.observe(obs, *metrics)
         shaped.write.mode("overwrite").parquet(path)
         stats = obs.get
-        return PartMeta(
+        meta = PartMeta(
             part_id=part_id, path=path,
             min_key=stats["min_key"], max_key=stats["max_key"],
             min_ts=stats["min_ts"], max_ts=stats["max_ts"],
             row_count=stats["row_count"], disk_size=_dir_size(path),
         )
+        if self.config.enable_bloom_index:
+            positions = [
+                int(p) for i in range(BLOOM_K)
+                for p in stats[f"bloom_p{i}"]
+            ]
+            meta.bloom_bits = bloom_size_for(int(stats["bloom_nd"]))
+            meta.bloom_k = BLOOM_K
+            meta.bloom_hex = bloom_to_hex(positions, meta.bloom_bits)
+        return meta
+
+    def _bloom_pos_cols(self) -> list:
+        """The k bloom bit-position expressions at the BLOOM_CAP_BITS
+        modulus — sha2 over "{i}:{str(key)}", the exact hash the
+        driver-side check recomputes (manifest.bloom_positions); positions
+        fold to the final distinct-count-sized bitmap with a mask because
+        every size is a power of two."""
+        key_str = F.col(self._key).cast("string")
+        return [
+            F.pmod(
+                F.conv(F.substring(F.sha2(
+                    F.concat_ws(":", F.lit(str(i)), key_str), 256),
+                    1, 15), 16, 10).cast("long"),
+                F.lit(BLOOM_CAP_BITS))
+            for i in range(BLOOM_K)
+        ]
+
+    def _attach_bloom(self, meta: PartMeta) -> None:
+        """Recovery-path bloom (re)build: one aggregate over the key column
+        of an existing part (the write-path build rides the write job's
+        observation instead — see _write_part)."""
+        row = (
+            self.spark.read.schema(self.schema).parquet(meta.path)
+            .select(F.col(self._key).alias("k"),
+                    F.explode(F.array(*self._bloom_pos_cols())).alias("p"))
+            .agg(F.countDistinct("k").alias("nd"),
+                 F.collect_set("p").alias("ps"))
+            .collect()[0]
+        )
+        meta.bloom_bits = bloom_size_for(row["nd"])
+        meta.bloom_k = BLOOM_K
+        meta.bloom_hex = bloom_to_hex([int(p) for p in row["ps"]],
+                                      meta.bloom_bits)
 
     # ----------------------------------------------------------------- reads
 
@@ -266,13 +333,23 @@ class SparkMergeTree:
         return self._assemble(pred, key_range=(start_key, end_key))
 
     def query_key(self, key) -> DataFrame:
-        """R4 (reference src/merge_tree.cpp:65-67)."""
-        return self._assemble(F.col(self._key) == key, key_range=(key, key))
+        """R4 (reference src/merge_tree.cpp:65-67). Point lookups prune by
+        manifest min/max AND the per-part key bloom — a part whose range
+        covers the key but provably lacks it is never opened."""
+        return self._assemble(F.col(self._key) == key, key_range=(key, key),
+                              point_key=key)
+
+    def parts_for_key(self, key) -> list[PartMeta]:
+        """The parts a point lookup of ``key`` would actually scan, after
+        min/max range pruning and the bloom check (introspection/tests)."""
+        with self._lock:
+            return [p for p in self.manifest.prune(key, key)
+                    if p.may_contain_key(key)]
 
     def query_all(self) -> DataFrame:
         return self._assemble(None)
 
-    def _assemble(self, pred, key_range=None) -> DataFrame:
+    def _assemble(self, pred, key_range=None, point_key=None) -> DataFrame:
         with self._lock:
             if key_range is None:
                 pruned = list(self.manifest.parts)
@@ -280,6 +357,10 @@ class SparkMergeTree:
                 # R8: manifest min/max pruning — skipped parts are never
                 # listed, opened, or scheduled (reference src/part.cpp:201-203)
                 pruned = self.manifest.prune(*key_range)
+            if point_key is not None:
+                # bloom skipping index: drop range-covering parts that
+                # provably lack the key (no false negatives by construction)
+                pruned = [p for p in pruned if p.may_contain_key(point_key)]
             buf = self._buffer_df()
         sources = []
         if pruned:
