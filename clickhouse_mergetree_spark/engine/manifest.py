@@ -192,6 +192,11 @@ class Manifest:
         self.parts = [p for p in self.parts if p.part_id not in removed]
         self.parts.append(added)
 
+    def remove(self, removed_ids: list[int]) -> None:
+        """Drop parts without a replacement (TTL whole-part expiry)."""
+        removed = set(removed_ids)
+        self.parts = [p for p in self.parts if p.part_id not in removed]
+
     # -- queries over metadata ----------------------------------------------
 
     def live_paths(self) -> list[str]:

@@ -437,6 +437,83 @@ class SparkMergeTree:
             if not self.perform_merge():
                 break
 
+    # ----------------------------------------------------------------- TTL
+
+    def expire(self, before_ts) -> dict:
+        """TTL retention (ClickHouse ``TTL ... DELETE`` analog — extension,
+        no reference counterpart): remove every row with ts < ``before_ts``.
+
+        Three cases by part metadata, so the common path touches no data:
+        - max_ts < before_ts  → DROP the whole part: a manifest swap-out
+          plus directory delete — metadata-only, zero rows read. At 100 TB
+          with time-correlated parts (inserts arrive roughly in ts order,
+          and compaction scoring favors neighbors) this is almost every
+          expired byte.
+        - min_ts ≥ before_ts  → untouched.
+        - straddling          → rewritten once: read, filter ts ≥ cutoff,
+          write as a new part (same sorted-part shape as any flush), atomic
+          manifest swap, old dir deleted. At most a handful of parts sit on
+          the boundary at any cutoff.
+        Buffered rows below the cutoff are dropped in place. Serialized
+        against merges by the merge lock (a concurrent merge could resurrect
+        expired rows from a part this method just dropped).
+
+        Returns {"parts_dropped", "parts_rewritten", "rows_removed"}.
+        """
+        with self._merge_lock:
+            with self._lock:
+                # buffer: drop expired rows driver-side / lazily
+                removed_buf = 0
+                if self._buffer_rows:
+                    ts_ix = [f.name for f in self.schema.fields].index(self._ts)
+                    kept = [r for r in self._buffer_rows if r[ts_ix] >= before_ts]
+                    removed_buf += len(self._buffer_rows) - len(kept)
+                    self._buffer_rows = kept
+                if self._buffer_dfs:
+                    filtered = []
+                    for d, n in self._buffer_dfs:
+                        fd = d.filter(F.col(self._ts) >= F.lit(before_ts))
+                        fn = fd.count()
+                        removed_buf += n - fn
+                        if fn:
+                            filtered.append((fd, fn))
+                    self._buffer_dfs = filtered
+                self._buffer_count -= removed_buf
+
+                drop = [p for p in self.manifest.parts if p.max_ts < before_ts]
+                rewrite = [p for p in self.manifest.parts
+                           if p.min_ts < before_ts <= p.max_ts]
+
+            rows_removed = removed_buf + sum(p.row_count for p in drop)
+            # whole-part drops: metadata only
+            if drop:
+                with self._lock:
+                    self.manifest.remove([p.part_id for p in drop])
+                    self.manifest.save()
+                for p in drop:
+                    shutil.rmtree(p.path, ignore_errors=True)
+
+            # straddling parts: one filtered rewrite each
+            for p in rewrite:
+                kept_df = (
+                    self.spark.read.schema(self.schema).parquet(p.path)
+                    .filter(F.col(self._ts) >= F.lit(before_ts))
+                )
+                with self._lock:
+                    new_id = self.manifest.allocate_part_id()
+                meta = self._write_part(new_id, kept_df, p.row_count)
+                rows_removed += p.row_count - meta.row_count
+                with self._lock:
+                    self.manifest.swap([p.part_id], meta)
+                    self.manifest.save()
+                shutil.rmtree(p.path, ignore_errors=True)
+
+            return {
+                "parts_dropped": len(drop),
+                "parts_rewritten": len(rewrite),
+                "rows_removed": rows_removed,
+            }
+
     # ----------------------------------------------------------- maintenance
 
     def start_background_maintenance(self) -> None:
