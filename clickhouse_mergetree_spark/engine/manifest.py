@@ -110,14 +110,30 @@ class PartMeta:
 MANIFEST_NAME = "manifest.json"
 
 
+MAX_LOG_ENTRIES = 256
+
+
 class Manifest:
-    """Atomic JSON manifest of live parts for one SparkMergeTree table."""
+    """Atomic JSON manifest of live parts for one SparkMergeTree table.
+
+    Also the snapshot layer (Delta/Iceberg-style, extension — no reference
+    analog): every commit (append/swap/remove) bumps ``version`` and logs
+    the live part-id set; parts removed under ``retain=True`` become
+    tombstones instead of being deleted, so ``parts_at_version`` can
+    materialize any retained snapshot. Physical deletion is deferred to
+    ``vacuum_tombstones`` (engine policy decides the retention window).
+    """
 
     def __init__(self, base_path: str):
         self.base_path = base_path
         self.file_path = os.path.join(base_path, MANIFEST_NAME)
         self.parts: list[PartMeta] = []
         self.next_part_id: int = 1
+        self.version: int = 0
+        # [(version, [part_id, ...])] — newest last, capped at MAX_LOG_ENTRIES
+        self.log: list[tuple[int, list[int]]] = []
+        # removed-but-retained parts: part_id -> (PartMeta, removed_version)
+        self.tombstones: dict[int, tuple[PartMeta, int]] = {}
 
     # -- persistence --------------------------------------------------------
 
@@ -132,6 +148,12 @@ class Manifest:
                     doc = json.load(f)
                 m.parts = [PartMeta(**p) for p in doc["parts"]]
                 m.next_part_id = doc["next_part_id"]
+                m.version = doc.get("version", 0)
+                m.log = [(int(v), list(ids)) for v, ids in doc.get("log", [])]
+                m.tombstones = {
+                    int(pid): (PartMeta(**p), int(rv))
+                    for pid, (p, rv) in doc.get("tombstones", {}).items()
+                }
                 return m
             except (json.JSONDecodeError, KeyError, TypeError):
                 # Corrupt/truncated manifest (e.g. torn write from a crashed
@@ -172,6 +194,12 @@ class Manifest:
             json.dump({
                 "next_part_id": self.next_part_id,
                 "parts": [asdict(p) for p in self.parts],
+                "version": self.version,
+                "log": self.log,
+                "tombstones": {
+                    pid: (asdict(p), rv)
+                    for pid, (p, rv) in self.tombstones.items()
+                },
             }, f, indent=1, default=str)
         os.replace(tmp, self.file_path)
 
@@ -182,20 +210,73 @@ class Manifest:
         self.next_part_id += 1
         return pid
 
+    def _commit(self) -> None:
+        """Bump the version and log the live part-id set (newest last)."""
+        self.version += 1
+        self.log.append((self.version, [p.part_id for p in self.parts]))
+        if len(self.log) > MAX_LOG_ENTRIES:
+            self.log = self.log[-MAX_LOG_ENTRIES:]
+
+    def _take_out(self, removed_ids: list[int]) -> list[PartMeta]:
+        removed = set(removed_ids)
+        out = [p for p in self.parts if p.part_id in removed]
+        self.parts = [p for p in self.parts if p.part_id not in removed]
+        return out
+
     def append(self, part: PartMeta) -> None:
         self.parts.append(part)
+        self._commit()
 
-    def swap(self, removed_ids: list[int], added: PartMeta) -> None:
+    def swap(self, removed_ids: list[int], added: PartMeta,
+             retain: bool = False) -> None:
         """Compaction commit: drop merged-away parts, add the merged part
-        (reference perform_merge, src/merge_tree.cpp:245-288)."""
-        removed = set(removed_ids)
-        self.parts = [p for p in self.parts if p.part_id not in removed]
+        (reference perform_merge, src/merge_tree.cpp:245-288). With
+        ``retain`` the removed parts become tombstones readable by
+        ``parts_at_version`` until vacuumed."""
+        out = self._take_out(removed_ids)
         self.parts.append(added)
+        self._commit()
+        if retain:
+            for p in out:
+                self.tombstones[p.part_id] = (p, self.version)
 
-    def remove(self, removed_ids: list[int]) -> None:
+    def remove(self, removed_ids: list[int], retain: bool = False) -> None:
         """Drop parts without a replacement (TTL whole-part expiry)."""
-        removed = set(removed_ids)
-        self.parts = [p for p in self.parts if p.part_id not in removed]
+        out = self._take_out(removed_ids)
+        self._commit()
+        if retain:
+            for p in out:
+                self.tombstones[p.part_id] = (p, self.version)
+
+    # -- snapshots -----------------------------------------------------------
+
+    def parts_at_version(self, version: int) -> list[PartMeta]:
+        """The part set of a past commit. Raises KeyError if the version
+        left the log or a needed part was vacuumed."""
+        if version == 0:
+            return []
+        for v, ids in self.log:
+            if v == version:
+                index = {p.part_id: p for p in self.parts}
+                index.update({pid: p for pid, (p, _) in self.tombstones.items()})
+                try:
+                    return [index[pid] for pid in ids]
+                except KeyError as exc:
+                    raise KeyError(
+                        f"version {version} references vacuumed part "
+                        f"{exc.args[0]}") from None
+        raise KeyError(f"version {version} is not in the manifest log "
+                       f"(current {self.version}, {len(self.log)} retained)")
+
+    def vacuum_tombstones(self, before_version: int) -> list[PartMeta]:
+        """Drop (and return for physical deletion) every tombstone removed
+        at or before ``before_version`` — versions ≤ that may no longer
+        resolve."""
+        victims = [p for pid, (p, rv) in self.tombstones.items()
+                   if rv <= before_version]
+        for p in victims:
+            del self.tombstones[p.part_id]
+        return victims
 
     # -- queries over metadata ----------------------------------------------
 

@@ -76,6 +76,12 @@ class MergeTreeConfig:
     # keys inside a part's [min,max] span but absent from it); costs one
     # key-column aggregate per part write
     enable_bloom_index: bool = True
+    # snapshot time travel: how many recent manifest versions stay readable
+    # via query_at_version. 0 (default) = parts are physically deleted at
+    # merge/TTL commit, exactly the pre-snapshot behavior; N > 0 = removed
+    # parts become tombstones and vacuum reclaims them once they fall out
+    # of the newest N versions
+    snapshot_retention: int = 0
     # granule analog: rows per parquet file within a part; row-group stats
     # inside each file replace the sparse index (reference src/granule.h:10)
     rows_per_file: int = 512 * 1024
@@ -376,11 +382,47 @@ class SparkMergeTree:
             out = out.unionByName(s)
         if pred is not None:
             out = out.filter(pred)
+        return self._dedup_sort(out)
+
+    def _dedup_sort(self, out: DataFrame) -> DataFrame:
         other_cols = [c for c in out.columns if c not in (self._key, self._ts)]
         return (
             out.dropDuplicates([self._key, self._ts])
             .orderBy(self._key, self._ts, *other_cols)
         )
+
+    # ------------------------------------------------------------- snapshots
+
+    def current_version(self) -> int:
+        with self._lock:
+            return self.manifest.version
+
+    def query_at_version(self, version: int) -> DataFrame:
+        """Snapshot read (time travel, Delta/Iceberg-style — extension, no
+        reference analog): the table as of manifest ``version``, i.e. the
+        part set that commit logged — buffered (never-flushed) rows are not
+        part of any version. Requires ``snapshot_retention`` > 0 on the
+        config that performed the removals; raises KeyError for versions
+        that left the log or whose parts were vacuumed."""
+        with self._lock:
+            parts = self.manifest.parts_at_version(version)
+        if not parts:
+            return self._empty_df()
+        out = self.spark.read.schema(self.schema).parquet(
+            *[p.path for p in parts])
+        return self._dedup_sort(out)
+
+    def vacuum(self) -> int:
+        """Physically delete tombstoned parts no longer covered by the
+        retention window. Returns the number of parts reclaimed."""
+        with self._lock:
+            cutoff = self.manifest.version - self.config.snapshot_retention
+            victims = self.manifest.vacuum_tombstones(cutoff)
+            if victims:
+                self.manifest.save()
+        for p in victims:
+            shutil.rmtree(p.path, ignore_errors=True)
+        return len(victims)
 
     # ------------------------------------------------------------ compaction
 
@@ -421,12 +463,19 @@ class SparkMergeTree:
             )
             meta = self._write_part(part_id, merged, best.total_rows)
 
+            retain = self.config.snapshot_retention > 0
             with self._lock:
-                self.manifest.swap([p.part_id for p in selected], meta)
+                self.manifest.swap([p.part_id for p in selected], meta,
+                                   retain=retain)
                 self.manifest.save()
-            # commit point passed — old parts unreachable, reclaim the disk
-            for p in selected:
-                shutil.rmtree(p.path, ignore_errors=True)
+            if retain:
+                # snapshots keep the old parts readable; vacuum reclaims
+                # whatever just fell out of the retention window
+                self.vacuum()
+            else:
+                # commit point passed — old parts unreachable, reclaim disk
+                for p in selected:
+                    shutil.rmtree(p.path, ignore_errors=True)
             return True
 
     def optimize(self) -> None:
@@ -484,14 +533,17 @@ class SparkMergeTree:
                 rewrite = [p for p in self.manifest.parts
                            if p.min_ts < before_ts <= p.max_ts]
 
+            retain = self.config.snapshot_retention > 0
             rows_removed = removed_buf + sum(p.row_count for p in drop)
             # whole-part drops: metadata only
             if drop:
                 with self._lock:
-                    self.manifest.remove([p.part_id for p in drop])
+                    self.manifest.remove([p.part_id for p in drop],
+                                         retain=retain)
                     self.manifest.save()
-                for p in drop:
-                    shutil.rmtree(p.path, ignore_errors=True)
+                if not retain:
+                    for p in drop:
+                        shutil.rmtree(p.path, ignore_errors=True)
 
             # straddling parts: one filtered rewrite each
             for p in rewrite:
@@ -504,9 +556,12 @@ class SparkMergeTree:
                 meta = self._write_part(new_id, kept_df, p.row_count)
                 rows_removed += p.row_count - meta.row_count
                 with self._lock:
-                    self.manifest.swap([p.part_id], meta)
+                    self.manifest.swap([p.part_id], meta, retain=retain)
                     self.manifest.save()
-                shutil.rmtree(p.path, ignore_errors=True)
+                if not retain:
+                    shutil.rmtree(p.path, ignore_errors=True)
+            if retain:
+                self.vacuum()
 
             return {
                 "parts_dropped": len(drop),
