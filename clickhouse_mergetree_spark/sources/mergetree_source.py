@@ -90,7 +90,10 @@ def _load_parts(base_path: str) -> list[dict]:
                 doc = json.load(f)
             return [
                 {"part_id": p.get("part_id"), "path": p["path"],
-                 "min_key": p.get("min_key"), "max_key": p.get("max_key")}
+                 "min_key": p.get("min_key"), "max_key": p.get("max_key"),
+                 "bloom_hex": p.get("bloom_hex"),
+                 "bloom_bits": p.get("bloom_bits", 0),
+                 "bloom_k": p.get("bloom_k", 0)}
                 for p in doc["parts"]
             ]
         except (json.JSONDecodeError, KeyError, TypeError):
@@ -105,8 +108,28 @@ def _load_parts(base_path: str) -> list[dict]:
                 except ValueError:
                     continue
                 parts.append({"part_id": pid, "path": d,
-                              "min_key": None, "max_key": None})
+                              "min_key": None, "max_key": None,
+                              "bloom_hex": None, "bloom_bits": 0,
+                              "bloom_k": 0})
     return parts
+
+
+def _bloom_may_contain(part: dict, key) -> bool:
+    """Per-part key-bloom check (format contract with engine/manifest.py:
+    positions are sha256("{i}:{str(key)}") hex[:15] as int, mod bloom_bits).
+    Parts without a bloom always say True — skipping is pure optimization."""
+    hx, m, k = part.get("bloom_hex"), part.get("bloom_bits"), part.get("bloom_k")
+    if not hx or not m or not k:
+        return True
+    import hashlib
+
+    bits = bytes.fromhex(hx)
+    s = str(key)
+    for i in range(k):
+        p = int(hashlib.sha256(f"{i}:{s}".encode()).hexdigest()[:15], 16) % m
+        if not bits[p >> 3] & (1 << (p & 7)):
+            return False
+    return True
 
 
 def _part_files(part_dir: str) -> list[str]:
@@ -180,6 +203,10 @@ class MergeTreeReader(DataSourceReader):
                     # best-effort, correctness comes from Spark's filter
                 kept.append(p)
             parts = kept
+        if (self.lower is not None and self.lower == self.upper):
+            # exact point filter: also consult the per-part key bloom —
+            # a range-covering part that provably lacks the key is skipped
+            parts = [p for p in parts if _bloom_may_contain(p, self.lower)]
         return [
             MergeTreeFilePartition(f)
             for p in parts

@@ -98,6 +98,35 @@ def test_pushdown_prunes_parts(spark, table):
     assert len(r.partitions()) == n_all
 
 
+def test_point_filter_bloom_prunes_interleaved_parts(spark):
+    """Two parts with INTERLEAVED keys: min/max pruning keeps both for any
+    in-range point lookup; the connector's bloom check must drop the part
+    that provably lacks the key — and the read must stay correct."""
+    from pyspark.sql.datasource import EqualTo
+
+    base = tempfile.mkdtemp(prefix="ds_bloom_")
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10)
+    t = SparkMergeTree(spark, base, config=cfg)
+    t.insert_rows([(f"key_{i:04d}", "even", 1) for i in range(0, 100, 2)])
+    t.flush()
+    t.insert_rows([(f"key_{i:04d}", "odd", 1) for i in range(1, 100, 2)])
+    t.flush()
+    t.close()
+    register_mergetree(spark)
+
+    r = MergeTreeReader(None, _Opts(path=base))
+    assert len(r.partitions()) == 2
+    r = MergeTreeReader(None, _Opts(path=base))
+    list(r.pushFilters([EqualTo(("key",), "key_0050")]))
+    assert len(r.partitions()) == 1, "bloom did not prune the odd part"
+
+    got = (
+        spark.read.format("mergetree").option("path", base).load()
+        .filter(F.col("key") == "key_0050").collect()
+    )
+    assert [(x["key"], x["value"]) for x in got] == [("key_0050", "even")]
+
+
 def test_disjoint_range_reads_zero_rows(spark, table):
     got = _scan(spark, table).filter(F.col("key") > "key_9999")
     assert got.count() == 0
