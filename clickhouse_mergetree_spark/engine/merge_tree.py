@@ -87,6 +87,21 @@ class MergeTreeConfig:
     rows_per_file: int = 512 * 1024
     key_col: str = "key"
     ts_col: str = "timestamp"
+    # Table-engine semantics for rows sharing the (key, ts) sorting key
+    # (ClickHouse table-engine family analog — extension, the reference
+    # implements only the dedup behavior, src/merge_tree.cpp:57-60):
+    #   "dedup"   — keep one arbitrary row (ReplacingMergeTree-ish; the
+    #               reference's behavior)
+    #   "summing" — SUM the numeric measure columns and keep the min of
+    #               the rest (SummingMergeTree). Merges collapse groups
+    #               physically; reads still finalize with the same
+    #               aggregate because distinct un-merged parts may hold
+    #               partial sums — exactly ClickHouse's "use GROUP BY on
+    #               read" contract.
+    mode: str = "dedup"
+    # summing mode: which columns to sum. None = every numeric non-key,
+    # non-ts column in the schema.
+    sum_cols: tuple[str, ...] | None = None
 
 
 class SparkMergeTree:
@@ -384,12 +399,40 @@ class SparkMergeTree:
             out = out.filter(pred)
         return self._dedup_sort(out)
 
+    def _sum_cols(self, cols: list[str]) -> list[str]:
+        """Summing mode's measure columns, in schema order."""
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType, T.DecimalType)
+        return [
+            f.name for f in self.schema.fields
+            if f.name in cols and f.name not in (self._key, self._ts)
+            and (f.name in self.config.sum_cols
+                 if self.config.sum_cols is not None
+                 else isinstance(f.dataType, numeric))
+        ]
+
+    def _collapse(self, out: DataFrame) -> DataFrame:
+        """Collapse rows sharing the (key, ts) sorting key per the table
+        mode — the one primitive shared by merges (physical collapse) and
+        reads (finalization over possibly-partial parts)."""
+        if self.config.mode == "summing":
+            scols = self._sum_cols(out.columns)
+            types = {f.name: f.dataType for f in self.schema.fields}
+            aggs = [
+                # cast the widened sum back to the declared column type so
+                # merged parts keep the table schema (decimal sums widen
+                # precision; the declared type is the overflow contract)
+                F.sum(c).cast(types[c]).alias(c) if c in scols
+                else F.min(c).alias(c)
+                for c in out.columns if c not in (self._key, self._ts)
+            ]
+            return out.groupBy(self._key, self._ts).agg(*aggs) \
+                .select(out.columns)
+        return out.dropDuplicates([self._key, self._ts])
+
     def _dedup_sort(self, out: DataFrame) -> DataFrame:
         other_cols = [c for c in out.columns if c not in (self._key, self._ts)]
-        return (
-            out.dropDuplicates([self._key, self._ts])
-            .orderBy(self._key, self._ts, *other_cols)
-        )
+        return self._collapse(out).orderBy(self._key, self._ts, *other_cols)
 
     # ------------------------------------------------------------- snapshots
 
@@ -456,10 +499,9 @@ class SparkMergeTree:
                             if p.part_id in best.part_ids]
                 part_id = self.manifest.allocate_part_id()
 
-            merged = (
+            merged = self._collapse(
                 self.spark.read.schema(self.schema)
                 .parquet(*[p.path for p in selected])
-                .dropDuplicates([self._key, self._ts])
             )
             meta = self._write_part(part_id, merged, best.total_rows)
 

@@ -294,6 +294,184 @@ def q_mergetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.select("key", "ts_us").dropDuplicates(["key", "ts_us"])
 
 
+@declared_query(
+    "q_ttl_expire",
+    oracle=f"""
+        WITH kv AS ({_KV_SQL}),
+        cut AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS cutoff
+                FROM kv WHERE key <= {RANGE_END})
+        SELECT DISTINCT key, ts_us FROM kv, cut
+        WHERE key <= {RANGE_END} AND ts_us >= cutoff
+    """,
+)
+def q_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention end-to-end (ClickHouse ``TTL ts DELETE`` analog):
+    build a 2-part engine table split at the time midpoint, expire
+    everything below it, read back.
+
+    The split puts every pre-cutoff row in part 1, so expire() takes the
+    metadata-only fast path — part 1 is DROPPED via a manifest swap with
+    zero rows read, and part 2 (min_ts ≥ cutoff) is untouched; no data is
+    rewritten anywhere. That is the 100 TB shape: with time-correlated
+    parts, TTL is a metadata operation, not a scan. The oracle recomputes
+    the same cutoff ((min+max)//2, integer-exact in both engines) and
+    filters the raw table."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12,
+                          max_parts=10, key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_ttl_"),
+                           schema=schema, config=cfg)
+    kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    mn, mx = kv.agg(F.min("ts_us"), F.max("ts_us")).first()
+    cutoff = (mn + mx) // 2
+    counts = {
+        bool(r["old"]): r["count"]
+        for r in kv.groupBy((F.col("ts_us") < cutoff).alias("old"))
+        .count().collect()
+    }
+    for old in (True, False):
+        table.insert_batch(
+            kv.filter((F.col("ts_us") < cutoff) == old),
+            row_count=counts.get(old, 0))
+        table.flush()
+    stats = table.expire(cutoff)
+    assert stats["parts_rewritten"] == 0, stats  # metadata-only path
+    return table.query_all().select("key", "ts_us")
+
+
+@declared_query(
+    "q_summing_merge",
+    oracle=f"""
+        SELECT key, ts_us,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+               count(*) AS n_rows
+        FROM ({_KV_SQL}) WHERE key <= {RANGE_END}
+        GROUP BY key, ts_us
+    """,
+)
+def q_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree mode end-to-end (ClickHouse table-engine family
+    analog — extension; the reference implements only dedup semantics):
+    rows sharing (key, ts) are SUMMED, not deduplicated. Three inserted
+    parts hold partial sums; compaction collapses groups physically and
+    the read finalizes with the same aggregate — ClickHouse's documented
+    "merges may be partial, GROUP BY on read" contract, verified here
+    because the oracle aggregates the raw rows directly.
+
+    The measure is DECIMAL(18,6) so partial-sum order can't perturb the
+    result (exact arithmetic at any merge schedule — the property that
+    makes merge-time pre-aggregation safe at 100 TB, where an incremental
+    rollup replaces re-scanning raw data). n_rows counts source rows via
+    an auxiliary summed column: a constant-1 measure, the SummingMergeTree
+    idiom for keeping COUNT through collapses."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("value", T.DecimalType(18, 6), True),
+        T.StructField("n_rows", T.LongType(), False),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=2,
+                          mode="summing", key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_summing_"),
+                           schema=schema, config=cfg)
+    kv = (
+        _kv(spark, sf_dir)
+        .filter(F.col("key") <= RANGE_END)
+        .select("key", "ts_us",
+                F.col("value").cast("decimal(18,6)").alias("value"),
+                F.lit(1).cast("long").alias("n_rows"),
+                "event_id")
+    )
+    counts = {
+        int(r["b"]): r["count"]
+        for r in kv.groupBy(F.pmod(F.col("event_id"), F.lit(3)).alias("b"))
+        .count().collect()
+    }
+    for i in range(3):
+        table.insert_batch(
+            kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+            .drop("event_id"),
+            row_count=counts.get(i, 0))
+        table.flush()
+    table.merge_parts_sync()
+    return table.query_all().select(
+        "key", "ts_us",
+        F.col("value").cast("double").alias("value_sum"),
+        "n_rows")
+
+
+@declared_query(
+    "q_time_travel",
+    oracle=f"""
+        SELECT DISTINCT key, ts_us FROM ({_KV_SQL})
+        WHERE key <= {RANGE_END} AND event_id % 2 = 0
+    """,
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (Delta/Iceberg-style versioned reads on the
+    engine's manifest): flush batch 1 (version v1), flush batch 2, then a
+    compaction that TOMBSTONES — not deletes — the pre-merge parts under
+    ``snapshot_retention``; finally read the table AS OF v1.
+
+    The as-of read resolves v1's part list from the manifest's version
+    log and scans those parquet dirs directly — proving removed parts
+    stay readable until vacuum ages them out. Metadata-only versioning:
+    no data is ever copied for a snapshot, which is what makes snapshots
+    free at 100 TB. The oracle reconstructs v1's content (the even
+    event_id half) from the raw table."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=1,
+                          snapshot_retention=8, key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_timetravel_"),
+                           schema=schema, config=cfg)
+    kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    counts = {
+        int(r["b"]): r["count"]
+        for r in kv.groupBy(F.pmod(F.col("event_id"), F.lit(2)).alias("b"))
+        .count().collect()
+    }
+    for i in range(2):
+        table.insert_batch(
+            kv.filter(F.pmod(F.col("event_id"), F.lit(2)) == i),
+            row_count=counts.get(i, 0))
+        table.flush()
+        if i == 0:
+            v1 = table.current_version()
+    merged = table.merge_parts_sync()
+    assert merged, "compaction should have run (2 parts > max_parts=1)"
+    return table.query_at_version(v1).select("key", "ts_us")
+
+
 FUNNEL_WINDOW_H = 24
 
 

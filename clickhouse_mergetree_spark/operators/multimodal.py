@@ -59,6 +59,71 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared_query(
+    "q_embed_quantize",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), mm AS (
+            SELECT vec_id, label, v,
+                   list_min(v) AS vmin, list_max(v) AS vmax
+            FROM base
+        ), coded AS (
+            SELECT vec_id, label, vmin, vmax,
+                   CASE WHEN vmax > vmin THEN list_transform(v,
+                        x -> CAST(floor((x - vmin) * 255.0 / (vmax - vmin)
+                                        + 0.5) AS BIGINT))
+                        ELSE list_transform(v, x -> CAST(0 AS BIGINT))
+                   END AS codes
+            FROM mm
+        )
+        SELECT vec_id, label,
+               round(vmin, 9) AS v_min,
+               round((vmax - vmin) / 255.0, 9) AS scale,
+               list_sum(codes) AS code_sum,
+               list_min(codes) AS code_min,
+               list_max(codes) AS code_max
+        FROM coded
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24+: per-vector int8 scalar quantization — the standard 4×
+    compression step in front of a vector index (what an IVF index stores
+    instead of float32 codes). Each vector maps to codes
+    floor((x - min) * 255 / (max - min) + 0.5) ∈ [0, 255] with an affine
+    (min, scale) dequantizer per row.
+
+    Row-local array arithmetic only — transform/aggregate lambdas, zero
+    shuffles, whole rows stay inside codegen; at 100 TB this runs at scan
+    throughput. floor(r + 0.5) replaces round() because half-way rounding
+    modes differ across engines while floor is IEEE-identical; the output
+    is scalar summaries (sum/min/max of codes — integer-exact) so the
+    result is hashable by the driver and order-independent."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = e.select("vec_id", "label", v.alias("v"))
+    d = d.withColumn("vmin", F.array_min("v")) \
+         .withColumn("vmax", F.array_max("v"))
+    code = lambda x: F.floor(  # noqa: E731
+        (x - F.col("vmin")) * 255.0 / (F.col("vmax") - F.col("vmin")) + 0.5
+    ).cast("bigint")
+    codes = F.when(
+        F.col("vmax") > F.col("vmin"), F.transform("v", code)
+    ).otherwise(F.transform("v", lambda x: F.lit(0).cast("bigint")))
+    d = d.withColumn("codes", codes)
+    return d.select(
+        "vec_id", "label",
+        F.round("vmin", 9).alias("v_min"),
+        F.round((F.col("vmax") - F.col("vmin")) / 255.0, 9).alias("scale"),
+        F.aggregate("codes", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Binary media columns
 # ---------------------------------------------------------------------------

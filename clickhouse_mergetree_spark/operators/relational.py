@@ -685,6 +685,65 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30
+
+
+@declared_query(
+    "q_window_sessionize",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                   CASE WHEN epoch_us(ts)
+                          - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                          > {SESSION_GAP_MIN} * 60 * 1000000
+                        OR lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), numbered AS (
+            SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id,
+               min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS session_value
+        FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch analog of q_stream_session, and the
+    lag+cumsum idiom every clickstream pipeline uses): events are split
+    into sessions wherever a user goes quiet for > {30} minutes, then
+    aggregated per session.
+
+    Two windows and the final groupBy all share ONE partitioning (user_id)
+    — Catalyst reuses a single exchange+sort for the lag, the running sum,
+    and (via partial aggregation) the session rollup, so the whole query
+    is one shuffle at any scale. The session ordering key includes
+    event_id so ties on ts are deterministic across engines."""
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    is_new = (prev.isNull() | (F.col("ts_us") - prev > gap_us)).cast("bigint")
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("session_value"),
+    )
+
+
 @declared_query("q_agg_approx_percentile")  # rows-only: sketch is engine-specific
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9+ scale path for percentiles: approx_percentile — a mergeable

@@ -61,6 +61,68 @@ _Q5_SQL = f"""
 """
 
 
+# Q1/Q6 averages are written as double-sum / count — Spark's avg(DECIMAL)
+# widens to DECIMAL(22,6) while DuckDB's returns DOUBLE, so dividing two
+# already-identical doubles is the only formulation that is bit-identical
+# across engines.
+_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q6_SQL = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+"""
+
+
+@declared_query("q_sql_tpch_q1", oracle=_Q1_SQL)
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape via spark.sql: the pricing-summary full-scan
+    aggregate — 8 aggregates over 2 grouping keys in one pass. The classic
+    map-side-combine showcase: 4 output groups mean the exchange moves a
+    few dozen partial-agg rows regardless of SF, so the query is scan-bound
+    at any scale. The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL)
+
+
+@declared_query("q_sql_tpch_q6", oracle=_Q6_SQL)
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape via spark.sql: the forecast-revenue filter-scan —
+    three pushable range predicates and a single global sum (no exchange
+    beyond the final 1-row reduce). At 100 TB this is the pure predicate
+    pushdown + scan-throughput benchmark: shipdate/discount/quantity
+    bounds all reach the parquet reader as PushedFilters and prune row
+    groups via column statistics. The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
 @declared_query("q_sql_tpch_q3", oracle=_Q3_SQL)
 def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape via spark.sql: segment-filtered customer ⨝ orders ⨝

@@ -79,21 +79,24 @@ _CHECK_PRIORITY = (
     "q_agg_approx_percentile",
     "q_agg_approx_distinct",
     "q_near_dedup",
-    # stable keepers (green since round 1-3) filling the 50-row window
+    # queries NEW in round 4 — never driver-checked, so inside the window
+    "q_sql_tpch_q1",
+    "q_sql_tpch_q6",
+    "q_window_sessionize",
+    "q_embed_quantize",
+    "q_ttl_expire",
+    "q_time_travel",
+    "q_summing_merge",
+    # stable keepers (green since round 1-3) filling the 50-row window;
+    # the remaining green-since-r03 queries follow in natural registration
+    # order at positions >50 (declared and self-checked, not driver-checked)
     "q_range_scan",
-    "q_point_lookup",
-    "q_dedup_exact",
-    "q_count_total",
-    "q_part_stats",
     "q_latest_version",
-    "q_merge_equivalence",
     "q_mergetree_engine",
     "q_mergetree_source",
     "q_sql_tpch_q3",
     "q_sql_tpch_q5",
     "q_events_funnel",
-    "q_events_retention",
-    "q_events_timeseries",
     "q_dedup_content",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",

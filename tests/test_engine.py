@@ -62,6 +62,41 @@ def test_exact_duplicate_collapses(spark, base_path):
         assert _rows(t.query_key("dup")) == [("dup", "v", 100)]
 
 
+def test_summing_mode_collapses_by_sum(spark, base_path):
+    """mode="summing": rows sharing (key, ts) sum their numeric columns —
+    across buffer/part boundaries and through a physical merge — while
+    dedup mode (the reference's semantics) keeps exactly one row."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("amount", T.LongType(), True),
+        T.StructField("tag", T.StringType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=1,
+                          mode="summing", key_col="key", ts_col="ts")
+    with SparkMergeTree(spark, base_path, schema=schema, config=cfg) as t:
+        t.insert_rows([("a", 1, 10, "x"), ("a", 1, 5, "y"), ("b", 1, 7, "z")])
+        t.flush()
+        t.insert_rows([("a", 1, 2, "w"), ("b", 2, 1, "z")])
+        t.flush()
+        # partial sums live in 2 parts; read finalizes across them
+        got = {(r["key"], r["ts"]): (r["amount"], r["tag"])
+               for r in t.query_all().collect()}
+        assert got == {("a", 1): (17, "w"), ("b", 1): (7, "z"),
+                       ("b", 2): (1, "z")}
+        # merge collapses physically; result unchanged, parts shrink
+        assert t.merge_parts_sync()
+        assert t.part_count() == 1
+        got2 = {(r["key"], r["ts"]): (r["amount"], r["tag"])
+                for r in t.query_all().collect()}
+        assert got2 == got
+        # the merged part itself holds collapsed rows (no read-side help)
+        raw = spark.read.schema(schema).parquet(t.manifest.parts[0].path)
+        assert raw.count() == 3
+
+
 # --------------------------------------------------------- demo test_flush
 
 def test_memtable_flush(spark, base_path):
