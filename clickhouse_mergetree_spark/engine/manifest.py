@@ -90,6 +90,11 @@ class PartMeta:
     bloom_hex: str | None = None   # hex bitmap over the key column
     bloom_bits: int = 0            # bitmap size (power of two)
     bloom_k: int = BLOOM_K
+    # PARTITION BY (ClickHouse MergeTree analog — extension): the canonical
+    # string of the partition value every row of this part shares, or None
+    # for unpartitioned tables. Drives partition pruning, partition-scoped
+    # merges, and metadata-only DROP PARTITION.
+    partition: str | None = None
 
     def overlaps_range(self, start_key, end_key) -> bool:
         """Part-level min/max pruning predicate (reference src/part.cpp:201-203)."""

@@ -102,6 +102,13 @@ class MergeTreeConfig:
     # summing mode: which columns to sum. None = every numeric non-key,
     # non-ts column in the schema.
     sum_cols: tuple[str, ...] | None = None
+    # PARTITION BY column (ClickHouse MergeTree analog — extension; users
+    # partition by a precomputed bucket column, e.g. a month or a category).
+    # Every part holds rows of exactly one partition value: flushes split
+    # the buffer per value, merges never cross partition boundaries, and
+    # DROP PARTITION / partition-scoped queries are manifest-only
+    # operations. None = unpartitioned (the reference's behavior).
+    partition_col: str | None = None
 
 
 class SparkMergeTree:
@@ -227,8 +234,11 @@ class SparkMergeTree:
 
     def flush(self) -> int | None:
         """R16: drain buffer → one sorted parquet part + manifest append
-        (reference src/merge_tree.cpp:69-91, src/part.cpp:39-65).
-        Returns the new part id, or None if the buffer was empty."""
+        (reference src/merge_tree.cpp:69-91, src/part.cpp:39-65); with
+        ``partition_col`` set, one part PER partition value in the buffer
+        (parts never span partitions — the ClickHouse MergeTree insert
+        contract). Returns the last new part id, or None if the buffer was
+        empty."""
         with self._lock:
             df = self._buffer_df()
             if df is None:
@@ -237,14 +247,33 @@ class SparkMergeTree:
             self._buffer_rows = []
             self._buffer_dfs = []
             self._buffer_count = 0
-            part_id = self.manifest.allocate_part_id()
-        meta = self._write_part(part_id, df, n_rows)
-        with self._lock:
-            self.manifest.append(meta)
-            self.manifest.save()
+        pc = self.config.partition_col
+        if pc is None:
+            splits = [(None, df, n_rows)]
+        else:
+            # one small distinct job to enumerate the buffer's partitions
+            # (bounded by partition cardinality, not data size), then one
+            # part write per value. At scale a single partitionBy write
+            # job plus per-directory footer stats would replace the loop;
+            # the manifest shape is identical either way.
+            values = [r[0] for r in df.select(pc).distinct().collect()]
+            splits = [
+                (str(v), df.filter(F.col(pc).eqNullSafe(v)),
+                 max(1, n_rows // max(1, len(values))))
+                for v in sorted(values, key=str)
+            ]
+        part_id = None
+        for partition, pdf, n_est in splits:
+            with self._lock:
+                part_id = self.manifest.allocate_part_id()
+            meta = self._write_part(part_id, pdf, n_est, partition=partition)
+            with self._lock:
+                self.manifest.append(meta)
+                self.manifest.save()
         return part_id
 
-    def _write_part(self, part_id: int, df: DataFrame, n_rows: int) -> PartMeta:
+    def _write_part(self, part_id: int, df: DataFrame, n_rows: int,
+                    partition: str | None = None) -> PartMeta:
         """Sorted columnar part write (R12+R18). repartitionByRange makes
         per-file key ranges disjoint; sortWithinPartitions orders rows inside
         each file so parquet row-group min/max stats are tight — together the
@@ -296,6 +325,7 @@ class SparkMergeTree:
             min_key=stats["min_key"], max_key=stats["max_key"],
             min_ts=stats["min_ts"], max_ts=stats["max_ts"],
             row_count=stats["row_count"], disk_size=_dir_size(path),
+            partition=partition,
         )
         if self.config.enable_bloom_index:
             positions = [
@@ -370,7 +400,76 @@ class SparkMergeTree:
     def query_all(self) -> DataFrame:
         return self._assemble(None)
 
-    def _assemble(self, pred, key_range=None, point_key=None) -> DataFrame:
+    # ---------------------------------------------------------- partitions
+
+    def partitions(self) -> list[str | None]:
+        """Distinct partition values with live parts, sorted."""
+        with self._lock:
+            return sorted({p.partition for p in self.manifest.parts},
+                          key=str)
+
+    def parts_in_partition(self, value) -> list["PartMeta"]:
+        with self._lock:
+            return [p for p in self.manifest.parts
+                    if p.partition == str(value)]
+
+    def query_partition(self, value) -> DataFrame:
+        """Partition-scoped read: only parts tagged with ``value`` are
+        listed or opened (manifest partition pruning — the ClickHouse
+        PARTITION BY read path); buffered rows are filtered on the
+        partition column."""
+        if self.config.partition_col is None:
+            raise ValueError("table has no partition_col")
+        return self._assemble(
+            F.col(self.config.partition_col).eqNullSafe(value)
+            if value is not None else
+            F.col(self.config.partition_col).isNull(),
+            partition=str(value))
+
+    def drop_partition(self, value) -> int:
+        """ALTER TABLE DROP PARTITION analog: remove every part of the
+        partition with a manifest commit — metadata-only, zero rows read
+        (buffered rows of the partition are dropped too). Returns rows
+        removed. Serialized against merges like expire()."""
+        if self.config.partition_col is None:
+            raise ValueError("table has no partition_col")
+        pc = self.config.partition_col
+        with self._merge_lock:
+            with self._lock:
+                victims = [p for p in self.manifest.parts
+                           if p.partition == str(value)]
+                removed = sum(p.row_count for p in victims)
+                # buffer: drop the partition's rows in place
+                if self._buffer_rows:
+                    ix = [f.name for f in self.schema.fields].index(pc)
+                    kept = [r for r in self._buffer_rows
+                            if str(r[ix]) != str(value)]
+                    removed += len(self._buffer_rows) - len(kept)
+                    self._buffer_count -= (len(self._buffer_rows)
+                                           - len(kept))
+                    self._buffer_rows = kept
+                if self._buffer_dfs:
+                    filtered = []
+                    for d, n in self._buffer_dfs:
+                        fd = d.filter(~F.col(pc).eqNullSafe(value))
+                        fn = fd.count()
+                        removed += n - fn
+                        self._buffer_count -= n - fn
+                        if fn:
+                            filtered.append((fd, fn))
+                    self._buffer_dfs = filtered
+                retain = self.config.snapshot_retention > 0
+                if victims:
+                    self.manifest.remove([p.part_id for p in victims],
+                                         retain=retain)
+                    self.manifest.save()
+            if victims and not retain:
+                for p in victims:
+                    shutil.rmtree(p.path, ignore_errors=True)
+            return removed
+
+    def _assemble(self, pred, key_range=None, point_key=None,
+                  partition=None) -> DataFrame:
         with self._lock:
             if key_range is None:
                 pruned = list(self.manifest.parts)
@@ -382,6 +481,10 @@ class SparkMergeTree:
                 # bloom skipping index: drop range-covering parts that
                 # provably lack the key (no false negatives by construction)
                 pruned = [p for p in pruned if p.may_contain_key(point_key)]
+            if partition is not None:
+                # partition pruning: a part's rows all share its partition
+                # value, so non-matching parts are skipped entirely
+                pruned = [p for p in pruned if p.partition == partition]
             buf = self._buffer_df()
         sources = []
         if pruned:
@@ -491,7 +594,16 @@ class SparkMergeTree:
         """
         with self._merge_lock:
             with self._lock:
-                candidates = select_merge_candidates(self.manifest.parts)
+                # merges never cross partitions (ClickHouse MergeTree
+                # contract): enumerate candidates within each partition
+                # group and pick the best score overall
+                groups: dict[str | None, list] = {}
+                for p in self.manifest.parts:
+                    groups.setdefault(p.partition, []).append(p)
+                candidates = sorted(
+                    (c for g in groups.values()
+                     for c in select_merge_candidates(g)),
+                    key=lambda c: -c.score)
                 if not candidates:
                     return False
                 best = candidates[0]
@@ -503,7 +615,8 @@ class SparkMergeTree:
                 self.spark.read.schema(self.schema)
                 .parquet(*[p.path for p in selected])
             )
-            meta = self._write_part(part_id, merged, best.total_rows)
+            meta = self._write_part(part_id, merged, best.total_rows,
+                                    partition=selected[0].partition)
 
             retain = self.config.snapshot_retention > 0
             with self._lock:
@@ -595,7 +708,8 @@ class SparkMergeTree:
                 )
                 with self._lock:
                     new_id = self.manifest.allocate_part_id()
-                meta = self._write_part(new_id, kept_df, p.row_count)
+                meta = self._write_part(new_id, kept_df, p.row_count,
+                                        partition=p.partition)
                 rows_removed += p.row_count - meta.row_count
                 with self._lock:
                     self.manifest.swap([p.part_id], meta, retain=retain)

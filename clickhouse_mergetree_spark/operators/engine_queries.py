@@ -352,6 +352,56 @@ def q_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_partition_prune",
+    oracle=f"""
+        SELECT DISTINCT key, ts_us FROM ({_KV_SQL})
+        WHERE key <= {RANGE_END} AND event_type <> 'purchase'
+    """,
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION BY end-to-end (ClickHouse MergeTree partitioning analog —
+    extension): a table partitioned by event_type flushes into one part
+    PER partition value, DROP PARTITION removes the 'purchase' partition
+    with a manifest-only commit (zero rows read), and the read covers the
+    surviving partitions.
+
+    This is the MergeTree scale feature: at 100 TB with time/category
+    partitions, retention and bulk deletes are metadata operations, and a
+    partition-scoped query opens only its partition's parts (asserted
+    below via parts_in_partition — partition pruning happens on the
+    manifest before any file is listed). Merges are partition-scoped too:
+    parts of different partitions are never merge candidates."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          partition_col="event_type",
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_partition_"),
+                           schema=schema, config=cfg)
+    kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    table.insert_batch(kv, row_count=1)  # count known post-split; 1 = "non-empty"
+    table.flush()
+    assert table.partitions() == sorted(
+        ["click", "error", "purchase", "signup", "view"]), table.partitions()
+    # partition-scoped reads open exactly that partition's parts
+    assert len(table.parts_in_partition("click")) == 1
+    dropped = table.drop_partition("purchase")
+    assert dropped > 0 and table.parts_in_partition("purchase") == []
+    return table.query_all().select("key", "ts_us")
+
+
+@declared_query(
     "q_summing_merge",
     oracle=f"""
         SELECT key, ts_us,

@@ -87,10 +87,10 @@ _CHECK_PRIORITY = (
     "q_ttl_expire",
     "q_time_travel",
     "q_summing_merge",
+    "q_partition_prune",
     # stable keepers (green since round 1-3) filling the 50-row window;
     # the remaining green-since-r03 queries follow in natural registration
     # order at positions >50 (declared and self-checked, not driver-checked)
-    "q_range_scan",
     "q_latest_version",
     "q_mergetree_engine",
     "q_mergetree_source",

@@ -97,6 +97,45 @@ def test_summing_mode_collapses_by_sum(spark, base_path):
         assert raw.count() == 3
 
 
+def test_partitioned_table_lifecycle(spark, base_path):
+    """partition_col: per-value parts at flush, partition-scoped merges,
+    metadata-only DROP PARTITION, partition pruning on reads, and
+    partition tags surviving manifest reload."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=2,
+                          partition_col="value")
+    with SparkMergeTree(spark, base_path, config=cfg) as t:
+        t.insert_rows([("k1", "a", 1), ("k2", "b", 2), ("k3", "a", 3)])
+        t.flush()
+        t.insert_rows([("k4", "a", 4), ("k5", "b", 5)])
+        t.flush()
+        # one part per (flush, partition value)
+        assert t.partitions() == ["a", "b"]
+        assert len(t.parts_in_partition("a")) == 2
+        assert len(t.parts_in_partition("b")) == 2
+        # merges stay inside one partition
+        while t.perform_merge():
+            pass
+        parts_a = t.parts_in_partition("a")
+        parts_b = t.parts_in_partition("b")
+        assert len(parts_a) == 1 and len(parts_b) == 1
+        assert parts_a[0].row_count == 3 and parts_b[0].row_count == 2
+        # partition-scoped read opens only that partition's files
+        got = {r["key"] for r in t.query_partition("a").collect()}
+        assert got == {"k1", "k3", "k4"}
+        files = t.query_partition("a").inputFiles()
+        assert all(parts_b[0].path not in f for f in files)
+        # DROP PARTITION: manifest-only, buffer rows of the partition too
+        t.insert_rows([("k6", "b", 6)])
+        removed = t.drop_partition("b")
+        assert removed == 3  # 2 flushed + 1 buffered
+        assert t.partitions() == ["a"]
+        assert {r["key"] for r in t.query_all().collect()} == {"k1", "k3", "k4"}
+    # partition tags survive reload
+    with SparkMergeTree(spark, base_path, config=cfg) as t2:
+        assert t2.partitions() == ["a"]
+        assert len(t2.parts_in_partition("a")) == 1
+
+
 # --------------------------------------------------------- demo test_flush
 
 def test_memtable_flush(spark, base_path):
