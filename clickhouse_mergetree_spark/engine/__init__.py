@@ -9,6 +9,7 @@ reference's formula (R29).
 """
 
 from clickhouse_mergetree_spark.engine.manifest import Manifest, PartMeta
+from clickhouse_mergetree_spark.engine.matview import MaterializedView
 from clickhouse_mergetree_spark.engine.merge_tree import (
     MergeTreeConfig,
     SparkMergeTree,
@@ -20,6 +21,7 @@ from clickhouse_mergetree_spark.engine.merger import (
 
 __all__ = [
     "Manifest",
+    "MaterializedView",
     "MergeTreeConfig",
     "PartMeta",
     "SparkMergeTree",

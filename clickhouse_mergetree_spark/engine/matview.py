@@ -1,0 +1,64 @@
+"""Materialized views — incremental aggregates maintained at ingest.
+
+ClickHouse ``CREATE MATERIALIZED VIEW ... ENGINE = SummingMergeTree``
+analog (extension — the reference has no view layer). A view is a
+transform (any DataFrame aggregation) plus a target ``SparkMergeTree`` in
+summing mode: every batch inserted into the source table is ALSO pushed
+through the transform into the target, where rows sharing the target's
+(key, ts) sorting key accumulate by summation — at flush, at merge, and
+at read finalization (see merge_tree._collapse).
+
+Why this is the 100 TB shape: the rollup is computed incrementally on
+each arriving batch (map-side aggregation of just that batch — small,
+shuffle-light jobs), and merge-time summation keeps collapsing partial
+results, so reading the rollup NEVER rescans the raw table. The
+alternative — recomputing a 100 TB GROUP BY on every dashboard refresh —
+is exactly what materialized views exist to avoid.
+
+Trigger semantics match ClickHouse: the view sees each INSERTED block
+once, at insert time; it does not see merges, TTL drops, or deletes on
+the source (a documented ClickHouse caveat that holds here too).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from clickhouse_mergetree_spark.engine.merge_tree import SparkMergeTree
+
+
+class MaterializedView:
+    """One incremental rollup bound to a source table.
+
+    ``transform`` maps a source-schema batch to a target-schema aggregate
+    (its output must contain the target's key/ts columns; measure columns
+    should be exact types — integers or decimals — so partial sums are
+    order-independent). ``target`` must be a summing-mode table: dedup
+    mode would DROP colliding partials instead of accumulating them.
+    """
+
+    def __init__(self, target: SparkMergeTree,
+                 transform: Callable[[DataFrame], DataFrame]):
+        if target.config.mode != "summing":
+            raise ValueError(
+                "materialized view target must use mode='summing' "
+                f"(got {target.config.mode!r})")
+        self.target = target
+        self.transform = transform
+
+    def on_batch(self, df: DataFrame) -> None:
+        """Ingest hook: aggregate the arriving block, append the partial
+        result. Called by the source table's insert path."""
+        self.target.insert_batch(self.transform(df))
+
+    def query(self) -> DataFrame:
+        """The finalized rollup (summing-mode read collapses partials)."""
+        return self.target.query_all()
+
+    def flush(self) -> None:
+        self.target.flush()
+
+    def close(self) -> None:
+        self.target.close()

@@ -134,6 +134,7 @@ class SparkMergeTree:
         # reads and flushes still concurrent.
         self._merge_lock = threading.Lock()
         self._closed = False
+        self._views: list = []  # attached MaterializedViews (see matview.py)
         os.makedirs(base_path, exist_ok=True)
         self.manifest = Manifest.load(base_path)
         self._rebuild_missing_metadata()
@@ -188,6 +189,18 @@ class SparkMergeTree:
 
     # ----------------------------------------------------------------- writes
 
+    def attach_view(self, view) -> None:
+        """Bind a MaterializedView: every subsequently inserted block is
+        also pushed through the view's transform (ClickHouse MV trigger
+        semantics — inserts only; merges/TTL/drops are invisible to
+        views). Existing table contents are NOT backfilled; populate the
+        view first with ``view.on_batch(table.query_all())`` if needed."""
+        self._views.append(view)
+
+    def _notify_views(self, df: DataFrame) -> None:
+        for v in self._views:
+            v.on_batch(df)
+
     def insert(self, key, value, timestamp) -> None:
         """R1: single-row insert → buffer, threshold-flush
         (reference src/merge_tree.cpp:24-35). Batch is the native unit in
@@ -195,6 +208,10 @@ class SparkMergeTree:
         with self._lock:
             self._buffer_rows.append((key, value, timestamp))
             self._buffer_count += 1
+        if self._views:
+            self._notify_views(
+                self.spark.createDataFrame([(key, value, timestamp)],
+                                           self.schema))
         self.trigger_flush_if_needed()
 
     def insert_batch(self, df: DataFrame, row_count: int | None = None) -> None:
@@ -206,12 +223,15 @@ class SparkMergeTree:
         with self._lock:
             self._buffer_dfs.append((df, n))
             self._buffer_count += n
+        self._notify_views(df)
         self.trigger_flush_if_needed()
 
     def insert_rows(self, rows: list[tuple]) -> None:
         with self._lock:
             self._buffer_rows.extend(rows)
             self._buffer_count += len(rows)
+        if self._views and rows:
+            self._notify_views(self.spark.createDataFrame(rows, self.schema))
         self.trigger_flush_if_needed()
 
     def trigger_flush_if_needed(self) -> None:

@@ -469,6 +469,94 @@ def q_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_matview_rollup",
+    oracle=f"""
+        SELECT key, ts_us - ts_us % 86400000000 AS day_us,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+               count(*) AS n_rows
+        FROM ({_KV_SQL}) WHERE key <= {RANGE_END}
+        GROUP BY key, day_us
+    """,
+)
+def q_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view end-to-end (ClickHouse ``CREATE MATERIALIZED
+    VIEW ... ENGINE = SummingMergeTree`` analog): a per-(key, day) rollup
+    maintained INCREMENTALLY at ingest. Three batches insert into the
+    source table; each block is pushed through the view transform (a
+    batch-local groupBy — small, map-side-heavy jobs) into a summing-mode
+    target, whose flush/merge/read keep collapsing the partials.
+
+    Reading the rollup never touches the source table — the 100 TB
+    argument for MVs: dashboard reads hit the (key, day)-sized target,
+    and raw-table rescans are replaced by merge-time accumulation. The
+    oracle recomputes the same rollup from the raw rows in one shot, so a
+    hash match proves incremental == batch (the MV correctness
+    contract). Measures are DECIMAL so partial-sum order is irrelevant."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MaterializedView, MergeTreeConfig, SparkMergeTree)
+
+    src_schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    mv_schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("day_us", T.LongType(), False),
+        T.StructField("value_sum", T.DecimalType(18, 6), True),
+        T.StructField("n_rows", T.LongType(), False),
+    ])
+    DAY_US = 86_400_000_000
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                "key",
+                (F.col("ts_us") - F.pmod("ts_us", F.lit(DAY_US)))
+                .alias("day_us"))
+            .agg(F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("decimal(18,6)").alias("value_sum"),
+                 F.count("*").alias("n_rows"))
+        )
+
+    src = SparkMergeTree(
+        spark, tempfile.mkdtemp(prefix="q_mv_src_"), schema=src_schema,
+        config=MergeTreeConfig(memtable_flush_threshold=10**12,
+                               key_col="key", ts_col="ts_us"))
+    mv = MaterializedView(
+        SparkMergeTree(
+            spark, tempfile.mkdtemp(prefix="q_mv_tgt_"), schema=mv_schema,
+            config=MergeTreeConfig(memtable_flush_threshold=10**12,
+                                   max_parts=2, mode="summing",
+                                   key_col="key", ts_col="day_us")),
+        rollup)
+    src.attach_view(mv)
+
+    kv = (_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+          .select("key", "ts_us", "event_id", "value"))
+    counts = {
+        int(r["b"]): r["count"]
+        for r in kv.groupBy(F.pmod(F.col("event_id"), F.lit(3)).alias("b"))
+        .count().collect()
+    }
+    for i in range(3):
+        src.insert_batch(
+            kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            row_count=counts.get(i, 0))
+        mv.flush()  # one partial-rollup part per inserted block
+    mv.target.merge_parts_sync()  # physical partial-sum collapse
+    return mv.query().select(
+        "key", "day_us",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "n_rows")
+
+
+@declared_query(
     "q_time_travel",
     oracle=f"""
         SELECT DISTINCT key, ts_us FROM ({_KV_SQL})

@@ -88,6 +88,7 @@ _CHECK_PRIORITY = (
     "q_time_travel",
     "q_summing_merge",
     "q_partition_prune",
+    "q_matview_rollup",
     # stable keepers (green since round 1-3) filling the 50-row window;
     # the remaining green-since-r03 queries follow in natural registration
     # order at positions >50 (declared and self-checked, not driver-checked)
@@ -98,7 +99,6 @@ _CHECK_PRIORITY = (
     "q_sql_tpch_q5",
     "q_events_funnel",
     "q_dedup_content",
-    "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
 )
 

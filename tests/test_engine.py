@@ -136,6 +136,48 @@ def test_partitioned_table_lifecycle(spark, base_path):
         assert len(t2.parts_in_partition("a")) == 1
 
 
+def test_materialized_view_incremental_rollup(spark, tmp_path):
+    """MaterializedView: per-block transform into a summing target equals
+    the one-shot aggregate of everything inserted, across every ingest
+    path (insert / insert_rows / insert_batch) and a target merge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MaterializedView
+
+    tgt_schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("zero", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ])
+    src = SparkMergeTree(
+        spark, str(tmp_path / "src"),
+        config=MergeTreeConfig(memtable_flush_threshold=10**9))
+    mv = MaterializedView(
+        SparkMergeTree(
+            spark, str(tmp_path / "tgt"), schema=tgt_schema,
+            config=MergeTreeConfig(memtable_flush_threshold=10**9,
+                                   max_parts=1, mode="summing",
+                                   key_col="key", ts_col="zero")),
+        lambda df: df.groupBy("key").agg(
+            F.lit(0).cast("long").alias("zero"),
+            F.count("*").alias("n")).select("key", "zero", "n"))
+    src.attach_view(mv)
+
+    src.insert("a", "v1", 1)
+    src.insert_rows([("a", "v2", 2), ("b", "v3", 3)])
+    src.insert_batch(spark.createDataFrame(
+        [("b", "v4", 4), ("c", "v5", 5)], src.schema))
+    mv.flush()
+    got = {r["key"]: r["n"] for r in mv.query().collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+    # dedup-mode target is rejected (it would drop partials)
+    with pytest.raises(ValueError):
+        MaterializedView(src, lambda df: df)
+    src.close()
+    mv.close()
+
+
 # --------------------------------------------------------- demo test_flush
 
 def test_memtable_flush(spark, base_path):
