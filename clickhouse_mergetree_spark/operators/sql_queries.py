@@ -100,6 +100,63 @@ _Q6_SQL = """
 """
 
 
+_Q10_SQL = f"""
+    SELECT c_custkey, c_name, n_name,
+           {_REVENUE} AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+_Q18_SQL = """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+@declared_query("q_sql_tpch_q10", oracle=_Q10_SQL)
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape via spark.sql: returned-item reporting — customer ⨝
+    orders ⨝ lineitem ⨝ nation with a returnflag filter, revenue lost per
+    customer, top 20. Catalyst broadcasts nation (25 rows) and the
+    date-filtered customer side; the top-k plans as
+    TakeOrderedAndProject. The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+@declared_query("q_sql_tpch_q18", oracle=_Q18_SQL)
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape via spark.sql: large-volume customers — a
+    HAVING-filtered semi-join (IN subquery) back onto the same fact
+    table. Catalyst plans the subquery as an aggregate + left-semi hash
+    join, reusing one lineitem scan lineage per side; the qualifying-key
+    side is tiny after HAVING, so AQE converts the semi join to
+    broadcast at runtime. The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
+
+
 @declared_query("q_sql_tpch_q1", oracle=_Q1_SQL)
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape via spark.sql: the pricing-summary full-scan

@@ -387,3 +387,84 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tfidf").desc(), "doc_id", "token")
         .limit(TFIDF_TOP_N)
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 200
+
+
+@declared_query(
+    "q_text_bigram_pmi",
+    oracle=f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+        ), bigrams AS (
+            SELECT unnest(list_transform(
+                       range(1, len(t)),
+                       i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks
+        ), unigrams AS (
+            SELECT unnest(t) AS token FROM toks
+        ), bc AS (
+            SELECT bigram, count(*) AS c_ab FROM bigrams GROUP BY bigram
+        ), uc AS (
+            SELECT token, count(*) AS c FROM unigrams GROUP BY token
+        ), nb AS (SELECT count(*) AS n_b FROM bigrams),
+           nu AS (SELECT count(*) AS n_u FROM unigrams)
+        SELECT bc.bigram, bc.c_ab,
+               round(ln((CAST(bc.c_ab AS DOUBLE) / n_b)
+                        / ((CAST(a.c AS DOUBLE) / n_u)
+                           * (CAST(b.c AS DOUBLE) / n_u))), 6) AS pmi
+        FROM bc, nb, nu
+        JOIN uc a ON a.token = string_split(bc.bigram, ' ')[1]
+        JOIN uc b ON b.token = string_split(bc.bigram, ' ')[2]
+        WHERE bc.c_ab >= {PMI_MIN_COUNT}
+        ORDER BY pmi DESC, bigram
+        LIMIT {PMI_TOP_N}
+    """,
+)
+def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23+: bigram collocation mining via pointwise mutual information —
+    PMI(a,b) = ln(P(ab) / (P(a)·P(b))) over adjacent token pairs, the
+    classic phrase/tokenizer-vocab discovery pass in LLM data pipelines
+    (adjacent bigrams, not windowed pairs, so the work is LINEAR in
+    corpus size — the scale-sane collocation formulation).
+
+    One tokenized scan feeds both the bigram and unigram aggregates; the
+    count tables are vocabulary-sized, so the bigram→unigram joins
+    broadcast, and the corpus totals enter as broadcast 1-row aggregates
+    — the only data-sized shuffles are the two count groupBys, both with
+    map-side partial aggregation. PMI is rounded to 6 dp: ln() may
+    differ in the last ulp across engines' libm.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = d.select(t.alias("t"))
+    bigrams = toks.select(F.explode(F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.concat_ws(" ", a, b))).alias("bigram"))
+    unigrams = toks.select(F.explode("t").alias("token"))
+    bc = bigrams.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    uc = unigrams.groupBy("token").agg(F.count("*").alias("c"))
+    nb = bigrams.agg(F.count("*").cast("double").alias("n_b"))
+    nu = unigrams.agg(F.count("*").cast("double").alias("n_u"))
+    a_tok = F.split(F.col("bigram"), " ")[0]
+    b_tok = F.split(F.col("bigram"), " ")[1]
+    pmi = F.round(F.log(
+        (F.col("c_ab") / F.col("n_b"))
+        / ((F.col("a_c") / F.col("n_u")) * (F.col("b_c") / F.col("n_u")))), 6)
+    return (
+        bc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(uc.select(F.col("token").alias("a_t"),
+                                    F.col("c").alias("a_c"))),
+              a_tok == F.col("a_t"))
+        .join(F.broadcast(uc.select(F.col("token").alias("b_t"),
+                                    F.col("c").alias("b_c"))),
+              b_tok == F.col("b_t"))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select("bigram", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(PMI_TOP_N)
+    )

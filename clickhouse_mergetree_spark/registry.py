@@ -89,15 +89,15 @@ _CHECK_PRIORITY = (
     "q_summing_merge",
     "q_partition_prune",
     "q_matview_rollup",
+    "q_sql_tpch_q10",
+    "q_sql_tpch_q18",
+    "q_text_bigram_pmi",
     # stable keepers (green since round 1-3) filling the 50-row window;
     # the remaining green-since-r03 queries follow in natural registration
     # order at positions >50 (declared and self-checked, not driver-checked)
     "q_latest_version",
     "q_mergetree_engine",
     "q_mergetree_source",
-    "q_sql_tpch_q3",
-    "q_sql_tpch_q5",
-    "q_events_funnel",
     "q_dedup_content",
     "q_dedup_clusters",
 )
