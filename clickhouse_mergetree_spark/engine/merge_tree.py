@@ -98,10 +98,18 @@ class MergeTreeConfig:
     #               aggregate because distinct un-merged parts may hold
     #               partial sums — exactly ClickHouse's "use GROUP BY on
     #               read" contract.
+    #   "collapsing" — row-level deletes via a ``sign_col`` of +1
+    #               (insert) / -1 (cancel): rows sharing (key, ts) cancel
+    #               pairwise (CollapsingMergeTree). Physical collapse
+    #               stores the NET sign — not a clamped ±1 — so
+    #               cancellation stays associative across any merge
+    #               schedule; reads emit only groups with net > 0.
     mode: str = "dedup"
     # summing mode: which columns to sum. None = every numeric non-key,
     # non-ts column in the schema.
     sum_cols: tuple[str, ...] | None = None
+    # collapsing mode: the +1/-1 sign column.
+    sign_col: str = "sign"
     # PARTITION BY column (ClickHouse MergeTree analog — extension; users
     # partition by a precomputed bucket column, e.g. a month or a category).
     # Every part holds rows of exactly one partition value: flushes split
@@ -537,7 +545,24 @@ class SparkMergeTree:
     def _collapse(self, out: DataFrame) -> DataFrame:
         """Collapse rows sharing the (key, ts) sorting key per the table
         mode — the one primitive shared by merges (physical collapse) and
-        reads (finalization over possibly-partial parts)."""
+        reads (finalization over possibly-partial parts). Collapsing
+        mode keeps net ≤ 0 groups here (their sign must keep cancelling
+        future merges); the read path drops them in _dedup_sort."""
+        if self.config.mode == "collapsing":
+            sc = self.config.sign_col
+            types = {f.name: f.dataType for f in self.schema.fields}
+            aggs = [
+                # net sign is the associative cancellation state; value
+                # columns survive from live (net/sign > 0) rows only —
+                # min-over-positive is itself associative because a
+                # collapsed group re-exposes its values iff its net is
+                # positive
+                F.sum(sc).cast(types[sc]).alias(sc) if c == sc
+                else F.min(F.when(F.col(sc) > 0, F.col(c))).alias(c)
+                for c in out.columns if c not in (self._key, self._ts)
+            ]
+            return out.groupBy(self._key, self._ts).agg(*aggs) \
+                .select(out.columns)
         if self.config.mode == "summing":
             scols = self._sum_cols(out.columns)
             types = {f.name: f.dataType for f in self.schema.fields}
@@ -555,7 +580,12 @@ class SparkMergeTree:
 
     def _dedup_sort(self, out: DataFrame) -> DataFrame:
         other_cols = [c for c in out.columns if c not in (self._key, self._ts)]
-        return self._collapse(out).orderBy(self._key, self._ts, *other_cols)
+        collapsed = self._collapse(out)
+        if self.config.mode == "collapsing":
+            # read finalization (the FINAL keyword analog): cancelled and
+            # never-inserted groups are invisible
+            collapsed = collapsed.filter(F.col(self.config.sign_col) > 0)
+        return collapsed.orderBy(self._key, self._ts, *other_cols)
 
     # ------------------------------------------------------------- snapshots
 

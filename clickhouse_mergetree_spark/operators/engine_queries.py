@@ -469,6 +469,61 @@ def q_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_collapsing_merge",
+    oracle=f"""
+        WITH base AS (
+            SELECT key, ts_us, min(event_id) AS event_id
+            FROM ({_KV_SQL}) WHERE key <= {RANGE_END}
+            GROUP BY key, ts_us
+        )
+        SELECT key, ts_us, event_id FROM base WHERE event_id % 2 = 1
+    """,
+)
+def q_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree mode end-to-end (ClickHouse table-engine
+    family analog — extension): row-level DELETE in an append-only
+    engine. Batch 1 inserts every unique (key, ts) row with sign +1;
+    batch 2 re-sends the even-event_id rows with sign -1; compaction
+    collapses the pairs physically and the read shows only the
+    still-live (odd) rows — the oracle derives the same survivor set
+    relationally.
+
+    This is how a 100 TB append-only store expresses deletes without
+    rewriting data: cancellation rows accumulate at ingest cost and
+    disappear during normal background merges (net-sign algebra keeps
+    any merge order correct)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("sign", T.IntegerType(), False),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=1,
+                          mode="collapsing", key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_collapsing_"),
+                           schema=schema, config=cfg)
+    base = (
+        _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+        .groupBy("key", "ts_us").agg(F.min("event_id").alias("event_id"))
+    )
+    n = base.count()  # one tiny agg job; reused for both batch sizes below
+    table.insert_batch(base.withColumn("sign", F.lit(1)), row_count=n)
+    table.flush()
+    table.insert_batch(
+        base.filter(F.pmod("event_id", F.lit(2)) == 0)
+        .withColumn("sign", F.lit(-1)), row_count=max(1, n // 2))
+    table.flush()
+    table.merge_parts_sync()
+    return table.query_all().select("key", "ts_us", "event_id")
+
+
+@declared_query(
     "q_matview_rollup",
     oracle=f"""
         SELECT key, ts_us - ts_us % 86400000000 AS day_us,

@@ -89,13 +89,13 @@ _CHECK_PRIORITY = (
     "q_summing_merge",
     "q_partition_prune",
     "q_matview_rollup",
+    "q_collapsing_merge",
     "q_sql_tpch_q10",
     "q_sql_tpch_q18",
     "q_text_bigram_pmi",
     # stable keepers (green since round 1-3) filling the 50-row window;
     # the remaining green-since-r03 queries follow in natural registration
     # order at positions >50 (declared and self-checked, not driver-checked)
-    "q_latest_version",
     "q_mergetree_engine",
     "q_mergetree_source",
     "q_dedup_content",

@@ -136,6 +136,41 @@ def test_partitioned_table_lifecycle(spark, base_path):
         assert len(t2.parts_in_partition("a")) == 1
 
 
+def test_collapsing_mode_cancels_rows(spark, base_path):
+    """mode="collapsing": +1/-1 sign pairs cancel across parts and
+    merges; net state survives any merge schedule (the net-sign design —
+    a cancel arriving in a later part still kills a previously-collapsed
+    insert)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("val", T.StringType(), True),
+        T.StructField("sign", T.IntegerType(), False),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=1,
+                          mode="collapsing", key_col="key", ts_col="ts")
+    with SparkMergeTree(spark, base_path, schema=schema, config=cfg) as t:
+        t.insert_rows([("a", 1, "x", 1), ("b", 1, "y", 1), ("c", 1, "z", 1)])
+        t.flush()
+        # part 2 cancels b and inserts d
+        t.insert_rows([("b", 1, "y", -1), ("d", 1, "w", 1)])
+        t.flush()
+        live = {r["key"]: r["val"] for r in t.query_all().collect()}
+        assert live == {"a": "x", "c": "z", "d": "w"}
+        # physical merge collapses the cancellation; result unchanged
+        assert t.merge_parts_sync()
+        assert t.part_count() == 1
+        live2 = {r["key"]: r["val"] for r in t.query_all().collect()}
+        assert live2 == live
+        # a cancel AFTER the merge still kills the collapsed row, and a
+        # cancel with no matching insert stays invisible
+        t.insert_rows([("a", 1, "x", -1), ("ghost", 1, None, -1)])
+        live3 = {r["key"]: r["val"] for r in t.query_all().collect()}
+        assert live3 == {"c": "z", "d": "w"}
+
+
 def test_materialized_view_incremental_rollup(spark, tmp_path):
     """MaterializedView: per-block transform into a summing target equals
     the one-shot aggregate of everything inserted, across every ingest
