@@ -61,6 +61,68 @@ def test_foreachbatch_streaming_insert(spark, sf_dir):
     table.close()
 
 
+def test_streaming_ingest_maintains_matview(spark, sf_dir):
+    """readStream → foreachBatch → source table with an attached
+    MaterializedView: the rollup accumulates per micro-batch and, after
+    the replay drains, equals the one-shot batch aggregate — streaming
+    ingest and incremental view maintenance composed end-to-end."""
+    from clickhouse_mergetree_spark.engine import (
+        MaterializedView, MergeTreeConfig, SparkMergeTree)
+    from clickhouse_mergetree_spark.streaming import read_events_stream
+    from clickhouse_mergetree_spark.tables import load
+
+    from pyspark.sql import types as T
+
+    src_schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ])
+    mv_schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("zero", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ])
+    src = SparkMergeTree(
+        spark, tempfile.mkdtemp(prefix="stream_mv_src_"), schema=src_schema,
+        config=MergeTreeConfig(memtable_flush_threshold=10**9,
+                               key_col="key", ts_col="ts_us"))
+    mv = MaterializedView(
+        SparkMergeTree(
+            spark, tempfile.mkdtemp(prefix="stream_mv_tgt_"),
+            schema=mv_schema,
+            config=MergeTreeConfig(memtable_flush_threshold=10**9,
+                                   mode="summing",
+                                   key_col="key", ts_col="zero")),
+        lambda df: df.groupBy("key").agg(
+            F.lit(0).cast("long").alias("zero"),
+            F.count("*").alias("n")).select("key", "zero", "n"))
+    src.attach_view(mv)
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(lambda batch_df, _id: src.insert_batch(batch_df))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mv_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mv.flush()
+
+    got = {r["key"]: r["n"] for r in mv.query().collect()}
+    want = {
+        r["user_id"]: r["count"]
+        for r in load(spark, sf_dir, "events").groupBy("user_id")
+        .count().collect()
+    }
+    assert got == want
+    src.close()
+    mv.close()
+
+
 def test_stream_batch_equivalence_tumbling(spark, sf_dir):
     """E26 streaming result == batch recomputation on the same input."""
     from clickhouse_mergetree_spark.registry import all_queries
