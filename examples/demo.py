@@ -146,6 +146,72 @@ def test_connector(spark, root):
     print("Connector test completed successfully!\n")
 
 
+def test_table_management(spark, root):
+    """Round-4 surface: PARTITION BY + DROP PARTITION, TTL expiry,
+    summing/collapsing modes, a materialized view, and time travel."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MaterializedView, MergeTreeConfig, SparkMergeTree)
+
+    print("=== Table management (partitions / TTL / modes / MV) ===")
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("category", T.StringType(), True),
+        T.StructField("amount", T.LongType(), True),
+    ])
+    path = os.path.join(root, "managed")
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=4,
+                          partition_col="category", snapshot_retention=4,
+                          key_col="key", ts_col="ts")
+    t = SparkMergeTree(spark, path, schema=schema, config=cfg)
+    t.insert_rows([(f"k{i}", i, "hot" if i % 2 else "cold", i * 10)
+                   for i in range(100)])
+    t.flush()
+    print(f"Partitions after flush: {t.partitions()}")
+    v1 = t.current_version()
+    removed = t.drop_partition("cold")
+    print(f"DROP PARTITION 'cold' removed {removed} rows (metadata-only)")
+    print(f"Live rows now: {t.query_all().count()}")
+    print(f"Time travel to v{v1}: "
+          f"{t.query_at_version(v1).count()} rows (pre-drop)")
+    expired = t.expire(before_ts=50)
+    print(f"TTL expire(ts<50): {expired}")
+    t.close()
+
+    # summing-mode rollup maintained by a materialized view
+    mv_schema = T.StructType([
+        T.StructField("category", T.StringType(), False),
+        T.StructField("zero", T.LongType(), False),
+        T.StructField("total", T.LongType(), True),
+    ])
+    src = SparkMergeTree(spark, os.path.join(root, "mv_src"), schema=schema,
+                         config=MergeTreeConfig(memtable_flush_threshold=10**9,
+                                                key_col="key", ts_col="ts"))
+    mv = MaterializedView(
+        SparkMergeTree(
+            spark, os.path.join(root, "mv_tgt"), schema=mv_schema,
+            config=MergeTreeConfig(memtable_flush_threshold=10**9,
+                                   mode="summing", key_col="category",
+                                   ts_col="zero")),
+        lambda df: df.groupBy("category").agg(
+            F.lit(0).cast("long").alias("zero"),
+            F.sum("amount").alias("total")).select("category", "zero", "total"))
+    src.attach_view(mv)
+    for batch in range(3):
+        src.insert_rows([(f"b{batch}_{i}", i, "hot" if i % 2 else "cold",
+                          i) for i in range(50)])
+    mv.flush()
+    print("MV rollup (3 incremental blocks, finalized read):")
+    for r in mv.query().collect():
+        print(f"  {r['category']}: {r['total']}")
+    src.close()
+    mv.close()
+    print("Table management demo completed successfully!\n")
+
+
 def main():
     print("ClickHouse MergeTree (Spark) Implementation Demo")
     print("=========================================\n")
@@ -159,6 +225,7 @@ def main():
         test_performance(spark, root)
         test_persistence(spark, root)
         test_connector(spark, root)
+        test_table_management(spark, root)
         print(f"All demos completed in {time.perf_counter()-t0:.1f} s")
     finally:
         shutil.rmtree(root, ignore_errors=True)
