@@ -389,6 +389,61 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_search_ivf_on(spark, load(spark, sf_dir, "embeddings"))
 
 
+def _ivf_cells_expr(trained: list[list[float]]) -> Column:
+    """argmin-L2 cell scores via the dot form: ||x-c||² = ||x||² - 2<x,c>
+    + ||c||², and ||x||² is constant per row so it drops out of the
+    argmin. Each cell then costs ONE fold (the dot product) instead of a
+    squared-diff array + fold — ~35% faster end-to-end (codegen compiles
+    half the lambda chains), with ||c||² folded in as a plan literal."""
+    def _dot_lit(cv: list[float]) -> Column:
+        clit = F.array(*[F.lit(float(x)) for x in cv])
+        return F.aggregate(
+            F.zip_with("embedding", clit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    return F.array(*[
+        F.struct(
+            (F.lit(float(np.dot(cv, cv))) - 2.0 * _dot_lit(cv)).alias("d2"),
+            F.lit(i).alias("cent_id"),
+        )
+        for i, cv in enumerate(trained)
+    ])
+
+
+def _ivf_query_probes(
+    raw: DataFrame, trained: list[list[float]], query_vec_id: int,
+) -> tuple[np.ndarray, float, list[int]]:
+    """Resolve the one-row query vector and its NPROBE nearest centroids
+    driver-side (numpy over the already-in-memory codebook) instead of as
+    two 1-row Spark jobs. The probe list then enters the plan as a static
+    IN-filter, which is the 100 TB shape: against a cell-partitioned
+    table it becomes partition pruning the planner sees at compile time,
+    and the query vector is a plan literal."""
+    qv = np.asarray(
+        raw.filter(F.col("vec_id") == query_vec_id)
+        .select("embedding").toPandas()["embedding"][0], dtype=np.float64)
+    qnrm = float(np.sqrt(qv @ qv))
+    d2 = ((np.asarray(trained) - qv) ** 2).sum(axis=1)
+    probe_ids = [int(i) for i in
+                 np.argsort(d2, kind="stable")[:IVF_NPROBE]]
+    return qv, qnrm, probe_ids
+
+
+def _ivf_score_topk(candidates: DataFrame, qv: np.ndarray, qnrm: float,
+                    top_k: int) -> DataFrame:
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    scored = candidates.select(
+        "vec_id", "cent_id",
+        (_dot("embedding", qlit)
+         / (F.col("nrm") * F.lit(qnrm))).alias("cos_raw"),
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(top_k)
+        .select("vec_id", "cent_id", F.round("cos_raw", 9).alias("cosine"))
+    )
+
+
 def sim_search_ivf_on(
     spark: SparkSession,
     raw: DataFrame,
@@ -398,57 +453,59 @@ def sim_search_ivf_on(
     """Trained-IVF top-k over any (vec_id, embedding) DataFrame — the core
     of q_sim_search_ivf, factored for planted-corpus recall tests."""
     trained = train_ivf_centroids_sampled(raw)
-    # argmin-L2 via the dot form: ||x-c||² = ||x||² - 2<x,c> + ||c||², and
-    # ||x||² is constant per row so it drops out of the argmin. Each cell
-    # then costs ONE fold (the dot product) instead of a squared-diff
-    # array + fold — ~35% faster end-to-end (codegen compiles half the
-    # lambda chains), with ||c||² folded in as a plan literal.
-    def _dot_lit(cv: list[float]) -> Column:
-        clit = F.array(*[F.lit(float(x)) for x in cv])
-        return F.aggregate(
-            F.zip_with("embedding", clit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    cells = F.array(*[
-        F.struct(
-            (F.lit(float(np.dot(cv, cv))) - 2.0 * _dot_lit(cv)).alias("d2"),
-            F.lit(i).alias("cent_id"),
-        )
-        for i, cv in enumerate(trained)
-    ])
     emb = raw.withColumn("nrm", _norm("embedding"))
     assign = emb.select(
         "vec_id", "embedding", "nrm",
-        F.array_min(cells)["cent_id"].alias("cent_id"),
+        F.array_min(_ivf_cells_expr(trained))["cent_id"].alias("cent_id"),
     )
-    # The query vector is ONE row — resolve it and its NPROBE nearest
-    # centroids driver-side (numpy over the already-in-memory codebook)
-    # instead of as two 1-row Spark jobs. The probe list then enters the
-    # plan as a static IN-filter, which is the 100 TB shape: against a
-    # cell-partitioned table it becomes partition pruning the planner sees
-    # at compile time, and the query vector is a plan literal.
-    qv = np.asarray(
-        raw.filter(F.col("vec_id") == query_vec_id)
-        .select("embedding").toPandas()["embedding"][0], dtype=np.float64)
-    qnrm = float(np.sqrt(qv @ qv))
-    d2 = ((np.asarray(trained) - qv) ** 2).sum(axis=1)
-    probe_ids = [int(i) for i in
-                 np.argsort(d2, kind="stable")[:IVF_NPROBE]]
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qv, qnrm, probe_ids = _ivf_query_probes(raw, trained, query_vec_id)
     candidates = (
         assign.filter(F.col("vec_id") != query_vec_id)
         .filter(F.col("cent_id").isin(probe_ids))
-        .select(
-            "vec_id", "cent_id",
-            (_dot("embedding", qlit)
-             / (F.col("nrm") * F.lit(qnrm))).alias("cos_raw"),
-        )
     )
-    return (
-        candidates.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-        .limit(top_k)
-        .select("vec_id", "cent_id", F.round("cos_raw", 9).alias("cosine"))
+    return _ivf_score_topk(candidates, qv, qnrm, top_k)
+
+
+@declared_query("q_sim_search_ivf_partitioned")  # rows-only: approximate
+def q_sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 scale path #2b: IVF over a MATERIALIZED cell-partitioned
+    layout — the "write the table partitioned by cell id" trick that
+    q_sim_search_ivf's docstring promises, made real.
+
+    Build: assign every vector its k-means cell (same dot-form argmin as
+    q_sim_search_ivf, norms precomputed) and write ONE parquet dataset
+    ``partitionBy("cent_id")`` — the offline index-build job a vector
+    store runs once, amortized over every query. Probe: read back with
+    ``cent_id IN (probes)``; Spark's file index resolves the filter
+    against the directory names, so non-probed cells are never listed,
+    opened, or scheduled — the scan's PartitionFilters line (pinned in
+    tests/test_plan_shapes.py) is the disk-level analog of ClickHouse
+    partition pruning, and at 100 TB it is the difference between
+    touching ~NPROBE/NLIST of the corpus and touching all of it.
+
+    Deterministic given the corpus (sampled k-means is deterministic), so
+    tests/test_similarity_recall.py asserts result == q_sim_search_ivf
+    row-for-row; rows-only at the driver (approximate by construction,
+    like every ANN variant)."""
+    import tempfile
+
+    raw = load(spark, sf_dir, "embeddings")
+    trained = train_ivf_centroids_sampled(raw)
+    emb = raw.withColumn("nrm", _norm("embedding"))
+    assign = emb.select(
+        "vec_id", "embedding", "nrm",
+        F.array_min(_ivf_cells_expr(trained))["cent_id"].alias("cent_id"),
     )
+    index_path = tempfile.mkdtemp(prefix="ivf_index_")
+    assign.write.mode("overwrite").partitionBy("cent_id").parquet(index_path)
+
+    qv, qnrm, probe_ids = _ivf_query_probes(raw, trained, QUERY_VEC_ID)
+    candidates = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cent_id").isin(probe_ids))   # directory pruning
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+    )
+    return _ivf_score_topk(candidates, qv, qnrm, TOP_K)
 
 
 PAIR_TOP_K = 20

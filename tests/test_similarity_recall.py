@@ -101,3 +101,25 @@ def test_kmeans_training_moves_centroids_and_reduces_distortion(spark, sf_dir):
     assert not np.allclose(trained, init), "training left the init unchanged"
     assert distortion(trained) < distortion(init), (
         "k-means training did not reduce quantization distortion")
+
+
+def test_ivf_partitioned_layout_matches_inline_ivf(spark, sf_dir):
+    """The materialized cell-partitioned index returns EXACTLY the inline
+    IVF result (same trained codebook, same probes, same scoring) — the
+    layout changes where the candidate rows come from (directory-pruned
+    parquet), not what they are. Also pins that the probe scan's plan
+    prunes on partition directories."""
+    from clickhouse_mergetree_spark.operators.similarity import (
+        q_sim_search_ivf,
+        q_sim_search_ivf_partitioned,
+    )
+
+    inline = [tuple(r) for r in q_sim_search_ivf(spark, sf_dir).collect()]
+    part_df = q_sim_search_ivf_partitioned(spark, sf_dir)
+    partitioned = [tuple(r) for r in part_df.collect()]
+    assert partitioned == inline
+
+    plan = part_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cent_id" in pf, f"probe filter not applied to partitions: {pf!r}"
