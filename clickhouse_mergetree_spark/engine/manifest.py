@@ -95,6 +95,20 @@ class PartMeta:
     # for unpartitioned tables. Drives partition pruning, partition-scoped
     # merges, and metadata-only DROP PARTITION.
     partition: str | None = None
+    # minmax skipping index (extension): {col: [min, max]} for the
+    # config's minmax_cols — part-level pruning for range predicates on
+    # non-key columns. None/absent column ⇒ no pruning claim (never skip).
+    col_stats: dict | None = None
+
+    def may_match_range(self, col: str, lo, hi) -> bool:
+        """minmax skip check: False ⇒ no row of this part has col in
+        [lo, hi]. Parts without stats for ``col`` always say True."""
+        if not self.col_stats or col not in self.col_stats:
+            return True
+        mn, mx = self.col_stats[col]
+        if mn is None or mx is None:  # all-null column in this part
+            return False
+        return not (mx < lo or mn > hi)
 
     def overlaps_range(self, start_key, end_key) -> bool:
         """Part-level min/max pruning predicate (reference src/part.cpp:201-203)."""

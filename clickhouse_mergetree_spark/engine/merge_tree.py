@@ -110,6 +110,13 @@ class MergeTreeConfig:
     sum_cols: tuple[str, ...] | None = None
     # collapsing mode: the +1/-1 sign column.
     sign_col: str = "sign"
+    # minmax skipping indexes (ClickHouse `INDEX ... TYPE minmax` analog —
+    # extension): per-part min/max kept in the manifest for these NON-KEY
+    # columns, so range predicates on them can prune whole parts without
+    # opening a file — exactly what min_key/max_key/min_ts/max_ts already
+    # do for the primary key, generalized. Costs two aggregates per column
+    # on the part-write job (rides the same observe, no extra scan).
+    minmax_cols: tuple[str, ...] = ()
     # PARTITION BY column (ClickHouse MergeTree analog — extension; users
     # partition by a precomputed bucket column, e.g. a month or a category).
     # Every part holds rows of exactly one partition value: flushes split
@@ -178,6 +185,11 @@ class SparkMergeTree:
             p.min_ts, p.max_ts = stats["min_ts"], stats["max_ts"]
             p.row_count = stats["row_count"]
             p.disk_size = _dir_size(p.path)
+            if self.config.minmax_cols:
+                p.col_stats = {
+                    c: [stats[f"mm_min_{c}"], stats[f"mm_max_{c}"]]
+                    for c in self.config.minmax_cols
+                }
             if self.config.enable_bloom_index:
                 self._attach_bloom(p)
             dirty = True
@@ -185,14 +197,19 @@ class SparkMergeTree:
             self.manifest.save()
 
     def _part_stats(self, df: DataFrame) -> dict:
-        """R24 metadata aggregate (reference src/part.cpp:219-246)."""
-        row = df.agg(
+        """R24 metadata aggregate (reference src/part.cpp:219-246), plus
+        the minmax skip-index stats when configured (recovery path)."""
+        aggs = [
             F.min(self._key).alias("min_key"),
             F.max(self._key).alias("max_key"),
             F.min(self._ts).alias("min_ts"),
             F.max(self._ts).alias("max_ts"),
             F.count("*").alias("row_count"),
-        ).collect()[0]
+        ]
+        for c in self.config.minmax_cols:
+            aggs += [F.min(c).alias(f"mm_min_{c}"),
+                     F.max(c).alias(f"mm_max_{c}")]
+        row = df.agg(*aggs).collect()[0]
         return row.asDict()
 
     # ----------------------------------------------------------------- writes
@@ -344,6 +361,10 @@ class SparkMergeTree:
             ]
             metrics.append(
                 F.approx_count_distinct(self._key).alias("bloom_nd"))
+        for c in self.config.minmax_cols:
+            # minmax skip index rides the same write-job observation
+            metrics += [F.min(c).alias(f"mm_min_{c}"),
+                        F.max(c).alias(f"mm_max_{c}")]
         obs = Observation(obs_name)
         shaped = shaped.observe(obs, *metrics)
         shaped.write.mode("overwrite").parquet(path)
@@ -363,6 +384,11 @@ class SparkMergeTree:
             meta.bloom_bits = bloom_size_for(int(stats["bloom_nd"]))
             meta.bloom_k = BLOOM_K
             meta.bloom_hex = bloom_to_hex(positions, meta.bloom_bits)
+        if self.config.minmax_cols:
+            meta.col_stats = {
+                c: [stats[f"mm_min_{c}"], stats[f"mm_max_{c}"]]
+                for c in self.config.minmax_cols
+            }
         return meta
 
     def _bloom_pos_cols(self) -> list:
@@ -427,6 +453,22 @@ class SparkMergeTree:
 
     def query_all(self) -> DataFrame:
         return self._assemble(None)
+
+    def query_col_range(self, col: str, lo, hi) -> DataFrame:
+        """Range scan on a NON-KEY column using its minmax skip index:
+        parts whose manifest [min, max] for ``col`` cannot intersect
+        [lo, hi] are never listed or opened (the ClickHouse
+        `INDEX ... TYPE minmax` read path; pruning is a pure optimization
+        — the predicate is still applied to surviving rows, so parts
+        without stats simply scan). Inclusive bounds."""
+        return self._assemble(F.col(col).between(lo, hi),
+                              col_range=(col, lo, hi))
+
+    def parts_for_col_range(self, col: str, lo, hi) -> list[PartMeta]:
+        """The parts query_col_range would scan (introspection/tests)."""
+        with self._lock:
+            return [p for p in self.manifest.parts
+                    if p.may_match_range(col, lo, hi)]
 
     # ---------------------------------------------------------- partitions
 
@@ -497,7 +539,7 @@ class SparkMergeTree:
             return removed
 
     def _assemble(self, pred, key_range=None, point_key=None,
-                  partition=None) -> DataFrame:
+                  partition=None, col_range=None) -> DataFrame:
         with self._lock:
             if key_range is None:
                 pruned = list(self.manifest.parts)
@@ -505,6 +547,10 @@ class SparkMergeTree:
                 # R8: manifest min/max pruning — skipped parts are never
                 # listed, opened, or scheduled (reference src/part.cpp:201-203)
                 pruned = self.manifest.prune(*key_range)
+            if col_range is not None:
+                # minmax skip index on a non-key column
+                c, lo, hi = col_range
+                pruned = [p for p in pruned if p.may_match_range(c, lo, hi)]
             if point_key is not None:
                 # bloom skipping index: drop range-covering parts that
                 # provably lack the key (no false negatives by construction)

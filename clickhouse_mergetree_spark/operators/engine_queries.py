@@ -468,6 +468,69 @@ def q_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows")
 
 
+MINMAX_LO, MINMAX_HI = 300.0, 1000.0
+
+
+@declared_query(
+    "q_minmax_skip",
+    oracle=f"""
+        SELECT DISTINCT key, ts_us FROM ({_KV_SQL})
+        WHERE key <= {RANGE_END}
+          AND value BETWEEN {MINMAX_LO} AND {MINMAX_HI}
+    """,
+)
+def q_minmax_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minmax skipping index end-to-end (ClickHouse ``INDEX ... TYPE
+    minmax`` analog): per-part [min, max] of a NON-KEY column kept in the
+    manifest, so a value-range read prunes whole parts without opening a
+    file — the same trick the primary key already gets, generalized to
+    any column whose values correlate with ingest batches.
+
+    The three inserted parts are value-banded ([0,100), [100,300),
+    [300,∞)), so the [{300}, {1000}] probe opens exactly ONE part
+    (asserted below — the pruning happens on manifest metadata before any
+    listing). At 100 TB this is how secondary range predicates
+    (price tiers, status codes, severity levels) avoid full scans in a
+    table sorted by something else. The index stats ride the part-write
+    job's observe — building them costs no extra scan."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          minmax_cols=("value",),
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_minmax_"),
+                           schema=schema, config=cfg)
+    kv = (_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+          .select("key", "ts_us", "event_id", "value"))
+    bands = [(0.0, 100.0), (100.0, 300.0), (300.0, 10**9)]
+    counts = {
+        int(r["b"]): r["count"]
+        for r in kv.groupBy(
+            F.when(F.col("value") < 100.0, 0)
+            .when(F.col("value") < 300.0, 1).otherwise(2).alias("b"))
+        .count().collect()
+    }
+    for i, (lo, hi) in enumerate(bands):
+        table.insert_batch(
+            kv.filter((F.col("value") >= lo) & (F.col("value") < hi)),
+            row_count=counts.get(i, 0))
+        table.flush()
+    scanned = table.parts_for_col_range("value", MINMAX_LO, MINMAX_HI)
+    assert len(scanned) == 1, [p.col_stats for p in table.manifest.parts]
+    return (table.query_col_range("value", MINMAX_LO, MINMAX_HI)
+            .select("key", "ts_us"))
+
+
 @declared_query(
     "q_collapsing_merge",
     oracle=f"""

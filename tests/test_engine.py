@@ -136,6 +136,47 @@ def test_partitioned_table_lifecycle(spark, base_path):
         assert len(t2.parts_in_partition("a")) == 1
 
 
+def test_minmax_skip_index_prunes_parts(spark, base_path):
+    """minmax_cols: value-range reads prune parts via manifest col stats,
+    results are unchanged vs a full filter, and the stats survive reload
+    + manifest-less recovery."""
+    import shutil as _shutil
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("amount", T.LongType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=10,
+                          minmax_cols=("amount",),
+                          key_col="key", ts_col="ts")
+    with SparkMergeTree(spark, base_path, schema=schema, config=cfg) as t:
+        # three amount-banded parts: [0,9], [100,109], [1000,1009]
+        for base in (0, 100, 1000):
+            t.insert_rows([(f"k{base}_{i}", i, base + i) for i in range(10)])
+            t.flush()
+        assert t.part_count() == 3
+        # range hitting only the middle band scans exactly one part
+        assert len(t.parts_for_col_range("amount", 100, 120)) == 1
+        got = {r["key"] for r in t.query_col_range("amount", 100, 120).collect()}
+        assert got == {f"k100_{i}" for i in range(10)}
+        # a no-part range scans nothing and returns nothing
+        assert t.parts_for_col_range("amount", 200, 900) == []
+        assert t.query_col_range("amount", 200, 900).count() == 0
+        files = t.query_col_range("amount", 100, 120).inputFiles()
+        assert len({f.rsplit("/", 2)[-2] for f in files}) == 1  # one part dir
+    # stats survive manifest reload
+    with SparkMergeTree(spark, base_path, schema=schema, config=cfg) as t2:
+        assert len(t2.parts_for_col_range("amount", 1000, 2000)) == 1
+        # and manifest-less recovery rebuilds them
+        os.remove(os.path.join(base_path, "manifest.json"))
+        with SparkMergeTree(spark, base_path, schema=schema, config=cfg) as t3:
+            assert len(t3.parts_for_col_range("amount", 100, 120)) == 1
+    _shutil.rmtree(base_path, ignore_errors=True)
+
+
 def test_collapsing_mode_cancels_rows(spark, base_path):
     """mode="collapsing": +1/-1 sign pairs cancel across parts and
     merges; net state survives any merge schedule (the net-sign design —
