@@ -525,8 +525,10 @@ def q_minmax_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             kv.filter((F.col("value") >= lo) & (F.col("value") < hi)),
             row_count=counts.get(i, 0))
         table.flush()
+    # the probe range overlaps only the third band, so at most one part
+    # survives pruning (zero at tiny SFs where no value reaches the band)
     scanned = table.parts_for_col_range("value", MINMAX_LO, MINMAX_HI)
-    assert len(scanned) == 1, [p.col_stats for p in table.manifest.parts]
+    assert len(scanned) <= 1, [p.col_stats for p in table.manifest.parts]
     return (table.query_col_range("value", MINMAX_LO, MINMAX_HI)
             .select("key", "ts_us"))
 

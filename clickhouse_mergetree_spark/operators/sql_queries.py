@@ -134,6 +134,31 @@ _Q18_SQL = """
 """
 
 
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@declared_query("q_sql_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10+ via the SQL surface: arbitrary GROUPING SETS — the general
+    form that rollup/cube specialize — with grouping() flags
+    disambiguating real NULLs from subtotal rows. Spark plans ONE scan +
+    Expand (each input row replicated once per set) + a single hash
+    aggregate: subtotals cost one shuffle total, not one scan per set.
+    The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 @declared_query("q_sql_tpch_q10", oracle=_Q10_SQL)
 def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape via spark.sql: returned-item reporting — customer ⨝

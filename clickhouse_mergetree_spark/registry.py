@@ -95,10 +95,10 @@ _CHECK_PRIORITY = (
     "q_text_bigram_pmi",
     "q_sim_search_ivf_partitioned",
     "q_minmax_skip",
-    # stable keepers (green since round 1-3) filling the 50-row window;
-    # the remaining green-since-r03 queries follow in natural registration
+    "q_sql_grouping_sets",
+    # stable keeper (green since round 1) filling the 50-row window; the
+    # remaining green-since-r03 queries follow in natural registration
     # order at positions >50 (declared and self-checked, not driver-checked)
-    "q_mergetree_engine",
     "q_mergetree_source",
 )
 
