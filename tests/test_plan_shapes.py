@@ -21,10 +21,12 @@ from clickhouse_mergetree_spark.registry import all_queries
 # Queries whose nested-loop join is the documented *point* of the query:
 # 1-row broadcast query vector (q_sim_search), the bounded O(n·NLIST)
 # centroid-assignment scan of IVF (q_sim_search_ivf — build side is
-# exactly 16 rows), or a broadcast 1-row corpus-count aggregate
-# (q_text_tfidf — O(n·1)). q_near_dedup_cosine no longer qualifies: its
-# blocked audit join is an equi-join on the block key.
-NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_text_tfidf"}
+# exactly 16 rows), or broadcast 1-row corpus-total aggregates
+# (q_text_tfidf, q_text_bigram_pmi — O(n·1)). q_near_dedup_cosine no
+# longer qualifies: its blocked audit join is an equi-join on the block
+# key.
+NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_text_tfidf",
+                  "q_text_bigram_pmi"}
 
 _QUERIES = sorted(all_queries())
 
