@@ -38,10 +38,16 @@ def get_spark(app_name: str = "clickhouse_mergetree_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
-        # reader rejects; read as long (ns since epoch) and convert in
-        # tables.load — DuckDB equivalently truncates ns → µs.
+        # Nanos-era events.parquet stored TIMESTAMP(NANOS), which the Spark
+        # parquet reader rejects; read as long (ns since epoch) and convert
+        # in tables.load — DuckDB equivalently truncates ns → µs.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Current testdata stores timestamp[us] with isAdjustedToUTC=false;
+        # read as plain TIMESTAMP (µs = epoch, like DuckDB) instead of
+        # TIMESTAMP_NTZ so epoch functions and timestamp literals work and
+        # predicates push down at the scan. tables.load sets the same conf
+        # for vanilla caller sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -22,8 +22,11 @@ from pyspark.sql import types as T
 
 from clickhouse_mergetree_spark.registry import declared_query
 
-# File-source schema: ts arrives as long ns (nanosAsLong), converted to a
-# µs timestamp exactly like tables.load() does for batch reads.
+# File-source schema (readStream requires one up front): ts is declared per
+# the file's actual physical type — long ns on nanos-era data (nanosAsLong),
+# TIMESTAMP on current timestamp[us] data — sniffed from the parquet footer
+# in read_events_stream, then normalized to a µs TIMESTAMP either way,
+# exactly like tables.load() does for batch reads.
 _EVENTS_RAW = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.LongType()),
@@ -49,14 +52,33 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    import os
+
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts")
+    return str(field.type) == "timestamp[ns]"
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded-style file stream (bounded replay)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(_EVENTS_RAW)
-        .parquet(_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    if _events_ts_is_nanos(sf_dir):
+        # nanos-era file: read ts as raw long ns, truncate to µs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.readStream.schema(_EVENTS_RAW)
+            .parquet(_stream_dir(sf_dir))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    # timestamp[us] file: declare ts as TIMESTAMP and read it directly —
+    # with NTZ inference off the µs value IS the epoch (matches batch load).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = T.StructType([
+        f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+        for f in _EVENTS_RAW.fields
+    ])
+    return spark.readStream.schema(schema).parquet(_stream_dir(sf_dir))
 
 
 def run_to_memory(df: DataFrame, mode: str) -> DataFrame:

@@ -17,22 +17,48 @@ TABLE_NAMES = (
 )
 
 
+def ntz_to_utc_ts(col: str):
+    """TIMESTAMP_NTZ → TIMESTAMP whose epoch equals the naive value read as
+    UTC, independent of the session timezone (a plain NTZ→LTZ cast would
+    shift by the session offset). DuckDB reads the same parquet column as a
+    naive TIMESTAMP and ``epoch_us`` treats it as UTC, so this keeps both
+    engines' epoch arithmetic identical."""
+    return F.timestamp_micros(F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    ))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str,
          redistribute: bool = True) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark 4
-        # parquet reader rejects outright. nanosAsLong is a runtime SQL conf,
-        # so set it here rather than only in our session factory — callers
-        # (e.g. the driver) hand us their own vanilla SparkSession.
+        # Older generations of events.parquet stored ts as TIMESTAMP(NANOS),
+        # which the Spark 4 parquet reader rejects outright. nanosAsLong is a
+        # runtime SQL conf, so set it here rather than only in our session
+        # factory — callers (e.g. the driver) hand us their own vanilla
+        # SparkSession. Harmless when the column is already µs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The testdata's timestamp[us] columns carry isAdjustedToUTC=false, which
+    # Spark 4 reads as TIMESTAMP_NTZ by default — a type the epoch functions
+    # (unix_micros & co.) reject and that won't compare against TIMESTAMP
+    # literals. Disabling NTZ inference reads them as plain TIMESTAMP with
+    # the raw µs as the epoch (identical to DuckDB's epoch_us view of the
+    # same bytes), AT THE SCAN — so timestamp predicates still push down to
+    # parquet, which a post-read cast would forfeit.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as long ns (nanosAsLong); truncate to µs like
         # DuckDB does. `div` keeps the arithmetic in int64 — a double would
         # lose precision above 2^53.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            # timestamp[us] with no timezone reads as TIMESTAMP_NTZ, which
+            # epoch functions (unix_micros & co.) reject. Normalize every
+            # such column to a plain TIMESTAMP at the epoch the oracle sees.
+            df = df.withColumn(field.name, ntz_to_utc_ts(field.name))
     if redistribute and name in ("documents", "embeddings") and (
             df.rdd.getNumPartitions()
             < (n := spark.sparkContext.defaultParallelism)):
