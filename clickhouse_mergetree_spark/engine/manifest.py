@@ -99,6 +99,12 @@ class PartMeta:
     # config's minmax_cols — part-level pruning for range predicates on
     # non-key columns. None/absent column ⇒ no pruning claim (never skip).
     col_stats: dict | None = None
+    # Schema evolution (ALTER ADD COLUMN analog — extension): the column
+    # names physically present in this part's files. None = legacy part
+    # written before evolution tracking ⇒ exactly the table's original
+    # (pre-evolution) columns. Reads fill columns added after this part
+    # was written with their declared defaults.
+    columns: list | None = None
 
     def may_match_range(self, col: str, lo, hi) -> bool:
         """minmax skip check: False ⇒ no row of this part has col in
@@ -153,6 +159,9 @@ class Manifest:
         self.log: list[tuple[int, list[int]]] = []
         # removed-but-retained parts: part_id -> (PartMeta, removed_version)
         self.tombstones: dict[int, tuple[PartMeta, int]] = {}
+        # table-level metadata that must survive reopen (currently the
+        # ALTER ADD COLUMN evolution log: [{name, ddl, default}, ...])
+        self.table_meta: dict = {}
 
     # -- persistence --------------------------------------------------------
 
@@ -173,6 +182,7 @@ class Manifest:
                     int(pid): (PartMeta(**p), int(rv))
                     for pid, (p, rv) in doc.get("tombstones", {}).items()
                 }
+                m.table_meta = doc.get("table_meta", {})
                 return m
             except (json.JSONDecodeError, KeyError, TypeError):
                 # Corrupt/truncated manifest (e.g. torn write from a crashed
@@ -219,6 +229,7 @@ class Manifest:
                     pid: (asdict(p), rv)
                     for pid, (p, rv) in self.tombstones.items()
                 },
+                "table_meta": self.table_meta,
             }, f, indent=1, default=str)
         os.replace(tmp, self.file_path)
 

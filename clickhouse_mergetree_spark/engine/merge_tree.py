@@ -152,6 +152,13 @@ class SparkMergeTree:
         self._views: list = []  # attached MaterializedViews (see matview.py)
         os.makedirs(base_path, exist_ok=True)
         self.manifest = Manifest.load(base_path)
+        # Re-apply any persisted ALTER ADD COLUMN evolution: callers reopen
+        # with the table's ORIGINAL schema; the manifest carries the log.
+        for a in self.manifest.table_meta.get("added_columns", []):
+            if not any(f.name == a["name"] for f in self.schema.fields):
+                self.schema = T.StructType(
+                    list(self.schema.fields)
+                    + list(T.StructType.fromDDL(f'`{a["name"]}` {a["ddl"]}')))
         self._rebuild_missing_metadata()
         self._bg_stop = threading.Event()
         self._bg_thread: threading.Thread | None = None
@@ -375,6 +382,7 @@ class SparkMergeTree:
             min_ts=stats["min_ts"], max_ts=stats["max_ts"],
             row_count=stats["row_count"], disk_size=_dir_size(path),
             partition=partition,
+            columns=[f.name for f in df.schema.fields],
         )
         if self.config.enable_bloom_index:
             positions = [
@@ -538,6 +546,42 @@ class SparkMergeTree:
                     shutil.rmtree(p.path, ignore_errors=True)
             return removed
 
+    def _read_parts(self, parts: list[PartMeta]) -> DataFrame | None:
+        """Raw physical read of a part set at the CURRENT table schema.
+
+        Schema evolution makes parts heterogeneous: a part written before an
+        ALTER ADD COLUMN physically lacks that column. Group parts by which
+        added columns they're missing (almost always 1–2 groups), read each
+        group once, fill the missing columns with their declared defaults
+        (ClickHouse's lazy-default contract — old parts are never rewritten
+        by an ALTER), and union. With no evolution this is exactly one
+        multi-path parquet scan — zero overhead."""
+        if not parts:
+            return None
+        added = self.manifest.table_meta.get("added_columns", [])
+        full_cols = [f.name for f in self.schema.fields]
+        added_names = {a["name"] for a in added}
+        original = [c for c in full_cols if c not in added_names]
+        groups: dict[tuple, list[PartMeta]] = {}
+        for p in parts:
+            present = set(p.columns) if p.columns is not None else set(original)
+            missing = tuple(c for c in full_cols if c not in present)
+            groups.setdefault(missing, []).append(p)
+        dfs = []
+        for missing, ps in groups.items():
+            sub = T.StructType([f for f in self.schema.fields
+                                if f.name not in missing])
+            df = self.spark.read.schema(sub).parquet(*[p.path for p in ps])
+            for a in added:
+                if a["name"] in missing:
+                    df = df.withColumn(
+                        a["name"], F.lit(a["default"]).cast(a["ddl"]))
+            dfs.append(df.select(full_cols))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def _assemble(self, pred, key_range=None, point_key=None,
                   partition=None, col_range=None) -> DataFrame:
         with self._lock:
@@ -561,9 +605,8 @@ class SparkMergeTree:
                 pruned = [p for p in pruned if p.partition == partition]
             buf = self._buffer_df()
         sources = []
-        if pruned:
-            df = self.spark.read.schema(self.schema).parquet(
-                *[p.path for p in pruned])
+        df = self._read_parts(pruned)
+        if df is not None:
             sources.append(df)
         if buf is not None:
             sources.append(buf)
@@ -650,9 +693,7 @@ class SparkMergeTree:
             parts = self.manifest.parts_at_version(version)
         if not parts:
             return self._empty_df()
-        out = self.spark.read.schema(self.schema).parquet(
-            *[p.path for p in parts])
-        return self._dedup_sort(out)
+        return self._dedup_sort(self._read_parts(parts))
 
     def vacuum(self) -> int:
         """Physically delete tombstoned parts no longer covered by the
@@ -707,10 +748,9 @@ class SparkMergeTree:
                             if p.part_id in best.part_ids]
                 part_id = self.manifest.allocate_part_id()
 
-            merged = self._collapse(
-                self.spark.read.schema(self.schema)
-                .parquet(*[p.path for p in selected])
-            )
+            # _read_parts materializes evolved-column defaults into the
+            # merged part (ClickHouse materializes ALTER defaults on merge)
+            merged = self._collapse(self._read_parts(selected))
             meta = self._write_part(part_id, merged, best.total_rows,
                                     partition=selected[0].partition)
 
@@ -798,10 +838,8 @@ class SparkMergeTree:
 
             # straddling parts: one filtered rewrite each
             for p in rewrite:
-                kept_df = (
-                    self.spark.read.schema(self.schema).parquet(p.path)
-                    .filter(F.col(self._ts) >= F.lit(before_ts))
-                )
+                kept_df = self._read_parts([p]).filter(
+                    F.col(self._ts) >= F.lit(before_ts))
                 with self._lock:
                     new_id = self.manifest.allocate_part_id()
                 meta = self._write_part(new_id, kept_df, p.row_count,
@@ -820,6 +858,132 @@ class SparkMergeTree:
                 "parts_rewritten": len(rewrite),
                 "rows_removed": rows_removed,
             }
+
+    # ------------------------------------------------------ schema evolution
+
+    def add_column(self, name: str, ddl: str, default=None) -> None:
+        """ALTER TABLE ADD COLUMN analog — metadata-only, zero parts
+        rewritten (the ClickHouse contract: an ALTER is a metadata commit;
+        old parts keep their physical layout and reads/merges fill the
+        declared default lazily — see _read_parts).
+
+        ``ddl`` is a Spark type DDL string ("string", "bigint",
+        "decimal(18,6)", ...); ``default`` fills the column for every row
+        that predates the ALTER (None = SQL NULL). Buffered rows are
+        flushed first so they land in a part correctly tagged as
+        pre-evolution. Persisted in the manifest — a reopen with the
+        original schema replays the evolution."""
+        with self._merge_lock:
+            self.flush()
+            with self._lock:
+                if any(f.name == name for f in self.schema.fields):
+                    raise ValueError(f"column {name!r} already exists")
+                self.schema = T.StructType(
+                    list(self.schema.fields)
+                    + list(T.StructType.fromDDL(f"`{name}` {ddl}")))
+                self.manifest.table_meta.setdefault("added_columns", []) \
+                    .append({"name": name, "ddl": ddl, "default": default})
+                self.manifest.save()
+
+    # -------------------------------------------------------------- mutations
+
+    def mutate(self, pred, assignments: dict | None = None,
+               key_range=None, partition=None, col_range=None) -> dict:
+        """ALTER TABLE ... DELETE/UPDATE ... WHERE analog — the ClickHouse
+        mutation model: parts are immutable, so each part holding matching
+        rows is rewritten ONCE (read → transform → sorted part write →
+        atomic manifest swap) and untouched parts are not even opened.
+
+        ``pred`` is a Column predicate choosing the affected rows
+        (NULL ⇒ unaffected, SQL WHERE semantics). ``assignments`` None ⇒
+        DELETE; ``{col: Column expr}`` ⇒ UPDATE applied to matching rows
+        (sorting-key / partition columns cannot be assigned — same
+        restriction as ClickHouse, the part's physical order depends on
+        them). ``key_range`` / ``partition`` / ``col_range`` are optional
+        pruning hints reusing the read path's manifest machinery; the
+        caller guarantees pred ⇒ hint, and parts outside the hint are
+        skipped without a scan — at 100 TB this is the difference between
+        rewriting one partition and scanning every part for matches.
+
+        Buffered rows are flushed first, so the mutation covers everything
+        inserted before the call (concurrent inserts are unaffected, like
+        ClickHouse's mutation-version cutoff). Each candidate part costs
+        one match-count job + (if matched) one rewrite job — independent
+        per part, exactly ClickHouse's per-part mutation tasks. A part
+        whose every row is deleted becomes a metadata-only drop.
+
+        Returns {"parts_scanned", "parts_rewritten", "rows_affected"}.
+        """
+        if assignments:
+            immutable = {self._key, self._ts, self.config.partition_col}
+            bad = set(assignments) & immutable
+            if bad:
+                raise ValueError(f"cannot assign sorting/partition column(s) "
+                                 f"{sorted(bad)}")
+            known = {f.name for f in self.schema.fields}
+            unknown = set(assignments) - known
+            if unknown:
+                raise ValueError(f"unknown column(s) {sorted(unknown)}")
+        hit = F.coalesce(pred, F.lit(False))
+        with self._merge_lock:
+            self.flush()
+            with self._lock:
+                cands = (self.manifest.prune(*key_range) if key_range
+                         else list(self.manifest.parts))
+                if col_range is not None:
+                    c, lo, hi = col_range
+                    cands = [p for p in cands if p.may_match_range(c, lo, hi)]
+                if partition is not None:
+                    cands = [p for p in cands if p.partition == partition]
+            retain = self.config.snapshot_retention > 0
+            parts_rewritten = 0
+            rows_affected = 0
+            for p in cands:
+                src = self._read_parts([p])
+                n_match = src.filter(hit).count()
+                if n_match == 0:
+                    continue
+                rows_affected += n_match
+                parts_rewritten += 1
+                if assignments is None and n_match == p.row_count:
+                    # whole part deleted: metadata-only, no write job
+                    with self._lock:
+                        self.manifest.remove([p.part_id], retain=retain)
+                        self.manifest.save()
+                else:
+                    if assignments is None:
+                        new_df = src.filter(~hit)
+                        n_est = max(1, p.row_count - n_match)
+                    else:
+                        new_df = src.withColumns({
+                            c: F.when(hit, e).otherwise(F.col(c)).cast(
+                                self.schema[c].dataType)
+                            for c, e in assignments.items()})
+                        n_est = p.row_count
+                    with self._lock:
+                        new_id = self.manifest.allocate_part_id()
+                    meta = self._write_part(new_id, new_df, n_est,
+                                            partition=p.partition)
+                    with self._lock:
+                        self.manifest.swap([p.part_id], meta, retain=retain)
+                        self.manifest.save()
+                if not retain:
+                    shutil.rmtree(p.path, ignore_errors=True)
+            if retain:
+                self.vacuum()
+            return {"parts_scanned": len(cands),
+                    "parts_rewritten": parts_rewritten,
+                    "rows_affected": rows_affected}
+
+    def delete_where(self, pred, **prune) -> dict:
+        """ALTER TABLE ... DELETE WHERE pred (see mutate)."""
+        return self.mutate(pred, None, **prune)
+
+    def update_where(self, pred, assignments: dict, **prune) -> dict:
+        """ALTER TABLE ... UPDATE col=expr WHERE pred (see mutate)."""
+        if not assignments:
+            raise ValueError("update_where requires at least one assignment")
+        return self.mutate(pred, assignments, **prune)
 
     # ----------------------------------------------------------- maintenance
 

@@ -588,6 +588,134 @@ def q_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.query_all().select("key", "ts_us", "event_id")
 
 
+MUT_KEY_LO, MUT_KEY_HI = 3, 5
+
+
+@declared_query(
+    "q_mutation",
+    oracle=f"""
+        SELECT key, ts_us, event_id, event_type,
+               CASE WHEN event_type = 'purchase' THEN value * 2
+                    ELSE value END AS value
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        WHERE NOT (event_type = 'click'
+                   AND key BETWEEN {MUT_KEY_LO} AND {MUT_KEY_HI})
+    """,
+)
+def q_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutations end-to-end (ClickHouse ``ALTER TABLE ... DELETE/UPDATE``
+    analog — extension; the reference has no row mutation at all): parts
+    are immutable, so a mutation rewrites ONLY the parts holding matching
+    rows and swaps them atomically — untouched parts are never opened.
+
+    Three inserted parts (banded by event_id mod 3); a DELETE with a
+    key_range pruning hint (the manifest skips parts whose [min,max] key
+    span can't intersect — the 100 TB path: mutate one partition's worth
+    of parts, not the table); then an UPDATE doubling purchase values
+    (rewrites only parts that contain purchases). The oracle replays both
+    statements relationally over the same deduped input, so a hash match
+    proves the rewrite-and-swap produced exactly SQL's DELETE+UPDATE
+    semantics. Insert data is pre-deduped (first-wins) because dedup mode
+    keeps an arbitrary row per (key, ts)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_mutation_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    for i in range(3):
+        table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
+                           row_count=1)
+        table.flush()
+    table.delete_where(
+        (F.col("event_type") == "click")
+        & F.col("key").between(MUT_KEY_LO, MUT_KEY_HI),
+        key_range=(MUT_KEY_LO, MUT_KEY_HI))
+    table.update_where(F.col("event_type") == "purchase",
+                       {"value": F.col("value") * 2})
+    return table.query_all().select(
+        "key", "ts_us", "event_id", "event_type", "value")
+
+
+@declared_query(
+    "q_schema_evolution",
+    oracle=f"""
+        SELECT key, ts_us, event_id, value, 'backfill' AS origin
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT key, ts_us, event_id, value, event_type AS origin
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        WHERE event_id % 2 = 1
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end (ClickHouse ``ALTER TABLE ADD COLUMN``
+    analog — extension): the ALTER is a metadata-only manifest commit —
+    ZERO parts are rewritten. Part 1 is written with the original schema;
+    ``add_column("origin", default='backfill')`` evolves the table; part 2
+    carries real values. The read fills the default lazily for the
+    pre-evolution part (grouped scan by part schema, one extra lit()
+    projection), and OPTIMIZE materializes it physically at the next
+    merge — the ClickHouse lazy-default contract, which at 100 TB is why
+    an ALTER is O(1) instead of an O(table) rewrite. Both the pre- and
+    post-merge reads hash-match the oracle's UNION reconstruction.
+    Reopen is covered by the engine tests (manifest replays the ALTER)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_evolve_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    table.insert_batch(
+        kv.filter(F.pmod("event_id", F.lit(2)) == 0)
+        .select("key", "ts_us", "event_id", "value"), row_count=1)
+    table.flush()
+    table.add_column("origin", "string", default="backfill")
+    table.insert_batch(
+        kv.filter(F.pmod("event_id", F.lit(2)) == 1)
+        .select("key", "ts_us", "event_id", "value",
+                F.col("event_type").alias("origin")), row_count=1)
+    table.flush()
+    cols = ["key", "ts_us", "event_id", "value", "origin"]
+
+    def _sig(df: DataFrame):  # order-insensitive content signature
+        return df.agg(F.count("*"), F.sum(
+            F.xxhash64(*cols).cast("decimal(38,0)"))).collect()[0]
+
+    # evaluate the lazy-default read NOW (optimize deletes its part dirs)
+    before = _sig(table.query_all())
+    # merge materializes the default physically; content must not change
+    table.config.max_parts = 1
+    table.optimize()
+    merged = table.query_all()
+    assert _sig(merged) == before
+    return merged.select(*cols)
+
+
 @declared_query(
     "q_matview_rollup",
     oracle=f"""

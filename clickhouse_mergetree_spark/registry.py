@@ -96,6 +96,8 @@ _CHECK_PRIORITY = (
     "q_sim_search_ivf_partitioned",
     "q_minmax_skip",
     "q_sql_grouping_sets",
+    "q_mutation",
+    "q_schema_evolution",
     # stable keeper (green since round 1) filling the 50-row window; the
     # remaining green-since-r03 queries follow in natural registration
     # order at positions >50 (declared and self-checked, not driver-checked)
