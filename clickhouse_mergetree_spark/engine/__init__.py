@@ -12,6 +12,7 @@ from clickhouse_mergetree_spark.engine.manifest import Manifest, PartMeta
 from clickhouse_mergetree_spark.engine.matview import MaterializedView
 from clickhouse_mergetree_spark.engine.merge_tree import (
     MergeTreeConfig,
+    ProjectionSpec,
     SparkMergeTree,
 )
 from clickhouse_mergetree_spark.engine.merger import (
@@ -24,6 +25,7 @@ __all__ = [
     "MaterializedView",
     "MergeTreeConfig",
     "PartMeta",
+    "ProjectionSpec",
     "SparkMergeTree",
     "calculate_merge_score",
     "select_merge_candidates",

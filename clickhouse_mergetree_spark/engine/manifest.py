@@ -105,6 +105,11 @@ class PartMeta:
     # (pre-evolution) columns. Reads fill columns added after this part
     # was written with their declared defaults.
     columns: list | None = None
+    # Projections (ClickHouse PROJECTION analog — extension): name → path
+    # of this part's pre-aggregated projection dirs (siblings of ``path``,
+    # dropped with the part). None/missing name ⇒ this part has no
+    # materialized projection (e.g. written before the projection existed).
+    proj_paths: dict | None = None
 
     def may_match_range(self, col: str, lo, hi) -> bool:
         """minmax skip check: False ⇒ no row of this part has col in

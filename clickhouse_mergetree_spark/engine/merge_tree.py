@@ -64,6 +64,26 @@ DEFAULT_SCHEMA = T.StructType([
 ])
 
 
+@dataclass(frozen=True)
+class ProjectionSpec:
+    """One table projection (ClickHouse ``PROJECTION ... (SELECT ...
+    GROUP BY ...)`` analog — extension): a pre-aggregated copy of every
+    part's rows, written WITH the part and dropped/rebuilt with it.
+
+    ``aggs`` maps output column → (fn, source_col) with fn in
+    {sum, count, min, max} — the re-aggregable functions, so per-part
+    partials combine exactly (sum/count by SUM, min/max by MIN/MAX).
+    ``count``'s source_col is ignored. Like ClickHouse, projections
+    aggregate the part's PHYSICAL rows: on tables relying on read-time
+    (key, ts) collapse they assume insert-unique data (ClickHouse
+    equally refuses projections under FINAL).
+    """
+
+    name: str
+    group_by: tuple[str, ...]
+    aggs: dict[str, tuple[str, str]] = field(default_factory=dict)
+
+
 @dataclass
 class MergeTreeConfig:
     """Reference MergeTreeConfig defaults (src/merge_tree.h:17-20)."""
@@ -117,6 +137,12 @@ class MergeTreeConfig:
     # do for the primary key, generalized. Costs two aggregates per column
     # on the part-write job (rides the same observe, no extra scan).
     minmax_cols: tuple[str, ...] = ()
+    # Projections (ClickHouse PROJECTION analog — extension): specs whose
+    # pre-aggregated partials are written alongside every part (riding the
+    # part's write/merge/mutate lifecycle) and combined at read time —
+    # query_grouped routes covered GROUP BY queries to the smallest
+    # covering projection instead of the raw rows.
+    projections: tuple[ProjectionSpec, ...] = ()
     # PARTITION BY column (ClickHouse MergeTree analog — extension; users
     # partition by a precomputed bucket column, e.g. a month or a category).
     # Every part holds rows of exactly one partition value: flushes split
@@ -324,6 +350,13 @@ class SparkMergeTree:
                 self.manifest.save()
         return part_id
 
+    def _delete_part_dirs(self, p: PartMeta) -> None:
+        """Physically remove a part's data dir AND its projection dirs —
+        the single deletion point every reclaim path goes through."""
+        shutil.rmtree(p.path, ignore_errors=True)
+        for ppath in (p.proj_paths or {}).values():
+            shutil.rmtree(ppath, ignore_errors=True)
+
     def _write_part(self, part_id: int, df: DataFrame, n_rows: int,
                     partition: str | None = None) -> PartMeta:
         """Sorted columnar part write (R12+R18). repartitionByRange makes
@@ -397,7 +430,50 @@ class SparkMergeTree:
                 c: [stats[f"mm_min_{c}"], stats[f"mm_max_{c}"]]
                 for c in self.config.minmax_cols
             }
+        if self.config.projections:
+            # Projections ride the part lifecycle (ClickHouse contract):
+            # every new part — flush, merge, mutation rewrite, TTL rewrite —
+            # gets its projections recomputed here from the SAME df, so they
+            # can never drift from the data. The input to a merge's
+            # projection job is being read for the merge anyway; the extra
+            # cost is one map-side-heavy aggregate per projection.
+            meta.proj_paths = {}
+            part_df = self.spark.read.schema(
+                T.StructType([f for f in self.schema.fields
+                              if f.name in set(df.columns)])).parquet(path)
+            for spec in self.config.projections:
+                ppath = os.path.join(self.base_path,
+                                     f"part_{part_id}_proj_{spec.name}")
+                (self._apply_projection(part_df, spec)
+                 .coalesce(1).write.mode("overwrite").parquet(ppath))
+                meta.proj_paths[spec.name] = ppath
         return meta
+
+    @staticmethod
+    def _apply_projection(df: DataFrame, spec: ProjectionSpec) -> DataFrame:
+        """Aggregate rows into one projection partial (write path)."""
+        aggs = []
+        for out, (fn, src) in spec.aggs.items():
+            if fn == "count":
+                aggs.append(F.count(F.lit(1)).alias(out))
+            elif fn in ("sum", "min", "max"):
+                aggs.append(getattr(F, fn)(src).alias(out))
+            else:
+                raise ValueError(f"unsupported projection agg {fn!r}")
+        return df.groupBy(*spec.group_by).agg(*aggs)
+
+    def _merge_projection_partials(self, df: DataFrame,
+                                   spec: ProjectionSpec,
+                                   group_by: tuple[str, ...]) -> DataFrame:
+        """Re-aggregate projection partials onto ``group_by`` ⊆ the spec's
+        grouping: sums/counts combine by SUM, min/max by MIN/MAX — exact
+        because every agg the spec admits is re-aggregable."""
+        aggs = [
+            (F.sum(out) if fn in ("sum", "count") else getattr(F, fn)(out))
+            .cast(dict(df.dtypes)[out]).alias(out)
+            for out, (fn, _src) in spec.aggs.items()
+        ]
+        return df.groupBy(*group_by).agg(*aggs)
 
     def _bloom_pos_cols(self) -> list:
         """The k bloom bit-position expressions at the BLOOM_CAP_BITS
@@ -478,6 +554,89 @@ class SparkMergeTree:
             return [p for p in self.manifest.parts
                     if p.may_match_range(col, lo, hi)]
 
+    # ------------------------------------------------------------ projections
+
+    def _spec(self, name: str) -> ProjectionSpec:
+        for s in self.config.projections:
+            if s.name == name:
+                return s
+        raise KeyError(f"no projection named {name!r}")
+
+    def query_projection(self, name: str,
+                         group_by: tuple[str, ...] | None = None) -> DataFrame:
+        """Read a projection at ``group_by`` (default: the spec's full
+        grouping) WITHOUT touching raw rows: per-part pre-aggregated
+        partials are unioned and re-aggregated — at 100 TB the scan is
+        |groups|·|parts| rows instead of the table. Parts lacking the
+        materialized projection (written before the spec existed on a
+        reopened table) and buffered rows fall back to aggregating their
+        raw rows on the fly — correctness never depends on materialization
+        state, exactly ClickHouse's projection-or-raw planner contract."""
+        spec = self._spec(name)
+        gb = tuple(group_by) if group_by is not None else spec.group_by
+        unknown = set(gb) - set(spec.group_by)
+        if unknown:
+            raise ValueError(f"group_by {sorted(unknown)} not covered by "
+                             f"projection {name!r} ({spec.group_by})")
+        with self._lock:
+            have = [p.proj_paths[name] for p in self.manifest.parts
+                    if p.proj_paths and name in p.proj_paths]
+            lack = [p for p in self.manifest.parts
+                    if not (p.proj_paths and name in p.proj_paths)]
+            buf = self._buffer_df()
+        partials = []
+        if have:
+            partials.append(self.spark.read.parquet(*have))
+        raw = [d for d in (self._read_parts(lack), buf) if d is not None]
+        if raw:
+            fresh = raw[0]
+            for d in raw[1:]:
+                fresh = fresh.unionByName(d)
+            partials.append(self._apply_projection(fresh, spec))
+        if not partials:
+            schema = T.StructType(
+                [f for f in self.schema.fields if f.name in spec.group_by])
+            return self.spark.createDataFrame([], schema)
+        out = partials[0]
+        for d in partials[1:]:
+            out = out.unionByName(d)
+        return self._merge_projection_partials(out, spec, gb)
+
+    def query_grouped(self, group_by: tuple[str, ...],
+                      aggs: dict[str, tuple[str, str]]) -> DataFrame:
+        """GROUP BY with projection routing (the ClickHouse
+        ``optimize_use_projections`` planner analog): serve from the
+        smallest covering projection — one whose grouping is a superset of
+        the request and whose aggs include every requested column with the
+        same definition — else aggregate the raw table read. Returns the
+        same columns either way, so callers never know which path ran
+        (the declared query's oracle proves the routed result exact)."""
+        req = set(group_by)
+        best = None
+        for s in self.config.projections:
+            if req <= set(s.group_by) and all(
+                    out in s.aggs and s.aggs[out] == d
+                    for out, d in aggs.items()):
+                if best is None or len(s.group_by) < len(best.group_by):
+                    best = s
+        if best is not None:
+            return (self.query_projection(best.name, group_by)
+                    .select(*group_by, *aggs))
+        spec = ProjectionSpec("adhoc", tuple(group_by), dict(aggs))
+        return self._apply_projection(self.query_all(), spec)
+
+    def routed_projection(self, group_by: tuple[str, ...],
+                          aggs: dict[str, tuple[str, str]]) -> str | None:
+        """Which projection query_grouped would use (introspection/tests)."""
+        req = set(group_by)
+        covering = [s for s in self.config.projections
+                    if req <= set(s.group_by) and all(
+                        out in s.aggs and s.aggs[out] == d
+                        for out, d in aggs.items())]
+        if not covering:
+            return None
+        return min(covering, key=lambda s: len(s.group_by)).name
+
     # ---------------------------------------------------------- partitions
 
     def partitions(self) -> list[str | None]:
@@ -543,7 +702,7 @@ class SparkMergeTree:
                     self.manifest.save()
             if victims and not retain:
                 for p in victims:
-                    shutil.rmtree(p.path, ignore_errors=True)
+                    self._delete_part_dirs(p)
             return removed
 
     def _read_parts(self, parts: list[PartMeta]) -> DataFrame | None:
@@ -704,7 +863,7 @@ class SparkMergeTree:
             if victims:
                 self.manifest.save()
         for p in victims:
-            shutil.rmtree(p.path, ignore_errors=True)
+            self._delete_part_dirs(p)
         return len(victims)
 
     # ------------------------------------------------------------ compaction
@@ -766,7 +925,7 @@ class SparkMergeTree:
             else:
                 # commit point passed — old parts unreachable, reclaim disk
                 for p in selected:
-                    shutil.rmtree(p.path, ignore_errors=True)
+                    self._delete_part_dirs(p)
             return True
 
     def optimize(self) -> None:
@@ -834,7 +993,7 @@ class SparkMergeTree:
                     self.manifest.save()
                 if not retain:
                     for p in drop:
-                        shutil.rmtree(p.path, ignore_errors=True)
+                        self._delete_part_dirs(p)
 
             # straddling parts: one filtered rewrite each
             for p in rewrite:
@@ -849,7 +1008,7 @@ class SparkMergeTree:
                     self.manifest.swap([p.part_id], meta, retain=retain)
                     self.manifest.save()
                 if not retain:
-                    shutil.rmtree(p.path, ignore_errors=True)
+                    self._delete_part_dirs(p)
             if retain:
                 self.vacuum()
 
@@ -968,7 +1127,7 @@ class SparkMergeTree:
                         self.manifest.swap([p.part_id], meta, retain=retain)
                         self.manifest.save()
                 if not retain:
-                    shutil.rmtree(p.path, ignore_errors=True)
+                    self._delete_part_dirs(p)
             if retain:
                 self.vacuum()
             return {"parts_scanned": len(cands),

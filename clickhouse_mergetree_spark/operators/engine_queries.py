@@ -717,6 +717,71 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_projection_agg",
+    oracle=f"""
+        SELECT key, event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+               count(*) AS n_rows
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        GROUP BY key, event_type
+    """,
+)
+def q_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projections end-to-end (ClickHouse ``ALTER TABLE ... ADD
+    PROJECTION`` analog — extension): a pre-aggregated (key, event_type)
+    rollup written WITH every part and combined at read time, so the
+    grouped query scans |groups|·|parts| pre-aggregated rows instead of
+    the raw table — the 100 TB dashboard path, same contract as a
+    SummingMergeTree MV but living inside the part lifecycle (merges,
+    mutations and TTL rebuild it automatically; nothing can drift).
+
+    Three inserted parts each carry projection partials; ``query_grouped``
+    ROUTES the request to the projection (asserted — and inputFiles()
+    proves the plan reads only projection dirs, never raw part files), and
+    the oracle aggregates the raw rows relationally, so the hash match
+    proves partial-combining is exact. Sums are DECIMAL so combine order
+    can't perturb values. Insert data is pre-deduped — projections
+    aggregate physical rows (ClickHouse's own FINAL restriction)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MergeTreeConfig, ProjectionSpec, SparkMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DecimalType(18, 6), True),
+    ])
+    spec = ProjectionSpec("by_key_type", ("key", "event_type"),
+                          {"value_sum": ("sum", "value"),
+                           "n_rows": ("count", "value")})
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          projections=(spec,),
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_projection_"),
+                           schema=schema, config=cfg)
+    kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+          .select("key", "ts_us", "event_id", "event_type",
+                  F.col("value").cast("decimal(18,6)").alias("value")))
+    for i in range(3):
+        table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
+                           row_count=1)
+        table.flush()
+    req = {"value_sum": ("sum", "value"), "n_rows": ("count", "value")}
+    assert table.routed_projection(("key", "event_type"), req) == "by_key_type"
+    out = table.query_grouped(("key", "event_type"), req)
+    files = out.inputFiles()
+    assert files and all("_proj_by_key_type" in f for f in files), files[:3]
+    return out.select("key", "event_type",
+                      F.col("value_sum").cast("double").alias("value_sum"),
+                      "n_rows")
+
+
+@declared_query(
     "q_matview_rollup",
     oracle=f"""
         SELECT key, ts_us - ts_us % 86400000000 AS day_us,

@@ -98,6 +98,7 @@ _CHECK_PRIORITY = (
     "q_sql_grouping_sets",
     "q_mutation",
     "q_schema_evolution",
+    "q_projection_agg",
     # stable keeper (green since round 1) filling the 50-row window; the
     # remaining green-since-r03 queries follow in natural registration
     # order at positions >50 (declared and self-checked, not driver-checked)

@@ -1,0 +1,164 @@
+"""Projection suite (ClickHouse PROJECTION analog — extension).
+
+Partial-combining exactness, projection-only scans (inputFiles), routing
+(smallest covering projection / fallback to raw), lifecycle consistency
+across merge + mutation + TTL, buffered-row inclusion, and the
+non-materialized-part raw fallback.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_mergetree_spark.engine import (
+    MergeTreeConfig,
+    ProjectionSpec,
+    SparkMergeTree,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("key", T.LongType(), False),
+    T.StructField("ts_us", T.LongType(), False),
+    T.StructField("cat", T.StringType(), True),
+    T.StructField("value", T.DecimalType(18, 6), True),
+])
+
+SPEC = ProjectionSpec("by_key_cat", ("key", "cat"),
+                      {"value_sum": ("sum", "value"),
+                       "n": ("count", "value"),
+                       "v_min": ("min", "value"),
+                       "v_max": ("max", "value")})
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          projections=(SPEC,),
+                          key_col="key", ts_col="ts_us")
+    t = SparkMergeTree(spark, str(tmp_path / "t"), schema=SCHEMA, config=cfg)
+    rows = [(k % 7, 1000 + k, "ab"[k % 2], Decimal(k)) for k in range(300)]
+    for i in range(3):
+        t.insert_rows(rows[i * 100:(i + 1) * 100])
+        t.flush()
+    yield t
+    t.close()
+
+
+def _raw_rollup(t, *gb):
+    return {
+        tuple(r[c] for c in gb): (r["s"], r["n"], r["mn"], r["mx"])
+        for r in t.query_all().groupBy(*gb).agg(
+            F.sum("value").cast("decimal(18,6)").alias("s"),
+            F.count("*").alias("n"),
+            F.min("value").alias("mn"), F.max("value").alias("mx")).collect()
+    }
+
+
+def _proj_rollup(df, *gb):
+    return {
+        tuple(r[c] for c in gb):
+        (r["value_sum"], r["n"], r["v_min"], r["v_max"])
+        for r in df.collect()
+    }
+
+
+def test_partials_combine_exactly(table):
+    assert _proj_rollup(table.query_projection("by_key_cat"),
+                        "key", "cat") == _raw_rollup(table, "key", "cat")
+
+
+def test_projection_read_never_opens_raw_parts(table):
+    files = table.query_projection("by_key_cat").inputFiles()
+    assert files and all("_proj_by_key_cat" in f for f in files)
+
+
+def test_subset_group_by_reaggregates(table):
+    got = {r["key"]: r["value_sum"] for r in
+           table.query_projection("by_key_cat", ("key",)).collect()}
+    want = {}
+    for (k, _c), (s, _n, _mn, _mx) in _raw_rollup(table, "key", "cat").items():
+        want[k] = want.get(k, Decimal(0)) + s
+    assert got == want
+
+
+def test_uncovered_group_by_rejected(table):
+    with pytest.raises(ValueError, match="not covered"):
+        table.query_projection("by_key_cat", ("ts_us",))
+    with pytest.raises(KeyError):
+        table.query_projection("nope")
+
+
+def test_routing_picks_covering_projection(table):
+    req = {"value_sum": ("sum", "value")}
+    assert table.routed_projection(("key", "cat"), req) == "by_key_cat"
+    assert table.routed_projection(("key",), req) == "by_key_cat"
+    # uncovered grouping or differently-defined agg → raw fallback
+    assert table.routed_projection(("ts_us",), req) is None
+    assert table.routed_projection(("key",), {"value_sum": ("max", "value")}) \
+        is None
+
+
+def test_query_grouped_matches_raw_on_both_paths(table):
+    req = {"value_sum": ("sum", "value"), "n": ("count", "value")}
+    routed = {r["key"]: (r["value_sum"], r["n"])
+              for r in table.query_grouped(("key",), req).collect()}
+    # raw fallback path: group by a column not covered by the projection
+    fb = table.query_grouped(("cat",), {"v2": ("sum", "value")})
+    want_fb = {r["cat"]: r["s"] for r in table.query_all().groupBy("cat")
+               .agg(F.sum("value").cast("decimal(18,6)").alias("s")).collect()}
+    got_fb = {r["cat"]: r["v2"] for r in fb.collect()}
+    assert got_fb == want_fb
+    want_routed = {}
+    for (k, _c), (s, n, _mn, _mx) in _raw_rollup(table, "key", "cat").items():
+        ps, pn = want_routed.get(k, (Decimal(0), 0))
+        want_routed[k] = (ps + s, pn + n)
+    assert routed == want_routed
+
+
+def test_merge_rebuilds_projection(table):
+    before = _proj_rollup(table.query_projection("by_key_cat"), "key", "cat")
+    table.config.max_parts = 1
+    table.optimize()
+    assert table.part_count() == 1
+    assert _proj_rollup(table.query_projection("by_key_cat"),
+                        "key", "cat") == before
+    # still projection-only
+    files = table.query_projection("by_key_cat").inputFiles()
+    assert all("_proj_by_key_cat" in f for f in files)
+
+
+def test_mutation_rewrites_projection(table):
+    table.delete_where(F.col("cat") == "a")
+    assert {r["cat"] for r in
+            table.query_projection("by_key_cat").collect()} == {"b"}
+    assert _proj_rollup(table.query_projection("by_key_cat"),
+                        "key", "cat") == _raw_rollup(table, "key", "cat")
+
+
+def test_buffered_rows_included_on_the_fly(table):
+    table.insert_rows([(50, 9999, "z", Decimal(5))])
+    got = _proj_rollup(table.query_projection("by_key_cat"), "key", "cat")
+    assert got[(50, "z")] == (Decimal(5), 1, Decimal(5), Decimal(5))
+
+
+def test_part_without_materialized_projection_falls_back_to_raw(table, spark):
+    # simulate a part written before the projection existed
+    victim = table.manifest.parts[0]
+    import shutil
+    shutil.rmtree(victim.proj_paths["by_key_cat"])
+    victim.proj_paths = None
+    assert _proj_rollup(table.query_projection("by_key_cat"),
+                        "key", "cat") == _raw_rollup(table, "key", "cat")
+
+
+def test_delete_part_dirs_removes_projections(table, tmp_path):
+    import os
+    proj_dirs = [p.proj_paths["by_key_cat"] for p in table.manifest.parts]
+    assert all(os.path.isdir(d) for d in proj_dirs)
+    table.config.max_parts = 1
+    table.optimize()
+    assert not any(os.path.isdir(d) for d in proj_dirs)
