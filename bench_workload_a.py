@@ -10,7 +10,7 @@ driver-side row loop, so the timing measures the engine, not createDataFrame.
 from __future__ import annotations
 
 import shutil
-import tempfile
+from clickhouse_mergetree_spark.scratch import scratch_dir
 import time
 
 from pyspark.sql import SparkSession
@@ -24,8 +24,15 @@ BATCH_ROWS = 5_000  # == flush threshold → one part per batch, 10 parts
 def run_workload_a(spark: SparkSession) -> dict[str, float]:
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
 
-    base = tempfile.mkdtemp(prefix="workload_a_")
-    cfg = MergeTreeConfig(memtable_flush_threshold=BATCH_ROWS, max_parts=4)
+    base = scratch_dir("workload_a_")
+    # Bloom off: this workload is the like-for-like comparison against the
+    # reference's test_performance, which builds no skipping index on its
+    # write path (src/part.cpp:39-65). The bloom's write-side cost (~2× on
+    # 5k-row demo parts, amortized at real part sizes) is measured by the
+    # engine feature queries that actually exercise it (q_point_lookup
+    # pruning via q_mergetree_engine/source).
+    cfg = MergeTreeConfig(memtable_flush_threshold=BATCH_ROWS, max_parts=4,
+                          enable_bloom_index=False)
     out: dict[str, float] = {}
     try:
         t = SparkMergeTree(spark, base, config=cfg)

@@ -31,14 +31,21 @@ from dataclasses import asdict, dataclass, field
 #
 # The bitmap is BUILT by a distributed aggregate over the part's key column
 # but CHECKED on the driver at lookup time, so the hash must be computable
-# bit-identically in both places: h_i(key) = int(sha256("{i}:{str(key)}")
-# hex[:15], 16), i.e. 60 bits of SHA-256 over the canonical string cast —
-# Spark expresses the same value as conv(substring(sha2(...),1,15),16,10).
+# bit-identically in both places: h_i(key) = int(md5("{i}:{str(key)}")
+# hex[:15], 16), i.e. 60 bits of MD5 over the canonical string cast —
+# Spark expresses the same value as conv(substring(md5(...),1,15),16,10).
+# MD5 (not SHA-256) because this is indexing, not crypto: it's the cheapest
+# hash available identically in Spark and hashlib, and the write-side cost
+# is k hashes per row riding the part-write job's observe.
 # All bitmap sizes are powers of two, so positions collected at BLOOM_CAP_BITS
 # fold to any smaller size with a mask ((h mod 2^a) mod 2^b == h mod 2^b).
 
-BLOOM_K = 5              # hash functions per key
-BLOOM_BITS_PER_KEY = 16  # target fill → ~1% false-positive rate at k=5
+BLOOM_K = 3              # hash functions per key
+BLOOM_BITS_PER_KEY = 16  # target fill → ~0.5% false-positive rate at k=3
+# Hash-scheme tag stored per part. A bitmap built under a different scheme
+# (e.g. the earlier sha256 one) must yield "no claim", never a false
+# negative — check-side hashes would land on the wrong bits.
+BLOOM_ALGO = "md5x3"
 BLOOM_MIN_BITS = 1 << 10
 BLOOM_CAP_BITS = 1 << 16  # 64 Kib bitmap = 16 KiB hex in the manifest, max
 
@@ -47,7 +54,7 @@ def bloom_positions(key, n_bits: int, k: int = BLOOM_K) -> list[int]:
     """The k bit positions of ``key`` in an ``n_bits`` bitmap (driver side)."""
     s = str(key)
     return [
-        int(hashlib.sha256(f"{i}:{s}".encode()).hexdigest()[:15], 16)
+        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16)
         % n_bits
         for i in range(k)
     ]
@@ -90,6 +97,7 @@ class PartMeta:
     bloom_hex: str | None = None   # hex bitmap over the key column
     bloom_bits: int = 0            # bitmap size (power of two)
     bloom_k: int = BLOOM_K
+    bloom_algo: str = ""           # hash scheme tag; "" = legacy/no claim
     # PARTITION BY (ClickHouse MergeTree analog — extension): the canonical
     # string of the partition value every row of this part shares, or None
     # for unpartitioned tables. Drives partition pruning, partition-scoped
@@ -127,8 +135,10 @@ class PartMeta:
 
     def may_contain_key(self, key) -> bool:
         """Bloom check: False ⇒ the key is definitely not in this part.
-        Parts without a bloom (recovered, pre-feature) always say True."""
-        if not self.bloom_hex or not self.bloom_bits:
+        Parts without a bloom (recovered, pre-feature) — or one built
+        under a different hash scheme — always say True."""
+        if not self.bloom_hex or not self.bloom_bits \
+                or self.bloom_algo != BLOOM_ALGO:
             return True
         bits = bytes.fromhex(self.bloom_hex)
         for p in bloom_positions(key, self.bloom_bits, self.bloom_k):

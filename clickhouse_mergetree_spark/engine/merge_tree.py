@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from clickhouse_mergetree_spark.engine.manifest import (
+    BLOOM_ALGO,
     BLOOM_CAP_BITS,
     BLOOM_K,
     Manifest,
@@ -424,6 +425,7 @@ class SparkMergeTree:
             ]
             meta.bloom_bits = bloom_size_for(int(stats["bloom_nd"]))
             meta.bloom_k = BLOOM_K
+            meta.bloom_algo = BLOOM_ALGO
             meta.bloom_hex = bloom_to_hex(positions, meta.bloom_bits)
         if self.config.minmax_cols:
             meta.col_stats = {
@@ -477,15 +479,15 @@ class SparkMergeTree:
 
     def _bloom_pos_cols(self) -> list:
         """The k bloom bit-position expressions at the BLOOM_CAP_BITS
-        modulus — sha2 over "{i}:{str(key)}", the exact hash the
+        modulus — md5 over "{i}:{str(key)}", the exact hash the
         driver-side check recomputes (manifest.bloom_positions); positions
         fold to the final distinct-count-sized bitmap with a mask because
         every size is a power of two."""
         key_str = F.col(self._key).cast("string")
         return [
             F.pmod(
-                F.conv(F.substring(F.sha2(
-                    F.concat_ws(":", F.lit(str(i)), key_str), 256),
+                F.conv(F.substring(F.md5(
+                    F.concat_ws(":", F.lit(str(i)), key_str)),
                     1, 15), 16, 10).cast("long"),
                 F.lit(BLOOM_CAP_BITS))
             for i in range(BLOOM_K)
@@ -505,6 +507,7 @@ class SparkMergeTree:
         )
         meta.bloom_bits = bloom_size_for(row["nd"])
         meta.bloom_k = BLOOM_K
+        meta.bloom_algo = BLOOM_ALGO
         meta.bloom_hex = bloom_to_hex([int(p) for p in row["ps"]],
                                       meta.bloom_bits)
 

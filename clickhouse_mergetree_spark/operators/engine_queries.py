@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.scratch import scratch_dir
 from clickhouse_mergetree_spark.tables import load
 
 # Inclusive key range used by q_range_scan — covers ~25% of the keyspace at
@@ -198,8 +199,6 @@ def q_mergetree_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, ts) tie is merge-order-dependent in the reference and here alike,
     so only the pair set is deterministic.
     """
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -213,7 +212,7 @@ def q_mergetree_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12,
                           max_parts=2, key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_mergetree_"),
+    table = SparkMergeTree(spark, scratch_dir("q_mergetree_"),
                            schema=schema, config=cfg)
     kv = _kv(spark, sf_dir)
     # one grouped count instead of a count() job per insert_batch
@@ -252,8 +251,6 @@ def q_mergetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly what the reference's query path does over its parts
     (src/merge_tree.cpp:37-63).
     """
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -268,7 +265,7 @@ def q_mergetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12,
                           max_parts=2, key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_mt_source_"),
+    table = SparkMergeTree(spark, scratch_dir("q_mt_source_"),
                            schema=schema, config=cfg)
     kv = _kv(spark, sf_dir)
     # one grouped count instead of a count() job per insert_batch
@@ -316,8 +313,6 @@ def q_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts, TTL is a metadata operation, not a scan. The oracle recomputes
     the same cutoff ((min+max)//2, integer-exact in both engines) and
     filters the raw table."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -331,7 +326,7 @@ def q_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12,
                           max_parts=10, key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_ttl_"),
+    table = SparkMergeTree(spark, scratch_dir("q_ttl_"),
                            schema=schema, config=cfg)
     kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
     mn, mx = kv.agg(F.min("ts_us"), F.max("ts_us")).first()
@@ -371,8 +366,6 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     below via parts_in_partition — partition pruning happens on the
     manifest before any file is listed). Merges are partition-scoped too:
     parts of different partitions are never merge candidates."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -387,7 +380,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
                           partition_col="event_type",
                           key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_partition_"),
+    table = SparkMergeTree(spark, scratch_dir("q_partition_"),
                            schema=schema, config=cfg)
     kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
     table.insert_batch(kv, row_count=1)  # count known post-split; 1 = "non-empty"
@@ -426,8 +419,6 @@ def q_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup replaces re-scanning raw data). n_rows counts source rows via
     an auxiliary summed column: a constant-1 measure, the SummingMergeTree
     idiom for keeping COUNT through collapses."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -440,7 +431,7 @@ def q_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=2,
                           mode="summing", key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_summing_"),
+    table = SparkMergeTree(spark, scratch_dir("q_summing_"),
                            schema=schema, config=cfg)
     kv = (
         _kv(spark, sf_dir)
@@ -493,8 +484,6 @@ def q_minmax_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price tiers, status codes, severity levels) avoid full scans in a
     table sorted by something else. The index stats ride the part-write
     job's observe — building them costs no extra scan."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -508,7 +497,7 @@ def q_minmax_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
                           minmax_cols=("value",),
                           key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_minmax_"),
+    table = SparkMergeTree(spark, scratch_dir("q_minmax_"),
                            schema=schema, config=cfg)
     kv = (_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
           .select("key", "ts_us", "event_id", "value"))
@@ -557,8 +546,6 @@ def q_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewriting data: cancellation rows accumulate at ingest cost and
     disappear during normal background merges (net-sign algebra keeps
     any merge order correct)."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -571,7 +558,7 @@ def q_collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=1,
                           mode="collapsing", key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_collapsing_"),
+    table = SparkMergeTree(spark, scratch_dir("q_collapsing_"),
                            schema=schema, config=cfg)
     base = (
         _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
@@ -617,8 +604,6 @@ def q_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the rewrite-and-swap produced exactly SQL's DELETE+UPDATE
     semantics. Insert data is pre-deduped (first-wins) because dedup mode
     keeps an arbitrary row per (key, ts)."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -632,7 +617,7 @@ def q_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
                           key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_mutation_"),
+    table = SparkMergeTree(spark, scratch_dir("q_mutation_"),
                            schema=schema, config=cfg)
     kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
     for i in range(3):
@@ -673,8 +658,6 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ALTER is O(1) instead of an O(table) rewrite. Both the pre- and
     post-merge reads hash-match the oracle's UNION reconstruction.
     Reopen is covered by the engine tests (manifest replays the ALTER)."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -687,7 +670,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
                           key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_evolve_"),
+    table = SparkMergeTree(spark, scratch_dir("q_evolve_"),
                            schema=schema, config=cfg)
     kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
     table.insert_batch(
@@ -742,8 +725,6 @@ def q_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves partial-combining is exact. Sums are DECIMAL so combine order
     can't perturb values. Insert data is pre-deduped — projections
     aggregate physical rows (ClickHouse's own FINAL restriction)."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import (
@@ -762,7 +743,7 @@ def q_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
                           projections=(spec,),
                           key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_projection_"),
+    table = SparkMergeTree(spark, scratch_dir("q_projection_"),
                            schema=schema, config=cfg)
     kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
           .select("key", "ts_us", "event_id", "event_type",
@@ -805,8 +786,6 @@ def q_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the same rollup from the raw rows in one shot, so a
     hash match proves incremental == batch (the MV correctness
     contract). Measures are DECIMAL so partial-sum order is irrelevant."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import (
@@ -838,12 +817,12 @@ def q_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = SparkMergeTree(
-        spark, tempfile.mkdtemp(prefix="q_mv_src_"), schema=src_schema,
+        spark, scratch_dir("q_mv_src_"), schema=src_schema,
         config=MergeTreeConfig(memtable_flush_threshold=10**12,
                                key_col="key", ts_col="ts_us"))
     mv = MaterializedView(
         SparkMergeTree(
-            spark, tempfile.mkdtemp(prefix="q_mv_tgt_"), schema=mv_schema,
+            spark, scratch_dir("q_mv_tgt_"), schema=mv_schema,
             config=MergeTreeConfig(memtable_flush_threshold=10**12,
                                    max_parts=2, mode="summing",
                                    key_col="key", ts_col="day_us")),
@@ -888,8 +867,6 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     no data is ever copied for a snapshot, which is what makes snapshots
     free at 100 TB. The oracle reconstructs v1's content (the even
     event_id half) from the raw table."""
-    import tempfile
-
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -903,7 +880,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=1,
                           snapshot_retention=8, key_col="key", ts_col="ts_us")
-    table = SparkMergeTree(spark, tempfile.mkdtemp(prefix="q_timetravel_"),
+    table = SparkMergeTree(spark, scratch_dir("q_timetravel_"),
                            schema=schema, config=cfg)
     kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
     counts = {

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_mergetree_spark.registry import declared_query
 from clickhouse_mergetree_spark.tables import load
+from clickhouse_mergetree_spark.scratch import scratch_dir
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -487,8 +488,6 @@ def q_sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_recall.py asserts result == q_sim_search_ivf
     row-for-row; rows-only at the driver (approximate by construction,
     like every ANN variant)."""
-    import tempfile
-
     raw = load(spark, sf_dir, "embeddings")
     trained = train_ivf_centroids_sampled(raw)
     emb = raw.withColumn("nrm", _norm("embedding"))
@@ -496,7 +495,7 @@ def q_sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "nrm",
         F.array_min(_ivf_cells_expr(trained))["cent_id"].alias("cent_id"),
     )
-    index_path = tempfile.mkdtemp(prefix="ivf_index_")
+    index_path = scratch_dir("ivf_index_")
     assign.write.mode("overwrite").partitionBy("cent_id").parquet(index_path)
 
     qv, qnrm, probe_ids = _ivf_query_probes(raw, trained, QUERY_VEC_ID)

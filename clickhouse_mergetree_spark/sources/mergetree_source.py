@@ -93,7 +93,8 @@ def _load_parts(base_path: str) -> list[dict]:
                  "min_key": p.get("min_key"), "max_key": p.get("max_key"),
                  "bloom_hex": p.get("bloom_hex"),
                  "bloom_bits": p.get("bloom_bits", 0),
-                 "bloom_k": p.get("bloom_k", 0)}
+                 "bloom_k": p.get("bloom_k", 0),
+                 "bloom_algo": p.get("bloom_algo", "")}
                 for p in doc["parts"]
             ]
         except (json.JSONDecodeError, KeyError, TypeError):
@@ -116,17 +117,19 @@ def _load_parts(base_path: str) -> list[dict]:
 
 def _bloom_may_contain(part: dict, key) -> bool:
     """Per-part key-bloom check (format contract with engine/manifest.py:
-    positions are sha256("{i}:{str(key)}") hex[:15] as int, mod bloom_bits).
-    Parts without a bloom always say True — skipping is pure optimization."""
+    positions are md5("{i}:{str(key)}") hex[:15] as int, mod bloom_bits,
+    scheme-tagged "md5x3"). Parts without a bloom — or one built under a
+    different hash scheme — always say True: skipping is pure optimization
+    and a scheme mismatch must never produce a false negative."""
     hx, m, k = part.get("bloom_hex"), part.get("bloom_bits"), part.get("bloom_k")
-    if not hx or not m or not k:
+    if not hx or not m or not k or part.get("bloom_algo") != "md5x3":
         return True
     import hashlib
 
     bits = bytes.fromhex(hx)
     s = str(key)
     for i in range(k):
-        p = int(hashlib.sha256(f"{i}:{s}".encode()).hexdigest()[:15], 16) % m
+        p = int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16) % m
         if not bits[p >> 3] & (1 << (p & 7)):
             return False
     return True

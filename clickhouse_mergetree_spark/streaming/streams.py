@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.scratch import scratch_dir
 
 # File-source schema (readStream requires one up front): ts is declared per
 # the file's actual physical type — long ns on nanos-era data (nanosAsLong),
@@ -109,7 +110,7 @@ def run_to_memory(df: DataFrame, mode: str) -> DataFrame:
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", scratch_dir("ckpt_"))
             .trigger(availableNow=True)
             .start()
         )

@@ -124,15 +124,15 @@ def test_merged_part_gets_bloom_and_lookups_stay_correct(table):
 
 
 def test_spark_hash_matches_driver_hash(spark):
-    """The build-side (Spark sha2/conv) and check-side (python hashlib)
+    """The build-side (Spark md5/conv) and check-side (python hashlib)
     position computations must agree exactly."""
     keys = ["k0001", "7", "hello world", "", "k9999"]
     df = spark.createDataFrame([(k,) for k in keys], "key string")
     pos_cols = [
         F.pmod(
-            F.conv(F.substring(F.sha2(
-                F.concat_ws(":", F.lit(str(i)), F.col("key").cast("string")),
-                256), 1, 15), 16, 10).cast("long"),
+            F.conv(F.substring(F.md5(
+                F.concat_ws(":", F.lit(str(i)), F.col("key").cast("string"))),
+                1, 15), 16, 10).cast("long"),
             F.lit(BLOOM_CAP_BITS)).alias(f"p{i}")
         for i in range(BLOOM_K)
     ]
