@@ -54,6 +54,18 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite").save()
 
+    # Also pre-spawn the Python/Arrow worker pool: the first pandas_udf /
+    # mapInPandas stage forks one pyspark worker per core and imports
+    # pandas+pyarrow in each — a fork+import storm measured at up to ~20s
+    # under co-tenant CPU contention, which would otherwise be billed to
+    # whichever UDF query happens to run first. One row per partition so
+    # every core's worker starts now (workers are reused afterwards).
+    import pandas as _pd  # noqa: F401 — imported here so the driver fails fast
+
+    wdf = spark.range(spark.sparkContext.defaultParallelism)
+    wdf.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, "id long").write.format("noop").mode("overwrite").save()
+
     for name, q in sorted(all_queries().items()):
         try:
             sec = run_query(q.fn, spark, sf_dir)
