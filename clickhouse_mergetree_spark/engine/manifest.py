@@ -118,6 +118,12 @@ class PartMeta:
     # dropped with the part). None/missing name ⇒ this part has no
     # materialized projection (e.g. written before the projection existed).
     proj_paths: dict | None = None
+    # Token bloom filters (ClickHouse ``tokenbf_v1`` skipping-index
+    # analog — extension): col → {"hex", "bits", "k", "algo"} over the
+    # DISTINCT lowercased word tokens of that string column in this part.
+    # Token-containment queries prune parts whose bitmap provably lacks
+    # the token. None/missing col ⇒ no claim (never skip).
+    token_blooms: dict | None = None
 
     def may_match_range(self, col: str, lo, hi) -> bool:
         """minmax skip check: False ⇒ no row of this part has col in
@@ -128,6 +134,19 @@ class PartMeta:
         if mn is None or mx is None:  # all-null column in this part
             return False
         return not (mx < lo or mn > hi)
+
+    def may_contain_token(self, col: str, token: str) -> bool:
+        """Token-bloom check: False ⇒ no row of this part's ``col``
+        contains the word token. Same md5 position chain as the key bloom,
+        over the canonical (lowercased) token."""
+        tb = (self.token_blooms or {}).get(col)
+        if not tb or not tb.get("hex") or tb.get("algo") != BLOOM_ALGO:
+            return True
+        bits = bytes.fromhex(tb["hex"])
+        for p in bloom_positions(token.lower(), tb["bits"], tb["k"]):
+            if not bits[p >> 3] & (1 << (p & 7)):
+                return False
+        return True
 
     def overlaps_range(self, start_key, end_key) -> bool:
         """Part-level min/max pruning predicate (reference src/part.cpp:201-203)."""

@@ -144,6 +144,13 @@ class MergeTreeConfig:
     # query_grouped routes covered GROUP BY queries to the smallest
     # covering projection instead of the raw rows.
     projections: tuple[ProjectionSpec, ...] = ()
+    # Token bloom skipping indexes (ClickHouse ``tokenbf_v1`` analog —
+    # extension): per-part bloom over the DISTINCT lowercased word tokens
+    # of these STRING columns, so token-containment queries
+    # (query_token) prune whole parts. Costs one single-column aggregate
+    # per part write (tokens must be exploded and deduplicated, which an
+    # observe on the write job cannot express).
+    token_bloom_cols: tuple[str, ...] = ()
     # PARTITION BY column (ClickHouse MergeTree analog — extension; users
     # partition by a precomputed bucket column, e.g. a month or a category).
     # Every part holds rows of exactly one partition value: flushes split
@@ -226,6 +233,8 @@ class SparkMergeTree:
                 }
             if self.config.enable_bloom_index:
                 self._attach_bloom(p)
+            if self.config.token_bloom_cols:
+                self._attach_token_blooms(p)
             dirty = True
         if dirty:
             self.manifest.save()
@@ -432,6 +441,8 @@ class SparkMergeTree:
                 c: [stats[f"mm_min_{c}"], stats[f"mm_max_{c}"]]
                 for c in self.config.minmax_cols
             }
+        if self.config.token_bloom_cols:
+            self._attach_token_blooms(meta)
         if self.config.projections:
             # Projections ride the part lifecycle (ClickHouse contract):
             # every new part — flush, merge, mutation rewrite, TTL rewrite —
@@ -492,6 +503,49 @@ class SparkMergeTree:
                 F.lit(BLOOM_CAP_BITS))
             for i in range(BLOOM_K)
         ]
+
+    # Tokenization contract shared by the index build and the row-level
+    # predicate (and mirrored by oracles as
+    # string_split_regex(lower(col), '[^a-z0-9]+')).
+    TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+    def _token_col(self, col: str):
+        return F.array_distinct(F.filter(
+            F.split(F.lower(F.col(col)), self.TOKEN_SPLIT_RE),
+            lambda t: t != F.lit("")))
+
+    def _attach_token_blooms(self, meta: PartMeta) -> None:
+        """Build the per-part token blooms (tokenbf_v1 analog): one
+        single-column scan per indexed column — explode to distinct
+        lowercased word tokens, hash each to BLOOM_K md5 positions at the
+        cap modulus, collect the distinct positions (bounded by bitmap
+        bits, not token count). Runs at every part write, so merges,
+        mutations and TTL rewrites refresh the index for free."""
+        meta.token_blooms = {}
+        for col in self.config.token_bloom_cols:
+            if meta.columns is not None and col not in meta.columns:
+                continue
+            tok = F.explode(self._token_col(col)).alias("tok")
+            pos_cols = [
+                F.pmod(
+                    F.conv(F.substring(F.md5(
+                        F.concat_ws(":", F.lit(str(i)), F.col("tok"))),
+                        1, 15), 16, 10).cast("long"),
+                    F.lit(BLOOM_CAP_BITS))
+                for i in range(BLOOM_K)
+            ]
+            row = (
+                self.spark.read.parquet(meta.path).select(tok)
+                .agg(F.approx_count_distinct("tok").alias("nd"),
+                     F.collect_set(F.array(*pos_cols)).alias("ps"))
+                .collect()[0]
+            )
+            positions = [int(p) for arr in row["ps"] for p in arr]
+            bits = bloom_size_for(int(row["nd"]))
+            meta.token_blooms[col] = {
+                "hex": bloom_to_hex(positions, bits),
+                "bits": bits, "k": BLOOM_K, "algo": BLOOM_ALGO,
+            }
 
     def _attach_bloom(self, meta: PartMeta) -> None:
         """Recovery-path bloom (re)build: one aggregate over the key column
@@ -556,6 +610,39 @@ class SparkMergeTree:
         with self._lock:
             return [p for p in self.manifest.parts
                     if p.may_match_range(col, lo, hi)]
+
+    def query_token(self, col: str, token: str) -> DataFrame:
+        """Token-containment read (ClickHouse ``hasToken(col, t)`` +
+        tokenbf_v1 analog): parts whose token bloom provably lacks the
+        token are never listed or opened; surviving rows still apply the
+        exact predicate (pruning is pure optimization, FPs only scan).
+        At 100 TB this turns needle-in-haystack text search — error IDs,
+        SKUs, usernames — from a full scan into touching only the parts
+        that can match."""
+        tok = token.lower()
+        with self._lock:
+            pruned = [p for p in self.manifest.parts
+                      if p.may_contain_token(col, tok)]
+            buf = self._buffer_df()
+        pred = F.array_contains(self._token_col(col), tok)
+        sources = []
+        df = self._read_parts(pruned)
+        if df is not None:
+            sources.append(df)
+        if buf is not None:
+            sources.append(buf)
+        if not sources:
+            return self._empty_df()
+        out = sources[0]
+        for s in sources[1:]:
+            out = out.unionByName(s)
+        return self._dedup_sort(out.filter(pred))
+
+    def parts_for_token(self, col: str, token: str) -> list[PartMeta]:
+        """The parts query_token would scan (introspection/tests)."""
+        with self._lock:
+            return [p for p in self.manifest.parts
+                    if p.may_contain_token(col, token.lower())]
 
     # ------------------------------------------------------------ projections
 

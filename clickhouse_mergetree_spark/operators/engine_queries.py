@@ -762,6 +762,63 @@ def q_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_rows")
 
 
+TOKEN_NEEDLE = "dup"
+
+
+@declared_query(
+    "q_token_search",
+    oracle=f"""
+        SELECT doc_id FROM documents
+        WHERE list_contains(
+            string_split_regex(lower(text), '[^a-z0-9]+'), '{TOKEN_NEEDLE}')
+    """,
+)
+def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bloom skipping index end-to-end (ClickHouse ``INDEX ...
+    TYPE tokenbf_v1`` + ``hasToken`` analog — extension): each part
+    carries a bloom over its column's DISTINCT lowercased word tokens, so
+    a token-containment query prunes parts on manifest metadata before
+    any file is listed. The inserted parts are banded needle-vs-rest, so
+    the probe must skip at least one needle-free part (asserted; bloom
+    FPs can only add scans, never lose rows). The oracle recomputes
+    containment relationally with the identical tokenizer regex, so the
+    hash match proves index + predicate semantics, not just plumbing.
+
+    At 100 TB this is needle-in-haystack text search — error IDs, SKUs,
+    usernames — touching only parts that can match instead of every
+    byte of the corpus."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          token_bloom_cols=("text",),
+                          key_col="doc_id", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_token_"),
+                           schema=schema, config=cfg)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("ts_us"), "text")
+    has = F.array_contains(
+        F.split(F.lower("text"), "[^a-z0-9]+"), TOKEN_NEEDLE)
+    table.insert_batch(docs.filter(has), row_count=1)
+    table.flush()
+    for i in range(3):
+        table.insert_batch(
+            docs.filter(~has & (F.pmod("doc_id", F.lit(3)) == i)),
+            row_count=1)
+        table.flush()
+    scanned = table.parts_for_token("text", TOKEN_NEEDLE)
+    # ≥1 of the 3 needle-free parts must be skipped (FP-tolerant bound)
+    assert len(scanned) < table.part_count(), (
+        len(scanned), table.part_count())
+    return table.query_token("text", TOKEN_NEEDLE).select("doc_id")
+
+
 @declared_query(
     "q_matview_rollup",
     oracle=f"""

@@ -147,6 +147,90 @@ _GROUPING_SETS_SQL = """
 """
 
 
+_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+_Q12_SQL = """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+# Each sum is exact DECIMAL, cast to DOUBLE, and only then divided: Spark
+# and DuckDB disagree on DECIMAL-division result scale, while double/double
+# division of identical doubles is bit-identical (same trick as Q1's
+# averages).
+_Q14_SQL = """
+    SELECT 100.00 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+"""
+
+
+@declared_query("q_sql_tpch_q4", oracle=_Q4_SQL)
+def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape via spark.sql: order-priority checking — a
+    correlated EXISTS against the fact table under a date window (the
+    fixture lacks commit/receipt dates, so the inner predicate is a
+    returnflag; the plan shape is identical). Catalyst decorrelates the
+    EXISTS into a left-semi hash join on orderkey with both scans
+    filtered before the join — at 100 TB the semi join moves only
+    distinct qualifying orderkeys, never lineitem payloads. The identical
+    SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q4_SQL)
+
+
+@declared_query("q_sql_tpch_q12", oracle=_Q12_SQL)
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape via spark.sql: two conditional counts over a
+    fact-fact equi-join under a ship-date window (priority classes stand
+    in for the fixture's missing shipmode). The CASE sums fold into the
+    partial aggregate, so the exchange carries one row per returnflag —
+    the canonical pivot-without-pivot shape. The identical SQL text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+@declared_query("q_sql_tpch_q14", oracle=_Q14_SQL)
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape via spark.sql: promo-revenue ratio — a
+    conditional-share aggregate over lineitem ⨝ part in one pass
+    ('ECONOMY' stands in for the PROMO% class on the fixture's p_type).
+    part is broadcast after the month filter prunes lineitem; both CASE
+    branches ride the same partial aggregate, so the ratio costs one scan
+    and a 1-row reduce. DECIMAL until the final cast, like every money
+    query here. The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)
+
+
 @declared_query("q_sql_grouping_sets", oracle=_GROUPING_SETS_SQL)
 def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E10+ via the SQL surface: arbitrary GROUPING SETS — the general

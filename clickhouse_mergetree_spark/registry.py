@@ -99,6 +99,10 @@ _CHECK_PRIORITY = (
     "q_mutation",
     "q_schema_evolution",
     "q_projection_agg",
+    "q_sql_tpch_q4",
+    "q_sql_tpch_q12",
+    "q_sql_tpch_q14",
+    "q_token_search",
     # stable keeper (green since round 1) filling the 50-row window; the
     # remaining green-since-r03 queries follow in natural registration
     # order at positions >50 (declared and self-checked, not driver-checked)
