@@ -74,11 +74,9 @@ _CHECK_PRIORITY = (
     "q_stream_watermark",
     "q_stream_dedup",
     "q_stream_stateful",
-    # round-3 red / no-oracle rows, re-checked after this round's fixes
+    # round-3 red rows, re-checked after this round's fixes
     "q_fn_json",
     "q_agg_approx_percentile",
-    "q_agg_approx_distinct",
-    "q_near_dedup",
     # queries NEW in round 4 — never driver-checked, so inside the window
     "q_sql_tpch_q1",
     "q_sql_tpch_q6",
@@ -103,9 +101,14 @@ _CHECK_PRIORITY = (
     "q_sql_tpch_q12",
     "q_sql_tpch_q14",
     "q_token_search",
-    # stable keeper (green since round 1) filling the 50-row window; the
-    # remaining green-since-r03 queries follow in natural registration
-    # order at positions >50 (declared and self-checked, not driver-checked)
+    # rows-only-by-design rows that already have driver rows from r03 —
+    # a repeat adds nothing a hash-verifiable first check wouldn't, so
+    # they queue behind the new queries for the 50-row window
+    "q_agg_approx_distinct",
+    "q_near_dedup",
+    # stable keeper (green since round 1); the remaining green-since-r03
+    # queries follow in natural registration order at positions >50
+    # (declared and self-checked, not driver-checked)
     "q_mergetree_source",
 )
 
