@@ -125,10 +125,20 @@ class MergeTreeConfig:
     #               stores the NET sign — not a clamped ±1 — so
     #               cancellation stays associative across any merge
     #               schedule; reads emit only groups with net > 0.
+    #   "aggregating" — per-column aggregate STATES (AggregatingMergeTree):
+    #               ``agg_cols`` maps column → fn in {sum, min, max} (count
+    #               is a summed constant-1 column, the same idiom as
+    #               summing mode); rows sharing (key, ts) combine by each
+    #               column's own function. Associative by construction, so
+    #               any merge schedule and the read-time finalization give
+    #               identical states.
     mode: str = "dedup"
     # summing mode: which columns to sum. None = every numeric non-key,
     # non-ts column in the schema.
     sum_cols: tuple[str, ...] | None = None
+    # aggregating mode: column → "sum" | "min" | "max". Unlisted non-key
+    # columns combine with min (the deterministic "keep any" choice).
+    agg_cols: dict[str, str] | None = None
     # collapsing mode: the +1/-1 sign column.
     sign_col: str = "sign"
     # minmax skipping indexes (ClickHouse `INDEX ... TYPE minmax` analog —
@@ -910,6 +920,18 @@ class SparkMergeTree:
                 # precision; the declared type is the overflow contract)
                 F.sum(c).cast(types[c]).alias(c) if c in scols
                 else F.min(c).alias(c)
+                for c in out.columns if c not in (self._key, self._ts)
+            ]
+            return out.groupBy(self._key, self._ts).agg(*aggs) \
+                .select(out.columns)
+        if self.config.mode == "aggregating":
+            spec = self.config.agg_cols or {}
+            bad = {fn for fn in spec.values() if fn not in ("sum", "min", "max")}
+            if bad:
+                raise ValueError(f"unsupported agg_cols fn(s) {sorted(bad)}")
+            types = {f.name: f.dataType for f in self.schema.fields}
+            aggs = [
+                getattr(F, spec.get(c, "min"))(c).cast(types[c]).alias(c)
                 for c in out.columns if c not in (self._key, self._ts)
             ]
             return out.groupBy(self._key, self._ts).agg(*aggs) \

@@ -459,6 +459,79 @@ def q_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows")
 
 
+@declared_query(
+    "q_aggregating_merge",
+    oracle=f"""
+        SELECT key, day_us,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+               CAST(min(value) AS DOUBLE) AS value_min,
+               CAST(max(value) AS DOUBLE) AS value_max,
+               count(*) AS n_rows
+        FROM (
+            SELECT key, ts_us - ts_us % 86400000000 AS day_us, value
+            FROM ({_KV_SQL}) WHERE key <= {RANGE_END}
+        )
+        GROUP BY key, day_us
+    """,
+)
+def q_aggregating_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree mode end-to-end (ClickHouse table-engine
+    family analog — extension, completing dedup/summing/collapsing): rows
+    sharing the (key, day) sorting key combine with PER-COLUMN aggregate
+    states — sum, min, max, and a summed constant-1 count — physically at
+    merge and logically at read, in any order, because every admitted
+    state is associative. Three parts hold partials; compaction collapses
+    them; the oracle recomputes the states from raw rows in one shot, so
+    the hash match proves merge-schedule independence.
+
+    This is the ClickHouse pattern for incremental metric rollups at
+    100 TB: a (key, day)-grained table absorbs appends and keeps
+    re-collapsing to one state row per group during normal merges —
+    dashboards read states, never raw events. Sum is DECIMAL (exact at
+    any schedule); min/max are order-free by definition."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("day_us", T.LongType(), False),
+        T.StructField("value_sum", T.DecimalType(18, 6), True),
+        T.StructField("value_min", T.DoubleType(), True),
+        T.StructField("value_max", T.DoubleType(), True),
+        T.StructField("n_rows", T.LongType(), False),
+    ])
+    cfg = MergeTreeConfig(
+        memtable_flush_threshold=10**12, max_parts=2, mode="aggregating",
+        agg_cols={"value_sum": "sum", "value_min": "min",
+                  "value_max": "max", "n_rows": "sum"},
+        key_col="key", ts_col="day_us")
+    table = SparkMergeTree(spark, scratch_dir("q_aggregating_"),
+                           schema=schema, config=cfg)
+    kv = (
+        _kv(spark, sf_dir)
+        .filter(F.col("key") <= RANGE_END)
+        .select("key",
+                (F.col("ts_us") - F.pmod("ts_us", F.lit(86_400_000_000)))
+                .alias("day_us"),
+                F.col("value").cast("decimal(18,6)").alias("value_sum"),
+                F.col("value").alias("value_min"),
+                F.col("value").alias("value_max"),
+                F.lit(1).cast("long").alias("n_rows"),
+                "event_id")
+    )
+    for i in range(3):
+        table.insert_batch(
+            kv.filter(F.pmod("event_id", F.lit(3)) == i).drop("event_id"),
+            row_count=1)
+        table.flush()
+    table.merge_parts_sync()
+    return table.query_all().select(
+        "key", "day_us",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "value_min", "value_max", "n_rows")
+
+
 MINMAX_LO, MINMAX_HI = 300.0, 1000.0
 
 

@@ -986,3 +986,93 @@ def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse SQL-dialect staples: LIMIT BY, argMax/argMin, -If combinators
+# --------------------------------------------------------------------------
+
+@declared_query(
+    "q_limit_by",
+    oracle="""
+        SELECT event_type, event_id, user_id,
+               CAST(value AS DOUBLE) AS value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY value DESC, event_id) AS rn
+            FROM events
+        ) WHERE rn <= 2
+    """,
+)
+def q_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT n BY group`` analog: the top-2 rows per
+    event_type (by value, event_id tiebreak for determinism) — the
+    idiomatic "first N of each group" that plain LIMIT can't express.
+    Spark plans it as a running row_number window + filter, which AQE
+    executes with one shuffle on the group key; at 100 TB the window's
+    rank-limit pushes TopNPerGroup-style early pruning into each
+    partition rather than sorting whole groups."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("event_type", "event_id", "user_id",
+                F.col("value").cast("double").alias("value"))
+    )
+
+
+@declared_query(
+    "q_agg_argminmax",
+    oracle="""
+        SELECT user_id,
+               arg_max(event_id, ts) AS latest_event,
+               arg_min(event_id, ts) AS first_event,
+               arg_max(event_type, value) AS biggest_type
+        FROM events GROUP BY user_id
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``argMax/argMin`` analog via Spark ``max_by/min_by``:
+    the value of one column at another column's extreme — the idiomatic
+    "latest state per key" read that otherwise costs a self-join or a
+    window. One hash aggregate, partial+final, single shuffle on the
+    group key; ties broken identically in both engines because (ts,
+    event_id) extremes are unique per user in the fixture."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("latest_event"),
+        F.min_by("event_id", "ts").alias("first_event"),
+        F.max_by("event_type", "value").alias("biggest_type"),
+    )
+
+
+@declared_query(
+    "q_agg_if",
+    oracle="""
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                   FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+                   AS purchase_value,
+               count(*) FILTER (WHERE event_type = 'error') AS n_errors
+        FROM events GROUP BY user_id
+    """,
+)
+def q_agg_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``countIf/sumIf`` combinator analog: conditional
+    aggregates fused into ONE pass over the data (the alternative — one
+    filtered subquery per condition — rescans the fact table per metric).
+    Spark: count_if + sum(when(...)); oracle: ANSI FILTER clauses. All
+    branches ride the same partial aggregate, so N metrics cost exactly
+    one scan and one shuffle at any SF."""
+    e = load(spark, sf_dir, "events")
+    purchase = F.col("event_type") == "purchase"
+    return e.groupBy("user_id").agg(
+        F.count_if(purchase).alias("n_purchases"),
+        F.coalesce(F.sum(F.when(purchase, _dec("value"))),
+                   F.lit(0).cast("decimal(18,2)"))
+        .cast("double").alias("purchase_value"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    )

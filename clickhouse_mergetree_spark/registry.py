@@ -101,6 +101,10 @@ _CHECK_PRIORITY = (
     "q_sql_tpch_q12",
     "q_sql_tpch_q14",
     "q_token_search",
+    "q_aggregating_merge",
+    "q_limit_by",
+    "q_agg_argminmax",
+    "q_agg_if",
     # rows-only-by-design rows that already have driver rows from r03 —
     # a repeat adds nothing a hash-verifiable first check wouldn't, so
     # they queue behind the new queries for the 50-row window

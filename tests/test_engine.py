@@ -554,3 +554,67 @@ def test_background_maintenance(spark, base_path):
         assert t.total_rows() == 60
     finally:
         t.close()
+
+
+# ------------------------------------------------- aggregating merge mode
+
+def test_aggregating_mode_states_combine_per_column(spark, base_path):
+    """AggregatingMergeTree analog: per-column sum/min/max states combine
+    identically whether collapsed by merges or finalized at read."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("v_sum", T.DecimalType(18, 6), True),
+        T.StructField("v_min", T.DoubleType(), True),
+        T.StructField("v_max", T.DoubleType(), True),
+        T.StructField("n", T.LongType(), False),
+    ])
+    cfg = MergeTreeConfig(
+        memtable_flush_threshold=10**12, max_parts=10, mode="aggregating",
+        agg_cols={"v_sum": "sum", "v_min": "min", "v_max": "max", "n": "sum"},
+        key_col="key", ts_col="bucket")
+    rows = [(k % 5, (k % 3) * 10, Decimal(k), float(k), float(k), 1)
+            for k in range(90)]
+    with SparkMergeTree(spark, base_path, schema=schema, config=cfg) as t:
+        for i in range(3):
+            t.insert_rows(rows[i * 30:(i + 1) * 30])
+            t.flush()
+        # read-time finalization over 3 partial parts
+        pre = {(r["key"], r["bucket"]): (r["v_sum"], r["v_min"], r["v_max"],
+                                         r["n"])
+               for r in t.query_all().collect()}
+        # physical collapse via merges must not change the states
+        t.config.max_parts = 1
+        t.optimize()
+        assert t.part_count() == 1
+        post = {(r["key"], r["bucket"]): (r["v_sum"], r["v_min"], r["v_max"],
+                                          r["n"])
+                for r in t.query_all().collect()}
+        assert post == pre
+        # ground truth from the raw rows
+        want = {}
+        for k, b, s, mn, mx, n in rows:
+            ps, pmn, pmx, pn = want.get((k, b), (Decimal(0), float("inf"),
+                                                 float("-inf"), 0))
+            want[(k, b)] = (ps + s, min(pmn, mn), max(pmx, mx), pn + n)
+        assert post == want
+
+
+def test_aggregating_mode_rejects_unknown_fn(spark, base_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, mode="aggregating",
+                          agg_cols={"v": "avg"}, key_col="key", ts_col="ts")
+    with SparkMergeTree(spark, base_path, schema=schema, config=cfg) as t:
+        t.insert_rows([(1, 1, 1.0)])
+        with pytest.raises(ValueError, match="unsupported agg_cols"):
+            t.query_all().collect()
