@@ -212,6 +212,64 @@ def test_table_management(spark, root):
     print("Table management demo completed successfully!\n")
 
 
+def test_ddl_and_indexes(spark, root):
+    """Round-4 surface (continued): mutations, ADD COLUMN evolution,
+    projections with query routing, and the token-bloom text index."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MergeTreeConfig, ProjectionSpec, SparkMergeTree)
+
+    print("=== DDL & indexes (mutations / evolution / projections / token bloom) ===")
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("category", T.StringType(), True),
+        T.StructField("amount", T.DecimalType(18, 2), True),
+        T.StructField("note", T.StringType(), True),
+    ])
+    spec = ProjectionSpec("by_category", ("category",),
+                          {"total": ("sum", "amount"), "n": ("count", "amount")})
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=4,
+                          projections=(spec,), token_bloom_cols=("note",),
+                          key_col="key", ts_col="ts")
+    t = SparkMergeTree(spark, os.path.join(root, "ddl"), schema=schema,
+                       config=cfg)
+    from decimal import Decimal
+    t.insert_rows([(i, i, "hot" if i % 2 else "cold", Decimal(i),
+                    f"order {i} {'URGENT-review' if i % 17 == 0 else 'routine'}")
+                   for i in range(120)])
+    t.flush()
+
+    # ALTER ... DELETE with a pruning hint, then ALTER ... UPDATE
+    r = t.delete_where(F.col("key") >= 100, key_range=(100, 10**9))
+    print(f"DELETE key>=100: {r}")
+    r = t.update_where(F.col("category") == "cold",
+                       {"amount": F.col("amount") * 2})
+    print(f"UPDATE cold amounts x2: {r}")
+
+    # metadata-only ADD COLUMN; old rows read the default lazily
+    t.add_column("source", "string", default="backfill")
+    t.insert_rows([(500, 500, "hot", Decimal(5), "fresh row", "live")])
+    t.flush()
+    srcs = {row["source"] for row in t.query_all().collect()}
+    print(f"ADD COLUMN source: distinct values after evolution = {sorted(srcs)}")
+
+    # projection routing: the grouped read never opens raw part files
+    req = {"total": ("sum", "amount"), "n": ("count", "amount")}
+    print(f"query_grouped routes to: {t.routed_projection(('category',), req)}")
+    for row in t.query_grouped(("category",), req).collect():
+        print(f"  {row['category']}: total={row['total']} n={row['n']}")
+
+    # token-bloom text search: parts without the token are never opened
+    scanned = t.parts_for_token("note", "urgent")
+    print(f"token 'urgent': scanning {len(scanned)}/{t.part_count()} parts, "
+          f"{t.query_token('note', 'urgent').count()} rows")
+    t.close()
+    print("DDL & index demo completed successfully!\n")
+
+
 def main():
     print("ClickHouse MergeTree (Spark) Implementation Demo")
     print("=========================================\n")
@@ -226,6 +284,7 @@ def main():
         test_persistence(spark, root)
         test_connector(spark, root)
         test_table_management(spark, root)
+        test_ddl_and_indexes(spark, root)
         print(f"All demos completed in {time.perf_counter()-t0:.1f} s")
     finally:
         shutil.rmtree(root, ignore_errors=True)
