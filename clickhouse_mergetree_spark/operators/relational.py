@@ -1076,3 +1076,32 @@ def q_agg_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("purchase_value"),
         F.count_if(F.col("event_type") == "error").alias("n_errors"),
     )
+
+
+@declared_query(
+    "q_array_join",
+    oracle="""
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '[^a-z0-9]+') AS toks
+              FROM documents) d,
+             LATERAL (SELECT unnest(generate_series(1, len(d.toks))) AS i) g
+        WHERE toks[i] <> ''
+    """,
+)
+def q_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ARRAY JOIN`` analog: lateral expansion of an array
+    column to one row per element WITH its position — Spark's
+    ``posexplode`` (Generate operator, zero shuffles: the expansion is
+    row-local and pipelines inside the scan stage). The oracle replays it
+    with a LATERAL index walk (DuckDB lacks WITH ORDINALITY), so the hash
+    match pins both element order and position numbering. At 100 TB the
+    Generate's fan-out multiplies rows map-side only — no exchange exists
+    for skew to hurt."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), "[^a-z0-9]+")
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    )

@@ -105,6 +105,8 @@ _CHECK_PRIORITY = (
     "q_limit_by",
     "q_agg_argminmax",
     "q_agg_if",
+    "q_stream_join",
+    "q_array_join",
     # rows-only-by-design rows that already have driver rows from r03 —
     # a repeat adds nothing a hash-verifiable first check wouldn't, so
     # they queue behind the new queries for the 50-row window

@@ -353,3 +353,53 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(dedup, "append").select(
         "user_id", F.unix_micros("ts").alias("ts_us"),
     )
+
+
+@declared_query(
+    "q_stream_join",
+    oracle="""
+        SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+               v.user_id,
+               CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E26+ (stream-stream join): views joined to the same user's
+    purchases arriving within 30 minutes — two UNBOUNDED streams joined
+    with watermarks on both sides plus a time-range condition, the shape
+    Spark uses to bound join state (each side's state store evicts rows
+    older than watermark + range, so state is O(rate × window), not
+    O(stream)). Inner join in append mode: matches emit as found, and a
+    bounded replay emits exactly the batch join — which the DuckDB oracle
+    computes relationally, hash-proving the time-bound join semantics.
+
+    At 100 TB/day this is the attribution join (impression ⨝ conversion)
+    that batch pipelines re-scan a day's data for; the streaming form
+    touches each event once and carries only the active window in state."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr("v_user = p_user AND p_ts >= v_ts "
+               "AND p_ts < v_ts + INTERVAL 30 MINUTES"))
+    return run_to_memory(joined, "append").select(
+        "view_id", "purchase_id", F.col("v_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"))
