@@ -107,6 +107,7 @@ _CHECK_PRIORITY = (
     "q_agg_if",
     "q_stream_join",
     "q_array_join",
+    "q_sim_search_pq",
     # rows-only-by-design rows that already have driver rows from r03 —
     # a repeat adds nothing a hash-verifiable first check wouldn't, so
     # they queue behind the new queries for the 50-row window

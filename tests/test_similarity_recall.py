@@ -123,3 +123,38 @@ def test_ivf_partitioned_layout_matches_inline_ivf(spark, sf_dir):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "cent_id" in pf, f"probe filter not applied to partitions: {pf!r}"
+
+
+def test_pq_adc_recall_on_planted_corpus(spark, planted):
+    """PQ+ADC+rerank finds the genuinely-near planted neighbors: the
+    planted cluster sits at cosine 0.95, far above quantization noise, so
+    ADC ranks it into the shortlist and the exact rerank surfaces it with
+    exact scores."""
+    from clickhouse_mergetree_spark.operators.similarity import (
+        sim_search_pq_on,
+    )
+
+    df, exact = planted
+    recall = _recall(sim_search_pq_on(df), exact)
+    assert recall >= 0.9, f"PQ recall {recall:.2f} < 0.9"
+
+
+def test_pq_rerank_scores_are_exact(spark, planted):
+    """Every vector PQ returns carries its EXACT cosine (the rerank uses
+    the same JVM expression as brute force) — approximate candidate set,
+    exact scores."""
+    import numpy as np
+
+    from clickhouse_mergetree_spark.operators.similarity import (
+        sim_search_pq_on,
+    )
+
+    df, _ = planted
+    pdf = df.toPandas()
+    m = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn[ids == 0][0]
+    truth = {int(i): round(float(c), 9) for i, c in zip(ids, cos)}
+    for r in sim_search_pq_on(df).collect():
+        assert abs(truth[r["vec_id"]] - r["cosine"]) < 1e-9
