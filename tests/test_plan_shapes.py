@@ -25,8 +25,8 @@ from clickhouse_mergetree_spark.registry import all_queries
 # (q_text_tfidf, q_text_bigram_pmi — O(n·1)). q_near_dedup_cosine no
 # longer qualifies: its blocked audit join is an equi-join on the block
 # key.
-NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_text_tfidf",
-                  "q_text_bigram_pmi"}
+NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_sim_search_pq",
+                  "q_text_tfidf", "q_text_bigram_pmi"}
 
 _QUERIES = sorted(all_queries())
 
