@@ -1256,6 +1256,45 @@ class SparkMergeTree:
             raise ValueError("update_where requires at least one assignment")
         return self.mutate(pred, assignments, **prune)
 
+    # -------------------------------------------------------- introspection
+
+    def system_parts(self) -> DataFrame:
+        """``system.parts`` analog (ClickHouse's ops staple): the live part
+        set as a DataFrame — id, row count, disk bytes, key/ts spans,
+        partition, physical columns, which skipping indexes are present.
+        Metadata-sized (one row per part, straight from the manifest; no
+        data files touched), so it stays a driver-local createDataFrame at
+        any table size — exactly like ClickHouse serving system.parts from
+        its in-memory part registry."""
+        schema = T.StructType([
+            T.StructField("part_id", T.LongType(), False),
+            T.StructField("row_count", T.LongType(), False),
+            T.StructField("disk_bytes", T.LongType(), False),
+            T.StructField("min_key", T.StringType(), True),
+            T.StructField("max_key", T.StringType(), True),
+            T.StructField("min_ts", T.LongType(), True),
+            T.StructField("max_ts", T.LongType(), True),
+            T.StructField("partition", T.StringType(), True),
+            T.StructField("n_columns", T.IntegerType(), True),
+            T.StructField("has_bloom", T.BooleanType(), False),
+            T.StructField("has_minmax", T.BooleanType(), False),
+            T.StructField("n_projections", T.IntegerType(), False),
+        ])
+        with self._lock:
+            rows = [
+                (p.part_id, p.row_count, p.disk_size,
+                 None if p.min_key is None else str(p.min_key),
+                 None if p.max_key is None else str(p.max_key),
+                 int(p.min_ts) if p.min_ts is not None else None,
+                 int(p.max_ts) if p.max_ts is not None else None,
+                 p.partition,
+                 len(p.columns) if p.columns is not None else None,
+                 bool(p.bloom_hex), bool(p.col_stats),
+                 len(p.proj_paths or {}))
+                for p in self.manifest.parts
+            ]
+        return self.spark.createDataFrame(rows, schema)
+
     # ----------------------------------------------------------- maintenance
 
     def start_background_maintenance(self) -> None:

@@ -532,6 +532,54 @@ def q_aggregating_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_min", "value_max", "n_rows")
 
 
+@declared_query(
+    "q_system_parts",
+    oracle=f"""
+        SELECT CAST(event_id % 3 + 1 AS BIGINT) AS part_id,
+               count(*) AS row_count,
+               CAST(min(key) AS VARCHAR) AS min_key,
+               CAST(max(key) AS VARCHAR) AS max_key,
+               min(ts_us) AS min_ts, max(ts_us) AS max_ts
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        GROUP BY part_id
+    """,
+)
+def q_system_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.parts`` introspection end-to-end (ClickHouse's ops staple
+    — extension): the manifest's live part registry exposed as a
+    DataFrame, metadata-only (no part file is opened — it's one row per
+    part straight from the in-memory manifest, at any table size).
+
+    Three event_id-banded inserts produce parts 1..3 with fully
+    deterministic stats, so the oracle can recompute each part's row
+    count and key/ts spans RELATIONALLY from the raw rows — a hash match
+    proves the write path's manifest stats (R24: the stats every pruning
+    decision trusts) are exactly the data's true spans. Ops queries like
+    "which parts would a merge pick" read this surface."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_sysparts_"),
+                           schema=schema, config=cfg)
+    kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+          .select("key", "ts_us", "event_id", "value"))
+    for i in range(3):
+        table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
+                           row_count=1)
+        table.flush()
+    return table.system_parts().select(
+        "part_id", "row_count", "min_key", "max_key", "min_ts", "max_ts")
+
+
 MINMAX_LO, MINMAX_HI = 300.0, 1000.0
 
 

@@ -108,6 +108,7 @@ _CHECK_PRIORITY = (
     "q_stream_join",
     "q_array_join",
     "q_sim_search_pq",
+    "q_system_parts",
     # rows-only-by-design rows that already have driver rows from r03 —
     # a repeat adds nothing a hash-verifiable first check wouldn't, so
     # they queue behind the new queries for the 50-row window

@@ -618,3 +618,25 @@ def test_aggregating_mode_rejects_unknown_fn(spark, base_path):
         t.insert_rows([(1, 1, 1.0)])
         with pytest.raises(ValueError, match="unsupported agg_cols"):
             t.query_all().collect()
+
+
+def test_system_parts_reflects_lifecycle(spark, base_path):
+    """system.parts introspection: stats match the data, and the view
+    tracks flush → merge → mutation transitions."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=100, max_parts=10)
+    with SparkMergeTree(spark, base_path, config=cfg) as t:
+        for b in range(3):
+            t.insert_rows([(f"k{b}_{i:03d}", f"v{i}", b * 1000 + i)
+                           for i in range(50)])
+            t.flush()
+        parts = {r["part_id"]: r for r in t.system_parts().collect()}
+        assert len(parts) == 3
+        assert all(r["row_count"] == 50 for r in parts.values())
+        assert parts[2]["min_key"] == "k1_000"
+        assert parts[2]["max_key"] == "k1_049"
+        assert parts[1]["has_bloom"] and not parts[1]["has_minmax"]
+        assert sum(r["disk_bytes"] for r in parts.values()) == t.disk_usage()
+        t.config.max_parts = 1
+        t.optimize()
+        merged = t.system_parts().collect()
+        assert len(merged) == 1 and merged[0]["row_count"] == 150
