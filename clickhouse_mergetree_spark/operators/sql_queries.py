@@ -192,6 +192,147 @@ _Q14_SQL = """
 """
 
 
+_Q7_SQL = f"""
+    SELECT supp_nation, cust_nation, l_year, {_REVENUE} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice, l_discount
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                             AND TIMESTAMP '1996-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8_SQL = """
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_6' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                              AND TIMESTAMP '1996-12-31'
+          AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+_Q13_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q15_SQL = f"""
+    WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no, {_REVENUE} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue0
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey
+"""
+
+# Q17's p_container filter becomes p_type on the fixture; the correlated
+# avg-quantity subquery — the query's point — is unchanged. The outer sum
+# is exact DECIMAL cast to double; the 1/7 division happens on doubles.
+_Q17_SQL = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_type = 'STANDARD'
+      AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem
+            WHERE l_partkey = p_partkey)
+"""
+
+
+@declared_query("q_sql_tpch_q7", oracle=_Q7_SQL)
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume-shipping: two nation aliases joined to opposite
+    ends of the same fact chain (supplier side vs customer side) with a
+    symmetric country-pair predicate — the self-joined-dimension shape.
+    Catalyst broadcasts both 25-row nation aliases independently; the
+    fact chain shuffles once per equi-join key. The identical SQL text is
+    the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+@declared_query("q_sql_tpch_q8", oracle=_Q8_SQL)
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 market-share: an 8-table join (both nation roles + region)
+    feeding a conditional-share ratio per year — the widest join tree in
+    the suite, exercising Catalyst's join reordering under multiple
+    broadcastable dimensions. Volumes stay DECIMAL until the final
+    double division (engines disagree on decimal-division scale). The
+    identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+@declared_query("q_sql_tpch_q13", oracle=_Q13_SQL)
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer-order distribution: LEFT OUTER join with an
+    ON-clause filter (orders dropped by the predicate still yield the
+    customer row — the outer-join-with-condition semantics that a WHERE
+    would silently break), then a two-level count-of-counts histogram.
+    The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q13_SQL)
+
+
+@declared_query("q_sql_tpch_q15", oracle=_Q15_SQL)
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: a CTE computed once and consumed twice
+    (rows + its own max in a scalar subquery) — Spark plans the reused
+    revenue0 aggregate with a ReusedExchange/Subquery instead of
+    recomputing the scan. The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+@declared_query("q_sql_tpch_q17", oracle=_Q17_SQL)
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: a correlated scalar
+    subquery (per-part average quantity) gating the outer fact scan —
+    Catalyst decorrelates it into an aggregate + join on partkey, the
+    textbook subquery-to-join rewrite. The identical SQL text is the
+    oracle (p_type stands in for the fixture's missing p_container)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
 @declared_query("q_sql_tpch_q4", oracle=_Q4_SQL)
 def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape via spark.sql: order-priority checking — a

@@ -109,6 +109,11 @@ _CHECK_PRIORITY = (
     "q_array_join",
     "q_sim_search_pq",
     "q_system_parts",
+    "q_sql_tpch_q7",
+    "q_sql_tpch_q8",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q17",
     # rows-only-by-design rows that already have driver rows from r03 —
     # a repeat adds nothing a hash-verifiable first check wouldn't, so
     # they queue behind the new queries for the 50-row window
