@@ -82,7 +82,7 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label,
                round(vmin, 9) AS v_min,
                round((vmax - vmin) / 255.0, 9) AS scale,
-               list_sum(codes) AS code_sum,
+               CAST(list_sum(codes) AS BIGINT) AS code_sum,
                list_min(codes) AS code_min,
                list_max(codes) AS code_max
         FROM coded

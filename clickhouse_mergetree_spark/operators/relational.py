@@ -702,9 +702,10 @@ SESSION_GAP_MIN = 30
                         THEN 1 ELSE 0 END AS is_new
             FROM events
         ), numbered AS (
-            SELECT *, sum(is_new) OVER (PARTITION BY user_id
-                                        ORDER BY ts_us, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+            SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                             ORDER BY ts_us, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                           AS BIGINT) AS session_id
             FROM marked
         )
         SELECT user_id, session_id,

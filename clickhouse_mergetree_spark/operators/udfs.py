@@ -97,7 +97,7 @@ def make_source_stats():
     "q_udf_grouped",
     oracle="""
         SELECT source, count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
                max(n_chars) AS max_chars
         FROM documents GROUP BY source

@@ -36,105 +36,70 @@ def declared_query(name: str, oracle: str | None = None) -> Callable[[QueryFn], 
     return deco
 
 
-# Explicit check-order for the driver's CORRECTNESS gate, which verifies the
-# FIRST 50 entries of queries() in dict order. Round 3's gate stopped at
-# registry position 50, leaving the similarity/text/multimodal/udf/streaming
-# families unchecked — so those come first here, then the rows that were red
-# or rows-only in round 3, then a keeper set of load-bearing stable queries.
-# Everything not listed follows in natural registration order (positions >50
-# are not driver-checked this round but remain fully declared and self-checked).
-_CHECK_PRIORITY = (
-    # 29 queries with no driver CORRECTNESS row as of round 3
-    "q_sim_search",
-    "q_sim_search_blas",
-    "q_sim_search_lsh",
-    "q_sim_search_ivf",
-    "q_near_dedup_cosine",
-    "q_near_dedup_cosine_lsh",
-    "q_dedup_simhash",
-    "q_text_tf",
-    "q_text_tfidf",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_fingerprint",
-    "q_text_tokens",
-    "q_sample_deterministic",
-    "q_pipeline_prep",
-    "q_embed_norm",
-    "q_media_features",
-    "q_media_frames",
-    "q_media_resize",
-    "q_udf_scalar",
-    "q_udf_grouped",
-    "q_udaf_weighted",
-    "q_udtf_sentences",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_watermark",
-    "q_stream_dedup",
-    "q_stream_stateful",
-    # round-3 red rows, re-checked after this round's fixes
-    "q_fn_json",
-    "q_agg_approx_percentile",
-    # queries NEW in round 4 — never driver-checked, so inside the window
-    "q_sql_tpch_q1",
-    "q_sql_tpch_q6",
-    "q_window_sessionize",
-    "q_embed_quantize",
-    "q_ttl_expire",
-    "q_time_travel",
-    "q_summing_merge",
-    "q_partition_prune",
-    "q_matview_rollup",
-    "q_collapsing_merge",
-    "q_sql_tpch_q10",
-    "q_sql_tpch_q18",
-    "q_text_bigram_pmi",
-    "q_sim_search_ivf_partitioned",
-    "q_minmax_skip",
-    "q_sql_grouping_sets",
-    "q_mutation",
-    "q_schema_evolution",
-    "q_projection_agg",
-    "q_sql_tpch_q4",
-    "q_sql_tpch_q12",
-    "q_sql_tpch_q14",
-    "q_token_search",
-    "q_aggregating_merge",
-    "q_limit_by",
-    "q_agg_argminmax",
-    "q_agg_if",
-    "q_stream_join",
-    "q_array_join",
-    "q_sim_search_pq",
-    "q_system_parts",
-    "q_sql_tpch_q7",
-    "q_sql_tpch_q8",
-    "q_sql_tpch_q13",
-    "q_sql_tpch_q15",
-    "q_sql_tpch_q17",
-    # rows-only-by-design rows that already have driver rows from r03 —
-    # a repeat adds nothing a hash-verifiable first check wouldn't, so
-    # they queue behind the new queries for the 50-row window
-    "q_agg_approx_distinct",
-    "q_near_dedup",
-    # stable keeper (green since round 1); the remaining green-since-r03
-    # queries follow in natural registration order at positions >50
-    # (declared and self-checked, not driver-checked)
-    "q_mergetree_source",
-)
+# Check-order for the driver's CORRECTNESS gate, which verifies the FIRST 50
+# entries of queries() in dict order. Rounds 3-4 maintained a hand-written
+# priority list, which is exactly how 13 round-4 queries ended up committed
+# after the gate ran and 17 queries reached round 5 with no driver row.
+# Round 5 computes the order from the committed CORRECTNESS_r*.json artifacts
+# instead (VERDICT r4 item 8): a query's sort key is the most recent round in
+# which its driver row was OK (hash-pass, or a rows-only row for an
+# oracle-less query). Never-checked queries and queries whose latest row
+# FAILED sort as round 0 — i.e. first into the window — and ties preserve
+# registration order. With ~115 queries and a 50-row window this is a
+# round-robin that bounds staleness at ~2 rounds with no list to maintain.
+
+
+def _last_ok_round() -> dict[str, int]:
+    """name -> most recent round with an OK driver CORRECTNESS row.
+
+    OK = hash_match is True, or err == "no_oracle" with a non-null row
+    count (the driver's rows-only check for declared-approximate queries).
+    A later FAILED row (hash_match False or a real err) resets the query
+    to 0 so it re-enters the gate window immediately.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last_ok: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if last_seen.get(name, -1) < rnd:
+                last_seen[name] = rnd
+                if ok:
+                    last_ok[name] = max(last_ok.get(name, 0), rnd)
+                else:
+                    last_ok[name] = 0  # latest row failed -> re-check now
+            elif ok:
+                last_ok[name] = max(last_ok.get(name, 0), rnd)
+    return last_ok
 
 
 def all_queries() -> dict[str, DeclaredQuery]:
     # Import operator + streaming modules for their registration side effects.
     from clickhouse_mergetree_spark import operators, streaming  # noqa: F401
 
-    ordered: dict[str, DeclaredQuery] = {}
-    for name in _CHECK_PRIORITY:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
-    for name, q in REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = q
-    return ordered
+    last_ok = _last_ok_round()
+    reg_index = {name: i for i, name in enumerate(REGISTRY)}
+    ordered_names = sorted(
+        REGISTRY, key=lambda n: (last_ok.get(n, 0), reg_index[n])
+    )
+    return {name: REGISTRY[name] for name in ordered_names}

@@ -2,21 +2,48 @@
 
 Mirrors the driver's check: row count, column names, and an
 order-insensitive value comparison with columns sorted by name.
+
+Round-5 strictness (VERDICT r4 item 3): the driver's value hash is
+TYPE-sensitive — DuckDB widening sum(BIGINT) to HUGEINT (int128) or
+leaving a DECIMAL un-cast hash-mismatches even when the values are
+bit-identical (the whole r4 hash-fail class). Two defenses:
+
+1. ``compare()`` asserts no HUGEINT/DECIMAL column survives in the
+   oracle result schema — the mechanical fix is always a CAST in the
+   oracle SQL (``CAST(sum(x) AS BIGINT)`` / ``AS DOUBLE``).
+2. ``_norm_cell`` tags numeric cells with a type class, so a Python
+   ``int`` no longer compares equal to a ``float``/``Decimal`` of the
+   same value (Python's cross-type ``==`` hid exactly this).
 """
 
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 from typing import Any
 
+# DuckDB result types that the driver's hash canonicalizes differently
+# from Spark's int64/float64 — any oracle producing one is a latent
+# hash-fail even when values match.
+_FORBIDDEN_TYPE_FRAGMENTS = ("HUGEINT", "DECIMAL", "UHUGEINT")
+
 
 def _norm_cell(v: Any) -> Any:
+    # bool is an int subclass — check first so True doesn't tag as int
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         # collapse -0.0 / 0.0 and normalize float repr
-        return round(v + 0.0, 9)
+        return ("f", round(v + 0.0, 9))
+    if isinstance(v, decimal.Decimal):
+        # distinct tag: a Decimal reaching the comparison is already a
+        # type divergence from Spark's float/int and must not pass
+        return ("dec", str(v))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, datetime.date):
@@ -35,11 +62,27 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return out
 
 
+def assert_oracle_types(rel) -> None:
+    """Fail if any result column has a type the driver hashes differently
+    from Spark's (HUGEINT/DECIMAL). ``rel`` is a DuckDB relation."""
+    flagged = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(frag in str(t).upper() for frag in _FORBIDDEN_TYPE_FRAGMENTS)
+    ]
+    assert not flagged, (
+        f"oracle result has driver-hash-unsafe column types {flagged}; "
+        f"CAST them in the oracle SQL (AS BIGINT / AS DOUBLE) — this is "
+        f"the r4 hash-fail class (HUGEINT widening of sum(BIGINT))"
+    )
+
+
 def compare(spark_df, duck_con, sql: str) -> None:
     """Raise AssertionError with a diff sample on any mismatch."""
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = duck_con.sql(sql)
+    assert_oracle_types(rel)
     d_cols = list(rel.columns)
     d_rows = rel.fetchall()
 
