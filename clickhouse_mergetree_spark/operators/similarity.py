@@ -51,8 +51,11 @@ def _norm(a: str | Column) -> Column:
 
 
 # Exact cosine top-k oracle — shared verbatim by the brute-force baseline
-# AND by q_sim_search_pq (whose shortlist+rerank provably reproduces the
-# exact result, making it a hash-verified ANN pipeline).
+# AND by q_sim_search_blas (same exact semantics, BLAS execution; its
+# 1e-15-level summation-order differences vanish under the 9-dp rounding
+# both sides apply). q_sim_search_pq does NOT share it: the n/4 ADC
+# shortlist doesn't guarantee the exact top-k, so pq stays rows-only with
+# recall pinned in tests/test_similarity_recall.py.
 _EXACT_TOPK_SQL = f"""
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
     scored AS (
@@ -197,7 +200,7 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_search_lsh_on(load(spark, sf_dir, "embeddings"))
 
 
-@declared_query("q_sim_search_blas")  # rows-only: fp summation order differs
+@declared_query("q_sim_search_blas", oracle=_EXACT_TOPK_SQL)
 def q_sim_search_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 exact scoring, vectorized: brute-force cosine top-k where the
     per-partition scoring is a single numpy matrix-vector product inside
@@ -209,9 +212,11 @@ def q_sim_search_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix and scores it with one BLAS matvec — the pattern every real
     vector engine uses for exact scoring, and the right CPU shape at
     100 TB (scan stays embarrassingly parallel; only per-partition top-k
-    candidates reach the final TakeOrdered). Rows-only check: BLAS
-    pairwise summation orders differ from sequential fold at the 1e-15
-    level, below any consumer's resolution but above a bit-exact hash's.
+    candidates reach the final TakeOrdered). Hash-verified against the
+    same _EXACT_TOPK_SQL as q_sim_search: BLAS pairwise summation differs
+    from a sequential fold only at the 1e-15 level, far below the 9-dp
+    rounding both sides apply to the emitted cosine (r4 VERDICT item 5 —
+    this converts an ANN-adjacent row from rows-only to hard signal).
     """
     import numpy as np
 
