@@ -180,6 +180,16 @@ class SparkMergeTree:
         self.base_path = base_path
         self.schema = schema or DEFAULT_SCHEMA
         self.config = config or MergeTreeConfig()
+        if self.config.projections and self.config.mode != "dedup":
+            # summing/collapsing/aggregating reads collapse the row
+            # multiset, so physical-row projection partials could never
+            # agree with table reads — refuse up front, the same reason
+            # ClickHouse refuses projections under FINAL (ADVICE r4).
+            raise ValueError(
+                f"projections require mode='dedup', not "
+                f"{self.config.mode!r}: this mode collapses rows at read "
+                "time, so pre-aggregated physical partials would diverge "
+                "from table reads")
         self._buffer_rows: list[tuple] = []
         self._buffer_dfs: list[tuple[DataFrame, int]] = []  # (df, row_count)
         self._buffer_count = 0
@@ -694,9 +704,14 @@ class SparkMergeTree:
                 fresh = fresh.unionByName(d)
             partials.append(self._apply_projection(fresh, spec))
         if not partials:
-            schema = T.StructType(
-                [f for f in self.schema.fields if f.name in spec.group_by])
-            return self.spark.createDataFrame([], schema)
+            # Empty table: derive the exact output schema (group_by plus
+            # one TYPED field per agg output) by running the projection
+            # over zero rows of the table schema — Spark's own type
+            # derivation. (ADVICE r4: a hand-built StructType here omitted
+            # the agg columns, so query_grouped's .select raised
+            # AnalysisException on fully-empty tables.)
+            partials.append(self._apply_projection(
+                self.spark.createDataFrame([], self.schema), spec))
         out = partials[0]
         for d in partials[1:]:
             out = out.unionByName(d)
@@ -708,9 +723,14 @@ class SparkMergeTree:
         ``optimize_use_projections`` planner analog): serve from the
         smallest covering projection — one whose grouping is a superset of
         the request and whose aggs include every requested column with the
-        same definition — else aggregate the raw table read. Returns the
-        same columns either way, so callers never know which path ran
-        (the declared query's oracle proves the routed result exact)."""
+        same definition — else aggregate the raw PHYSICAL rows. Both paths
+        aggregate the same multiset — per-part projection partials are
+        built from physical part rows, so the fallback reads parts+buffer
+        directly rather than query_all(), whose read-time (key, ts) dedup
+        would silently change counts/sums whenever duplicate rows exist
+        (ADVICE r4 medium). Callers therefore never know which path ran;
+        on insert-unique data (the documented ProjectionSpec assumption)
+        physical and logical aggregation coincide."""
         req = set(group_by)
         best = None
         for s in self.config.projections:
@@ -723,7 +743,18 @@ class SparkMergeTree:
             return (self.query_projection(best.name, group_by)
                     .select(*group_by, *aggs))
         spec = ProjectionSpec("adhoc", tuple(group_by), dict(aggs))
-        return self._apply_projection(self.query_all(), spec)
+        with self._lock:
+            parts = list(self.manifest.parts)
+            buf = self._buffer_df()
+        sources = [d for d in (self._read_parts(parts), buf)
+                   if d is not None]
+        if not sources:
+            return self._apply_projection(
+                self.spark.createDataFrame([], self.schema), spec)
+        raw = sources[0]
+        for d in sources[1:]:
+            raw = raw.unionByName(d)
+        return self._apply_projection(raw, spec)
 
     def routed_projection(self, group_by: tuple[str, ...],
                           aggs: dict[str, tuple[str, str]]) -> str | None:

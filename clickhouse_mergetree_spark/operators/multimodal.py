@@ -156,7 +156,7 @@ def decode_media(payload: bytes, media_type: str):
 
 
 def make_extractor(n_features: int = N_FAKE_FEATURES,
-                   real_decode: bool = False):
+                   real_decode: bool | str = False):
     """Build the mapInPandas worker function as a self-contained closure.
 
     Worker-shipped functions must be nested (pickled BY VALUE by
@@ -169,7 +169,10 @@ def make_extractor(n_features: int = N_FAKE_FEATURES,
     NotImplementedError inside the worker (no decode libraries), which is
     exactly what the stub contract promises; the deterministic byte-stat
     extractor below is the default stand-in that keeps the pipeline
-    testable end-to-end.
+    testable end-to-end. ``real_decode="auto"`` uses the real decoder
+    for payloads it can decode (PIL importable AND an image/* media
+    type) and falls back to byte stats per payload otherwise — the
+    deploy-anywhere wiring.
     """
 
     def byte_stat_features(payload: bytes) -> list[float]:
@@ -230,8 +233,19 @@ def make_extractor(n_features: int = N_FAKE_FEATURES,
         # streams batches independently — no shuffle
         import pandas as _pd
 
+        def auto_extract(payload: bytes, media_type: str) -> list[float]:
+            try:
+                return decode_then_extract(payload, media_type)
+            except NotImplementedError:
+                return byte_stat_features(payload)
+
         for pdf in batches:
-            if real_decode:
+            if real_decode == "auto":
+                feats = [
+                    auto_extract(p, m)
+                    for p, m in zip(pdf["payload"], pdf["media_type"])
+                ]
+            elif real_decode:
                 feats = [
                     decode_then_extract(p, m)
                     for p, m in zip(pdf["payload"], pdf["media_type"])

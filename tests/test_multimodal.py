@@ -103,3 +103,27 @@ def test_real_decode_with_pil_when_available():
     assert len(feats) == 8
     assert feats[0] == 64.0          # 8×8 resized pixel count
     assert abs(feats[6] - 128 / 255) < 1e-9  # mean gray level
+
+def test_auto_decode_falls_back_per_payload(spark, sf_dir):
+    """real_decode="auto" must produce byte-stat features in a container
+    without PIL (per-payload fallback), keeping the full Arrow pipeline
+    runnable on any worker image. With PIL present it would decode
+    image/* payloads instead — covered by the PIL test above."""
+    from clickhouse_mergetree_spark.operators.multimodal import (
+        FEATURES_SCHEMA, make_extractor, media_table)
+
+    media = media_table(spark, sf_dir).limit(5)
+    auto = media.mapInPandas(
+        make_extractor(real_decode="auto"), schema=FEATURES_SCHEMA).collect()
+    stub = media.mapInPandas(
+        make_extractor(), schema=FEATURES_SCHEMA).collect()
+    assert len(auto) == 5
+    by_id = {r["doc_id"]: r["features"] for r in stub}
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        for r in auto:
+            assert r["features"] == by_id[r["doc_id"]]

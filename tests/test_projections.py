@@ -162,3 +162,63 @@ def test_delete_part_dirs_removes_projections(table, tmp_path):
     table.config.max_parts = 1
     table.optimize()
     assert not any(os.path.isdir(d) for d in proj_dirs)
+
+
+def test_fallback_and_routed_paths_agree_on_duplicate_rows(spark, tmp_path):
+    """ADVICE r4 medium: with duplicate (key, ts) rows across parts, the
+    no-projection fallback must aggregate the same PHYSICAL multiset the
+    projection-routed path aggregates — not query_all(), whose read-time
+    dedup would drop the duplicate and change counts/sums by path."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          projections=(SPEC,),
+                          key_col="key", ts_col="ts_us")
+    t = SparkMergeTree(spark, str(tmp_path / "dup"), schema=SCHEMA,
+                       config=cfg)
+    try:
+        # same (key, ts_us) row in two different parts
+        t.insert_rows([(1, 100, "a", Decimal(10)), (2, 200, "b", Decimal(5))])
+        t.flush()
+        t.insert_rows([(1, 100, "a", Decimal(10))])
+        t.flush()
+        routed = {r["key"]: (r["value_sum"], r["n"]) for r in t.query_grouped(
+            ("key",), {"value_sum": ("sum", "value"),
+                       "n": ("count", "value")}).collect()}
+        # grouping on ts_us is NOT covered by the projection -> fallback
+        fb = {r["ts_us"]: (r["value_sum"], r["n"]) for r in t.query_grouped(
+            ("ts_us",), {"value_sum": ("sum", "value"),
+                         "n": ("count", "value")}).collect()}
+        assert routed[1] == (Decimal(20), 2)   # physical: both copies
+        assert fb[100] == (Decimal(20), 2)     # fallback matches physical
+        assert fb[200] == (Decimal(5), 1)
+    finally:
+        t.close()
+
+
+def test_query_grouped_empty_table_returns_typed_empty(spark, tmp_path):
+    """ADVICE r4 low: a fully-empty table must yield an empty result with
+    the agg output columns present and typed — not AnalysisException."""
+    cfg = MergeTreeConfig(projections=(SPEC,), key_col="key", ts_col="ts_us")
+    t = SparkMergeTree(spark, str(tmp_path / "empty"), schema=SCHEMA,
+                       config=cfg)
+    try:
+        routed = t.query_grouped(("key", "cat"),
+                                 {"value_sum": ("sum", "value"),
+                                  "n": ("count", "value")})
+        assert routed.collect() == []
+        assert set(routed.columns) == {"key", "cat", "value_sum", "n"}
+        fb = t.query_grouped(("ts_us",), {"n": ("count", "value")})
+        assert fb.collect() == []
+        assert set(fb.columns) == {"ts_us", "n"}
+    finally:
+        t.close()
+
+
+def test_projections_refused_on_collapsing_modes(spark, tmp_path):
+    """Physical-row partials cannot agree with collapsed reads; the config
+    is rejected up front (ClickHouse refuses projections under FINAL)."""
+    for mode in ("summing", "collapsing", "aggregating"):
+        cfg = MergeTreeConfig(projections=(SPEC,), mode=mode,
+                              key_col="key", ts_col="ts_us")
+        with pytest.raises(ValueError, match="mode='dedup'"):
+            SparkMergeTree(spark, str(tmp_path / f"m_{mode}"),
+                           schema=SCHEMA, config=cfg)
