@@ -96,12 +96,28 @@ def main() -> None:
         timings["workload_a_total_sec"] = -1.0
         _log(f"workload_a: FAILED\n{traceback.format_exc()}")
 
+    # Methodology fields (ADVICE r4): scratch backend and workload-A bloom
+    # setting ride in the artifact so cross-round timing comparisons can
+    # detect methodology changes instead of silently mixing them.
+    from clickhouse_mergetree_spark.scratch import scratch_root
+    meta: dict[str, object] = {
+        "cpus": spark.sparkContext.defaultParallelism,
+        "scratch_root": scratch_root(),
+    }
+    try:
+        from bench_workload_a import methodology
+
+        meta.update(methodology())
+    except ImportError:
+        pass
+
     print(json.dumps({
         "metric": "total_query_sec",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "meta": meta,
     }), flush=True)
     spark.stop()
 

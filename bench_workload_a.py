@@ -20,6 +20,18 @@ NUM_ROWS = 50_000
 NUM_KEYS = 10_000
 BATCH_ROWS = 5_000  # == flush threshold → one part per batch, 10 parts
 
+# Methodology knobs that changed across rounds (ADVICE r4: record them in
+# the artifact so cross-round comparisons are explicitly flagged instead
+# of silently mixing disk-vs-tmpfs scratch or bloom-on-vs-off numbers).
+BLOOM_INDEX = False  # reference's write path builds no skipping index
+
+
+def methodology() -> dict[str, object]:
+    from clickhouse_mergetree_spark.scratch import scratch_root
+
+    return {"workload_a_scratch_root": scratch_root(),
+            "workload_a_bloom_index": BLOOM_INDEX}
+
 
 def run_workload_a(spark: SparkSession) -> dict[str, float]:
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
@@ -32,7 +44,7 @@ def run_workload_a(spark: SparkSession) -> dict[str, float]:
     # engine feature queries that actually exercise it (q_point_lookup
     # pruning via q_mergetree_engine/source).
     cfg = MergeTreeConfig(memtable_flush_threshold=BATCH_ROWS, max_parts=4,
-                          enable_bloom_index=False)
+                          enable_bloom_index=BLOOM_INDEX)
     out: dict[str, float] = {}
     try:
         t = SparkMergeTree(spark, base, config=cfg)

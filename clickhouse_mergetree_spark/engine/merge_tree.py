@@ -39,6 +39,7 @@ from __future__ import annotations
 import os
 import shutil
 import threading
+import warnings
 from dataclasses import dataclass, field
 from math import ceil
 
@@ -214,6 +215,21 @@ class SparkMergeTree:
                     list(self.schema.fields)
                     + list(T.StructType.fromDDL(f'`{a["name"]}` {a["ddl"]}')))
         self._rebuild_missing_metadata()
+        # A surviving mutation intent record means a previous process died
+        # mid-mutation: per-part swaps are atomic, so the table is
+        # consistent, but the mutation reached only a prefix of parts.
+        # Surface it (see mutate() docstring for reconciliation guidance);
+        # clearing is the caller's decision via clear_incomplete_mutation().
+        self.incomplete_mutation: dict | None = (
+            self.manifest.table_meta.get("active_mutation"))
+        if self.incomplete_mutation is not None:
+            warnings.warn(
+                f"table {base_path!r} has an incomplete "
+                f"{self.incomplete_mutation['kind']!r} mutation "
+                f"(pending part ids "
+                f"{self.incomplete_mutation['pending_part_ids']}); re-run "
+                "the mutation, then clear_incomplete_mutation()",
+                stacklevel=2)
         self._bg_stop = threading.Event()
         self._bg_thread: threading.Thread | None = None
         if self.config.enable_background_merge:
@@ -1214,6 +1230,21 @@ class SparkMergeTree:
         per part, exactly ClickHouse's per-part mutation tasks. A part
         whose every row is deleted becomes a metadata-only drop.
 
+        Durability (ADVICE r4): a mutation intent record is committed to
+        ``table_meta["active_mutation"]`` before any part is touched and
+        cleared after the last commit. Per-part swaps are atomic, so a
+        crash mid-loop leaves a consistent table with the mutation applied
+        to a prefix of parts — the surviving intent record makes that
+        state DETECTABLE: reopen surfaces it as ``incomplete_mutation``
+        (with a warning) so the caller can re-run the mutation. Re-running
+        is safe for DELETE and for UPDATEs whose assignments are absolute
+        expressions (already-mutated parts simply match nothing / map to
+        the same values); self-referential assignments (v = v+1) are not
+        idempotent and the caller must reconcile using the pending part
+        ids in the record. Unlike ClickHouse's persisted mutation log we
+        cannot auto-resume — predicates are live Column objects, not SQL
+        text, and do not survive the process.
+
         Returns {"parts_scanned", "parts_rewritten", "rows_affected"}.
         """
         if assignments:
@@ -1240,10 +1271,33 @@ class SparkMergeTree:
             retain = self.config.snapshot_retention > 0
             parts_rewritten = 0
             rows_affected = 0
+            # Commit the mutation intent BEFORE touching any part: if the
+            # process dies mid-loop, reopen sees the record and reports an
+            # incomplete mutation instead of silently serving a
+            # half-mutated table (see docstring).
+            with self._lock:
+                self.manifest.table_meta["active_mutation"] = {
+                    "kind": "delete" if assignments is None else "update",
+                    "assigned_cols": sorted(assignments) if assignments
+                    else None,
+                    "pending_part_ids": [p.part_id for p in cands],
+                }
+                self.manifest.save()
+
+            def _done(part_id: int) -> None:
+                # caller holds self._lock and saves right after
+                am = self.manifest.table_meta.get("active_mutation")
+                if am and part_id in am["pending_part_ids"]:
+                    am["pending_part_ids"].remove(part_id)
+
             for p in cands:
                 src = self._read_parts([p])
                 n_match = src.filter(hit).count()
                 if n_match == 0:
+                    # no manifest save: the stale pending entry only makes
+                    # a crash report conservative (part listed but clean)
+                    with self._lock:
+                        _done(p.part_id)
                     continue
                 rows_affected += n_match
                 parts_rewritten += 1
@@ -1251,6 +1305,7 @@ class SparkMergeTree:
                     # whole part deleted: metadata-only, no write job
                     with self._lock:
                         self.manifest.remove([p.part_id], retain=retain)
+                        _done(p.part_id)
                         self.manifest.save()
                 else:
                     if assignments is None:
@@ -1268,14 +1323,26 @@ class SparkMergeTree:
                                             partition=p.partition)
                     with self._lock:
                         self.manifest.swap([p.part_id], meta, retain=retain)
+                        _done(p.part_id)
                         self.manifest.save()
                 if not retain:
                     self._delete_part_dirs(p)
+            with self._lock:
+                self.manifest.table_meta.pop("active_mutation", None)
+                self.manifest.save()
             if retain:
                 self.vacuum()
             return {"parts_scanned": len(cands),
                     "parts_rewritten": parts_rewritten,
                     "rows_affected": rows_affected}
+
+    def clear_incomplete_mutation(self) -> None:
+        """Acknowledge (and drop) a crash-surviving mutation intent record
+        after reconciling — see mutate()'s durability contract."""
+        with self._lock:
+            self.manifest.table_meta.pop("active_mutation", None)
+            self.manifest.save()
+        self.incomplete_mutation = None
 
     def delete_where(self, pred, **prune) -> dict:
         """ALTER TABLE ... DELETE WHERE pred (see mutate)."""
