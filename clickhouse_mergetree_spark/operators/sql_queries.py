@@ -276,6 +276,206 @@ _Q17_SQL = """
             WHERE l_partkey = p_partkey)
 """
 
+# ---------------------------------------------------------------------------
+# Round 5: the remaining 8 TPC-H shapes, completing all 22. The fixture has
+# no partsupp table, no l_commitdate/l_receiptdate, and no c_phone, so the
+# affected queries use documented stand-ins that PRESERVE THE PLAN SHAPE —
+# the point of each query — while keeping the identical-SQL-text oracle:
+#   * partsupp (Q2/Q11/Q16/Q20) := DISTINCT (l_partkey, l_suppkey) pairs
+#     derived from lineitem, with per-pair aggregates standing in for
+#     supplycost/availqty. At scale this derived relation is one
+#     hash-aggregate of the fact table, reused via the CTE.
+#   * Q21's "kept waiting" (receipt > commit) := the supplier's line was
+#     the only RETURNED ('R') line of a multi-supplier finished order.
+#   * Q22's phone country code := the last two digits of c_name; "no
+#     recent orders" replaces "no orders ever" (every fixture customer
+#     has orders).
+# l_quantity is integral doubles, so its sums are EXACT in IEEE double
+# regardless of summation order (integers < 2^53) — safe to compare across
+# engines without DECIMAL; money stays DECIMAL-until-final-cast as always.
+# ---------------------------------------------------------------------------
+
+# Derived part-supplier offer relation (shared textually by Q2/Q11/Q16/Q20).
+_PS_CTE = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(l_extendedprice / l_quantity) AS ps_supplycost,
+               sum(l_quantity) AS ps_qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+_Q2_SQL = f"""
+    WITH ps AS ({_PS_CTE})
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size <= 15 AND p_type = 'ECONOMY'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+            SELECT min(ps2.ps_supplycost)
+            FROM ps ps2, supplier s2, nation n2, region r2
+            WHERE p_partkey = ps2.ps_partkey
+              AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+# supplycost := 0.6 * retail price (no partsupp); all money DECIMAL so the
+# per-(nation, year) profit sums are exact and order-independent.
+_Q9_SQL = """
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 - CAST(p_retailprice AS DECIMAL(18,2))
+                   * CAST(0.6 AS DECIMAL(3,2))
+                   * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+        FROM part, supplier, lineitem, orders, nation
+        WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+          AND p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+# value := exact DECIMAL revenue-weighted stock per (part, supplier);
+# HAVING compares against a scalar subquery over the SAME derived relation.
+_Q11_SQL = """
+    WITH psv AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS value
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT ps_partkey, CAST(sum(value) AS DOUBLE) AS part_value
+    FROM psv, supplier, nation
+    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY ps_partkey
+    HAVING sum(value) > (
+        SELECT sum(value) * CAST(0.001 AS DECIMAL(6,4))
+        FROM psv, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3')
+    ORDER BY part_value DESC, ps_partkey
+"""
+
+# Excluded-supplier predicate: s_acctbal < 1000 stands in for the
+# '%Customer%Complaints%' comment filter (fixture has no s_comment).
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                          l_suppkey AS ps_suppkey FROM lineitem) ps, part
+    WHERE p_partkey = ps_partkey
+      AND p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49, 14)
+      AND ps_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q19_SQL = f"""
+    SELECT {_REVENUE} AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_type = 'ECONOMY'
+            AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 15)
+        OR (p_brand = 'Brand#5' AND p_type = 'PROMO'
+            AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 25)
+        OR (p_brand = 'Brand#13' AND p_type = 'STANDARD'
+            AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 50))
+"""
+
+# availqty stand-in: the supplier shipped more than half of their all-time
+# quantity of a substantial (≥60 units) widget part during 1997 alone
+# (nested IN-subqueries preserved; quantity sums are exact integral
+# doubles, and 0.5× an integral double is exact, so the threshold compares
+# identically across engines). Selects 43/100 suppliers at sf0.01.
+_Q20_SQL = """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty_97
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ), alltime AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty_all
+        FROM lineitem GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT shipped.l_suppkey
+        FROM shipped JOIN alltime
+          ON shipped.l_suppkey = alltime.l_suppkey
+         AND shipped.l_partkey = alltime.l_partkey
+        WHERE shipped.l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+          AND alltime.qty_all >= 60
+          AND shipped.qty_97 > 0.5 * alltime.qty_all)
+    ORDER BY s_name
+"""
+
+# "Kept waiting" stand-in: this supplier's line is the only RETURNED line
+# of a finished multi-supplier order — the semi-join + anti-join pair on
+# the self-joined fact table is the query's plan shape.
+_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+# cntrycode := last two digits of c_name; "no orders since 1998" replaces
+# "no orders ever" (every fixture customer has at least one order). The
+# shape — scalar avg subquery + anti join + derived-code rollup — holds.
+_Q22_SQL = """
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM (
+        SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal
+        FROM customer
+        WHERE substring(c_name, 17, 2)
+                  IN ('00', '11', '22', '33', '44', '55', '66')
+          AND c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer
+                WHERE c_acctbal > 0.00
+                  AND substring(c_name, 17, 2)
+                      IN ('00', '11', '22', '33', '44', '55', '66'))
+          AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
 
 @declared_query("q_sql_tpch_q7", oracle=_Q7_SQL)
 def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,3 +646,96 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical SQL text is the oracle."""
     register_views(spark, sf_dir)
     return spark.sql(_Q5_SQL)
+
+
+@declared_query("q_sql_tpch_q2", oracle=_Q2_SQL)
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape via spark.sql: minimum-cost supplier — a correlated
+    scalar MIN subquery over the (derived) part-supplier relation, itself
+    re-joined through supplier→nation→region on both sides. Catalyst
+    decorrelates the min into an aggregate + join on partkey and reuses
+    the ps CTE; the dimensions broadcast. The identical SQL text is the
+    oracle (partsupp := per-(part,supplier) lineitem aggregate — the
+    fixture has no partsupp table; shape preserved)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+@declared_query("q_sql_tpch_q9", oracle=_Q9_SQL)
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape via spark.sql: product-type profit by nation and
+    year — the 5-table star with a LIKE filter on the part name and a
+    two-key rollup. All money stays DECIMAL through the profit expression
+    so the sums are exact (supplycost := 0.6 × retail price; the fixture
+    has no partsupp). The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+@declared_query("q_sql_tpch_q11", oracle=_Q11_SQL)
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape via spark.sql: important-stock identification —
+    GROUP BY + HAVING against a scalar subquery computed over the SAME
+    derived relation (Spark plans the reused aggregate once via
+    ReusedExchange). Values are exact DECIMAL end to end. The identical
+    SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+@declared_query("q_sql_tpch_q16", oracle=_Q16_SQL)
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape via spark.sql: parts/supplier relationship count —
+    DISTINCT pair derivation, a NOT IN anti-subquery on the supplier
+    dimension, and a count-distinct rollup over three part attributes.
+    The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+@declared_query("q_sql_tpch_q19", oracle=_Q19_SQL)
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape via spark.sql: discounted revenue under an
+    OR-of-ANDs predicate spanning both join sides — the classic test that
+    the planner pushes the per-table conjuncts below the join (part and
+    lineitem each get their own disjunction prefilter) while the cross-
+    table residual evaluates post-join. The identical SQL text is the
+    oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
+
+
+@declared_query("q_sql_tpch_q20", oracle=_Q20_SQL)
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape via spark.sql: excess-stock suppliers — two levels
+    of IN-subquery (supplier ← qualifying (part,supplier) pairs ← widget
+    parts) over aggregated views of the fact table, decorrelated by
+    Catalyst into semi-join chains. Quantity sums are integral doubles
+    (exact in IEEE), so the 30% threshold compares identically across
+    engines. The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+@declared_query("q_sql_tpch_q21", oracle=_Q21_SQL)
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape via spark.sql: suppliers who kept orders waiting —
+    the EXISTS + NOT EXISTS self-join pair on the fact table (left-semi
+    and left-anti joins on orderkey after decorrelation), the hardest
+    decorrelation shape in the suite. The identical SQL text is the
+    oracle ("kept waiting" := only RETURNED line of a multi-supplier
+    finished order; the fixture has no commit/receipt dates)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+@declared_query("q_sql_tpch_q22", oracle=_Q22_SQL)
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape via spark.sql: global sales opportunity — a scalar
+    AVG subquery gating the customer scan, an anti join against recent
+    orders, and a rollup over a derived country code. The only fact-table
+    touch is the anti join's build side. The identical SQL text is the
+    oracle (cntrycode := last two digits of c_name; the fixture has no
+    c_phone)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
