@@ -28,10 +28,23 @@ def ntz_to_utc_ts(col: str):
     ))
 
 
+# Analyzed-DataFrame memo: load() costs ~0.1-0.3s of driver-side work
+# (conf sets, parquet footer/schema read, .rdd partition probe) per call,
+# and the bench/driver call it hundreds of times per session for the same
+# (sf_dir, table). DataFrames are immutable lazy plans — reusing one is
+# free and changes nothing downstream. Keyed by session id so a fresh
+# session (different confs) never sees another session's plans.
+_LOAD_MEMO: dict[tuple[int, str, str, bool], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str,
          redistribute: bool = True) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    memo_key = (id(spark), sf_dir, name, redistribute)
+    cached = _LOAD_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     if name == "events":
         # Older generations of events.parquet stored ts as TIMESTAMP(NANOS),
         # which the Spark 4 parquet reader rejects outright. nanosAsLong is a
@@ -72,6 +85,7 @@ def load(spark: SparkSession, sf_dir: str, name: str,
         # scan; on well-laid-out multi-file tables the partition-count
         # condition is false and no shuffle is added anywhere.
         df = df.repartition(n)
+    _LOAD_MEMO[memo_key] = df
     return df
 
 
@@ -79,9 +93,24 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
 
 
+_VIEWS_KEY = "spark_graft.registered_views_sf"
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so callers can use plain
     ``spark.sql`` (the idiomatic Spark query surface) over the dataset.
-    Views are lazy — no scan happens until a query runs against one."""
+    Views are lazy — no scan happens until a query runs against one.
+
+    Idempotent per (session, sf_dir): registering all 10 views costs
+    ~1.3s of driver-side planning, and every SQL-surface query calls
+    this — the memo turns the 2nd..Nth calls into a conf lookup. A
+    different sf_dir re-registers (the driver and tests use one sf_dir
+    per session, but correctness never depends on the memo)."""
+    try:
+        if spark.conf.get(_VIEWS_KEY) == sf_dir:
+            return
+    except Exception:
+        pass
     for t in TABLE_NAMES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.conf.set(_VIEWS_KEY, sf_dir)
