@@ -1,0 +1,71 @@
+"""Driver-gate rotation policy (VERDICT r4 item 8).
+
+The driver verifies the FIRST 50 entries of queries(). Round 5 computes
+that order from the committed CORRECTNESS_r*.json artifacts instead of a
+hand-maintained list: never-checked and last-failed queries sort first,
+then oldest-green, ties in registration order. These tests pin the policy
+against the real artifacts in the repo so a regression (e.g. a new query
+landing outside the window, or a failed row not re-entering) is caught at
+commit time, not at the next round's gate.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import clickhouse_mergetree_spark.registry as reg
+from clickhouse_mergetree_spark.registry import _last_ok_round, all_queries
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(reg.__file__)))
+
+
+def _artifact_rows() -> dict[int, dict]:
+    out = {}
+    for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            out[rnd] = json.load(f)
+    return out
+
+
+def test_never_checked_queries_lead_the_window():
+    names = list(all_queries())
+    rows = _artifact_rows()
+    seen = set().union(*[set(r) for r in rows.values()])
+    never = [n for n in names if n not in seen]
+    window = set(names[:50])
+    missing = [n for n in never if n not in window]
+    # every never-checked query fits in the 50-row window (if ever more
+    # than 50 queries are simultaneously unchecked, this SHOULD fail —
+    # that means a round added >50 queries after its gate)
+    assert not missing, f"never-checked queries outside gate window: {missing}"
+
+
+def test_last_failed_queries_reenter_the_window():
+    rows = _artifact_rows()
+    if not rows:
+        return
+    latest = rows[max(rows)]
+    failed = [n for n, r in latest.items()
+              if isinstance(r, dict) and r.get("hash_match") is False]
+    names = list(all_queries())
+    window = set(names[:50])
+    out = [n for n in failed if n in names and n not in window]
+    assert not out, f"last-failed queries outside gate window: {out}"
+
+
+def test_green_queries_ordered_oldest_first():
+    lo = _last_ok_round()
+    names = list(all_queries())
+    ranks = [lo.get(n, 0) for n in names]
+    assert ranks == sorted(ranks), "check order is not last-ok-round sorted"
+
+
+def test_rotation_handles_missing_artifacts(monkeypatch):
+    # In a tree with no CORRECTNESS files (round 1), everything is rank 0
+    # and the order degrades to registration order — no crash, no reorder.
+    monkeypatch.setattr(glob, "glob", lambda pat: [])
+    assert _last_ok_round() == {}
