@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.scratch import fixed_scratch_dir
 from clickhouse_mergetree_spark.tables import load
 
 # 3-token shingles; MinHash with 16 permutations banded 4×4; verify at 0.5.
@@ -349,7 +350,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("label").alias("cluster_keeper"))
 
 
-@declared_query("q_near_dedup")  # rows-only: MinHash-LSH is not DuckDB-expressible
+# Persisted-candidate oracle (the q_text_fingerprint pattern): the
+# xxhash64-based minhash banding is not SQL-replayable, so the Spark query
+# persists its CANDIDATE pairs and DuckDB independently recomputes the
+# exact shingle-set Jaccard from raw text and re-applies the threshold.
+# The approximate step (which pairs become candidates) is taken as given —
+# it only affects recall, which tests/test_similarity_recall.py pins — but
+# every emitted pair and every jaccard VALUE is hash-verified.
+_NEAR_DEDUP_CAND_DIR = fixed_scratch_dir("q_near_dedup_cands")
+
+_NEAR_DEDUP_ORACLE = f"""
+    WITH cand AS (
+        SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b
+        FROM read_parquet('{_NEAR_DEDUP_CAND_DIR}/*.parquet')
+    ),
+    sh AS ({_SHINGLES_SQL}),
+    card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                    JOIN sh b ON b.doc_id = c.doc_b
+                             AND a.shingle = b.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(n_common AS DOUBLE)
+               / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+    FROM common c JOIN card ca ON ca.doc_id = c.doc_a
+                  JOIN card cb ON cb.doc_id = c.doc_b
+    WHERE CAST(n_common AS DOUBLE)
+              / (ca.n_sh + cb.n_sh - n_common) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+@declared_query("q_near_dedup", oracle=_NEAR_DEDUP_ORACLE)
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E21: banded MinHash-LSH near-dup pairs (shingle→minhash→band→bucket-join).
 
@@ -360,6 +394,11 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. band into 4 bands × 4 rows; band signature = hash of the 4 minhashes;
       4. candidate pairs = equi-join on (band_id, band_sig) — never all-pairs;
       5. verify candidates with exact shingle-set Jaccard ≥ 0.5.
+
+    Hash-verified (r5): the candidate pairs persist as a side table and
+    DuckDB recomputes step 5 — shingles, intersection, Jaccard, threshold
+    — from raw text (_NEAR_DEDUP_ORACLE). Only banding (candidate recall)
+    is taken as given.
 
     At 100 TB each stage is one shuffle (agg on doc_id, join on band bucket,
     join on shingle for verification of the — tiny — candidate set).
@@ -387,14 +426,18 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_sig")
 
     l, r = bands.alias("l"), bands.alias("r")
-    candidates = (
+    (
         l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
                & (F.col("l.band_sig") == F.col("r.band_sig"))
                & (F.col("l.doc_id") < F.col("r.doc_id")))
         .select(F.col("l.doc_id").alias("doc_a"),
                 F.col("r.doc_id").alias("doc_b"))
         .distinct()
+        .write.mode("overwrite").parquet(_NEAR_DEDUP_CAND_DIR)
     )
+    # verification joins read the PERSISTED candidates (the exact rows the
+    # oracle audits) instead of recomputing the band join from lineage
+    candidates = spark.read.parquet(_NEAR_DEDUP_CAND_DIR)
 
     # Exact-Jaccard verification of the candidate set only.
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_mergetree_spark.registry import declared_query
 from clickhouse_mergetree_spark.tables import load
-from clickhouse_mergetree_spark.scratch import scratch_dir
+from clickhouse_mergetree_spark.scratch import fixed_scratch_dir, scratch_dir
 
 QUERY_VEC_ID = 0
 TOP_K = 10
@@ -180,7 +180,60 @@ def sim_search_lsh_on(
     )
 
 
-@declared_query("q_sim_search_lsh")  # rows-only: approximate by construction
+def _sql_plane_bucket_expr(col: str = "embedding") -> str:
+    """Sign-projection bucket id as DuckDB SQL: the seed-42 hyperplanes
+    embed as list literals (repr round-trips every float64 exactly), and
+    both engines fold the same 64 products in list order, so every dot —
+    and therefore every bucket bit — is bit-identical across engines."""
+    def dot(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (f"list_sum(list_transform(range(1, {DIM + 1}), "
+                f"i -> CAST({col}[i] AS DOUBLE) * {lit}[i]))")
+
+    return " + ".join(
+        f"(CASE WHEN {dot(p)} > 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(_hyperplanes()))
+
+
+def _sql_self_dot(col: str = "embedding") -> str:
+    return (f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE)))")
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB replay of the ENTIRE multi-probe LSH pipeline: recompute
+    the sign-projection buckets (_sql_plane_bucket_expr), the radius-2
+    probe set (bit_count(xor(...)) ≤ 2 ≡ the XOR mask list), and the
+    exact cosine top-k over the candidates — an ANN query becomes a
+    fully hash-verified row."""
+    bucket = _sql_plane_bucket_expr("embedding")
+    self_dot = _sql_self_dot("embedding")
+    qdot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST(b.embedding[i] AS DOUBLE)"
+            f" * CAST(q.qv[i] AS DOUBLE)))")
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {bucket} AS bucket,
+                   sqrt({self_dot}) AS nrm
+            FROM embeddings
+        ),
+        q AS (
+            SELECT embedding AS qv, bucket AS qbucket, nrm AS qnrm
+            FROM b WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        cand AS (
+            SELECT b.vec_id, b.bucket,
+                   {qdot} / (b.nrm * q.qnrm) AS cos_raw
+            FROM b, q
+            WHERE b.vec_id <> {QUERY_VEC_ID}
+              AND bit_count(xor(b.bucket, q.qbucket)) <= {LSH_PROBE_RADIUS}
+        )
+        SELECT vec_id, bucket, round(cos_raw, 9) AS cosine
+        FROM cand ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
+    """
+
+
+@declared_query("q_sim_search_lsh", oracle=_lsh_oracle_sql())
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 scale path: sign-random-projection LSH ANN top-k with multi-probe.
 
@@ -191,6 +244,11 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     usable recall (pinned ≥0.9 on a planted-neighbor corpus in
     tests/test_similarity_recall.py). Exact cosine + top-k run on the
     candidates only.
+
+    Hash-verified (r5): the hyperplanes embed as literals in the oracle
+    SQL, so DuckDB replays bucketing, multi-probe, and scoring exactly —
+    see _lsh_oracle_sql. Approximation lives in the ALGORITHM (which
+    candidates are probed), not in any engine-dependent value.
 
     At 100 TB: write the table partitioned by `bucket` so the probe list
     becomes partition pruning (the probe side is a 37-row broadcast; the
@@ -365,7 +423,70 @@ def train_ivf_centroids_sampled(
     return cents.tolist()
 
 
-@declared_query("q_sim_search_ivf")  # rows-only: approximate by construction
+# Fixed side-table locations for the IVF oracles (see q_text_fingerprint
+# for the pattern): the Spark query persists its index artifacts — the
+# (vec_id, cent_id) assignment and the probe list — and DuckDB
+# independently re-applies the probe filter and recomputes the exact
+# cosine top-k over the candidates. The k-means TRAINING stays
+# unverified by design: centroids are an index-build heuristic (any
+# codebook yields a valid ANN index); every VALUE in the result is
+# verified.
+_IVF_ASSIGN_DIR = fixed_scratch_dir("q_ivf_assign")
+_IVF_PROBES_DIR = fixed_scratch_dir("q_ivf_probes")
+_IVF_PART_INDEX_DIR = fixed_scratch_dir("q_ivf_part_index")
+_IVF_PART_PROBES_DIR = fixed_scratch_dir("q_ivf_part_probes")
+
+
+def _ivf_oracle_sql(assign_glob: str, probes_glob: str,
+                    hive: bool = False) -> str:
+    def self_dot(col: str) -> str:
+        return (f"list_sum(list_transform(range(1, {DIM + 1}), "
+                f"i -> CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE)))")
+
+    qdot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST(c.embedding[i] AS DOUBLE)"
+            f" * CAST(q.qv[i] AS DOUBLE)))")
+    hp = ", hive_partitioning=1" if hive else ""
+    return f"""
+        WITH assign AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(cent_id AS INTEGER) AS cent_id
+            FROM read_parquet('{assign_glob}'{hp})
+        ),
+        q AS (
+            SELECT embedding AS qv, sqrt({self_dot('embedding')}) AS qnrm
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        cand AS (
+            SELECT a.vec_id, a.cent_id, e.embedding,
+                   sqrt({self_dot('e.embedding')}) AS nrm
+            FROM assign a JOIN embeddings e USING (vec_id)
+            WHERE a.vec_id <> {QUERY_VEC_ID}
+              AND a.cent_id IN (
+                    SELECT CAST(cent_id AS INTEGER)
+                    FROM read_parquet('{probes_glob}'))
+        ),
+        scored AS (
+            SELECT c.vec_id, c.cent_id,
+                   {qdot} / (c.nrm * q.qnrm) AS cos_raw
+            FROM cand c, q
+        )
+        SELECT vec_id, cent_id, round(cos_raw, 9) AS cosine
+        FROM scored ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
+    """
+
+
+def _write_probes(spark: SparkSession, probe_ids: list[int],
+                  path: str) -> None:
+    spark.createDataFrame([(int(i),) for i in probe_ids], "cent_id int") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+@declared_query(
+    "q_sim_search_ivf",
+    oracle=_ivf_oracle_sql(f"{_IVF_ASSIGN_DIR}/*.parquet",
+                           f"{_IVF_PROBES_DIR}/*.parquet"),
+)
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 scale path #2: IVF (inverted-file) ANN top-k over trained
     k-means centroids.
@@ -394,8 +515,34 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     into partition pruning — the same layout trick as the LSH variant.
     Recall < 1 by design (measured vs the exact baseline in
     tests/test_similarity_recall.py); pair with q_sim_search.
+
+    Hash-verified (r5): the (vec_id, cent_id) assignment and the probe
+    list persist as side tables; DuckDB independently re-applies the
+    probe filter and recomputes the exact cosine top-k (_ivf_oracle_sql).
+    Only the k-means training itself — an index-build heuristic — is
+    taken as given.
     """
-    return sim_search_ivf_on(spark, load(spark, sf_dir, "embeddings"))
+    raw = load(spark, sf_dir, "embeddings")
+    trained = train_ivf_centroids_sampled(raw)
+    emb = raw.withColumn("nrm", _norm("embedding"))
+    assign = emb.select(
+        "vec_id", "embedding", "nrm",
+        F.array_min(_ivf_cells_expr(trained))["cent_id"].alias("cent_id"),
+    )
+    assign.select("vec_id", "cent_id").write.mode("overwrite") \
+        .parquet(_IVF_ASSIGN_DIR)
+    qv, qnrm, probe_ids = _ivf_query_probes(raw, trained, QUERY_VEC_ID)
+    _write_probes(spark, probe_ids, _IVF_PROBES_DIR)
+    # candidates come from the PERSISTED assignment (what the oracle
+    # audits) joined back to the vectors — the assignment expression is
+    # not recomputed for the scoring pass
+    candidates = (
+        spark.read.parquet(_IVF_ASSIGN_DIR)
+        .filter(F.col("cent_id").isin(probe_ids))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(emb, "vec_id")
+    )
+    return _ivf_score_topk(candidates, qv, qnrm, TOP_K)
 
 
 def _ivf_cells_expr(trained: list[list[float]]) -> Column:
@@ -475,7 +622,11 @@ def sim_search_ivf_on(
     return _ivf_score_topk(candidates, qv, qnrm, top_k)
 
 
-@declared_query("q_sim_search_ivf_partitioned")  # rows-only: approximate
+@declared_query(
+    "q_sim_search_ivf_partitioned",
+    oracle=_ivf_oracle_sql(f"{_IVF_PART_INDEX_DIR}/*/*.parquet",
+                           f"{_IVF_PART_PROBES_DIR}/*.parquet", hive=True),
+)
 def q_sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 scale path #2b: IVF over a MATERIALIZED cell-partitioned
     layout — the "write the table partitioned by cell id" trick that
@@ -494,8 +645,10 @@ def q_sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic given the corpus (sampled k-means is deterministic), so
     tests/test_similarity_recall.py asserts result == q_sim_search_ivf
-    row-for-row; rows-only at the driver (approximate by construction,
-    like every ANN variant)."""
+    row-for-row. Hash-verified (r5): DuckDB reads the SAME materialized
+    index (hive-partitioned cent_id directories) plus the persisted probe
+    list, re-applies the probe filter, and recomputes the exact cosine
+    top-k — the oracle audits the very files the Spark probe scans."""
     raw = load(spark, sf_dir, "embeddings")
     trained = train_ivf_centroids_sampled(raw)
     emb = raw.withColumn("nrm", _norm("embedding"))
@@ -503,12 +656,13 @@ def q_sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "nrm",
         F.array_min(_ivf_cells_expr(trained))["cent_id"].alias("cent_id"),
     )
-    index_path = scratch_dir("ivf_index_")
-    assign.write.mode("overwrite").partitionBy("cent_id").parquet(index_path)
+    assign.write.mode("overwrite").partitionBy("cent_id") \
+        .parquet(_IVF_PART_INDEX_DIR)
 
     qv, qnrm, probe_ids = _ivf_query_probes(raw, trained, QUERY_VEC_ID)
+    _write_probes(spark, probe_ids, _IVF_PART_PROBES_DIR)
     candidates = (
-        spark.read.parquet(index_path)
+        spark.read.parquet(_IVF_PART_INDEX_DIR)
         .filter(F.col("cent_id").isin(probe_ids))   # directory pruning
         .filter(F.col("vec_id") != QUERY_VEC_ID)
     )
@@ -577,11 +731,39 @@ def q_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared_query("q_near_dedup_cosine_lsh")  # rows-only: approximate by construction
+def _cosine_lsh_oracle_sql() -> str:
+    bucket = _sql_plane_bucket_expr("embedding")
+    self_dot = _sql_self_dot("embedding")
+    pdot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST(a.embedding[i] AS DOUBLE)"
+            f" * CAST(b2.embedding[i] AS DOUBLE)))")
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {bucket} AS bucket,
+                   sqrt({self_dot}) AS nrm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                   a.bucket AS bucket,
+                   {pdot} / (a.nrm * b2.nrm) AS cos_raw
+            FROM b a JOIN b b2
+              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        )
+        SELECT id_a, id_b, bucket, round(cos_raw, 9) AS cosine
+        FROM pairs ORDER BY cos_raw DESC, id_a, id_b LIMIT {PAIR_TOP_K}
+    """
+
+
+@declared_query("q_near_dedup_cosine_lsh", oracle=_cosine_lsh_oracle_sql())
 def q_near_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, scale path: candidate pairs only within the
     same sign-projection LSH bucket (equi-join on bucket — a hash join, never
     a cross join), then exact cosine on the candidates.
+
+    Hash-verified (r5): the hyperplanes embed as literals in the oracle
+    SQL, so DuckDB replays bucketing, the same-bucket pair join, and the
+    exact cosine top-{20} bit-for-bit (_cosine_lsh_oracle_sql).
 
     At 100 TB: bucket count scales with n (more hyperplanes), the self-join
     shuffles on bucket so each reducer sees ~n/2^bits rows, and skewed
@@ -669,9 +851,12 @@ def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
 
 
 def sim_search_pq_on(emb: DataFrame, query_vec_id: int = QUERY_VEC_ID,
-                     top_k: int = TOP_K) -> DataFrame:
+                     top_k: int = TOP_K,
+                     persist_shortlist: str | None = None) -> DataFrame:
     """PQ + ADC + exact-rerank core over any (vec_id, embedding) frame
-    (the planted-corpus recall test drives this directly)."""
+    (the planted-corpus recall test drives this directly).
+    ``persist_shortlist``: optional parquet dir the ADC shortlist is
+    written to (and re-read from) so an oracle can audit the rerank."""
     spark = emb.sparkSession
     books = train_pq_codebooks(emb)
     q = (emb.filter(F.col("vec_id") == query_vec_id)
@@ -718,6 +903,10 @@ def sim_search_pq_on(emb: DataFrame, query_vec_id: int = QUERY_VEC_ID,
         .orderBy("adc", "vec_id")
         .limit(max(PQ_SHORTLIST, n // 4))
     )
+    if persist_shortlist is not None:
+        shortlist.select("vec_id").write.mode("overwrite") \
+            .parquet(persist_shortlist)
+        shortlist = spark.read.parquet(persist_shortlist)
     # exact cosine rerank over the shortlist only (JVM array arithmetic —
     # identical scoring expression to q_sim_search, so doubles match)
     cand = F.broadcast(shortlist).join(
@@ -736,7 +925,34 @@ def sim_search_pq_on(emb: DataFrame, query_vec_id: int = QUERY_VEC_ID,
     )
 
 
-@declared_query("q_sim_search_pq", oracle=None)
+_PQ_SHORTLIST_DIR = fixed_scratch_dir("q_pq_shortlist")
+
+
+def _pq_oracle_sql() -> str:
+    qdot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST(e.embedding[i] AS DOUBLE)"
+            f" * CAST(q.qv[i] AS DOUBLE)))")
+    return f"""
+        WITH short AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id
+            FROM read_parquet('{_PQ_SHORTLIST_DIR}/*.parquet')
+        ),
+        q AS (
+            SELECT embedding AS qv, sqrt({_sql_self_dot('embedding')}) AS qnrm
+            FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        scored AS (
+            SELECT e.vec_id,
+                   {qdot} / (sqrt({_sql_self_dot('e.embedding')}) * q.qnrm)
+                       AS cos_raw
+            FROM embeddings e JOIN short USING (vec_id), q
+        )
+        SELECT vec_id, round(cos_raw, 9) AS cosine
+        FROM scored ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
+    """
+
+
+@declared_query("q_sim_search_pq", oracle=_pq_oracle_sql())
 def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E22 scale path #4: product quantization with asymmetric-distance
     scoring and exact rerank — the memory-bound regime's ANN answer
@@ -752,10 +968,13 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(100, corpus/4) → exact cosine rerank JVM-side on the shortlist
     only. Normalized-space ADC-L2 is rank-monotone with cosine, so every
     true neighbor inside the shortlist surfaces with its EXACT score.
-    Approximate by construction (rows-only at the driver, like every ANN
-    variant): the fixture vectors are isotropic noise — PQ's adversarial
-    case, nothing clusterable — so the meaningful contract is pinned on
-    the planted-neighbor corpus in tests/test_similarity_recall.py
-    (recall ≥ 0.9 of genuinely-near neighbors); real embedding corpora
+
+    Hash-verified (r5): the ADC shortlist persists as a side table and
+    DuckDB recomputes the exact-cosine rerank + top-k over it
+    (_pq_oracle_sql) — only the shortlist SELECTION (the approximate
+    step, whose recall tests/test_similarity_recall.py pins ≥0.9 on a
+    planted-neighbor corpus) is taken as given. The fixture vectors are
+    isotropic noise — PQ's adversarial case; real embedding corpora
     cluster and run a far smaller shortlist."""
-    return sim_search_pq_on(load(spark, sf_dir, "embeddings"))
+    return sim_search_pq_on(load(spark, sf_dir, "embeddings"),
+                            persist_shortlist=_PQ_SHORTLIST_DIR)
