@@ -525,3 +525,82 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Round 5: exact repeated-substring detection (position-level dedup)
+# ---------------------------------------------------------------------------
+
+# 8-token rolling windows — long enough to be memorization-relevant,
+# short enough that ~50-token synthetic docs still emit dozens of spans.
+SUBSTR_K = 8
+
+
+@declared_query(
+    "q_dedup_substring",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+            WHERE len(string_split(text, ' ')) >= {SUBSTR_K}
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(tk) - {SUBSTR_K - 2}),
+                       i -> array_to_string(tk[i:i+{SUBSTR_K - 1}], ' ')
+                   )) AS gram
+            FROM t
+        ),
+        gd AS (SELECT gram, count(DISTINCT doc_id) AS n_docs
+               FROM g GROUP BY gram)
+        SELECT g.doc_id,
+               count(*) AS n_positions,
+               CAST(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_positions,
+               round(sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 9) AS dup_frac
+        FROM g JOIN gd ON gd.gram = g.gram
+        GROUP BY g.doc_id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection, the distributed analog of the
+    suffix-array substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): every {SUBSTR_K}-token
+    rolling window of every document is inventoried, and a document's
+    dup_frac is the fraction of its window positions whose exact substring
+    also occurs in ANOTHER document — the per-doc signal used to cut
+    memorized spans rather than whole near-dup docs.
+
+    Plan shape (the scale path a suffix array can't take): one explode to
+    (doc_id, gram) keeping positional multiplicity, a partial+final
+    count-distinct agg on gram (uniform fine-grained key — the rolling
+    windows of real text are near-unique, so no skew), and an equi-join of
+    the gram inventory back onto the positions, reusing the gram hash
+    partitioning from the agg. Sum of per-gram occurrence lists, never
+    any pairwise comparison — candidate cost is linear in corpus tokens.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tk = F.col("__toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tk) - SUBSTR_K),
+        lambda i: F.concat_ws(" ", F.slice(tk, i + 1, SUBSTR_K)),
+    )
+    g = (
+        docs.withColumn("__toks", F.split("text", " "))
+        .filter(F.size("__toks") >= SUBSTR_K)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    gd = g.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        g.join(gd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_positions"),
+            F.sum(dup).alias("n_dup_positions"),
+            F.round(F.sum(dup) * F.lit(1.0) / F.count("*"), 9)
+            .alias("dup_frac"),
+        )
+    )

@@ -978,3 +978,86 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster and run a far smaller shortlist."""
     return sim_search_pq_on(load(spark, sf_dir, "embeddings"),
                             persist_shortlist=_PQ_SHORTLIST_DIR)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: batched exact k-NN join (one window, many queries)
+# ---------------------------------------------------------------------------
+
+KNN_N_QUERIES = 8   # vec_id 0..7 form the query batch
+KNN_K = 5
+
+
+def _knn_join_oracle_sql() -> str:
+    self_dot = _sql_self_dot("embedding")
+    qdot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST(c.embedding[i] AS DOUBLE)"
+            f" * CAST(q.qv[i] AS DOUBLE)))")
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, sqrt({self_dot}) AS nrm
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm
+              FROM b WHERE vec_id < {KNN_N_QUERIES}),
+        c AS (SELECT vec_id, embedding, nrm FROM b
+              WHERE vec_id >= {KNN_N_QUERIES}),
+        scored AS (
+            SELECT q.q_id, c.vec_id,
+                   {qdot} / (c.nrm * q.qnrm) AS cos_raw
+            FROM c, q
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos_raw,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, rnk, vec_id, round(cos_raw, 9) AS cosine
+        FROM ranked WHERE rnk <= {KNN_K}
+    """
+
+
+@declared_query("q_knn_join", oracle=_knn_join_oracle_sql())
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact k-NN join: for EVERY query in a bounded request batch
+    (vec_id < {KNN_N_QUERIES}), the top-{KNN_K} cosine neighbors over the
+    rest of the corpus — the serving shape of a vector store answering a
+    batch of lookups in one scan, vs q_sim_search's single query.
+
+    Plan shape: the query batch is a broadcast (request batches are KBs;
+    the corpus is the big side and never shuffles) nested-loop against the
+    corpus scan — O(|C|·|Q|) scored pairs is the DEFINITION of exact batch
+    k-NN, bounded here by the batch size, not by data volume. Per-query
+    top-k is one window on q_id (|Q| partitions, rank ≤ k) — at scale you
+    cap emitted pairs per scan partition first (the blas pre-top-k
+    pattern) so the window input is |parts|·|Q|·k rows, not |C|·|Q|.
+    All-pairs self-join top-k is deliberately NOT this operator — that is
+    the near-dup family's blocked/LSH territory.
+
+    Hash-verified: dot products fold sequentially in both engines
+    (zip_with/aggregate vs list_sum) and ranking ties break on vec_id, so
+    DuckDB replays the ranking exactly; cosines round to 9 dp.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"))
+    q = base.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"))
+    c = base.filter(F.col("vec_id") >= KNN_N_QUERIES)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "q_id", "vec_id",
+        (_dot("embedding", "qv") / (F.col("nrm") * F.col("qnrm")))
+        .alias("cos_raw"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("q_id", "rnk", "vec_id",
+                F.round("cos_raw", 9).alias("cosine"))
+    )

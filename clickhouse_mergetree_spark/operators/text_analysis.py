@@ -516,3 +516,158 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(PMI_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: repetition quality + benchmark-contamination screening
+# ---------------------------------------------------------------------------
+
+@declared_query(
+    "q_text_repetition",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        tt AS (SELECT doc_id, max(c) AS top_token_n FROM tc GROUP BY doc_id),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1])) AS b
+            FROM t WHERE len(tk) >= 2
+        ),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        bt AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY doc_id)
+        SELECT t.doc_id,
+               len(tk) AS n_tokens,
+               len(list_distinct(tk)) AS n_distinct,
+               tt.top_token_n,
+               coalesce(bt.top_bigram_n, 0) AS top_bigram_n,
+               round(1.0 - len(list_distinct(tk)) * 1.0 / len(tk), 9)
+                   AS dup_frac
+        FROM t
+        JOIN tt ON tt.doc_id = t.doc_id
+        LEFT JOIN bt ON bt.doc_id = t.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screening (Rae et al. 2021 §A1.1): the
+    within-document repetition signals used to drop boilerplate/spam from
+    LLM training corpora — most-frequent-token count, most-frequent-bigram
+    count, and the duplicate-token fraction 1 − |distinct|/|tokens|.
+
+    Plan shape: one explode per gram order feeding a partial+final count
+    agg keyed on (doc_id, gram) — fine-grained keys, no skew, map-side
+    combine collapses each partition's repeats before the exchange. The
+    per-doc argmax is a second tiny agg on doc_id; the row-local stats
+    (n_tokens, n_distinct) ride along without any shuffle. At 100 TB each
+    doc's grams stay row-local until the count agg, and every shuffle key
+    includes doc_id — parallelism is per-document, never corpus-global.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        t.alias("tk"),
+    )
+    top_tok = (
+        base.select("doc_id", F.explode("tk").alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_token_n"))
+    )
+    bigrams = F.zip_with(
+        F.slice("tk", 1, F.size("tk") - 1),
+        F.slice("tk", 2, F.size("tk") - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
+    top_bg = (
+        base.filter(F.size("tk") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_bigram_n"))
+    )
+    return (
+        base.drop("tk")
+        .join(top_tok, "doc_id")
+        .join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_distinct", "top_token_n",
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct") * F.lit(1.0) / F.col("n_tokens"),
+                9).alias("dup_frac"),
+        )
+    )
+
+
+# Benchmark-contamination screening: which "training" documents contain
+# 3-gram overlap with a held-out benchmark partition. The benchmark here is
+# the source='src0' slice of the corpus — in production it would be the
+# eval-suite text (GSM8K/MMLU/...), which is always tiny relative to the
+# corpus, hence the broadcast membership join.
+CONTAM_BENCH_SOURCE = "src0"
+
+
+@declared_query(
+    "q_contamination",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, source, shingle FROM (
+                SELECT doc_id, source,
+                       unnest(list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2]
+                       )) AS shingle
+                FROM documents)
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh
+                  WHERE source = '{CONTAM_BENCH_SOURCE}'),
+        ev AS (SELECT doc_id, shingle FROM sh
+               WHERE source <> '{CONTAM_BENCH_SOURCE}')
+        SELECT ev.doc_id,
+               count(*) AS n_shingles,
+               count(b.shingle) AS n_contaminated,
+               round(count(b.shingle) * 1.0 / count(*), 9)
+                   AS contamination_frac
+        FROM ev LEFT JOIN bench b ON ev.shingle = b.shingle
+        GROUP BY ev.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (the n-gram overlap decontamination
+    step of GPT-3/Llama-style corpus prep): for every training document,
+    the fraction of its distinct 3-gram shingles that appear anywhere in
+    the benchmark partition (source='src0' stands in for eval-suite text).
+
+    Plan shape: the benchmark's distinct-shingle set is aggregated once
+    and BROADCAST — eval suites are KBs-to-MBs while the corpus is TBs, so
+    the membership probe is a broadcast hash join against the full-width
+    corpus scan; the only shuffle is the per-doc count agg on doc_id.
+    Identical 3-gram definition to the dedup family (dedup._shingles);
+    string shingles (not xxhash64) so the oracle replays membership
+    byte-for-byte — production would hash both sides to 8-byte keys.
+    """
+    from clickhouse_mergetree_spark.operators.dedup import _shingles
+
+    docs = load(spark, sf_dir, "documents")
+    bench_sh = (
+        _shingles(docs.filter(F.col("source") == CONTAM_BENCH_SOURCE),
+                  hashed=False)
+        .select("shingle").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_sh = _shingles(docs.filter(F.col("source") != CONTAM_BENCH_SOURCE),
+                        hashed=False)
+    return (
+        eval_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") * F.lit(1.0) / F.count("*"), 9)
+            .alias("contamination_frac"),
+        )
+    )
