@@ -126,6 +126,13 @@ class MergeTreeConfig:
     #               stores the NET sign — not a clamped ±1 — so
     #               cancellation stays associative across any merge
     #               schedule; reads emit only groups with net > 0.
+    #   "versioned_collapsing" — collapsing with ORDER-INDEPENDENT
+    #               cancellation (VersionedCollapsingMergeTree): each row
+    #               carries (sign, version) and a -1 row cancels the +1
+    #               row with the SAME version, so out-of-order inserts
+    #               collapse correctly. Physical collapse groups by
+    #               (key, ts, version) keeping the net sign; reads emit
+    #               every surviving (net > 0) version of the state.
     #   "aggregating" — per-column aggregate STATES (AggregatingMergeTree):
     #               ``agg_cols`` maps column → fn in {sum, min, max} (count
     #               is a summed constant-1 column, the same idiom as
@@ -140,8 +147,11 @@ class MergeTreeConfig:
     # aggregating mode: column → "sum" | "min" | "max". Unlisted non-key
     # columns combine with min (the deterministic "keep any" choice).
     agg_cols: dict[str, str] | None = None
-    # collapsing mode: the +1/-1 sign column.
+    # collapsing modes: the +1/-1 sign column.
     sign_col: str = "sign"
+    # versioned_collapsing mode: the version column a -1 row must match
+    # to cancel its +1 counterpart.
+    version_col: str = "version"
     # minmax skipping indexes (ClickHouse `INDEX ... TYPE minmax` analog —
     # extension): per-part min/max kept in the manifest for these NON-KEY
     # columns, so range predicates on them can prune whole parts without
@@ -958,6 +968,25 @@ class SparkMergeTree:
             ]
             return out.groupBy(self._key, self._ts).agg(*aggs) \
                 .select(out.columns)
+        if self.config.mode == "versioned_collapsing":
+            # same net-sign cancellation state as collapsing, but grouped
+            # by (key, ts, version): a -1 row only ever cancels the +1
+            # row carrying the SAME version, which is what makes the
+            # collapse insensitive to insert/merge order (the whole point
+            # of VersionedCollapsingMergeTree — plain collapsing's
+            # "cancel the adjacent row" contract breaks on out-of-order
+            # streams). Associative: net signs per version sum.
+            sc = self.config.sign_col
+            vc = self.config.version_col
+            types = {f.name: f.dataType for f in self.schema.fields}
+            aggs = [
+                F.sum(sc).cast(types[sc]).alias(sc) if c == sc
+                else F.min(F.when(F.col(sc) > 0, F.col(c))).alias(c)
+                for c in out.columns
+                if c not in (self._key, self._ts, vc)
+            ]
+            return out.groupBy(self._key, self._ts, vc).agg(*aggs) \
+                .select(out.columns)
         if self.config.mode == "summing":
             scols = self._sum_cols(out.columns)
             types = {f.name: f.dataType for f in self.schema.fields}
@@ -988,7 +1017,7 @@ class SparkMergeTree:
     def _dedup_sort(self, out: DataFrame) -> DataFrame:
         other_cols = [c for c in out.columns if c not in (self._key, self._ts)]
         collapsed = self._collapse(out)
-        if self.config.mode == "collapsing":
+        if self.config.mode in ("collapsing", "versioned_collapsing"):
             # read finalization (the FINAL keyword analog): cancelled and
             # never-inserted groups are invisible
             collapsed = collapsed.filter(F.col(self.config.sign_col) > 0)

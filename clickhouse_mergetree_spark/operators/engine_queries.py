@@ -1237,3 +1237,135 @@ def q_events_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
                 F.coalesce("n", F.lit(0)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: sequence pattern matching (ClickHouse sequenceMatch analog)
+# ---------------------------------------------------------------------------
+
+# view → click → purchase, in order, with anything in between.
+SEQ_PATTERN = "v.*c.*p"
+
+
+@declared_query(
+    "q_seq_match",
+    oracle=f"""
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               length(seq) AS n_events,
+               regexp_matches(seq, '{SEQ_PATTERN}') AS matched
+        FROM seqs
+    """,
+)
+def q_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` analog: per user,
+    does the time-ordered event stream contain view, then click, then
+    purchase (any events in between)? Event conditions compress to one
+    symbol per event ('v'/'c'/'p'/...; first letter is unique here) so the
+    temporal pattern becomes a REGEX over the per-user symbol string —
+    exactly how ClickHouse compiles its pattern DSL.
+
+    Plan shape: one partial+final agg on user_id building the ordered
+    symbol string (elements carry their (ts_us, event_id) sort key into
+    the collect; ordering is resolved row-locally after sort_array, so
+    collect partials still merge associatively), then a row-local regex.
+    Per-user state is the event count — the same bound as any
+    sessionization; a pathological hot user caps with a LIMIT-BY-style
+    truncation upstream.
+    """
+    ev = load(spark, sf_dir, "events")
+    tagged = F.struct(
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("event_id"),
+        F.substring("event_type", 1, 1).alias("sym"))
+    seq = F.concat_ws(
+        "",
+        F.transform(F.sort_array(F.collect_list(tagged)),
+                    lambda r: r["sym"]))
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").alias("n_events"),
+            F.col("seq").rlike(SEQ_PATTERN).alias("matched"),
+        )
+    )
+
+
+@declared_query(
+    "q_versioned_collapse",
+    oracle=f"""
+        WITH base AS (
+            SELECT key, ts_us, min(event_id) AS event_id
+            FROM ({_KV_SQL}) WHERE key <= {RANGE_END}
+            GROUP BY key, ts_us
+        )
+        SELECT key, ts_us, 1 AS version, event_id
+        FROM base WHERE event_id % 2 = 1
+        UNION ALL
+        SELECT key, ts_us, 2 AS version, event_id
+        FROM base WHERE event_id % 2 = 0
+    """,
+)
+def q_versioned_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree mode end-to-end: state updates under
+    OUT-OF-ORDER delivery. Plain collapsing cancels whatever +1 row it
+    meets — correct only when cancellations arrive after their insert.
+    Versioned collapsing pairs a -1 row with the +1 row carrying the SAME
+    version, so the collapse commutes with delivery order.
+
+    The fixture delivers the cancellation part FIRST: part 1 holds
+    (sign=-1, version=1) for the even-event_id rows, part 2 the original
+    (sign=+1, version=1) rows, part 3 the replacement (sign=+1,
+    version=2) even rows. After compaction the odd rows survive at
+    version 1 and the even rows at version 2 — which is exactly what the
+    oracle derives relationally, and what plain collapsing's
+    order-sensitive contract would get wrong given this delivery order.
+
+    At 100 TB this is the engine mode for mutable state fed by an
+    at-least-once, out-of-order stream (CDC, clickstream updates): merges
+    stay pure net-sign algebra per (key, ts, version), associative under
+    any merge schedule."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("sign", T.IntegerType(), False),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=1,
+                          mode="versioned_collapsing",
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_vercollapse_"),
+                           schema=schema, config=cfg)
+    base = (
+        _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+        .groupBy("key", "ts_us").agg(F.min("event_id").alias("event_id"))
+    )
+    even = base.filter(F.pmod("event_id", F.lit(2)) == 0)
+    n = base.count()
+    # cancellation delivered BEFORE the row it cancels
+    table.insert_batch(
+        even.select("key", "ts_us", F.lit(1).alias("version"), "event_id",
+                    F.lit(-1).alias("sign")), row_count=max(1, n // 2))
+    table.flush()
+    table.insert_batch(
+        base.select("key", "ts_us", F.lit(1).alias("version"), "event_id",
+                    F.lit(1).alias("sign")), row_count=n)
+    table.flush()
+    table.insert_batch(
+        even.select("key", "ts_us", F.lit(2).alias("version"), "event_id",
+                    F.lit(1).alias("sign")), row_count=max(1, n // 2))
+    table.flush()
+    table.merge_parts_sync()
+    return table.query_all().select("key", "ts_us", "version", "event_id")

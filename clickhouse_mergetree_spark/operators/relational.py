@@ -1106,3 +1106,96 @@ def q_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: ClickHouse dialect staples — groupArray family, multi-quantiles
+# ---------------------------------------------------------------------------
+
+GROUPARRAY_N = 5
+
+
+@declared_query(
+    "q_agg_grouparray",
+    oracle=f"""
+        SELECT user_id,
+               count(*) AS n_events,
+               list_sort(list_distinct(list(event_type))) AS types_uniq,
+               (list(value ORDER BY ts, event_id))[1:{GROUPARRAY_N}]
+                   AS first_values
+        FROM events GROUP BY user_id
+    """,
+)
+def q_agg_grouparray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupUniqArray`` + ``groupArray(N)`` analogs: per user,
+    the sorted distinct event-type set and the FIRST {GROUPARRAY_N} values
+    in (ts, event_id) time order — array-building aggregation, the shape
+    behind per-entity feature vectors and session replies.
+
+    One partial+final agg on user_id. groupArray(N) semantics need a
+    deterministic order, which Spark's collect_list alone does not give —
+    so the elements carry their (ts_us, event_id) sort key into the
+    aggregation as a struct, and the truncation to N happens AFTER
+    sort_array, row-locally. Map-side combine still applies (collect
+    partials merge associatively); at scale the per-group state is
+    bounded by the collect, so groupArray(N) on a hot key is the one
+    aggregate you cap with N, exactly why ClickHouse ships the N form.
+    The raw stored doubles pass through unrounded — identical bits on
+    both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    tagged = F.struct(
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("event_id"),
+        F.col("value").alias("value"))
+    sorted_vals = F.sort_array(F.collect_list(tagged))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_sort(F.collect_set("event_type")).alias("types_uniq"),
+            F.transform(
+                F.slice(sorted_vals, 1, GROUPARRAY_N),
+                lambda r: r["value"]).alias("first_values"),
+        )
+    )
+
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+@declared_query(
+    "q_quantiles_multi",
+    oracle=f"""
+        SELECT event_type,
+               count(*) AS n,
+               list_transform(
+                   quantile_cont(value, {list(QUANTILES)}),
+                   x -> round(x, 9)) AS quantiles
+        FROM events GROUP BY event_type
+    """,
+)
+def q_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantiles(0.25, 0.5, 0.75, 0.9)(x)`` analog: one pass,
+    one aggregate, an ARRAY of exact quantiles per group — amortizes the
+    sort across all requested quantile levels instead of one aggregate
+    per level.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both use the
+    same linear-interpolation definition (type-7), verified to agree at
+    9 dp on this data. Exact quantiles shuffle the group's values to one
+    reducer per group — correct for bounded group counts like this
+    5-value event_type key; an unbounded key at 100 TB switches to the
+    approx_percentile sketch (q_agg_approx_percentile), which is the
+    mergeable t-digest path.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.transform(
+                F.percentile("value", F.lit(list(QUANTILES))),
+                lambda x: F.round(x, 9)).alias("quantiles"),
+        )
+    )

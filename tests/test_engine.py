@@ -212,6 +212,49 @@ def test_collapsing_mode_cancels_rows(spark, base_path):
         assert live3 == {"c": "z", "d": "w"}
 
 
+def test_versioned_collapsing_order_independent(spark, base_path):
+    """mode="versioned_collapsing": a -1 row cancels ONLY the +1 row with
+    the same version, so the collapsed state is identical under every
+    delivery order — including cancel-before-insert, which plain
+    collapsing's order-sensitive contract cannot express."""
+    import itertools
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("val", T.StringType(), True),
+        T.StructField("sign", T.IntegerType(), False),
+    ])
+    # a@v1 cancelled and replaced by a@v2; b@v1 untouched; c@v1
+    # cancelled with no replacement
+    batches = [
+        [("a", 1, 1, "old", -1), ("c", 1, 1, "gone", -1)],   # cancels FIRST
+        [("a", 1, 1, "old", 1), ("b", 1, 1, "keep", 1),
+         ("c", 1, 1, "gone", 1)],
+        [("a", 1, 2, "new", 1)],
+    ]
+    expected = {("a", 2): "new", ("b", 1): "keep"}
+    for order in itertools.permutations(range(3)):
+        cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=1,
+                              mode="versioned_collapsing",
+                              key_col="key", ts_col="ts")
+        path = os.path.join(base_path, "perm" + "".join(map(str, order)))
+        with SparkMergeTree(spark, path, schema=schema, config=cfg) as t:
+            for i in order:
+                t.insert_rows(batches[i])
+                t.flush()
+            live = {(r["key"], r["version"]): r["val"]
+                    for r in t.query_all().collect()}
+            assert live == expected, (order, live)
+            assert t.merge_parts_sync()
+            live2 = {(r["key"], r["version"]): r["val"]
+                     for r in t.query_all().collect()}
+            assert live2 == expected, (order, live2)
+
+
 def test_materialized_view_incremental_rollup(spark, tmp_path):
     """MaterializedView: per-block transform into a summing target equals
     the one-shot aggregate of everything inserted, across every ingest
