@@ -671,3 +671,89 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contamination_frac"),
         )
     )
+
+
+@declared_query(
+    "q_source_mix",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens * 1.0 / total, 9) AS token_share
+        FROM s, t
+    """,
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture report: per-source document and token counts plus
+    each source's share of total corpus tokens — the number every data
+    recipe (The Pile, Dolma, RefinedWeb) is specified in, and the first
+    thing checked after any filtering stage shifts the mixture.
+
+    One partial+final agg on source (token counting is row-local before
+    the agg), then the corpus total joins back as a BROADCAST 1-row
+    aggregate — the same O(n·1) pattern as q_text_tfidf's document count;
+    no second scan of the corpus and no single-partition window.
+    """
+    d = load(spark, sf_dir, "documents")
+    s = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+    )
+    total = s.agg(F.sum("n_tokens").alias("total"))
+    return (
+        s.crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens") * F.lit(1.0) / F.col("total"), 9)
+            .alias("token_share"),
+        )
+    )
+
+
+# Mixture rates: sources with an even number keep 2/16 of docs, odd keep
+# 8/16 — standing in for a per-domain sampling-rate config table.
+_STRAT_RATES = tuple((f"src{i}", 2 if i % 2 == 0 else 8) for i in range(20))
+
+
+@declared_query(
+    "q_sample_stratified",
+    oracle=f"""
+        WITH rates(source, n_buckets) AS (VALUES
+            {", ".join(f"('{s}', {n})" for s, n in _STRAT_RATES)}
+        )
+        SELECT d.doc_id, d.source, d.lang, d.n_chars
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE strpos('0123456789abcdef', substring(md5(d.text), 1, 1)) - 1
+              < r.n_buckets
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: each source keeps a per-domain
+    fraction of documents (2/16 or 8/16 here), sampled by content hash —
+    how a training mixture is re-weighted (downsample boilerplate web,
+    upsample books/code) while staying reproducible across engines, runs,
+    and cluster sizes.
+
+    The rate table is a broadcast dimension (a mixture config is tens of
+    rows); the bucket test is row-local on the first md5 hex digit, so
+    the whole operator is scan → broadcast hash join → filter with no
+    shuffle of the corpus at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        list(_STRAT_RATES), "source string, n_buckets int")
+    digit = F.substring(F.md5("text"), 1, 1)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(F.conv(digit, 16, 10).cast("int") < F.col("n_buckets"))
+        .select("doc_id", "source", "lang", "n_chars")
+    )

@@ -26,7 +26,7 @@ from clickhouse_mergetree_spark.registry import all_queries
 # longer qualifies: its blocked audit join is an equi-join on the block
 # key.
 NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_sim_search_pq",
-                  "q_text_tfidf", "q_text_bigram_pmi",
+                  "q_text_tfidf", "q_text_bigram_pmi", "q_source_mix",
                   # broadcast side is the bounded query batch (8 rows) —
                   # O(|C|·|Q|) scored pairs IS exact batch k-NN
                   "q_knn_join"}
