@@ -1199,3 +1199,63 @@ def q_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.round(x, 9)).alias("quantiles"),
         )
     )
+
+
+@declared_query(
+    "q_with_fill",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day,
+                   count(*) AS n, round(sum(value), 9) AS revenue
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                 FROM p GROUP BY 1),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span
+        )
+        SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+               CAST(coalesce(p.n, 0) AS BIGINT) AS n_purchases,
+               coalesce(p.revenue, 0.0) AS revenue
+        FROM grid g LEFT JOIN p ON p.user_id = g.user_id AND p.day = g.day
+    """,
+)
+def q_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY ... WITH FILL`` analog, per-group: each
+    user's daily purchase series densified with zero rows for silent days
+    between that user's first and last purchase.
+
+    Unlike q_events_timeseries (one broadcastable global axis), the fill
+    axis here is PER KEY, so it is generated distributed — sequence() over
+    each user's (min, max) day inside the span agg, then exploded — never
+    collected or broadcast. Shape: count agg on (user, day), span agg on
+    user, explode, one equi-join back on (user, day). All shuffle keys
+    carry user_id, so a 1000-executor run stays key-parallel; the axis
+    size is bounded by span·keys, not corpus rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 9).alias("revenue"))
+    )
+    grid = (
+        p.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence(
+            "d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"))
+    )
+    return (
+        grid.join(p, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_purchases"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )

@@ -1061,3 +1061,89 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rnk", "vec_id",
                 F.round("cos_raw", 9).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (cont.): corpus clustering over embeddings (k-means assignments)
+# ---------------------------------------------------------------------------
+
+CLUSTER_K = 16
+_CLUSTER_CENTS_DIR = fixed_scratch_dir("q_cluster_cents")
+
+
+def _cluster_oracle_sql() -> str:
+    # squared L2 between a corpus vector and a persisted centroid,
+    # folded dim-by-dim in index order — same summation order as the
+    # Spark side's zip_with/aggregate, so distances are bit-identical.
+    d2 = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+          f"i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])"
+          f" * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])))")
+    return f"""
+        WITH c AS (
+            SELECT cent_id, cv
+            FROM read_parquet('{_CLUSTER_CENTS_DIR}/*.parquet')
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, c.cent_id, {d2} AS d2
+            FROM embeddings e CROSS JOIN c
+        ),
+        assigned AS (
+            SELECT vec_id, label, cent_id, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cent_id) AS rn
+            FROM scored
+        )
+        SELECT cent_id,
+               count(*) AS n_vecs,
+               count(DISTINCT label) AS n_labels,
+               round(avg(d2), 6) AS mean_d2
+        FROM assigned WHERE rn = 1
+        GROUP BY cent_id
+    """
+
+
+@declared_query("q_embed_cluster", oracle=_cluster_oracle_sql())
+def q_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering over the embedding column: k-means ({CLUSTER_K}
+    cells) with a full-corpus assignment pass, reporting per-cluster
+    size, label diversity, and mean squared distance — the
+    cluster-balancing / semantic-bucketing step of training-data curation
+    (e.g. cluster-proportional sampling, SemDeDup-style pruning).
+
+    Training reuses the IVF sampled trainer (deterministic hash sample +
+    driver-side Lloyd, the shape that holds at 100 TB because codebooks
+    converge on a sample); the ASSIGNMENT is the distributed part — a
+    broadcast of {CLUSTER_K} centroids against the corpus scan, argmin-L2
+    via min(struct(d2, cent_id)) with ties to the lowest cent_id, then one
+    {CLUSTER_K}-group agg. No corpus shuffle before the final tiny agg.
+
+    Hash-verified like the IVF family: the final centroids persist as a
+    side table and DuckDB independently recomputes every assignment and
+    all three per-cluster statistics from them — the iterative TRAINING
+    is index-build heuristic (any codebook is a valid clustering); every
+    VALUE in the result is verified.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids_sampled(emb, nlist=CLUSTER_K)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cent_id int, cv array<double>",
+    )
+    cdf.write.mode("overwrite").parquet(_CLUSTER_CENTS_DIR)
+
+    best = F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("best")
+    assigned = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "label", "cent_id",
+                _sq_l2("embedding", "cv").alias("d2"))
+        .groupBy("vec_id")
+        .agg(best, F.first("label").alias("label"))
+        .select("vec_id", "label",
+                F.col("best.cent_id").alias("cent_id"),
+                F.col("best.d2").alias("d2"))
+    )
+    return assigned.groupBy("cent_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.countDistinct("label").alias("n_labels"),
+        F.round(F.avg("d2"), 6).alias("mean_d2"),
+    )

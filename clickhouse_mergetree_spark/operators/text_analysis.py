@@ -757,3 +757,242 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.conv(digit, 16, 10).cast("int") < F.col("n_buckets"))
         .select("doc_id", "source", "lang", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (cont.): entropy quality, PII scrubbing, line-level boilerplate
+# ---------------------------------------------------------------------------
+
+@declared_query(
+    "q_text_entropy",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               round(log2(CAST(sum(c) AS DOUBLE))
+                     - sum(c * log2(CAST(c AS DOUBLE)))
+                       / CAST(sum(c) AS DOUBLE), 9) AS entropy,
+               CASE WHEN count(*) > 1 THEN
+                   round((log2(CAST(sum(c) AS DOUBLE))
+                          - sum(c * log2(CAST(c AS DOUBLE)))
+                            / CAST(sum(c) AS DOUBLE))
+                         / log2(CAST(count(*) AS DOUBLE)), 9)
+               ELSE 0.0 END AS norm_entropy
+        FROM tc GROUP BY doc_id
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the cheap
+    perplexity proxy used as a quality screen (low entropy = repetitive
+    boilerplate/spam; cf. the Gopher rules' repetition family, which this
+    complements with a single scalar).
+
+    Uses the identity H = log2(n) − (Σ c·log2 c)/n so the whole metric is
+    two count aggs: explode → (doc_id, token) counts (map-side combine)
+    → per-doc sum/count. Both shuffle keys include doc_id — per-document
+    parallelism, no corpus-global state, no skew at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    h = (F.log2(F.col("n_tokens").cast("double"))
+         - F.col("s") / F.col("n_tokens").cast("double"))
+    return agg.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round(h, 9).alias("entropy"),
+        F.when(F.col("n_distinct") > 1,
+               F.round(h / F.log2(F.col("n_distinct").cast("double")), 9))
+        .otherwise(F.lit(0.0)).alias("norm_entropy"),
+    )
+
+
+# PII patterns — deliberately simple character-class regexes that parse
+# identically under Java regex (Spark) and RE2 (DuckDB): no lookaround,
+# no backreferences, no shorthand classes beyond \\d.
+PII_EMAIL = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+PII_IP = r"\d+\.\d+\.\d+\.\d+"
+PII_PHONE = r"555-\d{4}"
+
+# The synthetic corpus contains no organic PII, so the screen injects a
+# deterministic PII suffix derived from doc_id (docs ≡ 2 mod 3 stay
+# clean) and then detects/redacts it — the operator and the oracle still
+# verify the real regex semantics end-to-end on both engines.
+_PII_SUFFIX_SQL = """
+    CASE doc_id % 3
+      WHEN 0 THEN text || ' contact bob' || CAST(doc_id AS VARCHAR)
+                  || '@mail.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7'
+      WHEN 1 THEN text || ' call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' or alice@corp.net'
+      ELSE text
+    END
+"""
+
+
+@declared_query(
+    "q_pii_scrub",
+    oracle=f"""
+        WITH p AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS pii_text
+                   FROM documents),
+        r AS (
+            SELECT doc_id, pii_text,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(pii_text,
+                               '{PII_EMAIL}', '<EMAIL>', 'g'),
+                           '{PII_IP}', '<IP>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g') AS clean
+            FROM p
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(pii_text, '{PII_EMAIL}')) AS n_email,
+               len(regexp_extract_all(pii_text, '{PII_IP}')) AS n_ip,
+               len(regexp_extract_all(pii_text, '{PII_PHONE}')) AS n_phone,
+               length(clean) AS n_chars_clean,
+               md5(clean) AS clean_hash
+        FROM r
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction screen (emails, IPv4 addresses, phone
+    numbers) — the compliance pass every training corpus goes through
+    before tokenization. Counts each PII type per document and replaces
+    matches with typed placeholder tags; the full redacted text is
+    verified across engines by md5.
+
+    Entirely row-local regexp work inside whole-stage codegen — zero
+    shuffles, scales embarrassingly; at 100 TB this runs as a pure map
+    stage fused into whatever scan feeds it. Patterns are kept to the
+    regex subset Java and RE2 interpret identically (docstring above).
+    """
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pii_text = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact bob"), did,
+                        F.lit("@mail.com at 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".7")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"), F.lit(" call 555-"),
+                       F.lpad((F.col("doc_id") % 10000).cast("string"),
+                              4, "0"),
+                       F.lit(" or alice@corp.net")))
+        .otherwise(F.col("text"))
+    )
+    p = d.select("doc_id", pii_text.alias("pii_text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("pii_text", PII_EMAIL, "<EMAIL>"),
+            PII_IP, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return p.select(
+        "doc_id",
+        F.regexp_count("pii_text", F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count("pii_text", F.lit(PII_IP)).alias("n_ip"),
+        F.regexp_count("pii_text", F.lit(PII_PHONE)).alias("n_phone"),
+        F.length(clean).alias("n_chars_clean"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+# C4-style line unit: the corpus has no newlines, so a "line" is a fixed
+# 10-token window — the same stand-in the substring-dedup screen uses.
+LINE_TOKENS = 10
+
+
+@declared_query(
+    "q_boilerplate_lines",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                   FROM documents),
+        l0 AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(CAST(ceil(len(tk) / {LINE_TOKENS}.0) AS BIGINT)),
+                       i -> struct_pack(
+                           line_idx := i,
+                           line := array_to_string(
+                               tk[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})],
+                               ' ')))) AS u
+            FROM t
+        ),
+        l AS (SELECT doc_id, u.line_idx AS line_idx, u.line AS line,
+                     doc_id * 1000000 + u.line_idx AS k
+              FROM l0),
+        keeper AS (SELECT line, min(k) AS kk FROM l GROUP BY line),
+        j AS (SELECT l.doc_id, l.line_idx, l.line, (l.k = keeper.kk) AS kept
+              FROM l JOIN keeper ON l.line = keeper.line)
+        SELECT doc_id,
+               count(*) AS n_lines,
+               CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_lines,
+               CAST(coalesce(sum(CASE WHEN kept
+                        THEN len(string_split(line, ' ')) END), 0)
+                    AS BIGINT) AS n_kept_tokens,
+               md5(coalesce(string_agg(line, ' ' ORDER BY line_idx)
+                            FILTER (WHERE kept), '')) AS clean_hash
+        FROM j GROUP BY doc_id
+    """,
+)
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global line deduplication: every distinct line is
+    kept only at its FIRST occurrence (lowest doc_id, then line position);
+    later occurrences are boilerplate and dropped. Reports per-doc kept /
+    dropped line counts and an md5 of the cleaned document, so the full
+    reconstruction is cross-engine verified.
+
+    Plan: row-local chunking into {LINE_TOKENS}-token lines (posexplode),
+    one groupBy(line) min-agg to elect keepers (map-side combine eats
+    per-partition repeats of hot boilerplate lines), one hash join back
+    on line, one per-doc agg. The keeper key packs (doc_id, line_idx)
+    into a single BIGINT for engine-identical min semantics — at real
+    corpus scale use min(struct(doc_id, line_idx)) or a 128-bit pack;
+    the packing bound (line_idx < 1e6) is asserted by construction here.
+    """
+    d = load(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n_lines = F.ceil(F.size("tk") / F.lit(float(LINE_TOKENS))).cast("int")
+    lines = (
+        d.select("doc_id", tk.alias("tk"))
+        .select("doc_id", F.posexplode(F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice("tk", i * LINE_TOKENS + 1, LINE_TOKENS), " "),
+        )).alias("line_idx", "line"))
+        .withColumn("k", F.col("doc_id") * 1000000 + F.col("line_idx"))
+    )
+    keeper = lines.groupBy("line").agg(F.min("k").alias("kk"))
+    j = (
+        lines.join(keeper, "line")
+        .select("doc_id", "line_idx", "line",
+                (F.col("k") == F.col("kk")).alias("kept"))
+    )
+    kept_struct = F.when(
+        F.col("kept"), F.struct("line_idx", "line"))
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        (F.count("*") - F.sum(F.when(F.col("kept"), 1).otherwise(0)))
+        .alias("n_dup_lines"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"),
+                         F.size(F.split("line", " ")))), F.lit(0))
+        .alias("n_kept_tokens"),
+        F.md5(F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x.getField("line")), " "))
+        .alias("clean_hash"),
+    )

@@ -29,7 +29,10 @@ NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_sim_search_pq",
                   "q_text_tfidf", "q_text_bigram_pmi", "q_source_mix",
                   # broadcast side is the bounded query batch (8 rows) —
                   # O(|C|·|Q|) scored pairs IS exact batch k-NN
-                  "q_knn_join"}
+                  "q_knn_join",
+                  # broadcast side is the CLUSTER_K=16 centroid table —
+                  # the O(n·k) assignment scan IS k-means assignment
+                  "q_embed_cluster"}
 
 _QUERIES = sorted(all_queries())
 
