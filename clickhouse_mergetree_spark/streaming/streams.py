@@ -403,3 +403,64 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "append").select(
         "view_id", "purchase_id", F.col("v_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"))
+
+
+@declared_query(
+    "q_stream_ingest",
+    oracle="""
+        SELECT DISTINCT user_id AS key, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id BETWEEN 3 AND 7
+    """,
+)
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion INTO the MergeTree engine — the ClickHouse
+    Kafka-engine → materialized-view → MergeTree flow (the reference's
+    insert path, src/merge_tree.cpp:24-36, fed by a stream instead of
+    batch calls): readStream over events, foreachBatch as the memtable
+    feed, threshold-triggered part flushes, one compaction round, then a
+    manifest-pruned range read with (key, ts) dedup.
+
+    foreachBatch runs on the DRIVER per micro-batch, so the engine's
+    insert_batch/flush locking is the ordinary single-writer path; each
+    flushed part is itself written distributed. Engine state after the
+    replay is independent of micro-batch boundaries (dedup is
+    associative), so the oracle is the same relational pair-set as
+    q_mergetree_engine — hash-proving the stream-fed table equals the
+    batch-built one. At scale this is exactly-once (checkpoint +
+    idempotent part naming would pin batch ids, manifest.py's swap is
+    already atomic); state is the memtable, bounded by the flush
+    threshold, regardless of stream length.
+    """
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=2500, max_parts=2,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_stream_ingest_"),
+                           schema=schema, config=cfg)
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+
+    def feed(batch_df, _batch_id):
+        table.insert_batch(batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(feed)
+        .option("checkpointLocation", scratch_dir("ckpt_ingest_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    table.flush()
+    table.merge_parts_sync()
+    return table.query(3, 7).select("key", "ts_us")
