@@ -133,6 +133,15 @@ class MergeTreeConfig:
     #               collapse correctly. Physical collapse groups by
     #               (key, ts, version) keeping the net sign; reads emit
     #               every surviving (net > 0) version of the state.
+    #   "replacing" — ClickHouse ReplacingMergeTree(ver[, is_deleted]):
+    #               rows sharing (key, ts) keep the one with the HIGHEST
+    #               ``version_col`` (lexicographic (version, rest) max —
+    #               deterministic on version ties, associative across any
+    #               merge schedule, unlike "dedup"'s arbitrary-row keep).
+    #               With ``deleted_col`` set, a surviving row whose flag
+    #               is nonzero is a tombstone: kept physically (so a later
+    #               lower-version insert cannot resurrect), invisible to
+    #               reads — the is_deleted row-delete contract.
     #   "aggregating" — per-column aggregate STATES (AggregatingMergeTree):
     #               ``agg_cols`` maps column → fn in {sum, min, max} (count
     #               is a summed constant-1 column, the same idiom as
@@ -150,8 +159,11 @@ class MergeTreeConfig:
     # collapsing modes: the +1/-1 sign column.
     sign_col: str = "sign"
     # versioned_collapsing mode: the version column a -1 row must match
-    # to cancel its +1 counterpart.
+    # to cancel its +1 counterpart. Also replacing mode's ``ver`` column.
     version_col: str = "version"
+    # replacing mode: optional is_deleted flag column — the max-version
+    # row is a read-invisible tombstone when this column is nonzero.
+    deleted_col: str | None = None
     # minmax skipping indexes (ClickHouse `INDEX ... TYPE minmax` analog —
     # extension): per-part min/max kept in the manifest for these NON-KEY
     # columns, so range predicates on them can prune whole parts without
@@ -987,6 +999,24 @@ class SparkMergeTree:
             ]
             return out.groupBy(self._key, self._ts, vc).agg(*aggs) \
                 .select(out.columns)
+        if self.config.mode == "replacing":
+            vc = self.config.version_col
+            others = [c for c in out.columns
+                      if c not in (self._key, self._ts, vc)]
+            # lexicographic max over (version, rest): picks the
+            # max-version row, breaks version ties deterministically on
+            # the remaining columns, and — being a plain MAX — is
+            # associative across any merge schedule, so partial parts
+            # and read-time finalization agree. Tombstones (deleted_col
+            # nonzero) survive the collapse so a replayed lower-version
+            # insert cannot resurrect a deleted key; reads filter them
+            # in _dedup_sort.
+            packed = out.groupBy(self._key, self._ts).agg(
+                F.max(F.struct(vc, *others)).alias("_r"))
+            return packed.select(
+                self._key, self._ts,
+                *[F.col(f"_r.{c}").alias(c) for c in (vc, *others)],
+            ).select(out.columns)
         if self.config.mode == "summing":
             scols = self._sum_cols(out.columns)
             types = {f.name: f.dataType for f in self.schema.fields}
@@ -1021,6 +1051,13 @@ class SparkMergeTree:
             # read finalization (the FINAL keyword analog): cancelled and
             # never-inserted groups are invisible
             collapsed = collapsed.filter(F.col(self.config.sign_col) > 0)
+        if self.config.mode == "replacing" and self.config.deleted_col:
+            # FINAL + is_deleted: the surviving max-version row is
+            # invisible when flagged (null = live, matching ClickHouse's
+            # default-0 UInt8 flag)
+            dc = self.config.deleted_col
+            collapsed = collapsed.filter(
+                F.col(dc).isNull() | (F.col(dc) == 0))
         return collapsed.orderBy(self._key, self._ts, *other_cols)
 
     # ------------------------------------------------------------- snapshots

@@ -1369,3 +1369,85 @@ def q_versioned_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.flush()
     table.merge_parts_sync()
     return table.query_all().select("key", "ts_us", "version", "event_id")
+
+
+@declared_query(
+    "q_replacing_merge",
+    oracle=f"""
+        WITH base AS (
+            SELECT key, ts_us, min(event_id) AS event_id
+            FROM ({_KV_SQL}) WHERE key <= {RANGE_END}
+            GROUP BY key, ts_us
+        )
+        SELECT key, ts_us, 2 AS version,
+               event_id + 1000000 AS payload
+        FROM base WHERE event_id % 2 = 0 AND event_id % 5 <> 0
+        UNION ALL
+        SELECT key, ts_us, 1 AS version, event_id AS payload
+        FROM base WHERE event_id % 2 = 1 AND event_id % 5 <> 0
+    """,
+)
+def q_replacing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree(ver, is_deleted) mode end-to-end: per (key, ts)
+    the HIGHEST-version row wins, and a winning row flagged is_deleted is
+    a read-invisible tombstone — ClickHouse's row-delete idiom for
+    upsert/CDC tables (mode="replacing", engine/merge_tree.py).
+
+    Delivery is fully OUT-OF-ORDER to prove the collapse is a pure
+    associative max: part 1 carries the version-2 updates (even rows,
+    payload rewritten), part 2 the version-3 tombstones (every fifth
+    row — deletes BEAT the lower-version updates), part 3 the original
+    version-1 rows — so the tombstoned keys must not resurrect when
+    their v1 insert arrives last. After compaction: fifth rows invisible,
+    remaining even rows at v2, remaining odd rows at v1 — derived
+    relationally by the oracle.
+
+    At 100 TB: the merge keeps ONE row per key (storage converges to the
+    live set, unlike collapsing's net-sign pairs), reads finalize with
+    the same max — this is the mutable-dimension-table engine mode."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("payload", T.LongType(), True),
+        T.StructField("is_deleted", T.IntegerType(), False),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=1,
+                          mode="replacing", key_col="key", ts_col="ts_us",
+                          version_col="version", deleted_col="is_deleted")
+    table = SparkMergeTree(spark, scratch_dir("q_replacing_"),
+                           schema=schema, config=cfg)
+    base = (
+        _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+        .groupBy("key", "ts_us").agg(F.min("event_id").alias("event_id"))
+    )
+    even = base.filter(F.pmod("event_id", F.lit(2)) == 0)
+    fifth = base.filter(F.pmod("event_id", F.lit(5)) == 0)
+    n = base.count()
+    # version-2 updates arrive FIRST ...
+    table.insert_batch(
+        even.select("key", "ts_us", F.lit(2).alias("version"),
+                    (F.col("event_id") + 1000000).alias("payload"),
+                    F.lit(0).alias("is_deleted")),
+        row_count=max(1, n // 2))
+    table.flush()
+    # ... then the version-3 tombstones ...
+    table.insert_batch(
+        fifth.select("key", "ts_us", F.lit(3).alias("version"),
+                     F.lit(None).cast("long").alias("payload"),
+                     F.lit(1).alias("is_deleted")),
+        row_count=max(1, n // 5))
+    table.flush()
+    # ... and the ORIGINAL version-1 rows last (no resurrection)
+    table.insert_batch(
+        base.select("key", "ts_us", F.lit(1).alias("version"),
+                    F.col("event_id").alias("payload"),
+                    F.lit(0).alias("is_deleted")),
+        row_count=n)
+    table.flush()
+    table.merge_parts_sync()
+    return table.query_all().select("key", "ts_us", "version", "payload")

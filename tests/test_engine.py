@@ -683,3 +683,46 @@ def test_system_parts_reflects_lifecycle(spark, base_path):
         t.optimize()
         merged = t.system_parts().collect()
         assert len(merged) == 1 and merged[0]["row_count"] == 150
+
+
+def test_replacing_mode_order_independent(spark, base_path):
+    """mode="replacing": max-version wins, tombstones (is_deleted) hide the
+    key and cannot be resurrected by a later-arriving lower version —
+    identical live state under every delivery order and with/without
+    compaction."""
+    import itertools
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("val", T.StringType(), True),
+        T.StructField("is_deleted", T.IntegerType(), False),
+    ])
+    # a: v1 then updated at v2; b: only v1; c: v1 then DELETED at v2;
+    # d: deleted at v2 with its v1 insert arriving in a later batch
+    batches = [
+        [("a", 1, 2, "a_new", 0), ("c", 1, 2, None, 1)],
+        [("a", 1, 1, "a_old", 0), ("b", 1, 1, "b", 0), ("d", 1, 2, None, 1)],
+        [("c", 1, 1, "c_old", 0), ("d", 1, 1, "d_old", 0)],
+    ]
+    expected = {("a", 2): "a_new", ("b", 1): "b"}
+    for order in itertools.permutations(range(3)):
+        cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=1,
+                              mode="replacing", key_col="key", ts_col="ts",
+                              version_col="version",
+                              deleted_col="is_deleted")
+        path = os.path.join(base_path, "repl" + "".join(map(str, order)))
+        with SparkMergeTree(spark, path, schema=schema, config=cfg) as t:
+            for i in order:
+                t.insert_rows(batches[i])
+                t.flush()
+            live = {(r["key"], r["version"]): r["val"]
+                    for r in t.query_all().collect()}
+            assert live == expected, (order, live)
+            assert t.merge_parts_sync()
+            live2 = {(r["key"], r["version"]): r["val"]
+                     for r in t.query_all().collect()}
+            assert live2 == expected, (order, live2)
