@@ -327,6 +327,19 @@ class SparkMergeTree:
         for v in self._views:
             v.on_batch(df)
 
+    def _rows_df(self, rows: list[tuple]) -> DataFrame:
+        """Buffered driver-side rows as a JVM VALUES LocalRelation.
+        createDataFrame(list) plans as a parallelized Python RDD whose
+        every action (each flush, each buffered read) costs a Python
+        worker round trip — seconds per job; a LocalRelation is free.
+        Driver-side rows are demo/test-scale by design (production feeds
+        insert_batch with distributed DataFrames), so literal SQL size is
+        bounded by the flush threshold."""
+        from clickhouse_mergetree_spark.tables import values_df
+        cols = [(f.name, f.dataType.simpleString())
+                for f in self.schema.fields]
+        return values_df(self.spark, rows, cols)
+
     def insert(self, key, value, timestamp) -> None:
         """R1: single-row insert → buffer, threshold-flush
         (reference src/merge_tree.cpp:24-35). Batch is the native unit in
@@ -335,9 +348,7 @@ class SparkMergeTree:
             self._buffer_rows.append((key, value, timestamp))
             self._buffer_count += 1
         if self._views:
-            self._notify_views(
-                self.spark.createDataFrame([(key, value, timestamp)],
-                                           self.schema))
+            self._notify_views(self._rows_df([(key, value, timestamp)]))
         self.trigger_flush_if_needed()
 
     def insert_batch(self, df: DataFrame, row_count: int | None = None) -> None:
@@ -357,7 +368,7 @@ class SparkMergeTree:
             self._buffer_rows.extend(rows)
             self._buffer_count += len(rows)
         if self._views and rows:
-            self._notify_views(self.spark.createDataFrame(rows, self.schema))
+            self._notify_views(self._rows_df(rows))
         self.trigger_flush_if_needed()
 
     def trigger_flush_if_needed(self) -> None:
@@ -371,8 +382,7 @@ class SparkMergeTree:
                 return None
             dfs = [d for d, _ in self._buffer_dfs]
             if self._buffer_rows:
-                dfs.append(self.spark.createDataFrame(
-                    self._buffer_rows, self.schema))
+                dfs.append(self._rows_df(self._buffer_rows))
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -1427,23 +1437,20 @@ class SparkMergeTree:
         set as a DataFrame — id, row count, disk bytes, key/ts spans,
         partition, physical columns, which skipping indexes are present.
         Metadata-sized (one row per part, straight from the manifest; no
-        data files touched), so it stays a driver-local createDataFrame at
-        any table size — exactly like ClickHouse serving system.parts from
-        its in-memory part registry."""
-        schema = T.StructType([
-            T.StructField("part_id", T.LongType(), False),
-            T.StructField("row_count", T.LongType(), False),
-            T.StructField("disk_bytes", T.LongType(), False),
-            T.StructField("min_key", T.StringType(), True),
-            T.StructField("max_key", T.StringType(), True),
-            T.StructField("min_ts", T.LongType(), True),
-            T.StructField("max_ts", T.LongType(), True),
-            T.StructField("partition", T.StringType(), True),
-            T.StructField("n_columns", T.IntegerType(), True),
-            T.StructField("has_bloom", T.BooleanType(), False),
-            T.StructField("has_minmax", T.BooleanType(), False),
-            T.StructField("n_projections", T.IntegerType(), False),
-        ])
+        data files touched), so it stays a driver-local literal relation
+        at any table size — exactly like ClickHouse serving system.parts
+        from its in-memory part registry. Built as a VALUES LocalRelation
+        (tables.values_df), not createDataFrame: local Python data plans
+        as a parallelized Python RDD whose every action pays a Python
+        worker round trip (seconds), while a LocalRelation is JVM-side."""
+        cols = [
+            ("part_id", "bigint"), ("row_count", "bigint"),
+            ("disk_bytes", "bigint"), ("min_key", "string"),
+            ("max_key", "string"), ("min_ts", "bigint"),
+            ("max_ts", "bigint"), ("partition", "string"),
+            ("n_columns", "int"), ("has_bloom", "boolean"),
+            ("has_minmax", "boolean"), ("n_projections", "int"),
+        ]
         with self._lock:
             rows = [
                 (p.part_id, p.row_count, p.disk_size,
@@ -1457,7 +1464,8 @@ class SparkMergeTree:
                  len(p.proj_paths or {}))
                 for p in self.manifest.parts
             ]
-        return self.spark.createDataFrame(rows, schema)
+        from clickhouse_mergetree_spark.tables import values_df
+        return values_df(self.spark, rows, cols)
 
     # ----------------------------------------------------------- maintenance
 

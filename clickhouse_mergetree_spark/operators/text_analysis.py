@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_mergetree_spark.registry import declared_query
 from clickhouse_mergetree_spark.scratch import fixed_scratch_dir
-from clickhouse_mergetree_spark.tables import load
+from clickhouse_mergetree_spark.tables import load, values_df
 
 TF_TOP_N = 50
 
@@ -749,8 +749,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the corpus at any scale.
     """
     d = load(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
-        list(_STRAT_RATES), "source string, n_buckets int")
+    rates = values_df(spark, list(_STRAT_RATES),
+                      [("source", "string"), ("n_buckets", "int")])
     digit = F.substring(F.md5("text"), 1, 1)
     return (
         d.join(F.broadcast(rates), "source")

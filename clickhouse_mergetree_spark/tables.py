@@ -114,3 +114,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLE_NAMES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     spark.conf.set(_VIEWS_KEY, sf_dir)
+
+
+def _sql_lit(v, typ: str) -> str:
+    """Render a Python value as a Spark SQL literal of the given type."""
+    t = typ.strip().lower()
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if t.startswith("array<"):
+        inner = typ.strip()[6:-1]
+        return "array(" + ", ".join(_sql_lit(x, inner) for x in v) + ")"
+    if t in ("double", "float"):
+        return f"CAST({float(v)!r} AS {typ})"
+    if t in ("int", "integer", "bigint", "long", "smallint", "tinyint"):
+        return str(int(v))
+    if t == "boolean":
+        return "TRUE" if v else "FALSE"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def values_df(spark: SparkSession, rows: list[tuple],
+              cols: list[tuple[str, str]]) -> DataFrame:
+    """Small driver-side literal table as a JVM ``VALUES`` LocalRelation.
+
+    ``spark.createDataFrame(list)`` plans local Python data as a
+    parallelized Python RDD, so EVERY downstream action pays a Python
+    worker round trip — measured 0.5–5 s per job in-session for a 2-row
+    table, vs ~50 ms for the same rows as a VALUES clause (which Catalyst
+    folds into a LocalRelation evaluated entirely JVM-side, and which can
+    constant-fold/broadcast like any literal). Use for the metadata-sized
+    side tables queries build per run: probe lists, rate configs,
+    centroid tables, manifest snapshots. Floats render via repr (exact
+    IEEE round-trip); every column is CAST to its declared type.
+    """
+    if not rows:
+        return spark.createDataFrame(
+            [], ", ".join(f"{n} {t}" for n, t in cols))
+    names = ", ".join(n for n, _ in cols)
+    proj = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    vals = ", ".join(
+        "(" + ", ".join(_sql_lit(v, t)
+                        for v, (_, t) in zip(row, cols)) + ")"
+        for row in rows
+    )
+    return spark.sql(f"SELECT {proj} FROM VALUES {vals} AS t({names})")
