@@ -1,0 +1,127 @@
+"""Invariant tests for the round-5 text/pipeline screens.
+
+The DuckDB oracle already hash-checks these queries value-for-value; the
+properties here pin the SEMANTIC contracts that a matching pair of wrong
+implementations could still violate together (both engines sharing a bad
+formula would pass the hash check but fail these invariants).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from clickhouse_mergetree_spark.registry import all_queries
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(n_distinct); norm_entropy in [0, 1]; H == 0 iff the
+    doc repeats a single token."""
+    rows = all_queries()["q_text_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        hi = math.log2(r["n_distinct"]) if r["n_distinct"] > 1 else 0.0
+        assert -1e-9 <= r["entropy"] <= hi + 1e-9, r
+        assert -1e-9 <= r["norm_entropy"] <= 1 + 1e-9, r
+        if r["n_distinct"] == 1:
+            assert abs(r["entropy"]) < 1e-9
+
+
+def test_boilerplate_line_accounting(spark, sf_dir):
+    """Per doc: dup + kept partitions the line count; globally each
+    distinct line is kept exactly once (the C4 first-occurrence
+    contract); kept tokens never exceed the doc's token count."""
+    from clickhouse_mergetree_spark.tables import load
+
+    res = all_queries()["q_boilerplate_lines"].fn(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    joined = res.join(docs, "doc_id").collect()
+    assert joined
+    total_lines = 0
+    total_kept = 0
+    for r in joined:
+        kept = r["n_lines"] - r["n_dup_lines"]
+        assert 0 <= r["n_dup_lines"] <= r["n_lines"], r
+        assert r["n_kept_tokens"] <= r["n_tokens"], r
+        total_lines += r["n_lines"]
+        total_kept += kept
+    # kept lines == corpus-wide distinct lines (each elected exactly once)
+    d = load(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n_lines_expr = F.ceil(F.size("tk") / F.lit(10.0)).cast("int")
+    distinct_lines = (
+        d.select("doc_id", tk.alias("tk"))
+        .select(F.explode(F.transform(
+            F.sequence(F.lit(0), n_lines_expr - 1),
+            lambda i: F.array_join(F.slice("tk", i * 10 + 1, 10), " "),
+        )).alias("line"))
+        .select("line").distinct().count()
+    )
+    assert total_kept == distinct_lines
+
+
+def test_pii_scrub_clean_docs_untouched(spark, sf_dir):
+    """Docs with no injected PII (doc_id % 3 == 2) report zero hits and a
+    redacted text identical to the original (hash of the raw text)."""
+    from clickhouse_mergetree_spark.tables import load
+
+    res = all_queries()["q_pii_scrub"].fn(spark, sf_dir)
+    clean = res.filter(F.col("doc_id") % 3 == 2)
+    raw = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id", F.md5("text").alias("raw_hash"),
+                F.length("text").alias("raw_len"))
+    )
+    mism = (
+        clean.join(raw, "doc_id")
+        .filter((F.col("n_email") != 0) | (F.col("n_ip") != 0)
+                | (F.col("n_phone") != 0)
+                | (F.col("clean_hash") != F.col("raw_hash"))
+                | (F.col("n_chars_clean") != F.col("raw_len")))
+        .count()
+    )
+    assert mism == 0
+    # and every injected doc has at least one hit of its injected types
+    dirty = res.filter(F.col("doc_id") % 3 != 2)
+    no_hit = dirty.filter(
+        (F.col("n_email") == 0)
+        & (F.col("n_ip") == 0) & (F.col("n_phone") == 0)).count()
+    assert no_hit == 0
+
+
+def test_with_fill_axis_dense(spark, sf_dir):
+    """Every user's filled series is gapless day-by-day between their
+    first and last purchase day, and filled rows are exactly the silent
+    days (n_purchases == 0 <=> no purchase that day)."""
+    rows = all_queries()["q_with_fill"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+    from datetime import date, timedelta
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(
+            (date.fromisoformat(r["day"]), r["n_purchases"]))
+    assert per_user
+    for uid, days in per_user.items():
+        days.sort()
+        d0, _ = days[0]
+        d1, _ = days[-1]
+        assert len(days) == (d1 - d0).days + 1, uid
+        for (a, _), (b, _) in zip(days, days[1:]):
+            assert b - a == timedelta(days=1), uid
+        # endpoints are real purchases by construction of the span
+        assert days[0][1] > 0 and days[-1][1] > 0, uid
+
+
+def test_embed_cluster_partitioning(spark, sf_dir):
+    """Cluster sizes partition the corpus and mean_d2 is nonnegative."""
+    from clickhouse_mergetree_spark.tables import load
+
+    rows = all_queries()["q_embed_cluster"].fn(spark, sf_dir).collect()
+    n_total = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_total
+    assert all(r["mean_d2"] >= 0 for r in rows)
+    assert all(r["n_labels"] >= 1 for r in rows)
