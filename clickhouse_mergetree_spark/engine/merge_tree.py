@@ -884,6 +884,69 @@ class SparkMergeTree:
                     self._delete_part_dirs(p)
             return removed
 
+    def detach_partition(self, value) -> int:
+        """ALTER TABLE DETACH PARTITION analog: take the partition's parts
+        out of the live set WITHOUT deleting data. Each part directory is
+        renamed ``part_<id>`` → ``detached_part_<id>`` (the ClickHouse
+        ``detached/`` analog — manifest-less recovery scans only
+        ``part_<int>`` dirs, so a detached part cannot be resurrected by
+        a crash-recovery rescan) and its metadata is parked in
+        ``table_meta["detached"]``; ``attach_partition`` reverses both.
+        Buffered rows of the partition are flushed into parts first so
+        the detach is exact. Returns rows detached. Metadata + rename
+        only — zero rows read at any table size."""
+        if self.config.partition_col is None:
+            raise ValueError("table has no partition_col")
+        from dataclasses import asdict
+        self.flush()
+        with self._merge_lock:
+            with self._lock:
+                victims = [p for p in self.manifest.parts
+                           if p.partition == str(value)]
+                if not victims:
+                    return 0
+                parked = self.manifest.table_meta.setdefault("detached", [])
+                for p in victims:
+                    new_path = os.path.join(
+                        os.path.dirname(p.path),
+                        "detached_" + os.path.basename(p.path))
+                    os.rename(p.path, new_path)
+                    p.path = new_path
+                    parked.append(asdict(p))
+                self.manifest.remove([p.part_id for p in victims])
+                self.manifest.save()
+                return sum(p.row_count for p in victims)
+
+    def attach_partition(self, value) -> int:
+        """ALTER TABLE ATTACH PARTITION analog: restore a previously
+        detached partition — rename the part dirs back and re-commit
+        their metadata into the live set. Part ids are never reallocated
+        (the id counter only grows), so re-attachment cannot collide.
+        Returns rows attached."""
+        if self.config.partition_col is None:
+            raise ValueError("table has no partition_col")
+        with self._merge_lock:
+            with self._lock:
+                parked = self.manifest.table_meta.get("detached", [])
+                take = [d for d in parked if d.get("partition") == str(value)]
+                if not take:
+                    return 0
+                keep = [d for d in parked if d.get("partition") != str(value)]
+                rows = 0
+                for doc in take:
+                    base = os.path.basename(doc["path"])
+                    if base.startswith("detached_"):
+                        new_path = os.path.join(
+                            os.path.dirname(doc["path"]),
+                            base[len("detached_"):])
+                        os.rename(doc["path"], new_path)
+                        doc["path"] = new_path
+                    self.manifest.append(PartMeta(**doc))
+                    rows += doc["row_count"]
+                self.manifest.table_meta["detached"] = keep
+                self.manifest.save()
+                return rows
+
     def _read_parts(self, parts: list[PartMeta]) -> DataFrame | None:
         """Raw physical read of a part set at the CURRENT table schema.
 

@@ -1451,3 +1451,51 @@ def q_replacing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.flush()
     table.merge_parts_sync()
     return table.query_all().select("key", "ts_us", "version", "payload")
+
+
+@declared_query(
+    "q_partition_detach",
+    oracle=f"""
+        SELECT DISTINCT key, ts_us FROM ({_KV_SQL})
+        WHERE key <= {RANGE_END} AND event_type <> 'click'
+    """,
+)
+def q_partition_detach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETACH / ATTACH PARTITION end-to-end (ClickHouse ops staple —
+    extension): detach the 'error' partition (parts leave the live set,
+    data parked on disk as ``detached_part_<id>`` — the ``detached/``
+    analog, invisible to crash-recovery rescans), verify reads exclude
+    it, ATTACH it back (same part ids, rename + manifest re-commit),
+    then detach 'click' — so the returned read proves both directions:
+    re-attached 'error' rows are present, detached 'click' rows absent.
+
+    Both operations are metadata + a directory rename per part — zero
+    rows read at any table size, which is what makes detach/attach the
+    tool for partition-level backfills, quarantines, and migrations at
+    100 TB."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          partition_col="event_type",
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_detach_"),
+                           schema=schema, config=cfg)
+    kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    table.insert_batch(kv, row_count=1)
+    table.flush()
+    n_err = table.detach_partition("error")
+    assert n_err > 0 and table.parts_in_partition("error") == []
+    n_back = table.attach_partition("error")
+    assert n_back == n_err and len(table.parts_in_partition("error")) == 1
+    n_click = table.detach_partition("click")
+    assert n_click > 0
+    return table.query_all().select("key", "ts_us")

@@ -726,3 +726,41 @@ def test_replacing_mode_order_independent(spark, base_path):
             live2 = {(r["key"], r["version"]): r["val"]
                      for r in t.query_all().collect()}
             assert live2 == expected, (order, live2)
+
+
+def test_detach_attach_partition_persistence(spark, base_path):
+    """DETACH parks parts on disk (renamed detached_part_<id>) and survives
+    close/reopen; ATTACH restores the same part ids; a manifest-LESS
+    recovery rescan does NOT resurrect detached parts."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("part", T.StringType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=10,
+                          partition_col="part", key_col="key", ts_col="ts")
+    path = os.path.join(base_path, "detach")
+    with SparkMergeTree(spark, path, schema=schema, config=cfg) as t:
+        t.insert_rows([("a", 1, "p0"), ("b", 1, "p1"), ("c", 1, "p0")])
+        t.flush()
+        assert t.detach_partition("p0") == 2
+        assert t.query_all().count() == 1
+        # idempotent: nothing left to detach
+        assert t.detach_partition("p0") == 0
+
+    # reopen from manifest: detached stays detached
+    with SparkMergeTree(spark, path, schema=schema, config=cfg) as t2:
+        assert t2.query_all().count() == 1
+        assert t2.attach_partition("p0") == 2
+        assert t2.query_all().count() == 3
+        assert t2.detach_partition("p1") == 1
+
+    # manifest-less recovery: rescan must not resurrect detached p1
+    _os.remove(os.path.join(path, "manifest.json"))
+    with SparkMergeTree(spark, path, schema=schema, config=cfg) as t3:
+        rows = {r["key"] for r in t3.query_all().collect()}
+        assert rows == {"a", "c"}, rows
