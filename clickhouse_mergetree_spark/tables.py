@@ -125,7 +125,10 @@ def _sql_lit(v, typ: str) -> str:
         inner = typ.strip()[6:-1]
         return "array(" + ", ".join(_sql_lit(x, inner) for x in v) + ")"
     if t in ("double", "float"):
-        return f"CAST({float(v)!r} AS {typ})"
+        # string→float cast, not a numeric literal: repr round-trips the
+        # exact IEEE value AND preserves -0.0 (a decimal literal loses
+        # the zero's sign) and infinities
+        return f"CAST('{float(v)!r}' AS {typ})"
     if t in ("int", "integer", "bigint", "long", "smallint", "tinyint"):
         return str(int(v))
     if t == "boolean":

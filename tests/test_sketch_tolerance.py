@@ -1,0 +1,61 @@
+"""Tolerance tests for the two rows-only sketch aggregates.
+
+q_agg_approx_distinct / q_agg_approx_percentile are the only queries
+without a DuckDB value-hash oracle (sketch internals differ across
+engines BY DESIGN). These tests bound them against the exact answers
+computed in the same session, so "rows-only" still carries a hard
+accuracy contract: HLL++ at rsd=0.02 and percentile_approx at
+accuracy=10000 must land inside their documented error envelopes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_mergetree_spark.registry import all_queries
+from clickhouse_mergetree_spark.tables import load
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    rows = all_queries()["q_agg_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    exact = {
+        r["l_returnflag"]: r["exact"]
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    for r in rows:
+        e = exact[r["l_returnflag"]]
+        # rsd 0.02 → 5 sigma + small-count floor
+        assert abs(r["approx_parts"] - e) <= max(3, 0.10 * e), (r, e)
+
+
+def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
+    rows = all_queries()["q_agg_approx_percentile"].fn(spark, sf_dir).collect()
+    assert rows
+    li = load(spark, sf_dir, "lineitem")
+    by_flag_qty: dict[str, list[float]] = {}
+    by_flag_price: dict[str, list[float]] = {}
+    for r in li.select("l_returnflag", "l_quantity", "l_extendedprice").collect():
+        by_flag_qty.setdefault(r["l_returnflag"], []).append(r["l_quantity"])
+        by_flag_price.setdefault(r["l_returnflag"], []).append(
+            r["l_extendedprice"])
+    for v in by_flag_qty.values():
+        v.sort()
+    for v in by_flag_price.values():
+        v.sort()
+
+    def rank_window(vals, q, tol=0.02):
+        n = len(vals)
+        lo = vals[max(0, int((q - tol) * n) - 1)]
+        hi = vals[min(n - 1, int(min(1.0, q + tol) * n))]
+        return lo, hi
+
+    for r in rows:
+        flag = r["l_returnflag"]
+        lo, hi = rank_window(by_flag_qty[flag], r["quantile_level"])
+        assert lo <= r["qty_quantile"] <= hi, (flag, r, lo, hi)
+        lo, hi = rank_window(by_flag_price[flag], 0.5)
+        assert lo <= r["median_price"] <= hi, (flag, r, lo, hi)
