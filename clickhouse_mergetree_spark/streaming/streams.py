@@ -464,3 +464,97 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.flush()
     table.merge_parts_sync()
     return table.query(3, 7).select("key", "ts_us")
+
+
+@declared_query(
+    "q_stream_matview",
+    oracle="""
+        SELECT user_id AS key,
+               epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS value_sum,
+               count(*) AS n_events
+        FROM events
+        GROUP BY key, hour_us
+    """,
+)
+def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance — the full ClickHouse
+    Kafka-engine → MATERIALIZED VIEW → SummingMergeTree flow: a stream
+    feeds the source table via foreachBatch, each micro-batch is pushed
+    through the view transform (a batch-local hourly rollup) into a
+    summing-mode target, and flush/merge/read keep collapsing the
+    partial sums. The dashboard read at the end touches only the
+    (key, hour)-sized target — never the raw stream.
+
+    The oracle recomputes the rollup from the raw events in one relational
+    shot, so the hash match proves incremental-streaming == batch — the
+    MV correctness contract — independent of micro-batch boundaries
+    (summing is associative). Measures are DECIMAL inside the engine so
+    partial-sum order cannot perturb the doubles the driver hashes.
+    """
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MaterializedView, MergeTreeConfig, SparkMergeTree)
+
+    HOUR_US = 3_600_000_000
+    src_schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    mv_schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("hour_us", T.LongType(), False),
+        T.StructField("value_sum", T.DecimalType(18, 6), True),
+        T.StructField("n_events", T.LongType(), False),
+    ])
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                "key",
+                (F.col("ts_us") - F.pmod("ts_us", F.lit(HOUR_US)))
+                .alias("hour_us"))
+            .agg(F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("decimal(18,6)").alias("value_sum"),
+                 F.count("*").alias("n_events"))
+        )
+
+    src = SparkMergeTree(
+        spark, scratch_dir("q_smv_src_"), schema=src_schema,
+        config=MergeTreeConfig(memtable_flush_threshold=2500,
+                               key_col="key", ts_col="ts_us"))
+    mv = MaterializedView(
+        SparkMergeTree(
+            spark, scratch_dir("q_smv_tgt_"), schema=mv_schema,
+            config=MergeTreeConfig(memtable_flush_threshold=10**12,
+                                   max_parts=2, mode="summing",
+                                   key_col="key", ts_col="hour_us")),
+        rollup)
+    src.attach_view(mv)
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id", "value",
+    )
+
+    def feed(batch_df, _batch_id):
+        src.insert_batch(batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(feed)
+        .option("checkpointLocation", scratch_dir("ckpt_smv_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mv.flush()
+    mv.target.merge_parts_sync()
+    return mv.query().select(
+        "key", "hour_us",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "n_events")
