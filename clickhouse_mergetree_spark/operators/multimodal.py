@@ -4,13 +4,15 @@ Two families:
 - embedding-vector ops (E24): norms / dims / dot products on
   array<float> via zip_with + aggregate — JVM-side, no UDF;
 - opaque binary media columns: payload + typed metadata, with
-  feature extraction as an Arrow-batched ``mapInPandas`` pipeline. The
-  image/audio decode itself is STUBBED (`decode_media` raises
-  NotImplementedError — the decode libraries are not in this container);
-  the Spark-side plumbing (schema, batch iteration, partition mapping) is
-  real and is what carries to a 1000-executor cluster. A deterministic
-  byte-statistics extractor stands in for the decoder so results are
-  testable end-to-end.
+  feature extraction as an Arrow-batched ``mapInPandas`` pipeline.
+  Decoding is REAL for the formats this container can decode without
+  third-party libraries — binary PGM images (numpy) and WAV audio
+  (stdlib ``wave``), see ``q_media_decode``, whose decoded statistics
+  are hash-verified against an independent oracle. Compressed formats
+  (JPEG/PNG/...) route through the PIL import guard in
+  ``make_extractor`` (``real_decode``); where no decoder exists the
+  deterministic byte-statistics extractor keeps the pipeline testable
+  end-to-end (``decode_media`` documents that contract).
 """
 
 from __future__ import annotations
@@ -410,3 +412,164 @@ def resized_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(out)
 
     return media.mapInPandas(resize, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: REAL media decode, dependency-free (PGM via numpy, WAV via stdlib)
+# ---------------------------------------------------------------------------
+
+DECODE_BYTES = 256
+_PGM_HEADER = b"P5\n16 16\n255\n"   # binary netpbm: 16x16, 8-bit grayscale
+
+
+def _wav_header_256() -> bytes:
+    """Canonical 44-byte WAV header for 256 frames of 8-bit mono PCM,
+    built once at import with the stdlib writer so the reader (also
+    stdlib) is guaranteed to accept it."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(1)
+    w.setframerate(8000)
+    w.writeframes(b"\x00" * DECODE_BYTES)
+    w.close()
+    return buf.getvalue()[:44]
+
+
+_WAV_HEADER = _wav_header_256()
+
+
+def media_decode_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table with REAL decodable payloads, synthesized JVM-side:
+    even doc_ids carry a valid binary PGM image (header + 256 gray
+    pixels), odd doc_ids a valid WAV file (canonical header + 256 8-bit
+    PCM samples). The sample bytes are the doc's first 256 characters
+    (space-padded), so an independent oracle can recompute every decoded
+    statistic from the text — making the decode pipeline hash-verifiable
+    with no image library anywhere."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.encode(F.rpad(F.substring("text", 1, DECODE_BYTES),
+                          DECODE_BYTES, " "), "UTF-8")
+    is_img = F.col("doc_id") % 2 == 0
+    return d.select(
+        "doc_id",
+        F.when(is_img, F.lit("image/x-portable-graymap"))
+        .otherwise(F.lit("audio/wav")).alias("media_type"),
+        F.when(is_img, F.concat(F.lit(_PGM_HEADER), raw))
+        .otherwise(F.concat(F.lit(_WAV_HEADER), raw)).alias("payload"),
+    )
+
+
+DECODE_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("first_v", T.DoubleType()),
+    T.StructField("last_v", T.DoubleType()),
+    T.StructField("min_v", T.DoubleType()),
+    T.StructField("max_v", T.DoubleType()),
+    T.StructField("mean_v", T.DoubleType()),
+])
+
+
+def make_decoder():
+    """mapInPandas worker: REAL per-modality decode with zero third-party
+    decode libraries — PGM parsed with numpy (header scan + frombuffer
+    + reshape), WAV through the stdlib ``wave`` reader — then shared
+    tensor statistics over the normalized [0, 1] samples. Self-contained
+    closure (pickled by value; imports inside) per the worker-shipping
+    contract. Unknown media types raise — the strict production wiring,
+    exercised by the stub tests."""
+
+    def decode(payload: bytes, media_type: str):
+        import io as _io
+
+        import numpy as _np
+
+        if media_type == "image/x-portable-graymap":
+            # binary netpbm P5: "P5\n<w> <h>\n<maxval>\n" + w*h bytes
+            if not payload.startswith(b"P5"):
+                raise ValueError("not a P5 PGM payload")
+            parts = payload.split(b"\n", 3)
+            w, h = (int(x) for x in parts[1].split())
+            maxval = int(parts[2])
+            a = _np.frombuffer(parts[3][: w * h], dtype=_np.uint8)
+            return a.reshape(h, w).astype(_np.float64) / maxval
+        if media_type == "audio/wav":
+            import wave as _wave
+
+            with _wave.open(_io.BytesIO(payload), "rb") as wf:
+                frames = wf.readframes(wf.getnframes())
+            return _np.frombuffer(frames, dtype=_np.uint8) \
+                .astype(_np.float64) / 255.0
+        raise NotImplementedError(
+            f"no decoder wired for media type {media_type!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "n_samples": [],
+                   "first_v": [], "last_v": [], "min_v": [], "max_v": [],
+                   "mean_v": []}
+            for doc_id, mt, payload in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                a = decode(payload, mt).ravel()
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["n_samples"].append(a.size)
+                out["first_v"].append(round(float(a[0]), 9))
+                out["last_v"].append(round(float(a[-1]), 9))
+                out["min_v"].append(round(float(a.min()), 9))
+                out["max_v"].append(round(float(a.max()), 9))
+                out["mean_v"].append(round(float(a.mean()), 9))
+            yield _pd.DataFrame(out)
+
+    return run
+
+
+@declared_query(
+    "q_media_decode",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'image/x-portable-graymap'
+                        ELSE 'audio/wav' END AS media_type,
+                   list_transform(range(1, {DECODE_BYTES + 1}),
+                       i -> ord(substring(
+                                rpad(substring(text, 1, {DECODE_BYTES}),
+                                     {DECODE_BYTES}, ' '), i, 1)) / 255.0)
+                       AS v
+            FROM documents
+        )
+        SELECT doc_id, media_type,
+               {DECODE_BYTES} AS n_samples,
+               round(v[1], 9) AS first_v,
+               round(v[{DECODE_BYTES}], 9) AS last_v,
+               round(list_min(v), 9) AS min_v,
+               round(list_max(v), 9) AS max_v,
+               round(list_sum(v) / {DECODE_BYTES}, 9) AS mean_v
+        FROM p
+    """,
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E24 closed: REAL media decoding, end-to-end and hash-verified.
+    Every payload is a VALID binary file — even doc_ids a 16×16 PGM
+    image, odd doc_ids a 44-byte-header WAV — built JVM-side and decoded
+    in Arrow-batched workers by modality-specific decoders that need no
+    third-party library (numpy header-parse for PGM, the stdlib ``wave``
+    reader for WAV). The decoded tensors' statistics are recomputed
+    independently by the oracle from the document characters, so a hash
+    match proves the bytes really round-tripped through the decoders.
+
+    This replaces the byte-stat stand-in as the proof the decode path
+    works; `make_extractor(real_decode=...)` remains the PIL wiring for
+    compressed formats the container cannot decode. Plan shape: scan →
+    row-local payload synthesis → ONE mapInPandas pass — no shuffle, scan
+    throughput at any corpus size."""
+    media = media_decode_table(spark, sf_dir)
+    return media.mapInPandas(make_decoder(), schema=DECODE_STATS_SCHEMA)

@@ -127,3 +127,61 @@ def test_auto_decode_falls_back_per_payload(spark, sf_dir):
     if not has_pil:
         for r in auto:
             assert r["features"] == by_id[r["doc_id"]]
+
+
+def test_real_pgm_decode_roundtrip():
+    """The PGM decoder recovers the exact pixel bytes written into a
+    synthesized P5 payload (no Spark needed — the decoder is the same
+    closure the workers run)."""
+    import numpy as np
+
+    from clickhouse_mergetree_spark.operators.multimodal import (
+        _PGM_HEADER, make_decoder)
+    import pandas as pd
+
+    pixels = bytes(range(256))
+    payload = _PGM_HEADER + pixels
+    run = make_decoder()
+    [out] = list(run(iter([pd.DataFrame({
+        "doc_id": [1], "media_type": ["image/x-portable-graymap"],
+        "payload": [payload]})])))
+    r = out.iloc[0]
+    assert r["n_samples"] == 256
+    assert r["first_v"] == 0.0 and r["last_v"] == 1.0
+    assert r["min_v"] == 0.0 and r["max_v"] == 1.0
+    assert abs(r["mean_v"] - np.arange(256).mean() / 255.0) < 1e-9
+
+
+def test_real_wav_decode_roundtrip():
+    """The WAV decoder reads back the exact PCM samples through the
+    stdlib reader (a genuinely parsed RIFF container, not byte slicing)."""
+    import pandas as pd
+
+    from clickhouse_mergetree_spark.operators.multimodal import (
+        _WAV_HEADER, make_decoder)
+
+    samples = bytes([0, 51, 102, 153, 204, 255] * 42 + [0, 51, 102, 153])
+    assert len(samples) == 256
+    payload = _WAV_HEADER + samples
+    run = make_decoder()
+    [out] = list(run(iter([pd.DataFrame({
+        "doc_id": [2], "media_type": ["audio/wav"],
+        "payload": [payload]})])))
+    r = out.iloc[0]
+    assert r["n_samples"] == 256
+    assert r["first_v"] == 0.0
+    assert r["last_v"] == round(153 / 255.0, 9)
+    assert r["max_v"] == 1.0
+
+
+def test_decoder_rejects_unknown_type():
+    import pandas as pd
+    import pytest as _pytest
+
+    from clickhouse_mergetree_spark.operators.multimodal import make_decoder
+
+    run = make_decoder()
+    with _pytest.raises(NotImplementedError):
+        list(run(iter([pd.DataFrame({
+            "doc_id": [3], "media_type": ["video/mp4"],
+            "payload": [b"\x00" * 16]})])))
