@@ -739,3 +739,66 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_phone)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: recursive CTE + LATERAL correlated subquery (Spark 4 SQL surface)
+# ---------------------------------------------------------------------------
+
+# Derive a synthetic binary tree over custkeys (parent = floor(k / 2)) so a
+# recursive traversal has real data to walk; depth histogram + per-depth key
+# spans make a compact, order-insensitive, integer-exact result.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE anc(custkey, depth) AS (
+        SELECT CAST(c_custkey AS BIGINT) AS custkey, 0 AS depth
+        FROM customer WHERE c_custkey = 1
+        UNION ALL
+        SELECT CAST(c.c_custkey AS BIGINT), a.depth + 1
+        FROM customer c JOIN anc a
+          ON CAST(floor(c.c_custkey / 2) AS BIGINT) = a.custkey
+        WHERE c.c_custkey > 1
+    )
+    SELECT depth,
+           count(*) AS n_nodes,
+           min(custkey) AS min_key,
+           max(custkey) AS max_key
+    FROM anc GROUP BY depth
+"""
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_name, t.acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c.c_name
+        LIMIT 2
+    ) t
+"""
+
+
+@declared_query("q_sql_recursive", oracle=_RECURSIVE_SQL)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE via spark.sql (new SQL surface in Spark 4; also a
+    ClickHouse 24.4+ dialect feature): breadth-first traversal of a
+    binary tree derived over custkeys (parent = floor(k/2)), reduced to
+    a per-depth node histogram. Each recursion step is one equi-join of
+    the frontier against the base relation — Spark executes the loop as
+    iterative plans with the frontier as the (small) build side, the
+    same frontier-join shape as graph.connected_components. Identical
+    SQL text is the oracle; counts and key spans are integer-exact."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+@declared_query("q_sql_lateral", oracle=_LATERAL_SQL)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery via spark.sql: top-2 customers by
+    account balance PER nation — the lateral top-k join every "best N
+    per group" report writes. Catalyst decorrelates the LIMIT-bearing
+    subquery into a ranked window over the join (no per-row re-execution
+    at scale); ties break on c_name so both engines rank identically.
+    The identical SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
