@@ -334,7 +334,10 @@ class SparkMergeTree:
         worker round trip — seconds per job; a LocalRelation is free.
         Driver-side rows are demo/test-scale by design (production feeds
         insert_batch with distributed DataFrames), so literal SQL size is
-        bounded by the flush threshold."""
+        bounded by the flush threshold; past 10k rows the SQL-text route
+        stops paying and we fall back to createDataFrame."""
+        if len(rows) > 10_000:
+            return self.spark.createDataFrame(rows, self.schema)
         from clickhouse_mergetree_spark.tables import values_df
         cols = [(f.name, f.dataType.simpleString())
                 for f in self.schema.fields]

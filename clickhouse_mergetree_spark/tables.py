@@ -133,6 +133,8 @@ def _sql_lit(v, typ: str) -> str:
         return str(int(v))
     if t == "boolean":
         return "TRUE" if v else "FALSE"
+    if t == "binary":
+        return "X'" + bytes(v).hex() + "'"
     s = str(v).replace("\\", "\\\\").replace("'", "\\'")
     return f"'{s}'"
 

@@ -62,3 +62,11 @@ def test_values_df_empty(spark):
     assert df.count() == 0
     assert df.dtypes == [("i", "bigint"), ("x", "double"),
                          ("s", "string"), ("v", "array<double>")]
+
+
+def test_values_df_binary_and_timestamp(spark):
+    rows = [(b"\x00\xffab", "2024-01-02 03:04:05")]
+    df = values_df(spark, rows, [("b", "binary"), ("t", "timestamp")])
+    r = df.first()
+    assert bytes(r["b"]) == b"\x00\xffab"
+    assert r["t"].year == 2024 and r["t"].second == 5
