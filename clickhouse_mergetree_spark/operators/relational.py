@@ -1259,3 +1259,82 @@ def q_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         )
     )
+
+
+# SCD2 split point: changes before this instant form the existing
+# dimension; changes at/after it are the incoming merge batch.
+SCD2_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
+
+
+@declared_query(
+    "q_scd2_merge",
+    oracle="""
+        WITH ch AS (
+            SELECT user_id, event_type AS status, epoch_us(ts) AS ts_us,
+                   event_id
+            FROM events
+        )
+        SELECT user_id, status,
+               ts_us AS valid_from,
+               lead(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS valid_to,
+               lead(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) IS NULL
+                   AS is_current
+        FROM ch
+    """,
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance via MERGE-INTO emulation (the
+    join + union + window pattern used where Delta's MERGE is
+    unavailable): an existing history table (built from changes before
+    SCD2_SPLIT_US, open rows carrying valid_to = NULL) absorbs a new
+    change batch — touched users' open rows are CLOSED at the batch's
+    first change (the update arm), the batch's own rows chain into new
+    versions with the last left open (the insert arm), untouched rows
+    pass through unchanged.
+
+    Verified by the SCD2 invariant: incrementally merging the batch must
+    equal rebuilding the whole history in one window pass — which is
+    exactly what the oracle computes, so the hash match proves the merge
+    logic (same contract style as the materialized-view queries).
+
+    Scale shape: one window over (user, ts) per side plus one equi-join
+    of the dimension against the per-user batch minimum — every shuffle
+    keyed by user_id, no broadcast of anything unbounded; at 100 TB this
+    is the standard daily-partition dimension merge."""
+    ch = load(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("status"),
+        F.unix_micros("ts").alias("ts_us"), "event_id")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+
+    dim_src = ch.filter(F.col("ts_us") < SCD2_SPLIT_US)
+    batch = ch.filter(F.col("ts_us") >= SCD2_SPLIT_US)
+
+    dim = dim_src.select(
+        "user_id", "status", F.col("ts_us").alias("valid_from"),
+        F.lead("ts_us").over(w).alias("valid_to"))
+
+    first_new = batch.groupBy("user_id").agg(
+        F.min("ts_us").alias("first_new_us"))
+
+    # update arm: close touched users' open rows at the batch's first
+    # change; closed rows and untouched users pass through unchanged
+    merged_dim = (
+        dim.join(first_new, "user_id", "left")
+        .select(
+            "user_id", "status", "valid_from",
+            F.when(F.col("valid_to").isNull(),
+                   F.col("first_new_us")).otherwise(F.col("valid_to"))
+            .alias("valid_to"))
+    )
+    # insert arm: the batch's own version chain, last row left open
+    new_rows = batch.select(
+        "user_id", "status", F.col("ts_us").alias("valid_from"),
+        F.lead("ts_us").over(w).alias("valid_to"))
+
+    return (
+        merged_dim.unionByName(new_rows)
+        .select("user_id", "status", "valid_from", "valid_to",
+                F.col("valid_to").isNull().alias("is_current"))
+    )
