@@ -43,10 +43,12 @@ def declared_query(name: str, oracle: str | None = None) -> Callable[[QueryFn], 
 # Round 5 computes the order from the committed CORRECTNESS_r*.json artifacts
 # instead (VERDICT r4 item 8): a query's sort key is the most recent round in
 # which its driver row was OK (hash-pass, or a rows-only row for an
-# oracle-less query). Never-checked queries and queries whose latest row
-# FAILED sort as round 0 — i.e. first into the window — and ties preserve
-# registration order. With ~115 queries and a 50-row window this is a
-# round-robin that bounds staleness at ~2 rounds with no list to maintain.
+# oracle-less query). Queries whose latest driver row FAILED sort as -1 —
+# strictly first, since a failed row is a live regression signal whose fix
+# must be re-verified before anything else gets a slot — then never-checked
+# queries at 0, then green keepers by staleness; ties preserve registration
+# order. With ~150 queries and a 50-row window this is a round-robin that
+# bounds staleness at ~3 rounds with no list to maintain.
 
 
 def _last_ok_round() -> dict[str, int]:
@@ -55,7 +57,8 @@ def _last_ok_round() -> dict[str, int]:
     OK = hash_match is True, or err == "no_oracle" with a non-null row
     count (the driver's rows-only check for declared-approximate queries).
     A later FAILED row (hash_match False or a real err) resets the query
-    to 0 so it re-enters the gate window immediately.
+    to -1 so it re-enters the gate window ahead of even never-checked
+    queries (which default to 0).
     """
     import glob
     import json
@@ -87,8 +90,8 @@ def _last_ok_round() -> dict[str, int]:
                 if ok:
                     last_ok[name] = max(last_ok.get(name, 0), rnd)
                 else:
-                    last_ok[name] = 0  # latest row failed -> re-check now
-            elif ok:
+                    last_ok[name] = -1  # latest row failed -> re-check first
+            elif ok and last_ok.get(name, 0) >= 0:
                 last_ok[name] = max(last_ok.get(name, 0), rnd)
     return last_ok
 
