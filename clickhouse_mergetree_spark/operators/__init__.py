@@ -12,6 +12,7 @@ _OPTIONAL_MODULES = (
     "text_analysis",
     "multimodal",
     "udfs",
+    "web",
 )
 
 for _m in _OPTIONAL_MODULES:

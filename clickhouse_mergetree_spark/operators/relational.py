@@ -1338,3 +1338,86 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "status", "valid_from", "valid_to",
                 F.col("valid_to").isNull().alias("is_current"))
     )
+
+
+@declared_query(
+    "q_running_diff",
+    oracle="""
+        SELECT user_id, event_id,
+               value - lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                 AS delta_value,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                 AS gap_us,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events
+    """,
+)
+def q_running_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``runningDifference`` / ``neighbor(col, -1)`` analog,
+    done right: those functions are block-order-dependent in ClickHouse
+    (results change with read order); the deterministic re-expression is
+    an explicit lag() window over (user, ts, id) — per-event value delta,
+    inter-event gap in µs, and the previous event's type, with NULL at
+    each user's first event on both engines.
+
+    Scale: one hash(user_id) shuffle then a per-key sorted scan —
+    the minimal shape for any per-entity sequential feature; deltas of
+    raw stored doubles are identical bits cross-engine (subtraction of
+    identical operands), so no rounding is needed.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+        .alias("gap_us"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+TIES_LIMIT = 10
+
+
+@declared_query(
+    "q_limit_ties",
+    oracle=f"""
+        WITH r AS (
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                   o_totalprice,
+                   rank() OVER (ORDER BY CAST(o_orderdate AS DATE) DESC)
+                     AS rk
+            FROM orders
+        )
+        SELECT o_orderkey, order_date, o_totalprice, rk
+        FROM r WHERE rk <= {TIES_LIMIT}
+    """,
+)
+def q_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY ... LIMIT n WITH TIES`` (ClickHouse / ANSI FETCH WITH
+    TIES): the most recent orders, extended past the LIMIT boundary to
+    include every row tying with the last one — expressed as the
+    rank() <= n filter, which IS the WITH TIES contract (rank, not
+    row_number, so the cut never splits a tie group; dates tie heavily,
+    making the distinction observable).
+
+    Scale: an unpartitioned ranking window normally serializes on one
+    task, but rank() <= n is top-n-per-partition pushable — Spark plans
+    a WindowGroupLimit (partial top-n in each map task) before the
+    single-partition final window, so the serial step sees only
+    n·partitions pre-filtered rows, the same shape TakeOrderedAndProject
+    uses for plain LIMIT.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("order_date").desc())
+    return (
+        o.select("o_orderkey",
+                 F.col("o_orderdate").cast("date").alias("order_date"),
+                 "o_totalprice")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= TIES_LIMIT)
+    )

@@ -8,7 +8,7 @@ and shingle fingerprinting. All four are DuckDB-expressible → hash-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from clickhouse_mergetree_spark.registry import declared_query
@@ -995,4 +995,127 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.array_sort(F.collect_list(kept_struct)),
                         lambda x: x.getField("line")), " "))
         .alias("clean_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing + corpus shuffle — the two order-sensitive steps of a
+# training-data pipeline (everything upstream is set-oriented; these two
+# define the byte order the trainer actually consumes).
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 2048  # tokens per packed context window
+
+
+@declared_query(
+    "q_token_pack",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT source, doc_id, n_tokens,
+               cum_before // {PACK_BUDGET} AS pack_id,
+               cum_before % {PACK_BUDGET} AS pack_offset
+        FROM c
+    """,
+)
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents shard-by-shard in
+    deterministic (doc_id) order and cut every {PACK_BUDGET} tokens —
+    each doc is assigned the pack in which it STARTS, plus its token
+    offset inside that pack. This is the contiguous-packing layout
+    trainers consume (docs are not reordered to fill bins — greedy
+    best-fit packing is inherently sequential and changes data order;
+    contiguous packing is what large pipelines actually ship).
+
+    Scale: one window per `source` shard — the cumulative sum is a
+    running aggregate within each shard's sort order, so the shuffle is
+    hash(source) and each shard packs independently, exactly how a
+    1000-executor run would pack per input shard. No global sort, no
+    driver state.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.size(F.split("text", " "))).over(w), F.lit(0)
+    ).cast("long")
+    return (
+        d.select(
+            "source", "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            cum_before.alias("cum_before"),
+        )
+        .select(
+            "source", "doc_id", "n_tokens",
+            F.expr(f"cum_before div {PACK_BUDGET}").alias("pack_id"),
+            (F.col("cum_before") % PACK_BUDGET).alias("pack_offset"),
+        )
+    )
+
+
+SHUFFLE_SEED = "epoch0"
+N_SHARDS = 8
+
+
+@declared_query(
+    "q_corpus_shuffle",
+    oracle=f"""
+        WITH k AS (
+            SELECT doc_id,
+                   md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))
+                     AS shuffle_key
+            FROM documents
+        ), p AS (
+            SELECT doc_id, shuffle_key,
+                   row_number() OVER (ORDER BY shuffle_key, doc_id) - 1
+                     AS pos
+            FROM k
+        )
+        SELECT doc_id, shuffle_key,
+               pos % {N_SHARDS} AS shard,
+               pos // {N_SHARDS} AS pos_in_shard
+        FROM p
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: order documents by
+    md5(seed || doc_id) — a keyed permutation that is stable across
+    engines, runs, and partitionings (rand() is none of those) — then
+    deal them round-robin into {N_SHARDS} shards. Changing the seed
+    string re-shuffles for the next epoch without touching the data.
+
+    Scale note: the row_number over a global order is the one
+    inherently-global step of shuffling; at 100 TB you'd range-partition
+    on shuffle_key (md5 is uniform, so equal-width hex ranges are
+    balanced) and compute per-range offsets from partition counts — the
+    semantics here (position in the md5 order) are exactly that layout's
+    output, and the oracle pins them.
+    """
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit(f"{SHUFFLE_SEED}:"),
+                         F.col("doc_id").cast("string")))
+    pos = (
+        F.row_number().over(W.orderBy("shuffle_key", "doc_id")) - 1
+    ).cast("long")
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .select("doc_id", "shuffle_key", pos.alias("pos"))
+        .select(
+            "doc_id", "shuffle_key",
+            (F.col("pos") % N_SHARDS).alias("shard"),
+            F.expr(f"pos div {N_SHARDS}").alias("pos_in_shard"),
+        )
     )

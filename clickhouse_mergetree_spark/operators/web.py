@@ -1,0 +1,217 @@
+"""URL / IP / geo scalar-function families (ClickHouse's URL functions,
+IPv4 functions, and geoDistance — SURVEY §2.9 function-surface widening).
+
+The reference engine has no scalar function layer at all; ClickHouse
+ships ~40 URL helpers (domain, topLevelDomain, path, extractURLParameter),
+IPv4NumToString/IPv4StringToNum, and greatCircleDistance/geoDistance.
+These queries re-express each family over deterministic synthetic inputs
+derived arithmetically from table keys (the same fixture technique as
+q_pii_scrub's injected PII), so every output is hash-verified cross-engine.
+
+All three are pure row-local projection work — zero shuffles, fused into
+whole-stage codegen behind whatever scan feeds them; at 100 TB they run
+as map stages at full cluster width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.tables import load
+
+# Deterministic URL fixture: host/path/query all derived from o_orderkey,
+# mirrored literally in the oracle so both engines parse the same strings.
+_URL_SQL_EXPR = (
+    "concat('https://shop', CAST(o_orderkey % 50 AS STRING), "
+    "'.example.', CASE CAST(o_orderkey % 3 AS INTEGER) WHEN 0 THEN 'com' "
+    "WHEN 1 THEN 'net' ELSE 'org' END, "
+    "'/cat/', CAST(o_orderkey % 7 AS STRING), "
+    "'/item/', CAST(o_orderkey % 97 AS STRING), "
+    "'?id=', CAST(o_orderkey AS STRING), '&pri=', "
+    "replace(o_orderpriority, ' ', '_'))"
+)
+
+
+@declared_query(
+    "q_fn_url",
+    oracle=f"""
+        WITH u AS (
+            SELECT o_orderkey, {_URL_SQL_EXPR} AS url FROM orders
+        )
+        SELECT o_orderkey, url,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               regexp_extract(url, '^https?://[^/]*\\.([a-z]+)(/|$)', 1)
+                 AS tld,
+               regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+               CAST(len(string_split(
+                   regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1), '/'))
+                   - 1 AS INTEGER) AS path_depth,
+               CAST(regexp_extract(url, 'id=([0-9]+)', 1) AS BIGINT)
+                 AS param_id,
+               regexp_extract(url, 'pri=([^&]*)', 1) AS param_pri
+        FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse URL function family — domain(), topLevelDomain(),
+    path(), extractURLParameter() — via Spark's parse_url() plus one
+    regexp for the TLD. The oracle re-derives every field with RE2
+    regexps over the identical synthesized URLs, so the hash match
+    verifies Spark's native URL parser against an independent
+    implementation, not regex-vs-same-regex.
+    """
+    o = load(spark, sf_dir, "orders")
+    url = F.expr(_URL_SQL_EXPR)
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey", "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.regexp_extract(F.parse_url("url", F.lit("HOST")),
+                         r"\.([a-z]+)$", 1).alias("tld"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        (F.size(F.split(F.parse_url("url", F.lit("PATH")), "/")) - 1)
+        .cast("int").alias("path_depth"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).cast("bigint")
+        .alias("param_id"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("pri"))
+        .alias("param_pri"),
+    )
+
+
+# Fixed reference point for the distance fixture (an arbitrary city).
+_REF_LAT = 48.8566
+_REF_LON = 2.3522
+_EARTH_KM = 6371.0
+
+# Synthetic coordinates: exact decimal-tenth grids derived from the key,
+# identical arithmetic in both engines.
+_LAT_SQL = "(CAST(c_custkey * 37 % 1600 AS DOUBLE) / 10.0 - 80.0)"
+_LON_SQL = "(CAST(c_custkey * 73 % 3600 AS DOUBLE) / 10.0 - 180.0)"
+
+
+@declared_query(
+    "q_fn_geo",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey, {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+            FROM customer
+        )
+        SELECT c_custkey, lat, lon,
+               round(2 * {_EARTH_KM} * asin(sqrt(
+                   pow(sin(radians(lat - {_REF_LAT}) / 2), 2)
+                   + cos(radians({_REF_LAT})) * cos(radians(lat))
+                     * pow(sin(radians(lon - {_REF_LON}) / 2), 2)
+               )), 3) AS dist_km,
+               lat BETWEEN 35.0 AND 60.0 AND lon BETWEEN -10.0 AND 30.0
+                 AS in_europe_bbox
+        FROM pts
+    """,
+)
+def q_fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse greatCircleDistance/geoDistance + pointInPolygon's
+    bounding-box fast path: haversine distance (km) from each synthetic
+    customer location to a fixed reference point, plus a bbox membership
+    flag. Rounded to 3 dp (meter-level) — the transcendental chain
+    (sin/cos/asin) can differ by an ulp between libm and java.lang.Math,
+    exactly like q_fn_math's log/sqrt outputs, and the rounding
+    convention there applies here.
+    """
+    c = load(spark, sf_dir, "customer")
+    lat = F.expr(_LAT_SQL)
+    lon = F.expr(_LON_SQL)
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    dlat = F.radians(F.col("lat") - F.lit(_REF_LAT)) / 2
+    dlon = F.radians(F.col("lon") - F.lit(_REF_LON)) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.lit(_REF_LAT))) * F.cos(F.radians("lat"))
+        * F.pow(F.sin(dlon), 2)
+    )
+    return pts.select(
+        "c_custkey", "lat", "lon",
+        F.round(2 * _EARTH_KM * F.asin(F.sqrt(hav)), 3).alias("dist_km"),
+        (F.col("lat").between(35.0, 60.0)
+         & F.col("lon").between(-10.0, 30.0)).alias("in_europe_bbox"),
+    )
+
+
+# Synthetic IPv4 fixture: 10.x.y.z derived from o_orderkey (pure integer
+# arithmetic — bit-exact in both engines).
+_IP_NUM_SQL = (
+    "(CAST(10 * 16777216 AS BIGINT) + (o_orderkey % 64) * 65536 "
+    "+ ((o_orderkey // 7) % 256) * 256 + o_orderkey % 256)"
+)
+
+
+@declared_query(
+    "q_fn_ip",
+    oracle=f"""
+        WITH ips AS (
+            SELECT o_orderkey, {_IP_NUM_SQL} AS ip_num FROM orders
+        ), s AS (
+            SELECT o_orderkey, ip_num,
+                   concat(CAST(ip_num // 16777216 AS STRING), '.',
+                          CAST(ip_num // 65536 % 256 AS STRING), '.',
+                          CAST(ip_num // 256 % 256 AS STRING), '.',
+                          CAST(ip_num % 256 AS STRING)) AS ip_str
+            FROM ips
+        )
+        SELECT concat(CAST(ip_num // 16777216 AS STRING), '.',
+                      CAST(ip_num // 65536 % 256 AS STRING), '.',
+                      CAST(ip_num // 256 % 256 AS STRING), '.0/24')
+                 AS subnet,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(min(ip_num) AS BIGINT) AS min_ip,
+               CAST(max(ip_num) AS BIGINT) AS max_ip,
+               min(ip_str) AS first_ip_str
+        FROM s
+        GROUP BY 1
+    """,
+)
+def q_fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4NumToString/IPv4StringToNum + /24 subnet rollup:
+    synthesize an IPv4 per order, render it dotted-quad, aggregate per
+    /24 subnet (the classic abuse/telemetry rollup). The Spark side
+    derives the subnet by re-PARSING its own dotted-quad string
+    (StringToNum ∘ NumToString round trip), while the oracle derives it
+    from the integer directly — the hash match proves the round trip is
+    lossless, not just that both sides share arithmetic.
+    """
+    o = load(spark, sf_dir, "orders")
+    ip_num = F.expr(_IP_NUM_SQL.replace("//", " div "))
+    octets = [
+        (F.col("ip_num").bitwiseAND(0xFF000000) / 16777216).cast("long"),
+        (F.col("ip_num").bitwiseAND(0xFF0000) / 65536).cast("long"),
+        (F.col("ip_num").bitwiseAND(0xFF00) / 256).cast("long"),
+        F.col("ip_num").bitwiseAND(0xFF),
+    ]
+    s = (
+        o.select("o_orderkey", ip_num.alias("ip_num"))
+        .withColumn("ip_str", F.concat_ws(".", *[
+            oc.cast("string") for oc in octets]))
+    )
+    # StringToNum: parse the dotted-quad back (split + weighted sum)
+    parts = F.split("ip_str", r"\.")
+    reparsed = (
+        parts.getItem(0).cast("bigint") * 16777216
+        + parts.getItem(1).cast("bigint") * 65536
+        + parts.getItem(2).cast("bigint") * 256
+        + parts.getItem(3).cast("bigint")
+    )
+    return (
+        s.withColumn("rp", reparsed)
+        .select(
+            F.concat_ws(".", parts.getItem(0), parts.getItem(1),
+                        parts.getItem(2), F.lit("0/24")).alias("subnet"),
+            "ip_str", "rp",
+        )
+        .groupBy("subnet")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("rp").alias("min_ip"),
+            F.max("rp").alias("max_ip"),
+            F.min("ip_str").alias("first_ip_str"),
+        )
+    )

@@ -97,8 +97,14 @@ def _last_ok_round() -> dict[str, int]:
 
 
 def all_queries() -> dict[str, DeclaredQuery]:
-    # Import operator + streaming modules for their registration side effects.
-    from clickhouse_mergetree_spark import operators, streaming  # noqa: F401
+    # Import streaming + operator modules for their registration side
+    # effects. Streaming first: registration order is the tie-break within
+    # a priority class, and the streaming queries are the oldest-declared
+    # of the never-checked set — without this they register last and
+    # newly-added batch queries (strictly younger) would push them out of
+    # the 50-row gate window whenever >50 queries are unchecked at once.
+    from clickhouse_mergetree_spark import streaming  # noqa: F401
+    from clickhouse_mergetree_spark import operators  # noqa: F401
 
     last_ok = _last_ok_round()
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
