@@ -304,6 +304,14 @@ class Manifest:
             for p in out:
                 self.tombstones[p.part_id] = (p, self.version)
 
+    def commit_meta(self) -> None:
+        """A versioned commit that changes no parts — used by operations
+        whose effect lives in ``table_meta`` but must still be ordered
+        against part commits (lightweight deletes: ``query_at_version(v)``
+        applies exactly the delete entries with version ≤ v, so each
+        delete needs its own point on the version axis)."""
+        self._commit()
+
     def remove(self, removed_ids: list[int], retain: bool = False) -> None:
         """Drop parts without a replacement (TTL whole-part expiry)."""
         out = self._take_out(removed_ids)

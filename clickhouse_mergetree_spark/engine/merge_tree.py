@@ -740,10 +740,17 @@ class SparkMergeTree:
             raise ValueError(f"group_by {sorted(unknown)} not covered by "
                              f"projection {name!r} ({spec.group_by})")
         with self._lock:
+            # a part under a live lightweight-delete mask cannot serve its
+            # pre-aggregated projection (the partials still count deleted
+            # rows) — route it to raw-row aggregation until a rewrite
+            # materializes the mask and the entry is GC'd
+            masked = {pid for e in self._lw_entries() for pid in e["parts"]}
             have = [p.proj_paths[name] for p in self.manifest.parts
-                    if p.proj_paths and name in p.proj_paths]
+                    if p.proj_paths and name in p.proj_paths
+                    and p.part_id not in masked]
             lack = [p for p in self.manifest.parts
-                    if not (p.proj_paths and name in p.proj_paths)]
+                    if not (p.proj_paths and name in p.proj_paths)
+                    or p.part_id in masked]
             buf = self._buffer_df()
         partials = []
         if have:
@@ -950,7 +957,17 @@ class SparkMergeTree:
                 self.manifest.save()
                 return rows
 
-    def _read_parts(self, parts: list[PartMeta]) -> DataFrame | None:
+    def _lw_entries(self, lw_version: int | None = None) -> list[dict]:
+        """Live lightweight-delete entries, optionally restricted to those
+        committed at or before manifest version ``lw_version`` (time
+        travel: a snapshot read must not see later deletes)."""
+        entries = self.manifest.table_meta.get("lw_deletes", [])
+        if lw_version is None:
+            return entries
+        return [e for e in entries if e["version"] <= lw_version]
+
+    def _read_parts(self, parts: list[PartMeta],
+                    lw_version: int | None = None) -> DataFrame | None:
         """Raw physical read of a part set at the CURRENT table schema.
 
         Schema evolution makes parts heterogeneous: a part written before an
@@ -959,10 +976,19 @@ class SparkMergeTree:
         group once, fill the missing columns with their declared defaults
         (ClickHouse's lazy-default contract — old parts are never rewritten
         by an ALTER), and union. With no evolution this is exactly one
-        multi-path parquet scan — zero overhead."""
+        multi-path parquet scan — zero overhead.
+
+        Lightweight-delete masks are applied here, per part: an entry's
+        NOT(pred) filter attaches only to the parts live when the DELETE
+        committed (rows inserted later stay visible even if they match).
+        Grouping by applicable-entry set keeps it one scan per (schema,
+        mask) combination, and because merges/mutations/TTL rewrites all
+        read through this method, every rewrite MATERIALIZES the masks —
+        the rewritten part is physically clean and belongs to no entry."""
         if not parts:
             return None
         added = self.manifest.table_meta.get("added_columns", [])
+        lw = self._lw_entries(lw_version)
         full_cols = [f.name for f in self.schema.fields]
         added_names = {a["name"] for a in added}
         original = [c for c in full_cols if c not in added_names]
@@ -970,9 +996,11 @@ class SparkMergeTree:
         for p in parts:
             present = set(p.columns) if p.columns is not None else set(original)
             missing = tuple(c for c in full_cols if c not in present)
-            groups.setdefault(missing, []).append(p)
+            masks = tuple(e["id"] for e in lw if p.part_id in e["parts"])
+            groups.setdefault((missing, masks), []).append(p)
+        preds = {e["id"]: e["pred"] for e in lw}
         dfs = []
-        for missing, ps in groups.items():
+        for (missing, masks), ps in groups.items():
             sub = T.StructType([f for f in self.schema.fields
                                 if f.name not in missing])
             df = self.spark.read.schema(sub).parquet(*[p.path for p in ps])
@@ -980,6 +1008,10 @@ class SparkMergeTree:
                 if a["name"] in missing:
                     df = df.withColumn(
                         a["name"], F.lit(a["default"]).cast(a["ddl"]))
+            for mid in masks:
+                # SQL DELETE WHERE semantics: NULL predicate ⇒ row kept
+                df = df.filter(
+                    ~F.coalesce(F.expr(preds[mid]), F.lit(False)))
             dfs.append(df.select(full_cols))
         out = dfs[0]
         for d in dfs[1:]:
@@ -1153,7 +1185,9 @@ class SparkMergeTree:
             parts = self.manifest.parts_at_version(version)
         if not parts:
             return self._empty_df()
-        return self._dedup_sort(self._read_parts(parts))
+        # lw_version: only lightweight deletes committed at or before this
+        # snapshot apply — later DELETEs must not leak into an older view
+        return self._dedup_sort(self._read_parts(parts, lw_version=version))
 
     def vacuum(self) -> int:
         """Physically delete tombstoned parts no longer covered by the
@@ -1162,6 +1196,10 @@ class SparkMergeTree:
             cutoff = self.manifest.version - self.config.snapshot_retention
             victims = self.manifest.vacuum_tombstones(cutoff)
             if victims:
+                self.manifest.save()
+        if victims:
+            with self._lock:
+                self._gc_lw_deletes()
                 self.manifest.save()
         for p in victims:
             self._delete_part_dirs(p)
@@ -1218,6 +1256,9 @@ class SparkMergeTree:
             with self._lock:
                 self.manifest.swap([p.part_id for p in selected], meta,
                                    retain=retain)
+                # the merged part materialized any lightweight-delete
+                # masks (read path applied them); reclaim satisfied entries
+                self._gc_lw_deletes()
                 self.manifest.save()
             if retain:
                 # snapshots keep the old parts readable; vacuum reclaims
@@ -1312,6 +1353,10 @@ class SparkMergeTree:
                     self._delete_part_dirs(p)
             if retain:
                 self.vacuum()
+            if drop or rewrite:
+                with self._lock:
+                    self._gc_lw_deletes()
+                    self.manifest.save()
 
             return {
                 "parts_dropped": len(drop),
@@ -1471,12 +1516,141 @@ class SparkMergeTree:
                     self._delete_part_dirs(p)
             with self._lock:
                 self.manifest.table_meta.pop("active_mutation", None)
+                self._gc_lw_deletes()  # rewrites materialized masks
                 self.manifest.save()
             if retain:
                 self.vacuum()
             return {"parts_scanned": len(cands),
                     "parts_rewritten": parts_rewritten,
                     "rows_affected": rows_affected}
+
+    def lightweight_delete(self, pred_sql: str) -> dict:
+        """``DELETE FROM table WHERE pred`` (ClickHouse lightweight delete,
+        23.3+): rows become invisible IMMEDIATELY and physical removal is
+        deferred — unlike ``delete_where`` (the ALTER ... DELETE mutation),
+        which rewrites every affected part before returning. ClickHouse
+        implements this with a ``_row_exists`` mask column; here the mask
+        is a predicate entry committed to the manifest
+        (``table_meta["lw_deletes"]``) that the read path applies as a
+        NOT(pred) filter to exactly the parts live at commit time —
+        metadata-only, zero rows read or written, O(1) at any table size.
+
+        ``pred_sql`` is a SQL boolean expression over the table's columns
+        (a string, not a Column — it must serialize into the manifest and
+        survive reopen). NULL evaluations keep the row (SQL WHERE
+        semantics). Rows inserted after the call stay visible even if they
+        match, exactly ClickHouse's snapshot behavior. Every part rewrite
+        (merge, OPTIMIZE, mutation, TTL) reads through the masked read
+        path and so MATERIALIZES the deletion; once no live or tombstoned
+        part references an entry it is garbage-collected. The delete is a
+        versioned commit: ``query_at_version`` on an earlier version still
+        shows the rows (and on a later one does not). Covering projections
+        are mask-aware — parts with live masks fall back to raw-row
+        aggregation until a rewrite cleans them.
+
+        Caveat vs ClickHouse: the mask lives in the manifest, not in the
+        part files, so manifest-less recovery (_rebuild_missing_metadata)
+        loses unmaterialized deletes along with the rest of table_meta.
+        ``materialize_deletes()`` (the ALTER ... APPLY DELETED MASK
+        analog) force-rewrites the masked parts when that matters — also
+        required before reading the table through the physical-scan
+        mergetree connector, which cannot evaluate masks.
+
+        Returns {"entry_id", "parts_masked"}.
+        """
+        # Validate the predicate against the schema before committing it —
+        # a typo'd column must fail HERE, not on every future read.
+        self._empty_df().filter(F.expr(pred_sql))
+        with self._merge_lock:
+            self.flush()  # cover buffered rows, like mutate()
+            with self._lock:
+                lw = self.manifest.table_meta.setdefault("lw_deletes", [])
+                eid = max((e["id"] for e in lw), default=0) + 1
+                self.manifest.commit_meta()
+                entry = {
+                    "id": eid,
+                    "pred": pred_sql,
+                    "version": self.manifest.version,
+                    "parts": [p.part_id for p in self.manifest.parts],
+                }
+                lw.append(entry)
+                self.manifest.save()
+        return {"entry_id": eid, "parts_masked": len(entry["parts"])}
+
+    def materialize_deletes(self) -> dict:
+        """``ALTER TABLE ... APPLY DELETED MASK`` analog: force-materialize
+        every lightweight delete NOW, instead of waiting for a merge or
+        mutation to happen to rewrite the masked parts. Each masked live
+        part is counted once under its masks; a part none of the masks
+        actually touch is verifiably clean and is just stripped from the
+        entries (a no-op filter — snapshot reads lose nothing); a touched
+        part is rewritten (read through the masked path → sorted part
+        write → atomic swap) exactly like one of mutate()'s per-part
+        tasks. Entries linger while snapshot-retained tombstones still
+        reference them (time travel must keep masking those versions) and
+        are garbage-collected by vacuum once the tombstones age out.
+
+        Returns {"parts_rewritten", "parts_clean", "rows_removed"}.
+        """
+        with self._merge_lock:
+            with self._lock:
+                lw = self._lw_entries()
+                masked_ids = {pid for e in lw for pid in e["parts"]}
+                cands = [p for p in self.manifest.parts
+                         if p.part_id in masked_ids]
+            retain = self.config.snapshot_retention > 0
+            rewritten = clean = rows_removed = 0
+            for p in cands:
+                src = self._read_parts([p])  # masks applied here
+                n_kept = src.count()
+                if n_kept == p.row_count:
+                    # no mask matches this part's rows: filters are no-ops,
+                    # so dropping the part from the entries changes nothing
+                    # (for current reads OR snapshots) and unblocks GC
+                    clean += 1
+                    with self._lock:
+                        for e in self._lw_entries():
+                            if p.part_id in e["parts"]:
+                                e["parts"].remove(p.part_id)
+                        self._gc_lw_deletes()
+                        self.manifest.save()
+                    continue
+                rewritten += 1
+                rows_removed += p.row_count - n_kept
+                if n_kept == 0:
+                    with self._lock:
+                        self.manifest.remove([p.part_id], retain=retain)
+                        self._gc_lw_deletes()
+                        self.manifest.save()
+                else:
+                    with self._lock:
+                        new_id = self.manifest.allocate_part_id()
+                    meta = self._write_part(new_id, src, n_kept,
+                                            partition=p.partition)
+                    with self._lock:
+                        self.manifest.swap([p.part_id], meta, retain=retain)
+                        self._gc_lw_deletes()
+                        self.manifest.save()
+                if not retain:
+                    self._delete_part_dirs(p)
+            if retain:
+                self.vacuum()
+            return {"parts_rewritten": rewritten, "parts_clean": clean,
+                    "rows_removed": rows_removed}
+
+    def _gc_lw_deletes(self) -> None:
+        """Drop lightweight-delete entries no reachable part references.
+        Tombstoned (snapshot-retained) parts still count as reachable —
+        their versions may be read back and must stay masked. Caller holds
+        self._lock."""
+        lw = self.manifest.table_meta.get("lw_deletes")
+        if not lw:
+            return
+        reachable = ({p.part_id for p in self.manifest.parts}
+                     | set(self.manifest.tombstones))
+        kept = [e for e in lw if reachable.intersection(e["parts"])]
+        if len(kept) != len(lw):
+            self.manifest.table_meta["lw_deletes"] = kept
 
     def clear_incomplete_mutation(self) -> None:
         """Acknowledge (and drop) a crash-surviving mutation intent record

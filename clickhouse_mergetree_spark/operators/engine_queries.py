@@ -755,6 +755,76 @@ def q_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "ts_us", "event_id", "event_type", "value")
 
 
+# Lightweight-delete fixture: predicate band + the ts shift that makes
+# re-inserted rows a fresh (key, ts) identity (original epochs are ~1.7e15
+# µs, so +1e16 is disjoint from every original timestamp).
+LW_KEY_LO, LW_KEY_HI = 2, 6
+LW_TS_SHIFT = 10**16
+_LW_PRED = f"event_type = 'click' AND key BETWEEN {LW_KEY_LO} AND {LW_KEY_HI}"
+
+
+@declared_query(
+    "q_lightweight_delete",
+    oracle=f"""
+        WITH base AS ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        SELECT key, ts_us, event_id, event_type, value
+        FROM base WHERE NOT ({_LW_PRED})
+        UNION ALL
+        SELECT key, ts_us + {LW_TS_SHIFT} AS ts_us, event_id, event_type,
+               value
+        FROM base WHERE {_LW_PRED}
+    """,
+)
+def q_lightweight_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight DELETE end-to-end (ClickHouse ``DELETE FROM`` 23.3+
+    analog — extension; contrast q_mutation's ALTER ... DELETE, which
+    rewrites parts before returning): the delete commits a predicate mask
+    to the manifest — metadata-only, zero rows read, O(1) at any table
+    size — and rows vanish from reads immediately while parts stay
+    physically untouched.
+
+    The fixture proves all three contract points in one hash: (1) masked
+    rows are invisible; (2) the SAME rows re-inserted after the delete
+    (ts shifted to a fresh identity) remain visible — the mask binds to
+    the parts live at commit time, not to future data; (3)
+    ``materialize_deletes()`` (the ALTER ... APPLY DELETED MASK analog)
+    then rewrites exactly the masked parts and the result is unchanged —
+    the oracle replays delete + re-insert relationally, so the hash match
+    pins both the mask-read path and the materialized rewrite to SQL
+    semantics. At 100 TB this is the point of lightweight deletes:
+    takedowns/GDPR erasure become one manifest commit, and the rewrite
+    cost is deferred onto merges that were going to happen anyway."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_lw_delete_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    for i in range(3):
+        table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
+                           row_count=1)
+        table.flush()
+    table.lightweight_delete(_LW_PRED)
+    table.insert_batch(
+        kv.filter(F.expr(_LW_PRED))
+        .withColumn("ts_us", F.col("ts_us") + F.lit(LW_TS_SHIFT)),
+        row_count=1)
+    table.flush()
+    table.materialize_deletes()
+    return table.query_all().select(
+        "key", "ts_us", "event_id", "event_type", "value")
+
+
 @declared_query(
     "q_schema_evolution",
     oracle=f"""

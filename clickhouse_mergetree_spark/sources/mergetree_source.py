@@ -115,6 +115,32 @@ def _load_parts(base_path: str) -> list[dict]:
     return parts
 
 
+def _check_no_lightweight_deletes(base_path: str) -> None:
+    """The connector reads part files physically and cannot evaluate the
+    engine's lightweight-delete predicate masks (SQL strings applied by
+    SparkMergeTree's read path). Serving deleted rows silently would be
+    wrong, so refuse loudly until the masks are materialized."""
+    mf = os.path.join(base_path, "manifest.json")
+    if not os.path.exists(mf):
+        return
+    try:
+        with open(mf) as f:
+            doc = json.load(f)
+        lw = doc.get("table_meta", {}).get("lw_deletes", [])
+        live = {p.get("part_id") for p in doc.get("parts", [])}
+    except (json.JSONDecodeError, AttributeError, TypeError):
+        return
+    # entries that only mask snapshot-retained tombstones don't affect the
+    # live part set this connector reads
+    blocking = [e for e in lw if live.intersection(e.get("parts", []))]
+    if blocking:
+        raise ValueError(
+            f"table at {base_path} has {len(blocking)} unmaterialized "
+            f"lightweight delete(s) masking live parts; run "
+            f"SparkMergeTree.materialize_deletes() before reading it "
+            f"through the mergetree connector")
+
+
 def _bloom_may_contain(part: dict, key) -> bool:
     """Per-part key-bloom check (format contract with engine/manifest.py:
     positions are md5("{i}:{str(key)}") hex[:15] as int, mod bloom_bits,
@@ -191,6 +217,7 @@ class MergeTreeReader(DataSourceReader):
 
     def partitions(self) -> list[MergeTreeFilePartition]:
         # Manifest prune (R8), then one partition per data file.
+        _check_no_lightweight_deletes(self.path)
         parts = _load_parts(self.path)
         if self.lower is not None or self.upper is not None:
             kept = []
@@ -452,6 +479,7 @@ class MergeTreeStreamReader(DataSourceStreamReader):
         return {"part_id": max(ids) if ids else 0}
 
     def partitions(self, start: dict, end: dict):
+        _check_no_lightweight_deletes(self.path)
         parts = [
             p for p in _load_parts(self.path)
             if p["part_id"] is not None
