@@ -1421,3 +1421,117 @@ def q_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") <= TIES_LIMIT)
     )
+
+
+HIST_LO, HIST_HI, HIST_BINS = 800.0, 600000.0, 20
+_HIST_W = (HIST_HI - HIST_LO) / HIST_BINS
+
+
+@declared_query(
+    "q_agg_histogram",
+    oracle=f"""
+        SELECT CAST(least(greatest(floor((o_totalprice - {HIST_LO})
+                                   / {_HIST_W}), 0), {HIST_BINS - 1})
+                    AS INTEGER) AS bin,
+               CAST({HIST_LO} + CAST(least(greatest(
+                        floor((o_totalprice - {HIST_LO}) / {_HIST_W}), 0),
+                        {HIST_BINS - 1}) AS INTEGER) * {_HIST_W}
+                    AS DOUBLE) AS bin_lo,
+               CAST(count(*) AS BIGINT) AS n,
+               min(o_totalprice) AS lo,
+               max(o_totalprice) AS hi
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``histogram(N)(x)`` in its deterministic fixed-grid form:
+    equal-width bins over a declared [lo, hi) with edge clamping, per-bin
+    count and observed min/max. (ClickHouse's adaptive variant re-centers
+    bins from a streaming sample — non-deterministic across merges by its
+    own documentation — so the verifiable contract is the fixed grid,
+    which is also what dashboards actually render.)
+
+    One partial+final count agg on a derived integer key: map-side combine
+    collapses each partition to ≤ N rows before the shuffle, so at 100 TB
+    the exchange carries bins, not rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - HIST_LO) / _HIST_W),
+                   F.lit(0)),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return (
+        o.select("o_totalprice", bin_.alias("bin"))
+        .groupBy("bin", (HIST_LO + F.col("bin") * _HIST_W).alias("bin_lo"))
+        .agg(F.count("*").alias("n"),
+             F.min("o_totalprice").alias("lo"),
+             F.max("o_totalprice").alias("hi"))
+    )
+
+
+@declared_query(
+    "q_fn_array_advanced",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  w -> CAST(length(w) AS BIGINT)) AS lens
+            FROM documents
+        )
+        SELECT doc_id,
+               list_transform(range(1, len(lens) + 1),
+                   i -> CAST(list_sum(list_slice(lens, 1, i)) AS BIGINT))
+                 AS cum,
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(2, len(lens) + 1),
+                                  i -> lens[i] - lens[i - 1])) AS diff,
+               list_filter(lens, (x, i) -> i = 1 OR x != lens[i - 1])
+                 AS compact,
+               CAST(len(list_distinct(lens)) AS BIGINT) AS n_distinct_lens
+        FROM t
+    """,
+)
+def q_fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array-function family, the stateful half: arrayCumSum
+    (running prefix sums), arrayDifference (deltas, leading 0), and
+    arrayCompact (drop consecutive duplicates), over per-token lengths —
+    integer arithmetic, so every element is bit-exact cross-engine. The
+    Spark side builds cumsum with one left-to-right aggregate() fold
+    carrying (prefix array, running total); the oracle recomputes each
+    prefix independently — a hash match proves the fold against the
+    definition, not implementation-vs-itself.
+
+    Row-local higher-order functions: no shuffle, no explode — the arrays
+    never leave their row, so corpus-scale cost is one map stage.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), w -> CAST(length(w) AS BIGINT))")
+        .alias("lens"),
+    ).select(
+        "doc_id",
+        # fold: acc = (prefix sums so far, running total); one pass
+        F.expr("""
+            aggregate(lens,
+                      struct(CAST(array() AS ARRAY<BIGINT>) AS pre,
+                             CAST(0 AS BIGINT) AS tot),
+                      (acc, x) -> struct(concat(acc.pre, array(acc.tot + x)),
+                                         acc.tot + x),
+                      acc -> acc.pre)
+        """).alias("cum"),
+        F.expr("""
+            CASE WHEN size(lens) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+                 ELSE concat(array(CAST(0 AS BIGINT)),
+                             zip_with(slice(lens, 2, size(lens) - 1),
+                                      slice(lens, 1, size(lens) - 1),
+                                      (a, b) -> a - b))
+            END
+        """).alias("diff"),
+        F.expr("filter(lens, (x, i) -> i = 0 OR x != lens[i - 1])")
+        .alias("compact"),
+        F.expr("CAST(size(array_distinct(lens)) AS BIGINT)")
+        .alias("n_distinct_lens"),
+    )
