@@ -1535,3 +1535,104 @@ def q_fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(size(array_distinct(lens)) AS BIGINT)")
         .alias("n_distinct_lens"),
     )
+
+
+@declared_query(
+    "q_with_fill_interpolate",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day,
+                   round(sum(value), 9) AS revenue
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                 FROM p GROUP BY 1),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span
+        ),
+        j AS (
+            SELECT g.user_id, g.day, p.revenue
+            FROM grid g LEFT JOIN p ON p.user_id = g.user_id
+                                   AND p.day = g.day
+        ),
+        a AS (
+            SELECT user_id, day, revenue,
+                   last_value(revenue IGNORE NULLS) OVER w_back AS prev_v,
+                   last_value(CASE WHEN revenue IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER w_back AS prev_d,
+                   first_value(revenue IGNORE NULLS) OVER w_fwd AS next_v,
+                   first_value(CASE WHEN revenue IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER w_fwd AS next_d
+            FROM j
+            WINDOW
+              w_back AS (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              w_fwd AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               revenue IS NOT NULL AS is_observed,
+               CASE WHEN revenue IS NOT NULL THEN revenue
+                    ELSE prev_v + (next_v - prev_v)
+                         * (CAST(date_diff('day', prev_d, day) AS DOUBLE)
+                            / CAST(date_diff('day', prev_d, next_d)
+                                   AS DOUBLE))
+               END AS revenue_filled
+        FROM a
+    """,
+)
+def q_with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH FILL ... INTERPOLATE`` analog (ClickHouse's value-carrying
+    fill / TimescaleDB ``interpolate()``): each user's daily purchase
+    series densified, with silent days LINEARLY interpolated between the
+    neighboring observed days — prev/next anchors found by IGNORE NULLS
+    running windows, so no self-join against the observation set. The
+    grid spans each user's [first, last] purchase day, so every gap has
+    both anchors by construction (no edge extrapolation case).
+
+    Scale shape: same as q_with_fill (per-key axis generated distributed,
+    one (user, day) join) plus two frame-bounded windows that reuse the
+    SAME hash(user_id) partitioning — Catalyst plans one Exchange for the
+    join and both windows. Anchor revenues are 9-dp rounded on both
+    engines before the interpolation arithmetic, which is then the same
+    IEEE expression tree on identical operands."""
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(F.round(F.sum("value"), 9).alias("revenue"))
+    )
+    grid = (
+        p.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence(
+            "d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"))
+    )
+    j = grid.join(p, ["user_id", "day"], "left")
+    w_back = (W.partitionBy("user_id").orderBy("day")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_fwd = (W.partitionBy("user_id").orderBy("day")
+             .rowsBetween(W.currentRow, W.unboundedFollowing))
+    obs_day = F.when(F.col("revenue").isNotNull(), F.col("day"))
+    a = j.select(
+        "user_id", "day", "revenue",
+        F.last("revenue", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_d"),
+        F.first("revenue", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_d"),
+    )
+    frac = (F.datediff("day", "prev_d").cast("double")
+            / F.datediff("next_d", "prev_d").cast("double"))
+    return a.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("revenue").isNotNull().alias("is_observed"),
+        F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+        .otherwise(F.col("prev_v")
+                   + (F.col("next_v") - F.col("prev_v")) * frac)
+        .alias("revenue_filled"),
+    )
