@@ -124,6 +124,14 @@ class PartMeta:
     # Token-containment queries prune parts whose bitmap provably lacks
     # the token. None/missing col ⇒ no claim (never skip).
     token_blooms: dict | None = None
+    # N-gram bloom filters (ClickHouse ``ngrambf_v1`` skipping-index
+    # analog — extension): col → {"hex", "bits", "k", "algo", "n"} over
+    # the DISTINCT lowercased character n-grams of that string column in
+    # this part. Substring-containment queries (LIKE '%needle%') prune
+    # parts whose bitmap provably lacks ANY n-gram of the needle — a
+    # matching row would have to contain all of them. None/missing col ⇒
+    # no claim (never skip).
+    ngram_blooms: dict | None = None
 
     def may_match_range(self, col: str, lo, hi) -> bool:
         """minmax skip check: False ⇒ no row of this part has col in
@@ -145,6 +153,28 @@ class PartMeta:
         bits = bytes.fromhex(tb["hex"])
         for p in bloom_positions(token.lower(), tb["bits"], tb["k"]):
             if not bits[p >> 3] & (1 << (p & 7)):
+                return False
+        return True
+
+    def may_contain_substring(self, col: str, needle: str) -> bool:
+        """N-gram-bloom check: False ⇒ no row of this part's ``col``
+        contains ``needle`` as a (case-insensitive) substring. A needle
+        shorter than the index's n cannot be checked — no claim. Same md5
+        position chain as the key/token blooms, per n-gram; pruning
+        requires EVERY n-gram of the needle to be present (any provably
+        absent gram ⇒ no match is possible)."""
+        nb = (self.ngram_blooms or {}).get(col)
+        if not nb or not nb.get("hex") or nb.get("algo") != BLOOM_ALGO:
+            return True
+        n = nb.get("n", 0)
+        s = needle.lower()
+        if n <= 0 or len(s) < n:
+            return True
+        bits = bytes.fromhex(nb["hex"])
+        for i in range(len(s) - n + 1):
+            gram = s[i:i + n]
+            if not all(bits[p >> 3] & (1 << (p & 7))
+                       for p in bloom_positions(gram, nb["bits"], nb["k"])):
                 return False
         return True
 

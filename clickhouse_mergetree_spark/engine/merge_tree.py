@@ -184,6 +184,16 @@ class MergeTreeConfig:
     # per part write (tokens must be exploded and deduplicated, which an
     # observe on the write job cannot express).
     token_bloom_cols: tuple[str, ...] = ()
+    # N-gram bloom skipping indexes (ClickHouse ``ngrambf_v1`` analog —
+    # extension): per-part bloom over the DISTINCT lowercased character
+    # n-grams of these STRING columns, so substring-containment queries
+    # (query_like — LIKE '%needle%' / position(col, needle) > 0) prune
+    # whole parts: a matching row would have to contain every n-gram of
+    # the needle, so one provably-absent gram skips the part. Needles
+    # shorter than ngram_n can't use the index (they scan). Same
+    # one-aggregate-per-part-write cost shape as token_bloom_cols.
+    ngram_bloom_cols: tuple[str, ...] = ()
+    ngram_n: int = 3
     # PARTITION BY column (ClickHouse MergeTree analog — extension; users
     # partition by a precomputed bucket column, e.g. a month or a category).
     # Every part holds rows of exactly one partition value: flushes split
@@ -293,6 +303,8 @@ class SparkMergeTree:
                 self._attach_bloom(p)
             if self.config.token_bloom_cols:
                 self._attach_token_blooms(p)
+            if self.config.ngram_bloom_cols:
+                self._attach_ngram_blooms(p)
             dirty = True
         if dirty:
             self.manifest.save()
@@ -514,6 +526,8 @@ class SparkMergeTree:
             }
         if self.config.token_bloom_cols:
             self._attach_token_blooms(meta)
+        if self.config.ngram_bloom_cols:
+            self._attach_ngram_blooms(meta)
         if self.config.projections:
             # Projections ride the part lifecycle (ClickHouse contract):
             # every new part — flush, merge, mutation rewrite, TTL rewrite —
@@ -618,6 +632,56 @@ class SparkMergeTree:
                 "bits": bits, "k": BLOOM_K, "algo": BLOOM_ALGO,
             }
 
+    def _ngram_col(self, col: str):
+        """Distinct lowercased character n-grams of a string column —
+        the contract shared by the index build and may_contain_substring.
+        Strings shorter than n contribute nothing (and can't match any
+        indexable needle anyway)."""
+        n = self.config.ngram_n
+        return F.expr(
+            f"CASE WHEN length(lower({col})) < {n} "
+            f"THEN CAST(array() AS ARRAY<STRING>) "
+            f"ELSE array_distinct(transform("
+            f"  sequence(1, length(lower({col})) - {n - 1}),"
+            f"  i -> substring(lower({col}), i, {n}))) END"
+        )
+
+    def _attach_ngram_blooms(self, meta: PartMeta) -> None:
+        """Build the per-part n-gram blooms (ngrambf_v1 analog): one
+        single-column scan per indexed column — explode to distinct
+        lowercased n-grams, hash each to BLOOM_K md5 positions at the cap
+        modulus, collect the distinct positions. Runs at every part
+        write, so merges, mutations and TTL rewrites refresh the index
+        for free. The gram alphabet is bounded (≤ charset^n distinct
+        grams), so the bitmap saturates gracefully on huge parts instead
+        of growing."""
+        meta.ngram_blooms = {}
+        for col in self.config.ngram_bloom_cols:
+            if meta.columns is not None and col not in meta.columns:
+                continue
+            gram = F.explode(self._ngram_col(col)).alias("g")
+            pos_cols = [
+                F.pmod(
+                    F.conv(F.substring(F.md5(
+                        F.concat_ws(":", F.lit(str(i)), F.col("g"))),
+                        1, 15), 16, 10).cast("long"),
+                    F.lit(BLOOM_CAP_BITS))
+                for i in range(BLOOM_K)
+            ]
+            row = (
+                self.spark.read.parquet(meta.path).select(gram)
+                .agg(F.approx_count_distinct("g").alias("nd"),
+                     F.collect_set(F.array(*pos_cols)).alias("ps"))
+                .collect()[0]
+            )
+            positions = [int(p) for arr in row["ps"] for p in arr]
+            bits = bloom_size_for(int(row["nd"]))
+            meta.ngram_blooms[col] = {
+                "hex": bloom_to_hex(positions, bits),
+                "bits": bits, "k": BLOOM_K, "algo": BLOOM_ALGO,
+                "n": self.config.ngram_n,
+            }
+
     def _attach_bloom(self, meta: PartMeta) -> None:
         """Recovery-path bloom (re)build: one aggregate over the key column
         of an existing part (the write-path build rides the write job's
@@ -714,6 +778,42 @@ class SparkMergeTree:
         with self._lock:
             return [p for p in self.manifest.parts
                     if p.may_contain_token(col, token.lower())]
+
+    def query_like(self, col: str, needle: str) -> DataFrame:
+        """Substring-containment read (ClickHouse ``LIKE '%needle%'`` /
+        ``positionCaseInsensitive(col, needle) > 0`` + ngrambf_v1 analog):
+        parts whose n-gram bloom provably lacks ANY n-gram of the needle
+        are never listed or opened; surviving rows still apply the exact
+        predicate (pruning is pure optimization — FPs only scan, and
+        needles shorter than ngram_n scan everything). Case-insensitive
+        on both the index and the predicate. At 100 TB this turns
+        free-text substring search — stack traces, request ids, SKUs
+        embedded in payloads — from a full scan into touching only the
+        parts that can match."""
+        low = needle.lower()
+        with self._lock:
+            pruned = [p for p in self.manifest.parts
+                      if p.may_contain_substring(col, low)]
+            buf = self._buffer_df()
+        pred = F.instr(F.lower(F.col(col)), low) > 0
+        sources = []
+        df = self._read_parts(pruned)
+        if df is not None:
+            sources.append(df)
+        if buf is not None:
+            sources.append(buf)
+        if not sources:
+            return self._empty_df()
+        out = sources[0]
+        for s in sources[1:]:
+            out = out.unionByName(s)
+        return self._dedup_sort(out.filter(pred))
+
+    def parts_for_like(self, col: str, needle: str) -> list[PartMeta]:
+        """The parts query_like would scan (introspection/tests)."""
+        with self._lock:
+            return [p for p in self.manifest.parts
+                    if p.may_contain_substring(col, needle.lower())]
 
     # ------------------------------------------------------------ projections
 

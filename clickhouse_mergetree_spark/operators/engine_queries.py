@@ -1010,6 +1010,80 @@ def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.query_token("text", TOKEN_NEEDLE).select("doc_id")
 
 
+# Injected cross-token needle (same fixture technique as q_pii_scrub):
+# it spans a word boundary — the query class tokenbf structurally cannot
+# serve — and its 3-grams ("zqx", "qxv", ...) are absent from the
+# corpus vocabulary, so needle-free parts actually prune. A needle made
+# of common words ("fast merge") would NOT prune this word-soup corpus:
+# every part contains each individual 3-gram via other word pairs —
+# the honest ngrambf caveat (it serves rare substrings: IDs, error
+# codes, stack frames; not common-word phrases).
+LIKE_NEEDLE = "panic zqxv"
+_LIKE_TEXT_SQL = (
+    "CASE WHEN doc_id % 7 = 3 "
+    "THEN concat(text, ' kernel panic zqxv-', CAST(doc_id AS STRING)) "
+    "ELSE text END"
+)
+
+
+@declared_query(
+    "q_like_search",
+    oracle=f"""
+        SELECT doc_id FROM documents
+        WHERE contains(lower({_LIKE_TEXT_SQL}), '{LIKE_NEEDLE}')
+    """,
+)
+def q_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-bloom skipping index end-to-end (ClickHouse ``INDEX ...
+    TYPE ngrambf_v1`` + ``LIKE '%needle%'`` analog — extension,
+    completing the skipping-index family: minmax / key bloom / tokenbf /
+    ngrambf): each part carries a bloom over its column's DISTINCT
+    lowercased character 3-grams; a substring query prunes every part
+    whose bloom provably lacks ANY 3-gram of the needle — before a
+    single file is listed. The needle deliberately SPANS a token
+    boundary ("panic zqxv"), the query class tokenbf structurally cannot
+    serve, and carries out-of-vocabulary grams so pruning engages (see
+    LIKE_NEEDLE comment for the honest caveat on common-word needles).
+    Parts are banded needle-vs-rest, so the probe must skip at least one
+    needle-free part (asserted; bloom FPs only add scans). The oracle
+    recomputes containment relationally over the same injected text, so
+    the hash match proves index + predicate semantics.
+
+    At 100 TB this is substring search over logs/payloads — stack
+    traces, request ids, embedded SKUs — touching only parts that can
+    match instead of every byte."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          ngram_bloom_cols=("text",),
+                          key_col="doc_id", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_like_"),
+                           schema=schema, config=cfg)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("ts_us"),
+        F.expr(_LIKE_TEXT_SQL).alias("text"))
+    has = F.instr(F.lower("text"), LIKE_NEEDLE) > 0
+    table.insert_batch(docs.filter(has), row_count=1)
+    table.flush()
+    for i in range(3):
+        table.insert_batch(
+            docs.filter(~has & (F.pmod("doc_id", F.lit(3)) == i)),
+            row_count=1)
+        table.flush()
+    scanned = table.parts_for_like("text", LIKE_NEEDLE)
+    # ≥1 of the 3 needle-free parts must be skipped (FP-tolerant bound)
+    assert len(scanned) < table.part_count(), (
+        len(scanned), table.part_count())
+    return table.query_like("text", LIKE_NEEDLE).select("doc_id")
+
+
 @declared_query(
     "q_matview_rollup",
     oracle=f"""
