@@ -28,6 +28,11 @@ op = st.one_of(
     st.just(("flush",)),
     st.just(("merge",)),
     st.just(("reopen",)),
+    # lightweight delete of one key: masks data present NOW (the call
+    # flushes the buffer first); later inserts of the same key reappear
+    st.tuples(st.just("lwdelete"), st.sampled_from(KEYS)),
+    # APPLY DELETED MASK: physical state change, visible rows unchanged
+    st.just(("materialize",)),
 )
 
 
@@ -41,6 +46,11 @@ class NaiveModel:
         # exact (key, ts) dup → one row survives; which value is unspecified
         # in both engines, so the model only tracks presence for dup keys
         self.rows.setdefault((key, ts), value)
+
+    def lwdelete(self, key: str) -> None:
+        # masks every row of `key` present at the call; later inserts of
+        # the same (key, ts) are NEW rows and reappear (setdefault re-adds)
+        self.rows = {k: v for k, v in self.rows.items() if k[0] != key}
 
     def query(self, lo: str, hi: str) -> list[tuple[str, int]]:
         return sorted(k for k in self.rows if lo <= k[0] <= hi)
@@ -64,6 +74,11 @@ def test_engine_matches_naive_model(spark, tmp_path_factory, ops):
                 t.flush()
             elif o[0] == "merge":
                 t.perform_merge()
+            elif o[0] == "lwdelete":
+                t.lightweight_delete(f"key = '{o[1]}'")
+                model.lwdelete(o[1])
+            elif o[0] == "materialize":
+                t.materialize_deletes()
             elif o[0] == "reopen":
                 t.close()  # flush-on-close: no buffered row may be lost
                 t = SparkMergeTree(spark, base, config=cfg)
