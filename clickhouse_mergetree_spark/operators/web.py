@@ -215,3 +215,82 @@ def q_fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ip_str").alias("first_ip_str"),
         )
     )
+
+
+# URL-dedup fixture: groups of 4 orderkeys share one logical URL, each
+# rendered as a different non-canonical variant (scheme/host case, a
+# utm_source or ref tracking param, a trailing slash, a #fragment). The
+# id param is constructed FIRST in the query string, so stripping a
+# tracking param never leaves a dangling '?&' (documented fixture
+# guarantee — a production canonicalizer would normalize that too).
+_RAW_URL_SQL = (
+    "CASE CAST(o_orderkey % 4 AS INTEGER) "
+    "WHEN 0 THEN concat('https://shop', CAST((o_orderkey // 4) % 50 AS STRING), "
+    "  '.example.com/item/', CAST(o_orderkey // 4 AS STRING), "
+    "  '?id=', CAST(o_orderkey // 4 AS STRING)) "
+    "WHEN 1 THEN concat('HTTPS://SHOP', CAST((o_orderkey // 4) % 50 AS STRING), "
+    "  '.EXAMPLE.COM/item/', CAST(o_orderkey // 4 AS STRING), "
+    "  '?id=', CAST(o_orderkey // 4 AS STRING), '&utm_source=feed') "
+    "WHEN 2 THEN concat('https://shop', CAST((o_orderkey // 4) % 50 AS STRING), "
+    "  '.example.com/item/', CAST(o_orderkey // 4 AS STRING), "
+    "  '/?id=', CAST(o_orderkey // 4 AS STRING), '&ref=abc') "
+    "ELSE concat('https://shop', CAST((o_orderkey // 4) % 50 AS STRING), "
+    "  '.example.com/item/', CAST(o_orderkey // 4 AS STRING), "
+    "  '?id=', CAST(o_orderkey // 4 AS STRING), '#frag') END"
+)
+
+# Canonicalization pipeline, identical regexp chain on both engines:
+# strip #fragment -> drop utm_*/ref tracking params -> drop the trailing
+# slash before '?' or at end -> lowercase the scheme://host prefix.
+_CANON_STEPS_SQL = (
+    "concat("
+    "  lower(regexp_extract({u}, '^([a-zA-Z]+://[^/?#]+)', 1)),"
+    "  regexp_replace(regexp_replace(regexp_replace("
+    "      regexp_extract({u}, '^[a-zA-Z]+://[^/?#]+([^#]*)', 1),"
+    "    '[&](utm_[a-z]+|ref)=[^&]*', ''),"
+    "    '/[?]', '?'),"
+    "    '/$', ''))"
+)
+
+
+@declared_query(
+    "q_url_dedup",
+    oracle=f"""
+        WITH raw AS (
+            SELECT o_orderkey, {_RAW_URL_SQL} AS url FROM orders
+        ), c AS (
+            SELECT o_orderkey, url,
+                   {_CANON_STEPS_SQL.format(u="url")} AS canon_url
+            FROM raw
+        )
+        SELECT canon_url,
+               CAST(count(*) AS BIGINT) AS n_variants,
+               CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+               CAST(min(o_orderkey) AS BIGINT) AS keeper
+        FROM c GROUP BY canon_url
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first pass of every web-crawl
+    corpus pipeline: the same logical page arrives under scheme/host case
+    variants, tracking parameters (utm_*, ref), trailing slashes, and
+    fragments; canonicalize (strip fragment → drop tracking params →
+    trim trailing slash → lowercase scheme+host) and elect one keeper
+    per canonical URL. The fixture constructs 4 variants per logical URL,
+    so a correct canonicalizer collapses exactly 4:1 — and the oracle
+    runs the identical regexp chain, so the hash pins every rule.
+
+    Row-local regexp work then ONE groupBy(canon_url) — the same
+    one-shuffle shape as content-hash dedup; at crawl scale the map side
+    fuses into the fetch-output scan."""
+    o = load(spark, sf_dir, "orders")
+    raw = o.select("o_orderkey",
+                   F.expr(_RAW_URL_SQL.replace(" // ", " div "))
+                   .alias("url"))
+    canon = raw.withColumn(
+        "canon_url", F.expr(_CANON_STEPS_SQL.format(u="url")))
+    return canon.groupBy("canon_url").agg(
+        F.count("*").alias("n_variants"),
+        F.countDistinct("url").alias("n_distinct_raw"),
+        F.min("o_orderkey").alias("keeper"),
+    )
