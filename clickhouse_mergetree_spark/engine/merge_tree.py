@@ -619,8 +619,15 @@ class SparkMergeTree:
                     F.lit(BLOOM_CAP_BITS))
                 for i in range(BLOOM_K)
             ]
+            # same two levers as the ngram build: spread rows before the
+            # explode, dedupe to the (vocabulary-sized) distinct token
+            # set BEFORE hashing k md5 positions per token
             row = (
-                self.spark.read.parquet(meta.path).select(tok)
+                self.spark.read.parquet(meta.path)
+                .select(col)
+                .repartition(self.spark.sparkContext.defaultParallelism)
+                .select(tok)
+                .distinct()
                 .agg(F.approx_count_distinct("tok").alias("nd"),
                      F.collect_set(F.array(*pos_cols)).alias("ps"))
                 .collect()[0]
@@ -668,8 +675,19 @@ class SparkMergeTree:
                     F.lit(BLOOM_CAP_BITS))
                 for i in range(BLOOM_K)
             ]
+            # Two cost levers: (1) a part is often ONE file = one scan
+            # task, so spread rows before the explode; (2) the gram SPACE
+            # is tiny (≤ charset^n ≈ 20k distinct 3-grams) while gram
+            # OCCURRENCES are ~chars-per-row × rows (millions) — dedupe
+            # FIRST (partial+final hash agg collapses occurrences
+            # map-side), THEN hash only the distinct grams: k md5s × 20k
+            # instead of × millions.
             row = (
-                self.spark.read.parquet(meta.path).select(gram)
+                self.spark.read.parquet(meta.path)
+                .select(col)
+                .repartition(self.spark.sparkContext.defaultParallelism)
+                .select(gram)
+                .distinct()
                 .agg(F.approx_count_distinct("g").alias("nd"),
                      F.collect_set(F.array(*pos_cols)).alias("ps"))
                 .collect()[0]
