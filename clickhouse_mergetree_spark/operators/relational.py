@@ -1636,3 +1636,72 @@ def q_with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + (F.col("next_v") - F.col("prev_v")) * frac)
         .alias("revenue_filled"),
     )
+
+
+@declared_query(
+    "q_topk_weighted",
+    oracle="""
+        SELECT user_id,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS weight,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY weight DESC, user_id LIMIT 10
+    """,
+)
+def q_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted(N)(x, w)`` in its exact form: the N
+    heaviest keys by accumulated weight (top spenders by purchase
+    value), with a deterministic key tie-break. (ClickHouse's version is
+    a space-saving sketch — approximate under heavy hitters churn; the
+    verifiable contract is the exact weighted top-N, which is also what
+    a batch job should compute when it CAN see all the data.)
+
+    Plan: partial+final sum agg (map-side combine carries one row per
+    key per partition), then TakeOrderedAndProject — per-partition heaps
+    merged on the driver, never a global sort. Weights accumulate in
+    exact DECIMAL so the final double is order-independent.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(_dec("value", 18, 6)).cast("double").alias("weight"),
+             F.count("*").alias("n_events"))
+        .orderBy(F.col("weight").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@declared_query(
+    "q_window_ntile",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal, c_custkey)
+                    AS INTEGER) AS balance_quartile,
+               CAST(ntile(10) OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal, c_custkey)
+                    AS INTEGER) AS balance_decile
+        FROM customer
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing — the windowed quantile-assignment op behind
+    customer scoring / stratified splits: per-nation account-balance
+    quartiles and deciles in one pass. The unique-key tie-break makes
+    bucket boundaries deterministic (ANSI ntile semantics are identical
+    across engines only when the order is total).
+
+    One hash(c_nationkey) shuffle feeds BOTH windows (same partitioning
+    and ordering → one Window operator, one sort); buckets are computed
+    streaming over each sorted partition — no second pass, no
+    percentile precomputation.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+        F.ntile(10).over(w).cast("int").alias("balance_decile"),
+    )

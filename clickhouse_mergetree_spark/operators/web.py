@@ -294,3 +294,60 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("url").alias("n_distinct_raw"),
         F.min("o_orderkey").alias("keeper"),
     )
+
+
+@declared_query(
+    "q_fn_fuzzy",
+    oracle="""
+        WITH t AS (
+            SELECT p_partkey, lower(p_name) AS a, lower(p_type) AS b,
+                   list_distinct(string_split(lower(p_name), ' ')) AS ta,
+                   list_distinct(string_split(lower(p_type), ' ')) AS tb
+            FROM part
+        )
+        SELECT p_partkey,
+               CAST(levenshtein(a, b) AS BIGINT) AS lev,
+               CAST(1.0 - CAST(levenshtein(a, b) AS DOUBLE)
+                    / greatest(length(a), length(b), 1) AS DOUBLE)
+                 AS lev_sim,
+               CAST(len(list_filter(ta, x -> list_contains(tb, x)))
+                    AS BIGINT) AS tok_common,
+               CAST(CAST(len(list_filter(ta, x -> list_contains(tb, x)))
+                         AS DOUBLE)
+                    / (len(ta) + len(tb)
+                       - len(list_filter(ta, x -> list_contains(tb, x))))
+                    AS DOUBLE) AS tok_jaccard
+        FROM t
+    """,
+)
+def q_fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching — ClickHouse editDistance /
+    stringJaccardIndex family: per-row Levenshtein distance between part
+    name and type, its normalized similarity, and distinct-token overlap
+    / Jaccard. Spark's native levenshtein() is verified against DuckDB's
+    independent implementation (same classic DP definition — the hash
+    match proves it); token Jaccard is spelled out with identical
+    set-algebra on both engines. Integer edit distances and
+    exact-operand divisions keep every value bit-stable.
+
+    Row-local scalar work, zero shuffles — the similarity-scoring inner
+    loop of fuzzy dedup / entity resolution runs as a pure map stage at
+    any scale.
+    """
+    p = load(spark, sf_dir, "part")
+    a = F.lower(F.col("p_name"))
+    b = F.lower(F.col("p_type"))
+    ta = F.array_distinct(F.split(a, " "))
+    tb = F.array_distinct(F.split(b, " "))
+    common = F.size(F.array_intersect(ta, tb))
+    lev = F.levenshtein(a, b)
+    return p.select(
+        "p_partkey",
+        lev.cast("bigint").alias("lev"),
+        (1.0 - lev.cast("double")
+         / F.greatest(F.length(a), F.length(b), F.lit(1)))
+        .cast("double").alias("lev_sim"),
+        common.cast("bigint").alias("tok_common"),
+        (common.cast("double") / (F.size(ta) + F.size(tb) - common))
+        .cast("double").alias("tok_jaccard"),
+    )
