@@ -1443,6 +1443,72 @@ def q_seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_funnel_strict",
+    oracle="""
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        ), a AS (
+            SELECT user_id, seq, strpos(seq, 'v') AS pos FROM seqs
+        )
+        SELECT user_id,
+               CAST(CASE WHEN pos = 0 THEN 0
+                    WHEN substr(seq, pos + 1, 2) = 'cp' THEN 3
+                    WHEN substr(seq, pos + 1, 1) = 'c' THEN 2
+                    ELSE 1 END AS INTEGER) AS strict_depth,
+               CAST(CASE WHEN pos = 0 THEN 0
+                    WHEN regexp_matches(substr(seq, pos), 'v.*c.*p') THEN 3
+                    WHEN regexp_matches(substr(seq, pos), 'v.*c') THEN 2
+                    ELSE 1 END AS INTEGER) AS relaxed_depth
+        FROM a
+    """,
+)
+def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(... , 'strict_order')`` analog: in
+    strict-order mode ANY intervening event aborts the chain — in
+    A→B→D→C, the D stops the A→B→C search (ClickHouse's own example).
+    Anchored at each user's first view, the strict depth advances only
+    while the IMMEDIATELY next events are click then purchase; the
+    relaxed depth (same anchor, any events in between) is computed
+    alongside so the two modes' divergence is itself hash-verified.
+    Pattern-only variant — the time-windowed relaxed funnel is
+    q_events_funnel; strict_order composes with the symbol-string
+    technique, not with per-step min-join chains.
+
+    Plan: the q_seq_match shape — one partial+final agg on user_id
+    building the time-ordered symbol string, then row-local string ops.
+    One shuffle total."""
+    ev = load(spark, sf_dir, "events")
+    tagged = F.struct(
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id").alias("event_id"),
+        F.substring("event_type", 1, 1).alias("sym"))
+    seq_col = F.concat_ws(
+        "",
+        F.transform(F.sort_array(F.collect_list(tagged)),
+                    lambda r: r["sym"]))
+    a = (
+        ev.groupBy("user_id")
+        .agg(seq_col.alias("seq"))
+        .withColumn("pos", F.instr("seq", "v"))
+    )
+    tail = F.expr("substring(seq, pos)")
+    return a.select(
+        "user_id",
+        F.when(F.col("pos") == 0, 0)
+        .when(F.expr("substring(seq, pos + 1, 2)") == "cp", 3)
+        .when(F.expr("substring(seq, pos + 1, 1)") == "c", 2)
+        .otherwise(1).cast("int").alias("strict_depth"),
+        F.when(F.col("pos") == 0, 0)
+        .when(tail.rlike("v.*c.*p"), 3)
+        .when(tail.rlike("v.*c"), 2)
+        .otherwise(1).cast("int").alias("relaxed_depth"),
+    )
+
+
+@declared_query(
     "q_versioned_collapse",
     oracle=f"""
         WITH base AS (
