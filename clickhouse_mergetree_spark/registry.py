@@ -96,19 +96,42 @@ def _last_ok_round() -> dict[str, int]:
     return last_ok
 
 
+# Tie-break rank within a priority class: long-standing core surfaces
+# (streaming, engine, SQL, dedup, similarity) outrank the fast-growing
+# batch modules, so a burst of new dialect queries can never push an
+# older unchecked core query out of the 50-row gate window. An explicit
+# table — NOT raw registration order, which varies with whichever module
+# a caller happens to import first (entry() imports operators before
+# queries() imports streaming, so insertion order is call-path-dependent).
+_MODULE_RANK = {
+    "streams": 0,
+    "engine_queries": 1,
+    "sql_queries": 2,
+    "dedup": 3,
+    "similarity": 4,
+    "relational": 5,
+    "text_analysis": 6,
+    "multimodal": 7,
+    "udfs": 8,
+    "web": 9,
+}
+
+
 def all_queries() -> dict[str, DeclaredQuery]:
     # Import streaming + operator modules for their registration side
-    # effects. Streaming first: registration order is the tie-break within
-    # a priority class, and the streaming queries are the oldest-declared
-    # of the never-checked set — without this they register last and
-    # newly-added batch queries (strictly younger) would push them out of
-    # the 50-row gate window whenever >50 queries are unchecked at once.
-    from clickhouse_mergetree_spark import streaming  # noqa: F401
-    from clickhouse_mergetree_spark import operators  # noqa: F401
+    # effects (idempotent; order here does not matter — see _MODULE_RANK).
+    from clickhouse_mergetree_spark import operators, streaming  # noqa: F401
 
     last_ok = _last_ok_round()
-    reg_index = {name: i for i, name in enumerate(REGISTRY)}
+    # per-module sequence: stable regardless of cross-module interleaving
+    seq: dict[str, int] = {}
+    reg_key: dict[str, tuple[int, int]] = {}
+    for name, q in REGISTRY.items():
+        mod = q.fn.__module__.rsplit(".", 1)[-1]
+        rank = _MODULE_RANK.get(mod, len(_MODULE_RANK))
+        reg_key[name] = (rank, seq.get(mod, 0))
+        seq[mod] = seq.get(mod, 0) + 1
     ordered_names = sorted(
-        REGISTRY, key=lambda n: (last_ok.get(n, 0), reg_index[n])
+        REGISTRY, key=lambda n: (last_ok.get(n, 0), reg_key[n])
     )
     return {name: REGISTRY[name] for name in ordered_names}
