@@ -1705,3 +1705,62 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("balance_quartile"),
         F.ntile(10).over(w).cast("int").alias("balance_decile"),
     )
+
+
+@declared_query(
+    "q_agg_summap",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, event_type,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               string_agg(event_type || '=' || printf('%.6f', s), ','
+                          ORDER BY event_type) AS sum_map,
+               string_agg(event_type || '=' || CAST(n AS STRING), ','
+                          ORDER BY event_type) AS count_map,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM g GROUP BY user_id
+    """,
+)
+def q_agg_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` / ``countMap`` analog: per user, a map of
+    event_type → summed value (and → count), i.e. key-wise map-merge
+    aggregation. Spark's MapType is unhashable cross-engine, so the map
+    is emitted in its canonical serialization — key-sorted
+    'k=v' pairs, values %.6f-formatted from exact DECIMAL sums — which
+    makes the whole map one hash-verifiable scalar.
+
+    Plan: partial+final agg on (user, type) — the map-side combine does
+    the key-wise merging, exactly what ClickHouse's sumMap combinator
+    state does — then a per-user sorted fold. Both shuffles carry
+    user_id; the second input is already |users × types| small.
+    """
+    ev = load(spark, sf_dir, "events")
+    g = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.sum(_dec("value", 18, 6)).cast("double").alias("s"),
+             F.count("*").alias("n"))
+    )
+    pair_s = F.struct(
+        F.col("event_type"),
+        F.format_string("%.6f", F.col("s")).alias("sv"),
+        F.col("n").cast("string").alias("nv"))
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(pair_s)),
+                    lambda r: F.concat(r["event_type"], F.lit("="), r["sv"]),
+                ), ",").alias("sum_map"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(pair_s)),
+                    lambda r: F.concat(r["event_type"], F.lit("="), r["nv"]),
+                ), ",").alias("count_map"),
+            F.count("*").alias("n_keys"),
+        )
+    )
