@@ -1808,8 +1808,11 @@ class SparkMergeTree:
             ("max_ts", "bigint"), ("partition", "string"),
             ("n_columns", "int"), ("has_bloom", "boolean"),
             ("has_minmax", "boolean"), ("n_projections", "int"),
+            ("has_token_bloom", "boolean"), ("has_ngram_bloom", "boolean"),
+            ("n_lw_delete_masks", "int"),
         ]
         with self._lock:
+            lw = self._lw_entries()
             rows = [
                 (p.part_id, p.row_count, p.disk_size,
                  None if p.min_key is None else str(p.min_key),
@@ -1819,7 +1822,9 @@ class SparkMergeTree:
                  p.partition,
                  len(p.columns) if p.columns is not None else None,
                  bool(p.bloom_hex), bool(p.col_stats),
-                 len(p.proj_paths or {}))
+                 len(p.proj_paths or {}),
+                 bool(p.token_blooms), bool(p.ngram_blooms),
+                 sum(1 for e in lw if p.part_id in e["parts"]))
                 for p in self.manifest.parts
             ]
         from clickhouse_mergetree_spark.tables import values_df

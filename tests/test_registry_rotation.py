@@ -82,3 +82,33 @@ def test_rotation_handles_missing_artifacts(monkeypatch):
     # and the order degrades to registration order — no crash, no reorder.
     monkeypatch.setattr(glob, "glob", lambda pat: [])
     assert _last_ok_round() == {}
+
+
+def test_gate_order_is_call_path_independent():
+    """The driver smoke-runs entry() BEFORE queries(); entry imports the
+    operators package while queries() imports streaming too. Raw dict
+    insertion order therefore differs between call paths — the explicit
+    _MODULE_RANK tie-break must make the gate window identical either
+    way. Pinned via two subprocesses (imports are process-global, so
+    both orders cannot be observed in one process)."""
+    import subprocess
+    import sys as _sys
+
+    script = """
+import sys; sys.path.insert(0, {root!r})
+{prelude}
+from clickhouse_mergetree_spark.registry import all_queries
+print("\\n".join(list(all_queries())[:60]))
+"""
+    root = _ROOT
+    # path A: operators imported first (what entry() does)
+    a = subprocess.run(
+        [_sys.executable, "-c", script.format(
+            root=root,
+            prelude="import clickhouse_mergetree_spark.operators")],
+        capture_output=True, text=True, check=True).stdout
+    # path B: nothing pre-imported (queries() alone)
+    b = subprocess.run(
+        [_sys.executable, "-c", script.format(root=root, prelude="")],
+        capture_output=True, text=True, check=True).stdout
+    assert a == b, "gate window depends on import call path"
