@@ -1362,36 +1362,62 @@ class SparkMergeTree:
                 best = candidates[0]
                 selected = [p for p in self.manifest.parts
                             if p.part_id in best.part_ids]
-                part_id = self.manifest.allocate_part_id()
-
-            # _read_parts materializes evolved-column defaults into the
-            # merged part (ClickHouse materializes ALTER defaults on merge)
-            merged = self._collapse(self._read_parts(selected))
-            meta = self._write_part(part_id, merged, best.total_rows,
-                                    partition=selected[0].partition)
-
-            retain = self.config.snapshot_retention > 0
-            with self._lock:
-                self.manifest.swap([p.part_id for p in selected], meta,
-                                   retain=retain)
-                # the merged part materialized any lightweight-delete
-                # masks (read path applied them); reclaim satisfied entries
-                self._gc_lw_deletes()
-                self.manifest.save()
-            if retain:
-                # snapshots keep the old parts readable; vacuum reclaims
-                # whatever just fell out of the retention window
-                self.vacuum()
-            else:
-                # commit point passed — old parts unreachable, reclaim disk
-                for p in selected:
-                    self._delete_part_dirs(p)
+            self._merge_group(selected)
             return True
 
-    def optimize(self) -> None:
-        """R32 OPTIMIZE: flush, then merge until ≤ max_parts
-        (reference src/merge_tree.cpp:199-205)."""
+    def _merge_group(self, selected: list[PartMeta]) -> None:
+        """One merge job over an explicit part group: read (through the
+        masked/evolved read path, so lightweight-delete masks and ALTER
+        defaults materialize) → mode collapse → sorted part write →
+        atomic manifest swap → reclaim. Caller holds _merge_lock."""
+        with self._lock:
+            part_id = self.manifest.allocate_part_id()
+        # _read_parts materializes evolved-column defaults into the
+        # merged part (ClickHouse materializes ALTER defaults on merge)
+        merged = self._collapse(self._read_parts(selected))
+        meta = self._write_part(part_id, merged,
+                                sum(p.row_count for p in selected),
+                                partition=selected[0].partition)
+
+        retain = self.config.snapshot_retention > 0
+        with self._lock:
+            self.manifest.swap([p.part_id for p in selected], meta,
+                               retain=retain)
+            # the merged part materialized any lightweight-delete
+            # masks (read path applied them); reclaim satisfied entries
+            self._gc_lw_deletes()
+            self.manifest.save()
+        if retain:
+            # snapshots keep the old parts readable; vacuum reclaims
+            # whatever just fell out of the retention window
+            self.vacuum()
+        else:
+            # commit point passed — old parts unreachable, reclaim disk
+            for p in selected:
+                self._delete_part_dirs(p)
+
+    def optimize(self, final: bool = False) -> None:
+        """R32 OPTIMIZE / ``OPTIMIZE TABLE ... FINAL``: flush, then merge
+        until ≤ max_parts (reference src/merge_tree.cpp:199-205). With
+        ``final=True``, keep merging until every partition is ONE part —
+        ClickHouse's FINAL keyword — bypassing the score-based scheduler:
+        the point of FINAL is to force physical materialization of every
+        read-time transform (mode collapse/dedup, lightweight-delete
+        masks, lazy ALTER defaults) regardless of whether the merge is
+        'worth it' by I/O scoring. Merges still never cross partitions."""
         self.flush()
+        if final:
+            while True:
+                with self._merge_lock:
+                    with self._lock:
+                        groups: dict[str | None, list[PartMeta]] = {}
+                        for p in self.manifest.parts:
+                            groups.setdefault(p.partition, []).append(p)
+                        target = next(
+                            (g for g in groups.values() if len(g) > 1), None)
+                    if target is None:
+                        return
+                    self._merge_group(target)
         while self.should_trigger_merge():
             if not self.perform_merge():
                 break

@@ -208,3 +208,42 @@ def test_materialize_deletes_drops_fully_deleted_part(spark, base_path):
                      "rows_removed": 50}
         assert len(t.manifest.parts) == 1  # metadata-only drop, no write
         assert t.query_all().count() == 50
+
+
+def test_optimize_final_single_part_and_materialized(spark, base_path):
+    # OPTIMIZE FINAL: merges to ONE part regardless of max_parts (10 here,
+    # so plain optimize() would refuse), materializing lw masks
+    with _fresh(spark, base_path) as t:
+        t.insert_rows([(k, 1000 + k, float(k)) for k in range(100, 120)])
+        t.flush()
+        assert len(t.manifest.parts) == 3
+        t.lightweight_delete("key >= 110")
+        t.optimize()  # non-final: under max_parts, must be a no-op
+        assert len(t.manifest.parts) == 3
+        t.optimize(final=True)
+        assert len(t.manifest.parts) == 1
+        assert not t.manifest.table_meta.get("lw_deletes")
+        assert t.manifest.parts[0].row_count == 110
+        assert t.query_all().count() == 110
+
+
+def test_optimize_final_respects_partitions(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("bucket", T.StringType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us",
+                          partition_col="bucket")
+    with SparkMergeTree(spark, str(tmp_path / "pt"), schema=schema,
+                        config=cfg) as t:
+        for r in range(3):
+            t.insert_rows([(100 * r + k, 1000 + k, f"b{k % 2}")
+                           for k in range(20)])
+            t.flush()
+        assert len(t.manifest.parts) == 6  # 3 flushes x 2 partitions
+        t.optimize(final=True)
+        # FINAL never crosses partitions: one part per partition value
+        assert sorted(p.partition for p in t.manifest.parts) == ["b0", "b1"]
+        assert t.query_all().count() == 60
