@@ -1764,3 +1764,43 @@ def q_agg_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_keys"),
         )
     )
+
+
+UNIQ_UPTO_N = 8
+
+
+@declared_query(
+    "q_agg_uniq_upto",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(least(count(DISTINCT l_quantity), {UNIQ_UPTO_N + 1})
+                    AS BIGINT) AS uniq_qty_upto,
+               count(DISTINCT l_quantity) <= {UNIQ_UPTO_N}
+                 AS qty_within_cap,
+               CAST(least(count(DISTINCT l_linenumber), {UNIQ_UPTO_N + 1})
+                    AS BIGINT) AS uniq_line_upto
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)(x)``: exact distinct count while ≤ N,
+    N+1 as the saturated "more than N" answer — the cardinality-triage
+    aggregate ("does this group have few enough variants to enumerate?")
+    that ClickHouse answers with O(N) state per group. Expressed as
+    least(count distinct, N+1): Catalyst's distinct-agg expansion keeps
+    per-group state exact, and the cap is applied at the end — same
+    observable contract, verified by hash.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.least(F.countDistinct("l_quantity"), F.lit(UNIQ_UPTO_N + 1))
+            .alias("uniq_qty_upto"),
+            (F.countDistinct("l_quantity") <= UNIQ_UPTO_N)
+            .alias("qty_within_cap"),
+            F.least(F.countDistinct("l_linenumber"), F.lit(UNIQ_UPTO_N + 1))
+            .alias("uniq_line_upto"),
+        )
+    )
