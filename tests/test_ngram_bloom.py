@@ -99,3 +99,42 @@ def test_index_persists_across_reopen(spark, tmp_path, table):
                         config=MergeTreeConfig(**CFG)) as t2:
         assert len(t2.parts_for_like("text", "gamma")) == 1
         assert t2.query_like("text", "gamma").count() == 40
+
+
+# ---------------------------------------------------------------------------
+# Property: pruning never loses a match (no false negatives), for ANY data
+# and ANY needle — the one guarantee the index must keep under all inputs.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_alph = st.text(alphabet="abcxyz ", min_size=0, max_size=12)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_alph, min_size=1, max_size=6),
+       needle=st.text(alphabet="abcxyz ", min_size=1, max_size=5))
+def test_ngram_prune_has_no_false_negatives(spark, tmp_path_factory,
+                                            texts, needle):
+    base = str(tmp_path_factory.mktemp("ngbf") / "t")
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    try:
+        # two parts: split the rows so pruning has something to skip
+        half = max(1, len(texts) // 2)
+        t.insert_rows([(i, i, s) for i, s in enumerate(texts[:half])])
+        t.flush()
+        if texts[half:]:
+            t.insert_rows([(half + i, half + i, s)
+                           for i, s in enumerate(texts[half:])])
+            t.flush()
+        expected = sorted(i for i, s in enumerate(texts)
+                          if needle.lower() in s.lower())
+        got = sorted(r["doc_id"]
+                     for r in t.query_like("text", needle).collect())
+        assert got == expected, (texts, needle)
+    finally:
+        t.close()
