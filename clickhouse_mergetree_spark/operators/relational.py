@@ -1120,8 +1120,13 @@ GROUPARRAY_N = 5
     oracle=f"""
         SELECT user_id,
                count(*) AS n_events,
-               list_sort(list_distinct(list(event_type))) AS types_uniq,
-               (list(value ORDER BY ts, event_id))[1:{GROUPARRAY_N}]
+               array_to_string(
+                   list_sort(list_distinct(list(event_type))), ',')
+                   AS types_uniq,
+               array_to_string(
+                   list_transform(
+                       (list(value ORDER BY ts, event_id))[1:{GROUPARRAY_N}],
+                       x -> printf('%.9f', round(x, 9))), ',')
                    AS first_values
         FROM events GROUP BY user_id
     """,
@@ -1140,8 +1145,12 @@ def q_agg_grouparray(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials merge associatively); at scale the per-group state is
     bounded by the collect, so groupArray(N) on a hot key is the one
     aggregate you cap with N, exactly why ClickHouse ships the N form.
-    The raw stored doubles pass through unrounded — identical bits on
-    both engines.
+
+    Result arrays are emitted in their canonical scalar serialization —
+    comma-joined, values round(9)-then-%.9f-formatted (round-to-9dp first
+    makes the subsequent fixed-point format tie-free on both engines) —
+    the q_agg_summap pattern, so the whole array is one hash-verifiable
+    string on any comparator.
     """
     ev = load(spark, sf_dir, "events")
     tagged = F.struct(
@@ -1153,10 +1162,15 @@ def q_agg_grouparray(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.array_sort(F.collect_set("event_type")).alias("types_uniq"),
-            F.transform(
-                F.slice(sorted_vals, 1, GROUPARRAY_N),
-                lambda r: r["value"]).alias("first_values"),
+            F.array_join(
+                F.array_sort(F.collect_set("event_type")), ",")
+            .alias("types_uniq"),
+            F.array_join(
+                F.transform(
+                    F.slice(sorted_vals, 1, GROUPARRAY_N),
+                    lambda r: F.format_string(
+                        "%.9f", F.round(r["value"], 9))), ",")
+            .alias("first_values"),
         )
     )
 
@@ -1169,9 +1183,11 @@ QUANTILES = (0.25, 0.5, 0.75, 0.9)
     oracle=f"""
         SELECT event_type,
                count(*) AS n,
-               list_transform(
-                   quantile_cont(value, {list(QUANTILES)}),
-                   x -> round(x, 9)) AS quantiles
+               array_to_string(
+                   list_transform(
+                       quantile_cont(value, {list(QUANTILES)}),
+                       x -> printf('%.9f', round(x, 9))), ',')
+                   AS quantiles
         FROM events GROUP BY event_type
     """,
 )
@@ -1188,15 +1204,21 @@ def q_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-value event_type key; an unbounded key at 100 TB switches to the
     approx_percentile sketch (q_agg_approx_percentile), which is the
     mergeable t-digest path.
+
+    The quantile array is emitted in its canonical scalar serialization
+    (comma-joined, round(9)-then-%.9f per element — the q_agg_summap
+    pattern) so the result is hash-verifiable on any comparator.
     """
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.transform(
-                F.percentile("value", F.lit(list(QUANTILES))),
-                lambda x: F.round(x, 9)).alias("quantiles"),
+            F.array_join(
+                F.transform(
+                    F.percentile("value", F.lit(list(QUANTILES))),
+                    lambda x: F.format_string("%.9f", F.round(x, 9))),
+                ",").alias("quantiles"),
         )
     )
 
@@ -1481,14 +1503,18 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id,
-               list_transform(range(1, len(lens) + 1),
-                   i -> CAST(list_sum(list_slice(lens, 1, i)) AS BIGINT))
-                 AS cum,
-               list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(2, len(lens) + 1),
-                                  i -> lens[i] - lens[i - 1])) AS diff,
-               list_filter(lens, (x, i) -> i = 1 OR x != lens[i - 1])
-                 AS compact,
+               array_to_string(
+                   list_transform(range(1, len(lens) + 1),
+                       i -> CAST(list_sum(list_slice(lens, 1, i)) AS BIGINT)),
+                   ',') AS cum,
+               array_to_string(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(2, len(lens) + 1),
+                                      i -> lens[i] - lens[i - 1])),
+                   ',') AS diff,
+               array_to_string(
+                   list_filter(lens, (x, i) -> i = 1 OR x != lens[i - 1]),
+                   ',') AS compact,
                CAST(len(list_distinct(lens)) AS BIGINT) AS n_distinct_lens
         FROM t
     """,
@@ -1504,7 +1530,9 @@ def q_fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition, not implementation-vs-itself.
 
     Row-local higher-order functions: no shuffle, no explode — the arrays
-    never leave their row, so corpus-scale cost is one map stage.
+    never leave their row, so corpus-scale cost is one map stage. Result
+    arrays are emitted comma-joined (integer elements, bit-exact string
+    form on both engines) so every column is a hash-verifiable scalar.
     """
     d = load(spark, sf_dir, "documents")
     return d.select(
@@ -1515,22 +1543,27 @@ def q_fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         # fold: acc = (prefix sums so far, running total); one pass
         F.expr("""
-            aggregate(lens,
-                      struct(CAST(array() AS ARRAY<BIGINT>) AS pre,
-                             CAST(0 AS BIGINT) AS tot),
-                      (acc, x) -> struct(concat(acc.pre, array(acc.tot + x)),
-                                         acc.tot + x),
-                      acc -> acc.pre)
+            array_join(
+                aggregate(lens,
+                          struct(CAST(array() AS ARRAY<BIGINT>) AS pre,
+                                 CAST(0 AS BIGINT) AS tot),
+                          (acc, x) -> struct(concat(acc.pre,
+                                                    array(acc.tot + x)),
+                                             acc.tot + x),
+                          acc -> acc.pre), ',')
         """).alias("cum"),
         F.expr("""
-            CASE WHEN size(lens) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
-                 ELSE concat(array(CAST(0 AS BIGINT)),
-                             zip_with(slice(lens, 2, size(lens) - 1),
-                                      slice(lens, 1, size(lens) - 1),
-                                      (a, b) -> a - b))
-            END
+            array_join(
+                CASE WHEN size(lens) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+                     ELSE concat(array(CAST(0 AS BIGINT)),
+                                 zip_with(slice(lens, 2, size(lens) - 1),
+                                          slice(lens, 1, size(lens) - 1),
+                                          (a, b) -> a - b))
+                END, ',')
         """).alias("diff"),
-        F.expr("filter(lens, (x, i) -> i = 0 OR x != lens[i - 1])")
+        F.expr(
+            "array_join(filter(lens, (x, i) -> i = 0 OR x != lens[i - 1]),"
+            " ',')")
         .alias("compact"),
         F.expr("CAST(size(array_distinct(lens)) AS BIGINT)")
         .alias("n_distinct_lens"),

@@ -25,8 +25,14 @@ from typing import Any
 
 # DuckDB result types that the driver's hash canonicalizes differently
 # from Spark's int64/float64 — any oracle producing one is a latent
-# hash-fail even when values match.
-_FORBIDDEN_TYPE_FRAGMENTS = ("HUGEINT", "DECIMAL", "UHUGEINT")
+# hash-fail even when values match. Round-6 addition: LIST/MAP/STRUCT
+# result columns ("[]", "MAP(", "STRUCT(") — the driver's pandas
+# canonicalizer crashes sorting list cells (TypeError: unhashable type,
+# the r5 q_agg_grouparray/q_quantiles_multi fail class); the fix is
+# always a canonical scalar serialization (array_to_string / sorted
+# 'k=v' pairs, the q_agg_summap pattern).
+_FORBIDDEN_TYPE_FRAGMENTS = (
+    "HUGEINT", "DECIMAL", "UHUGEINT", "[]", "MAP(", "STRUCT(")
 
 
 def _norm_cell(v: Any) -> Any:
@@ -72,8 +78,9 @@ def assert_oracle_types(rel) -> None:
     ]
     assert not flagged, (
         f"oracle result has driver-hash-unsafe column types {flagged}; "
-        f"CAST them in the oracle SQL (AS BIGINT / AS DOUBLE) — this is "
-        f"the r4 hash-fail class (HUGEINT widening of sum(BIGINT))"
+        f"CAST numerics (AS BIGINT / AS DOUBLE — r4 HUGEINT class) and "
+        f"serialize arrays/maps/structs to canonical strings "
+        f"(array_to_string / sorted 'k=v' — r5 unhashable-list class)"
     )
 
 

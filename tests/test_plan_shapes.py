@@ -36,9 +36,21 @@ NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_sim_search_pq",
 
 _QUERIES = sorted(all_queries())
 
+# DataFrame construction (incl. engine-table builds for the engine-backed
+# queries) dominates these sweeps — cache per query name so the three
+# registry-wide lints pay it once. DataFrames are immutable; nothing here
+# executes them beyond explain()/schema.
+_DF_CACHE: dict[str, object] = {}
+
+
+def _df(spark, sf_dir, name: str):
+    if name not in _DF_CACHE:
+        _DF_CACHE[name] = all_queries()[name].fn(spark, sf_dir)
+    return _DF_CACHE[name]
+
 
 def _plan(spark, sf_dir, name: str) -> str:
-    df = all_queries()[name].fn(spark, sf_dir)
+    df = _df(spark, sf_dir, name)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -65,6 +77,29 @@ def test_no_row_at_a_time_python_udf(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan, (
         f"{name} uses a row-at-a-time Python UDF — Arrow-vectorize it")
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_no_array_or_map_result_columns(spark, sf_dir, name):
+    """Driver-hash-safety lint, Spark side: no declared query may return
+    a top-level ARRAY/MAP/STRUCT column. The driver's pandas canonicalizer
+    crashes sorting list cells (TypeError: unhashable type: 'list' — the
+    r5 q_agg_grouparray/q_quantiles_multi fail class, same bug class as
+    r4's HUGEINT). Arrays belong in a canonical scalar serialization:
+    comma-joined, %.Nf-formatted floats, sorted 'k=v' pairs (the
+    q_agg_summap pattern). The DuckDB-side twin lives in
+    test_oracle_types.py / oracle_compare.assert_oracle_types."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = _df(spark, sf_dir, name)
+    flagged = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not flagged, (
+        f"{name} returns driver-hash-unsafe columns {flagged}; serialize "
+        f"them to canonical strings (array_join / sorted 'k=v' pairs)")
 
 
 @pytest.mark.parametrize(
