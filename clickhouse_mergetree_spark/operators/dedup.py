@@ -213,6 +213,13 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same oracle); pays ~2 extra shuffles, wins whenever shingle df is
     skewed — which real text always is.
     """
+    return _prefix_filtered_pairs(spark, sf_dir)
+
+
+def _prefix_filtered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered exact-Jaccard pairs (doc_a, doc_b, jaccard);
+    the shared skew-bounded pair generator behind q_dedup_ngram_prefix and
+    q_dedup_clusters' edge set."""
     # One grouped pass builds EVERYTHING per-document: the df-ranked
     # shingle array (rare-first via sort_array on (df, shingle) structs —
     # replaces a row_number window and its partition sort), the prefix
@@ -269,31 +276,6 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The exact inverted-index Jaccard pairs (same as q_dedup_ngram_jaccard),
-    reused as the edge set for clustering."""
-    spark.catalog.clearCache()  # see q_dedup_ngram_jaccard on why
-    sh = _shingles(load(spark, sf_dir, "documents")).persist()
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        pairs.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
-
-
 @declared_query(
     "q_dedup_clusters",
     oracle=f"""
@@ -340,11 +322,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Convergence is a driver-side count per round — the one legitimate use
     of a driver loop (iterative algorithms), bounded by the diameter, with
     each iteration's labels persisted and the previous round unpersisted.
+
+    Edge generation uses the PPJoin prefix-filtered pair join (r6; was the
+    plain inverted-index join, whose candidate set is quadratic in shingle
+    document frequency — one stopword-ish shingle shared by k docs emits
+    k² rows at 100 TB). Same verified pair set, same oracle; the candidate
+    join now runs over only the rare-first prefix slice of the index.
     """
     from clickhouse_mergetree_spark.operators.graph import (
         connected_components)
 
-    edges = _jaccard_pairs(spark, sf_dir)
+    edges = _prefix_filtered_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(edges, src="doc_a", dst="doc_b")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_keeper"))
