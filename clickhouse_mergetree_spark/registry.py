@@ -51,14 +51,18 @@ def declared_query(name: str, oracle: str | None = None) -> Callable[[QueryFn], 
 # bounds staleness at ~3 rounds with no list to maintain.
 
 
-def _last_ok_round() -> dict[str, int]:
-    """name -> most recent round with an OK driver CORRECTNESS row.
+def _last_ok_round() -> tuple[dict[str, int], dict[str, int]]:
+    """(last_ok, last_hash): per name, the most recent round with an OK
+    driver CORRECTNESS row, and the most recent round with a HASH-pass.
 
     OK = hash_match is True, or err == "no_oracle" with a non-null row
     count (the driver's rows-only check for declared-approximate queries).
     A later FAILED row (hash_match False or a real err) resets the query
     to -1 so it re-enters the gate window ahead of even never-checked
-    queries (which default to 0).
+    queries (which default to 0). last_hash lets the caller detect queries
+    whose only driver OK predates their oracle (rows-only ledger rows) —
+    those re-enter the window as if never checked, so a query that GAINS
+    an oracle automatically gets a hash slot the next round.
     """
     import glob
     import json
@@ -67,6 +71,7 @@ def _last_ok_round() -> dict[str, int]:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_ok: dict[str, int] = {}
+    last_hash: dict[str, int] = {}
     last_seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -81,10 +86,13 @@ def _last_ok_round() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            ok = row.get("hash_match") is True or (
+            hashed = row.get("hash_match") is True
+            ok = hashed or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
             )
+            if hashed:
+                last_hash[name] = max(last_hash.get(name, 0), rnd)
             if last_seen.get(name, -1) < rnd:
                 last_seen[name] = rnd
                 if ok:
@@ -93,7 +101,7 @@ def _last_ok_round() -> dict[str, int]:
                     last_ok[name] = -1  # latest row failed -> re-check first
             elif ok and last_ok.get(name, 0) >= 0:
                 last_ok[name] = max(last_ok.get(name, 0), rnd)
-    return last_ok
+    return last_ok, last_hash
 
 
 # Tie-break rank within a priority class: long-standing core surfaces
@@ -122,7 +130,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
     # effects (idempotent; order here does not matter — see _MODULE_RANK).
     from clickhouse_mergetree_spark import operators, streaming  # noqa: F401
 
-    last_ok = _last_ok_round()
+    last_ok, last_hash = _last_ok_round()
     # per-module sequence: stable regardless of cross-module interleaving
     seq: dict[str, int] = {}
     reg_key: dict[str, tuple[int, int]] = {}
@@ -131,7 +139,19 @@ def all_queries() -> dict[str, DeclaredQuery]:
         rank = _MODULE_RANK.get(mod, len(_MODULE_RANK))
         reg_key[name] = (rank, seq.get(mod, 0))
         seq[mod] = seq.get(mod, 0) + 1
+
+    def sort_round(n: str) -> int:
+        r = last_ok.get(n, 0)
+        # A query that HAS an oracle but whose driver ledger only shows
+        # rows-only OKs gained its oracle after its last gate slot; its
+        # hash has never been driver-verified, so it re-enters the window
+        # as never-checked (r6 rule — covers the 6 ANN queries whose
+        # oracles landed in r5 and any future oracle upgrade).
+        if r > 0 and REGISTRY[n].oracle is not None and n not in last_hash:
+            return 0
+        return r
+
     ordered_names = sorted(
-        REGISTRY, key=lambda n: (last_ok.get(n, 0), reg_key[n])
+        REGISTRY, key=lambda n: (sort_round(n), reg_key[n])
     )
     return {name: REGISTRY[name] for name in ordered_names}

@@ -71,17 +71,43 @@ def test_last_failed_queries_reenter_the_window():
 
 
 def test_green_queries_ordered_oldest_first():
-    lo = _last_ok_round()
-    names = list(all_queries())
-    ranks = [lo.get(n, 0) for n in names]
+    lo, lh = _last_ok_round()
+    queries = all_queries()
+    names = list(queries)
+
+    def rank(n):
+        r = lo.get(n, 0)
+        # r6 rule: an oracle-bearing query whose driver ledger has only
+        # rows-only OKs (no hash-pass ever) re-enters as never-checked
+        if r > 0 and queries[n].oracle is not None and n not in lh:
+            return 0
+        return r
+
+    ranks = [rank(n) for n in names]
     assert ranks == sorted(ranks), "check order is not last-ok-round sorted"
+
+
+def test_oracle_upgraded_queries_reenter_the_window():
+    """A query that gained a DuckDB oracle AFTER its last driver slot has
+    a rows-only ledger row but no hash row — it must re-enter the gate
+    window so the oracle actually gets driver-verified (r6 rule; the six
+    r5 ANN oracle upgrades are the motivating case)."""
+    lo, lh = _last_ok_round()
+    queries = all_queries()
+    names = list(queries)
+    window = set(names[:50])
+    upgraded = [n for n in names
+                if lo.get(n, 0) > 0 and queries[n].oracle is not None
+                and n not in lh]
+    out = [n for n in upgraded if n not in window]
+    assert not out, f"oracle-upgraded queries outside gate window: {out}"
 
 
 def test_rotation_handles_missing_artifacts(monkeypatch):
     # In a tree with no CORRECTNESS files (round 1), everything is rank 0
     # and the order degrades to registration order — no crash, no reorder.
     monkeypatch.setattr(glob, "glob", lambda pat: [])
-    assert _last_ok_round() == {}
+    assert _last_ok_round() == ({}, {})
 
 
 def test_gate_order_is_call_path_independent():
