@@ -132,6 +132,13 @@ class PartMeta:
     # matching row would have to contain all of them. None/missing col ⇒
     # no claim (never skip).
     ngram_blooms: dict | None = None
+    # Column-level TTL (ClickHouse ``c TTL ts + INTERVAL`` analog —
+    # extension): column names whose values are expired for EVERY row of
+    # this part. Reads serve the column's declared default instead of the
+    # physical bytes; the next rewrite of the part (merge, mutation,
+    # straddling TTL) materializes the default physically, ClickHouse's
+    # TTL-at-merge contract. None/[] ⇒ no column expired.
+    expired_cols: list | None = None
 
     def may_match_range(self, col: str, lo, hi) -> bool:
         """minmax skip check: False ⇒ no row of this part has col in

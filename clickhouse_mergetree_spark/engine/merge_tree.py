@@ -239,13 +239,19 @@ class SparkMergeTree:
         self._views: list = []  # attached MaterializedViews (see matview.py)
         os.makedirs(base_path, exist_ok=True)
         self.manifest = Manifest.load(base_path)
-        # Re-apply any persisted ALTER ADD COLUMN evolution: callers reopen
-        # with the table's ORIGINAL schema; the manifest carries the log.
+        # Re-apply any persisted ALTER ADD/DROP COLUMN evolution: callers
+        # reopen with the table's ORIGINAL schema; the manifest carries the
+        # log. Adds first, then drops — add_column/drop_column maintain the
+        # invariant that dropped_columns lists only currently-dropped names
+        # (a re-ADD removes its entry), so the two lists never conflict.
         for a in self.manifest.table_meta.get("added_columns", []):
             if not any(f.name == a["name"] for f in self.schema.fields):
                 self.schema = T.StructType(
                     list(self.schema.fields)
                     + list(T.StructType.fromDDL(f'`{a["name"]}` {a["ddl"]}')))
+        for d in self.manifest.table_meta.get("dropped_columns", []):
+            self.schema = T.StructType(
+                [f for f in self.schema.fields if f.name != d])
         self._rebuild_missing_metadata()
         # A surviving mutation intent record means a previous process died
         # mid-mutation: per-part swaps are atomic, so the table is
@@ -1102,23 +1108,32 @@ class SparkMergeTree:
         Grouping by applicable-entry set keeps it one scan per (schema,
         mask) combination, and because merges/mutations/TTL rewrites all
         read through this method, every rewrite MATERIALIZES the masks —
-        the rewritten part is physically clean and belongs to no entry."""
+        the rewritten part is physically clean and belongs to no entry.
+
+        Column-TTL expiry marks (PartMeta.expired_cols) are applied here
+        too: an expired column is served as its declared default (the ADD
+        COLUMN default, else NULL) instead of the physical bytes — and for
+        the same read-through reason, every rewrite materializes the
+        expiry, so the rewritten part carries no mark."""
         if not parts:
             return None
         added = self.manifest.table_meta.get("added_columns", [])
         lw = self._lw_entries(lw_version)
         full_cols = [f.name for f in self.schema.fields]
         added_names = {a["name"] for a in added}
+        defaults = {a["name"]: (a["default"], a["ddl"]) for a in added}
         original = [c for c in full_cols if c not in added_names]
         groups: dict[tuple, list[PartMeta]] = {}
         for p in parts:
             present = set(p.columns) if p.columns is not None else set(original)
             missing = tuple(c for c in full_cols if c not in present)
             masks = tuple(e["id"] for e in lw if p.part_id in e["parts"])
-            groups.setdefault((missing, masks), []).append(p)
+            expired = tuple(sorted(
+                set(p.expired_cols or ()) & set(full_cols)))
+            groups.setdefault((missing, masks, expired), []).append(p)
         preds = {e["id"]: e["pred"] for e in lw}
         dfs = []
-        for (missing, masks), ps in groups.items():
+        for (missing, masks, expired), ps in groups.items():
             sub = T.StructType([f for f in self.schema.fields
                                 if f.name not in missing])
             df = self.spark.read.schema(sub).parquet(*[p.path for p in ps])
@@ -1126,6 +1141,10 @@ class SparkMergeTree:
                 if a["name"] in missing:
                     df = df.withColumn(
                         a["name"], F.lit(a["default"]).cast(a["ddl"]))
+            for c in expired:
+                dflt = defaults.get(c, (None, None))[0]
+                df = df.withColumn(
+                    c, F.lit(dflt).cast(self.schema[c].dataType))
             for mid in masks:
                 # SQL DELETE WHERE semantics: NULL predicate ⇒ row kept
                 df = df.filter(
@@ -1530,9 +1549,186 @@ class SparkMergeTree:
                 self.schema = T.StructType(
                     list(self.schema.fields)
                     + list(T.StructType.fromDDL(f"`{name}` {ddl}")))
-                self.manifest.table_meta.setdefault("added_columns", []) \
-                    .append({"name": name, "ddl": ddl, "default": default})
+                added = self.manifest.table_meta.setdefault(
+                    "added_columns", [])
+                # re-ADD after a DROP: retire the old add record (its
+                # default must not shadow this one) and the drop entry —
+                # parts written before the drop had the name stripped from
+                # their column lists, so they serve THIS default lazily,
+                # never the pre-drop bytes.
+                added[:] = [a for a in added if a["name"] != name]
+                added.append({"name": name, "ddl": ddl, "default": default})
+                dropped = self.manifest.table_meta.get("dropped_columns", [])
+                if name in dropped:
+                    dropped.remove(name)
                 self.manifest.save()
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN analog — metadata-only, zero parts
+        rewritten (the ClickHouse contract: the ALTER is a metadata
+        commit; old parts keep the physical bytes and shed them at their
+        next rewrite, because merges/mutations/TTL all read at the
+        CURRENT schema).
+
+        The name is stripped from every live part's physical-column list
+        so a later re-ADD of the same name serves the new default for
+        pre-drop parts instead of resurrecting the stale bytes (ClickHouse
+        semantics: DROP destroys the data logically). Sorting-key /
+        partition / mode / index / projection columns cannot be dropped —
+        the part layout and pruning metadata depend on them, the same
+        restriction ClickHouse enforces. Persisted in the manifest; reopen
+        with the original schema replays the drop."""
+        with self._merge_lock:
+            self.flush()
+            with self._lock:
+                if not any(f.name == name for f in self.schema.fields):
+                    raise ValueError(f"unknown column {name!r}")
+                structural = self._structural_cols()
+                if name in structural:
+                    raise ValueError(
+                        f"cannot drop structural column {name!r} "
+                        f"(sorting key / partition / mode / index / "
+                        f"projection columns: {sorted(structural)})")
+                self.schema = T.StructType(
+                    [f for f in self.schema.fields if f.name != name])
+                tm = self.manifest.table_meta
+                tm["added_columns"] = [
+                    a for a in tm.get("added_columns", [])
+                    if a["name"] != name]
+                dropped = tm.setdefault("dropped_columns", [])
+                if name not in dropped:
+                    dropped.append(name)
+                for p in self.manifest.parts:
+                    if p.columns is not None and name in p.columns:
+                        p.columns = [c for c in p.columns if c != name]
+                for p, _ in self.manifest.tombstones.values():
+                    if p.columns is not None and name in p.columns:
+                        p.columns = [c for c in p.columns if c != name]
+                self.manifest.save()
+
+    def _structural_cols(self) -> set:
+        """Columns the engine's machinery depends on — sorting key,
+        partition, mode (sign/version/deleted/summed/aggregated), skipping
+        indexes, projections. Refused by drop_column/expire_columns: part
+        order, pruning metadata, or merge semantics would silently break."""
+        cfg = self.config
+        cols = {self._key, self._ts}
+        if cfg.partition_col:
+            cols.add(cfg.partition_col)
+        if cfg.mode in ("collapsing", "versioned_collapsing"):
+            cols.add(cfg.sign_col)
+        if cfg.mode in ("versioned_collapsing", "replacing"):
+            cols.add(cfg.version_col)
+        if cfg.deleted_col:
+            cols.add(cfg.deleted_col)
+        if cfg.sum_cols:
+            cols.update(cfg.sum_cols)
+        if cfg.agg_cols:
+            cols.update(cfg.agg_cols)
+        cols.update(cfg.minmax_cols)
+        cols.update(cfg.token_bloom_cols)
+        cols.update(cfg.ngram_bloom_cols)
+        for spec in cfg.projections:
+            cols.update(spec.group_by)
+            cols.update(src for _, src in spec.aggs.values())
+        return cols
+
+    def expire_columns(self, cutoffs: dict) -> dict:
+        """Column-level TTL (ClickHouse ``c TTL ts + INTERVAL ...``
+        analog): for each column c, every row with ts < ``cutoffs[c]``
+        reverts c to its default (the ADD COLUMN default if declared, else
+        NULL). Rows are never dropped — that is ``expire()``, row TTL.
+
+        Three cases per (part, column), so the common paths touch no data:
+        - max_ts < cutoff  → the whole part's column is expired: recorded
+          in part metadata (``expired_cols``) and served as the default at
+          read time; the part's NEXT rewrite (merge, mutation, straddling
+          TTL) materializes it physically because rewrites read through
+          _read_parts. Metadata-only — at 100 TB with time-correlated
+          parts this is almost every expired byte, and the physical work
+          rides merges, exactly ClickHouse's TTL-at-merge contract.
+        - min_ts ≥ cutoff  → untouched, never opened.
+        - straddling       → the part is rewritten ONCE applying every
+          straddling column's conditional default (already-expired columns
+          materialize in the same pass).
+
+        Buffered rows are flushed first so every row inserted before the
+        call is covered. Serialized against merges (a concurrent merge
+        rewrites parts this method is marking). Not version-gated: like
+        schema evolution, time-travel reads observe post-TTL values.
+
+        Returns {"parts_meta_expired", "parts_rewritten", "cells_cleared"}.
+        """
+        known = {f.name for f in self.schema.fields}
+        unknown = set(cutoffs) - known
+        if unknown:
+            raise ValueError(f"unknown column(s) {sorted(unknown)}")
+        structural = self._structural_cols()
+        bad = set(cutoffs) & structural
+        if bad:
+            raise ValueError(
+                f"cannot TTL structural column(s) {sorted(bad)}")
+        with self._merge_lock:
+            self.flush()
+            with self._lock:
+                parts = list(self.manifest.parts)
+            retain = self.config.snapshot_retention > 0
+            added = self.manifest.table_meta.get("added_columns", [])
+            defaults = {a["name"]: a["default"] for a in added}
+            meta_expired = rewritten = cells = 0
+            dirty = False
+            for p in parts:
+                already = set(p.expired_cols or ())
+                full = {c for c, cut in cutoffs.items()
+                        if p.max_ts < cut and c not in already}
+                straddle = {c: cut for c, cut in cutoffs.items()
+                            if p.min_ts < cut <= p.max_ts}
+                if straddle:
+                    # one rewrite; count cleared cells in a single agg
+                    src = self._read_parts([p])
+                    counts = src.agg(*[
+                        F.sum(F.when(F.col(self._ts) < F.lit(cut), 1)
+                              .otherwise(0)).alias(c)
+                        for c, cut in straddle.items()]).first()
+                    cells += sum(counts[c] or 0 for c in straddle)
+                    cells += p.row_count * len(full)
+                    new_df = src.withColumns({
+                        c: F.when(F.col(self._ts) < F.lit(cut),
+                                  F.lit(defaults.get(c)))
+                        .otherwise(F.col(c))
+                        .cast(self.schema[c].dataType)
+                        for c, cut in straddle.items()
+                    })
+                    if full:
+                        new_df = new_df.withColumns({
+                            c: F.lit(defaults.get(c)).cast(
+                                self.schema[c].dataType)
+                            for c in full})
+                    with self._lock:
+                        new_id = self.manifest.allocate_part_id()
+                    meta = self._write_part(new_id, new_df, p.row_count,
+                                            partition=p.partition)
+                    with self._lock:
+                        self.manifest.swap([p.part_id], meta, retain=retain)
+                        self.manifest.save()
+                    if not retain:
+                        self._delete_part_dirs(p)
+                    rewritten += 1
+                elif full:
+                    # metadata-only: mark and serve the default at read
+                    with self._lock:
+                        p.expired_cols = sorted(already | full)
+                    cells += p.row_count * len(full)
+                    meta_expired += 1
+                    dirty = True
+            if dirty:
+                with self._lock:
+                    self.manifest.save()
+            if retain:
+                self.vacuum()
+            return {"parts_meta_expired": meta_expired,
+                    "parts_rewritten": rewritten,
+                    "cells_cleared": cells}
 
     # -------------------------------------------------------------- mutations
 

@@ -1709,3 +1709,125 @@ def q_partition_detach(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_click = table.detach_partition("click")
     assert n_click > 0
     return table.query_all().select("key", "ts_us")
+
+
+@declared_query(
+    "q_drop_column",
+    oracle=f"""
+        SELECT key, ts_us, event_id, value, 'redacted' AS event_type
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT key, ts_us, event_id, value, event_type
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        WHERE event_id % 2 = 1
+    """,
+)
+def q_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE DROP COLUMN`` end-to-end (ClickHouse ops staple —
+    extension): the DROP is a metadata-only manifest commit — ZERO parts
+    rewritten (part ids asserted unchanged) — and old parts shed the
+    physical bytes lazily at their next merge, because every rewrite
+    reads at the current schema. The round-trip then re-ADDs the same
+    name with a default: pre-drop parts must serve the NEW default, never
+    the stale bytes still sitting in their parquet files (ClickHouse
+    semantics — DROP destroys the data logically), while post-re-add
+    inserts carry real values again. The oracle reconstructs exactly
+    that: even event_ids (inserted before the drop) get 'redacted', odd
+    ones (inserted after the re-add) keep their real event_type.
+
+    At 100 TB this is why DROP COLUMN is O(1): no scan, no rewrite, one
+    manifest swap; the reclaim rides compaction."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_dropcol_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    table.insert_batch(
+        kv.filter(F.pmod("event_id", F.lit(2)) == 0), row_count=1)
+    table.flush()
+    ids_before = [p.part_id for p in table.manifest.parts]
+    table.drop_column("event_type")
+    assert [p.part_id for p in table.manifest.parts] == ids_before  # O(1)
+    table.add_column("event_type", "string", default="redacted")
+    # re-added column sits at the END of the evolved schema
+    table.insert_batch(
+        kv.filter(F.pmod("event_id", F.lit(2)) == 1)
+        .select("key", "ts_us", "event_id", "value", "event_type"),
+        row_count=1)
+    table.flush()
+    return table.query_all().select(
+        "key", "ts_us", "event_id", "value", "event_type")
+
+
+@declared_query(
+    "q_ttl_column",
+    oracle=f"""
+        WITH kv AS ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")}),
+        b AS (SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS cutoff
+              FROM kv)
+        SELECT key, ts_us, event_id,
+               CASE WHEN ts_us < cutoff THEN NULL ELSE value END AS value
+        FROM kv, b
+    """,
+)
+def q_ttl_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level TTL end-to-end (ClickHouse ``value TTL ts + INTERVAL``
+    analog — extension): values below the time cutoff revert to the
+    column default (NULL) while the ROWS survive — the "age out the heavy
+    column, keep the skeleton" retention pattern.
+
+    The table is built as three time-split parts so each per-part case is
+    exercised and asserted: the all-old part expires via METADATA ONLY
+    (expired_cols mark, zero rows read — the dominant case at 100 TB with
+    time-correlated parts, physical reclaim riding the next merge), the
+    straddling part is rewritten ONCE with the conditional default, and
+    the young part is never opened. The oracle recomputes the same
+    integer-exact cutoff ((min+max)/2 floor) over the raw rows and applies
+    the CASE directly."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_ttlcol_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(
+        _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    ).select("key", "ts_us", "event_id", "value")
+    mn, mx = kv.agg(F.min("ts_us"), F.max("ts_us")).first()
+    cutoff = mn + (mx - mn) // 2
+    q1 = mn + (mx - mn) // 4
+    q3 = mn + 3 * ((mx - mn) // 4)
+    for lo, hi in ((None, q1), (q1, q3), (q3, None)):
+        batch = kv
+        if lo is not None:
+            batch = batch.filter(F.col("ts_us") >= lo)
+        if hi is not None:
+            batch = batch.filter(F.col("ts_us") < hi)
+        table.insert_batch(batch, row_count=1)
+        table.flush()
+    stats = table.expire_columns({"value": cutoff})
+    # part 1 (max < cutoff): metadata-only; part 2 (straddles): one
+    # rewrite; part 3 (min ≥ cutoff): untouched
+    assert stats["parts_meta_expired"] == 1, stats
+    assert stats["parts_rewritten"] == 1, stats
+    return table.query_all().select("key", "ts_us", "event_id", "value")

@@ -1,0 +1,213 @@
+"""ALTER TABLE DROP COLUMN + column-level TTL (expire_columns).
+
+DROP COLUMN pins: metadata-only commit (zero parts rewritten, part ids
+unchanged), reads at the narrowed schema, reopen replay, the
+re-ADD-after-DROP contract (pre-drop parts serve the NEW default, never
+the stale physical bytes — ClickHouse's "DROP destroys the data"
+semantics), and structural-column refusal.
+
+expire_columns pins: the three per-(part, column) cases — metadata-only
+whole-part expiry, straddling-part single rewrite, untouched young part —
+value correctness, default substitution for evolved columns, merge
+materialization of metadata-expired columns, reopen persistence, and
+structural-column refusal.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+SCHEMA = T.StructType([
+    T.StructField("key", T.StringType(), False),
+    T.StructField("ts", T.LongType(), False),
+    T.StructField("payload", T.StringType(), True),
+    T.StructField("score", T.DoubleType(), True),
+])
+
+CFG = dict(memtable_flush_threshold=10**9, max_parts=100,
+           key_col="key", ts_col="ts")
+
+
+@pytest.fixture()
+def base():
+    d = tempfile.mkdtemp(prefix="collife_tbl_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def table(spark, base):
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    yield t
+    t.close()
+
+
+def _flush(table, lo, hi):
+    table.insert_rows([(f"k{ts:05d}", ts, f"p{ts}", float(ts))
+                       for ts in range(lo, hi)])
+    table.flush()
+
+
+# --------------------------------------------------------------- DROP COLUMN
+
+def test_drop_column_is_metadata_only(table):
+    _flush(table, 0, 100)
+    _flush(table, 100, 200)
+    before_ids = [p.part_id for p in table.manifest.parts]
+    table.drop_column("payload")
+    assert [p.part_id for p in table.manifest.parts] == before_ids
+    assert [f.name for f in table.schema.fields] == ["key", "ts", "score"]
+    rows = table.query_all().collect()
+    assert len(rows) == 200
+    assert set(rows[0].asDict()) == {"key", "ts", "score"}
+
+
+def test_drop_column_survives_reopen(spark, base):
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    _flush(t, 0, 50)
+    t.drop_column("payload")
+    t.close()
+    # reopen with the ORIGINAL schema: the manifest replays the drop
+    t2 = SparkMergeTree(spark, base, schema=SCHEMA,
+                        config=MergeTreeConfig(**CFG))
+    assert [f.name for f in t2.schema.fields] == ["key", "ts", "score"]
+    assert t2.query_all().count() == 50
+    t2.close()
+
+
+def test_drop_then_readd_serves_new_default_not_stale_bytes(table):
+    _flush(table, 0, 10)            # part 1: physical payload = p0..p9
+    table.drop_column("payload")
+    table.add_column("payload", "string", default="redacted")
+    # re-added column sits at the END of the schema now
+    table.insert_rows([(f"k{ts:05d}", ts, float(ts), f"p{ts}")
+                       for ts in range(10, 20)])
+    table.flush()                   # part 2: physical payload = p10..p19
+    rows = {r["key"]: r["payload"] for r in table.query_all().collect()}
+    assert rows["k00000"] == "redacted"   # pre-drop part: never the bytes
+    assert rows["k00015"] == "p15"        # post-re-add part: real values
+    # inserts after the re-add must carry the column again
+    assert [f.name for f in table.schema.fields] == [
+        "key", "ts", "score", "payload"]
+
+
+def test_drop_then_readd_survives_reopen(spark, base):
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    _flush(t, 0, 10)
+    t.drop_column("payload")
+    t.add_column("payload", "string", default="redacted")
+    t.insert_rows([(f"k{ts:05d}", ts, float(ts), f"p{ts}")
+                   for ts in range(10, 20)])
+    t.flush()
+    t.close()
+    t2 = SparkMergeTree(spark, base, schema=SCHEMA,
+                        config=MergeTreeConfig(**CFG))
+    rows = {r["key"]: r["payload"] for r in t2.query_all().collect()}
+    assert rows["k00000"] == "redacted" and rows["k00015"] == "p15"
+    t2.close()
+
+
+def test_drop_column_refuses_structural_and_unknown(table):
+    for col in ("key", "ts"):
+        with pytest.raises(ValueError, match="structural"):
+            table.drop_column(col)
+    with pytest.raises(ValueError, match="unknown"):
+        table.drop_column("nope")
+
+
+def test_merge_physically_sheds_dropped_column(spark, table):
+    _flush(table, 0, 50)
+    _flush(table, 50, 100)
+    table.drop_column("payload")
+    table.config.max_parts = 1
+    table.optimize()
+    assert table.part_count() == 1
+    merged = table.manifest.parts[0]
+    physical = spark.read.parquet(merged.path)
+    assert "payload" not in physical.columns  # lazily shed at the rewrite
+    assert table.query_all().count() == 100
+
+
+# ------------------------------------------------------------- expire_columns
+
+def test_expire_columns_three_cases(table):
+    _flush(table, 0, 100)     # max_ts < 150: metadata-only expiry
+    _flush(table, 100, 200)   # straddles 150: one rewrite
+    _flush(table, 200, 300)   # min_ts >= 150: untouched
+    ids_before = {p.part_id for p in table.manifest.parts}
+    stats = table.expire_columns({"payload": 150})
+    assert stats == {"parts_meta_expired": 1, "parts_rewritten": 1,
+                     "cells_cleared": 150}
+    # untouched part + metadata part keep their ids; straddler was swapped
+    ids_after = {p.part_id for p in table.manifest.parts}
+    assert len(ids_before & ids_after) == 2
+    rows = {r["ts"]: r for r in table.query_all().collect()}
+    assert len(rows) == 300                      # no row dropped
+    assert rows[0]["payload"] is None            # metadata-expired part
+    assert rows[149]["payload"] is None          # rewritten straddler, old
+    assert rows[150]["payload"] == "p150"        # rewritten straddler, young
+    assert rows[250]["payload"] == "p250"        # untouched part
+    assert rows[0]["score"] == 0.0               # other columns untouched
+
+
+def test_expire_columns_uses_declared_default(table):
+    _flush(table, 0, 10)
+    table.add_column("origin", "string", default="backfill")
+    table.insert_rows([(f"k{ts:05d}", ts, f"p{ts}", float(ts), "live")
+                       for ts in range(10, 20)])
+    table.flush()
+    table.expire_columns({"origin": 1000})  # everything expires
+    vals = {r["ts"]: r["origin"] for r in table.query_all().collect()}
+    # expired ⇒ the ADD COLUMN default, for both parts
+    assert set(vals.values()) == {"backfill"}
+
+
+def test_merge_materializes_metadata_expiry(spark, table):
+    _flush(table, 0, 100)
+    _flush(table, 100, 200)
+    table.expire_columns({"payload": 500})   # both parts metadata-expired
+    assert all(p.expired_cols == ["payload"] for p in table.manifest.parts)
+    table.config.max_parts = 1
+    table.optimize()
+    merged = table.manifest.parts[0]
+    assert merged.expired_cols is None        # physically materialized
+    physical = spark.read.parquet(merged.path)
+    assert physical.filter(physical.payload.isNotNull()).count() == 0
+
+
+def test_expire_columns_survives_reopen(spark, base):
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    _flush(t, 0, 50)
+    t.expire_columns({"payload": 500})
+    t.close()
+    t2 = SparkMergeTree(spark, base, schema=SCHEMA,
+                        config=MergeTreeConfig(**CFG))
+    assert t2.query_all().filter("payload IS NOT NULL").count() == 0
+    assert t2.query_all().count() == 50
+    t2.close()
+
+
+def test_expire_columns_refuses_structural_and_unknown(table):
+    with pytest.raises(ValueError, match="structural"):
+        table.expire_columns({"ts": 10})
+    with pytest.raises(ValueError, match="unknown"):
+        table.expire_columns({"nope": 10})
+
+
+def test_expire_columns_idempotent(table):
+    _flush(table, 0, 100)
+    s1 = table.expire_columns({"payload": 500})
+    s2 = table.expire_columns({"payload": 500})
+    assert s1["cells_cleared"] == 100
+    assert s2 == {"parts_meta_expired": 0, "parts_rewritten": 0,
+                  "cells_cleared": 0}
