@@ -239,11 +239,15 @@ class SparkMergeTree:
         self._views: list = []  # attached MaterializedViews (see matview.py)
         os.makedirs(base_path, exist_ok=True)
         self.manifest = Manifest.load(base_path)
-        # Re-apply any persisted ALTER ADD/DROP COLUMN evolution: callers
-        # reopen with the table's ORIGINAL schema; the manifest carries the
-        # log. Adds first, then drops — add_column/drop_column maintain the
-        # invariant that dropped_columns lists only currently-dropped names
-        # (a re-ADD removes its entry), so the two lists never conflict.
+        # Re-apply any persisted ALTER ADD/DROP/RENAME COLUMN evolution:
+        # callers reopen with the table's ORIGINAL schema; the manifest
+        # carries the logs. Adds, then drops, then renames — sound because
+        # the ALTER methods keep the lists consistent: added records carry
+        # their POST-rename name (so a renamed added column materializes
+        # directly under its final name and its rename entry no-ops, the
+        # rename source never having existed at replay), dropped_columns
+        # lists every currently-dropped name including retired rename
+        # chains, and renamed-away names are never reused by ADD/RENAME.
         for a in self.manifest.table_meta.get("added_columns", []):
             if not any(f.name == a["name"] for f in self.schema.fields):
                 self.schema = T.StructType(
@@ -252,6 +256,11 @@ class SparkMergeTree:
         for d in self.manifest.table_meta.get("dropped_columns", []):
             self.schema = T.StructType(
                 [f for f in self.schema.fields if f.name != d])
+        for r in self.manifest.table_meta.get("renamed_columns", []):
+            self.schema = T.StructType([
+                T.StructField(r["to"], f.dataType, f.nullable)
+                if f.name == r["from"] else f
+                for f in self.schema.fields])
         self._rebuild_missing_metadata()
         # A surviving mutation intent record means a previous process died
         # mid-mutation: per-part swaps are atomic, so the table is
@@ -1114,7 +1123,14 @@ class SparkMergeTree:
         too: an expired column is served as its declared default (the ADD
         COLUMN default, else NULL) instead of the physical bytes — and for
         the same read-through reason, every rewrite materializes the
-        expiry, so the rewritten part carries no mark."""
+        expiry, so the rewritten part carries no mark.
+
+        RENAME COLUMN is resolved here as well: a part written before a
+        rename physically stores the OLD name, so each logical column maps
+        to its per-part physical name via the rename chain (metadata-only
+        rename, lazy physical rename at the next rewrite — same contract
+        as ADD/DROP). With no renames the chain lookup is skipped
+        entirely."""
         if not parts:
             return None
         added = self.manifest.table_meta.get("added_columns", [])
@@ -1123,20 +1139,36 @@ class SparkMergeTree:
         added_names = {a["name"] for a in added}
         defaults = {a["name"]: (a["default"], a["ddl"]) for a in added}
         original = [c for c in full_cols if c not in added_names]
+        chains = (self._rename_chains()
+                  if self.manifest.table_meta.get("renamed_columns") else {})
         groups: dict[tuple, list[PartMeta]] = {}
         for p in parts:
             present = set(p.columns) if p.columns is not None else set(original)
-            missing = tuple(c for c in full_cols if c not in present)
+            missing = []
+            phys = []
+            for c in full_cols:
+                pn = next((cand for cand in chains.get(c, (c,))
+                           if cand in present), None)
+                if pn is None:
+                    missing.append(c)
+                elif pn != c:
+                    phys.append((c, pn))
             masks = tuple(e["id"] for e in lw if p.part_id in e["parts"])
             expired = tuple(sorted(
                 set(p.expired_cols or ()) & set(full_cols)))
-            groups.setdefault((missing, masks, expired), []).append(p)
+            groups.setdefault(
+                (tuple(missing), masks, expired, tuple(phys)), []).append(p)
         preds = {e["id"]: e["pred"] for e in lw}
         dfs = []
-        for (missing, masks, expired), ps in groups.items():
-            sub = T.StructType([f for f in self.schema.fields
-                                if f.name not in missing])
+        for (missing, masks, expired, phys), ps in groups.items():
+            phys_map = dict(phys)  # logical -> physical name in these parts
+            sub = T.StructType([
+                T.StructField(phys_map.get(f.name, f.name),
+                              f.dataType, f.nullable)
+                for f in self.schema.fields if f.name not in missing])
             df = self.spark.read.schema(sub).parquet(*[p.path for p in ps])
+            for logical, physical in phys:
+                df = df.withColumnRenamed(physical, logical)
             for a in added:
                 if a["name"] in missing:
                     df = df.withColumn(
@@ -1549,6 +1581,15 @@ class SparkMergeTree:
                 self.schema = T.StructType(
                     list(self.schema.fields)
                     + list(T.StructType.fromDDL(f"`{name}` {ddl}")))
+                if any(r["from"] == name for r in
+                       self.manifest.table_meta.get("renamed_columns", [])):
+                    # replay applies adds before renames; a new column
+                    # reusing a renamed-away name would be captured by the
+                    # old rename on reopen. ClickHouse permits this; we
+                    # trade the corner for a sound three-list replay.
+                    raise ValueError(
+                        f"column name {name!r} was renamed away and cannot "
+                        f"be reused; pick a different name")
                 added = self.manifest.table_meta.setdefault(
                     "added_columns", [])
                 # re-ADD after a DROP: retire the old add record (its
@@ -1595,16 +1636,146 @@ class SparkMergeTree:
                 tm["added_columns"] = [
                     a for a in tm.get("added_columns", [])
                     if a["name"] != name]
+                # dropping a renamed column: retire its whole rename chain —
+                # every historical physical name must be stripped and listed
+                # as dropped, or replay/reads would resurrect the old bytes
+                chain = set(self._rename_chains().get(name, (name,)))
+                tm["renamed_columns"] = [
+                    r for r in tm.get("renamed_columns", [])
+                    if r["to"] not in chain]
                 dropped = tm.setdefault("dropped_columns", [])
-                if name not in dropped:
-                    dropped.append(name)
-                for p in self.manifest.parts:
-                    if p.columns is not None and name in p.columns:
-                        p.columns = [c for c in p.columns if c != name]
-                for p, _ in self.manifest.tombstones.values():
-                    if p.columns is not None and name in p.columns:
-                        p.columns = [c for c in p.columns if c != name]
+                for c in sorted(chain):
+                    if c not in dropped:
+                        dropped.append(c)
+                all_parts = list(self.manifest.parts) + [
+                    p for p, _ in self.manifest.tombstones.values()]
+                for p in all_parts:
+                    if p.columns is not None and chain & set(p.columns):
+                        p.columns = [c for c in p.columns if c not in chain]
+                    if p.expired_cols and chain & set(p.expired_cols):
+                        p.expired_cols = [c for c in p.expired_cols
+                                          if c not in chain] or None
                 self.manifest.save()
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN analog — metadata-only, zero parts
+        rewritten: the schema field renames in place, parts keep the OLD
+        physical name, and reads map each logical column to its per-part
+        physical name via the rename chain (_read_parts). The physical
+        rename happens lazily at each part's next rewrite, because
+        rewrites read at the current schema — the same contract as
+        ADD/DROP.
+
+        Structural columns are refused (config references them by name);
+        renames while lightweight-delete masks are live are refused too —
+        the stored SQL predicates reference columns by name and would
+        silently stop matching (materialize_deletes() first). Persisted in
+        the manifest; reopen with the original schema replays the chain.
+        """
+        with self._merge_lock:
+            self.flush()
+            with self._lock:
+                if not any(f.name == old for f in self.schema.fields):
+                    raise ValueError(f"unknown column {old!r}")
+                if any(f.name == new for f in self.schema.fields):
+                    raise ValueError(f"column {new!r} already exists")
+                structural = self._structural_cols()
+                if old in structural:
+                    raise ValueError(
+                        f"cannot rename structural column {old!r} "
+                        f"(sorting key / partition / mode / index / "
+                        f"projection columns: {sorted(structural)})")
+                tm = self.manifest.table_meta
+                used = {r["from"] for r in tm.get("renamed_columns", [])}
+                used.update(tm.get("dropped_columns", []))
+                if new in used:
+                    raise ValueError(
+                        f"column name {new!r} was renamed away or dropped "
+                        f"and cannot be reused; pick a different name")
+                if self._lw_entries():
+                    raise ValueError(
+                        "cannot rename while lightweight-delete masks are "
+                        "live — their predicates reference columns by "
+                        "name; materialize_deletes() first")
+                # freeze physical truth: legacy parts (columns=None) imply
+                # "exactly the current original columns", which stops being
+                # derivable once names shift — materialize before renaming
+                added_names = {a["name"]
+                               for a in tm.get("added_columns", [])}
+                original = [f.name for f in self.schema.fields
+                            if f.name not in added_names]
+                all_parts = list(self.manifest.parts) + [
+                    p for p, _ in self.manifest.tombstones.values()]
+                for p in all_parts:
+                    if p.columns is None:
+                        p.columns = list(original)
+                    if p.expired_cols and old in p.expired_cols:
+                        p.expired_cols = sorted(
+                            c if c != old else new for c in p.expired_cols)
+                self.schema = T.StructType([
+                    T.StructField(new, f.dataType, f.nullable)
+                    if f.name == old else f
+                    for f in self.schema.fields])
+                for a in tm.get("added_columns", []):
+                    if a["name"] == old:
+                        a["name"] = new
+                tm.setdefault("renamed_columns", []).append(
+                    {"from": old, "to": new})
+                self.manifest.save()
+
+    def clear_column(self, name: str, partition=None) -> dict:
+        """``ALTER TABLE CLEAR COLUMN [IN PARTITION]`` analog: reset the
+        column to its declared default (ADD COLUMN default, else NULL) for
+        every row — optionally scoped to one partition. Rows survive;
+        that's DROP PARTITION / DELETE territory.
+
+        Pure metadata at any table size: each affected part gets an
+        ``expired_cols`` mark (the column-TTL machinery with no time
+        predicate), reads serve the default immediately, and the physical
+        clear rides each part's next rewrite. Buffered rows are flushed
+        first so they land in a markable part.
+
+        Returns {"parts_marked", "cells_cleared"}."""
+        known = {f.name for f in self.schema.fields}
+        if name not in known:
+            raise ValueError(f"unknown column {name!r}")
+        structural = self._structural_cols()
+        if name in structural:
+            raise ValueError(
+                f"cannot clear structural column {name!r}")
+        with self._merge_lock:
+            self.flush()
+            with self._lock:
+                marked = cells = 0
+                for p in self.manifest.parts:
+                    if partition is not None and p.partition != partition:
+                        continue
+                    if name in (p.expired_cols or ()):
+                        continue
+                    p.expired_cols = sorted(
+                        set(p.expired_cols or ()) | {name})
+                    marked += 1
+                    cells += p.row_count
+                if marked:
+                    self.manifest.save()
+            return {"parts_marked": marked, "cells_cleared": cells}
+
+    def _rename_chains(self) -> dict:
+        """Per current logical column, its historical physical names,
+        newest first — [current, previous, ...]. A part's physical name
+        for the column is the first chain entry present in its column
+        list. Empty rename log ⇒ every chain is the trivial [name]."""
+        log = self.manifest.table_meta.get("renamed_columns", [])
+        chains: dict[str, list[str]] = {}
+        for f in self.schema.fields:
+            chain = [f.name]
+            cur = f.name
+            for e in reversed(log):
+                if e["to"] == cur:
+                    cur = e["from"]
+                    chain.append(cur)
+            chains[f.name] = chain
+        return chains
 
     def _structural_cols(self) -> set:
         """Columns the engine's machinery depends on — sorting key,

@@ -211,3 +211,138 @@ def test_expire_columns_idempotent(table):
     assert s1["cells_cleared"] == 100
     assert s2 == {"parts_meta_expired": 0, "parts_rewritten": 0,
                   "cells_cleared": 0}
+
+
+# -------------------------------------------------------------- RENAME COLUMN
+
+def test_rename_column_is_metadata_only(table):
+    _flush(table, 0, 100)
+    before_ids = [p.part_id for p in table.manifest.parts]
+    table.rename_column("payload", "body")
+    assert [p.part_id for p in table.manifest.parts] == before_ids
+    assert [f.name for f in table.schema.fields] == [
+        "key", "ts", "body", "score"]
+    # old part serves its physical bytes under the new logical name
+    rows = {r["key"]: r["body"] for r in table.query_all().collect()}
+    assert rows["k00042"] == "p42"
+
+
+def test_rename_column_mixed_parts_and_reopen(spark, base):
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    _flush(t, 0, 10)                      # physical name: payload
+    t.rename_column("payload", "body")
+    t.insert_rows([(f"k{ts:05d}", ts, f"b{ts}", float(ts))
+                   for ts in range(10, 20)])
+    t.flush()                             # physical name: body
+    rows = {r["key"]: r["body"] for r in t.query_all().collect()}
+    assert rows["k00005"] == "p5" and rows["k00015"] == "b15"
+    t.close()
+    # reopen with the ORIGINAL schema: manifest replays the rename
+    t2 = SparkMergeTree(spark, base, schema=SCHEMA,
+                        config=MergeTreeConfig(**CFG))
+    assert [f.name for f in t2.schema.fields] == [
+        "key", "ts", "body", "score"]
+    rows = {r["key"]: r["body"] for r in t2.query_all().collect()}
+    assert rows["k00005"] == "p5" and rows["k00015"] == "b15"
+    t2.close()
+
+
+def test_rename_chain_and_merge_materializes(spark, table):
+    _flush(table, 0, 50)
+    table.rename_column("payload", "body")
+    table.rename_column("body", "text")   # chain: text <- body <- payload
+    rows = {r["key"]: r["text"] for r in table.query_all().collect()}
+    assert rows["k00007"] == "p7"
+    table.config.max_parts = 1
+    table.optimize()
+    merged = table.manifest.parts[0]
+    physical = spark.read.parquet(merged.path)
+    assert "text" in physical.columns and "payload" not in physical.columns
+
+
+def test_rename_then_drop_then_query(spark, base):
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    _flush(t, 0, 10)
+    t.rename_column("payload", "body")
+    t.drop_column("body")
+    assert [f.name for f in t.schema.fields] == ["key", "ts", "score"]
+    assert t.query_all().count() == 10
+    t.close()
+    t2 = SparkMergeTree(spark, base, schema=SCHEMA,
+                        config=MergeTreeConfig(**CFG))
+    assert [f.name for f in t2.schema.fields] == ["key", "ts", "score"]
+    t2.close()
+
+
+def test_rename_of_added_column_survives_reopen(spark, base):
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    _flush(t, 0, 10)
+    t.add_column("origin", "string", default="backfill")
+    t.insert_rows([(f"k{ts:05d}", ts, f"p{ts}", float(ts), "live")
+                   for ts in range(10, 20)])
+    t.flush()
+    t.rename_column("origin", "source")
+    vals = {r["ts"]: r["source"] for r in t.query_all().collect()}
+    assert vals[0] == "backfill" and vals[15] == "live"
+    t.close()
+    t2 = SparkMergeTree(spark, base, schema=SCHEMA,
+                        config=MergeTreeConfig(**CFG))
+    vals = {r["ts"]: r["source"] for r in t2.query_all().collect()}
+    assert vals[0] == "backfill" and vals[15] == "live"
+    t2.close()
+
+
+def test_rename_refusals(table):
+    _flush(table, 0, 10)
+    with pytest.raises(ValueError, match="structural"):
+        table.rename_column("key", "k2")
+    with pytest.raises(ValueError, match="already exists"):
+        table.rename_column("payload", "score")
+    with pytest.raises(ValueError, match="unknown"):
+        table.rename_column("nope", "x")
+    table.rename_column("payload", "body")
+    with pytest.raises(ValueError, match="reused"):
+        table.rename_column("score", "payload")
+    with pytest.raises(ValueError, match="reused"):
+        table.add_column("payload", "string")
+
+
+# --------------------------------------------------------------- CLEAR COLUMN
+
+def test_clear_column_is_metadata_only(table):
+    _flush(table, 0, 100)
+    _flush(table, 100, 200)
+    ids_before = [p.part_id for p in table.manifest.parts]
+    stats = table.clear_column("payload")
+    assert stats == {"parts_marked": 2, "cells_cleared": 200}
+    assert [p.part_id for p in table.manifest.parts] == ids_before
+    out = table.query_all()
+    assert out.filter("payload IS NOT NULL").count() == 0
+    assert out.count() == 200
+    assert out.filter("score IS NULL").count() == 0  # others untouched
+
+
+def test_clear_column_in_partition(spark):
+    base = tempfile.mkdtemp(prefix="clearpart_tbl_")
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("cat", T.StringType(), True),
+        T.StructField("payload", T.StringType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=100,
+                          key_col="key", ts_col="ts", partition_col="cat")
+    t = SparkMergeTree(spark, base, schema=schema, config=cfg)
+    t.insert_rows([(f"k{i:03d}", i, "a" if i % 2 else "b", f"p{i}")
+                   for i in range(100)])
+    t.flush()
+    stats = t.clear_column("payload", partition="a")
+    assert stats["parts_marked"] == 1 and stats["cells_cleared"] == 50
+    rows = t.query_all().collect()
+    assert all(r["payload"] is None for r in rows if r["cat"] == "a")
+    assert all(r["payload"] == f'p{r["ts"]}' for r in rows if r["cat"] == "b")
+    t.close()
+    shutil.rmtree(base, ignore_errors=True)
