@@ -241,21 +241,24 @@ class SparkMergeTree:
         self.manifest = Manifest.load(base_path)
         # Re-apply any persisted ALTER ADD/DROP/RENAME COLUMN evolution:
         # callers reopen with the table's ORIGINAL schema; the manifest
-        # carries the logs. Adds, then drops, then renames — sound because
+        # carries the logs. Drops, then adds, then renames — sound because
         # the ALTER methods keep the lists consistent: added records carry
         # their POST-rename name (so a renamed added column materializes
         # directly under its final name and its rename entry no-ops, the
         # rename source never having existed at replay), dropped_columns
-        # lists every currently-dropped name including retired rename
-        # chains, and renamed-away names are never reused by ADD/RENAME.
+        # lists every currently-dropped OR dropped-then-re-added name
+        # including retired rename chains (drops-first lets a re-ADD of an
+        # original column replay with its NEW ddl/position instead of the
+        # original field), and renamed-away names are never reused by
+        # ADD/RENAME.
+        for d in self.manifest.table_meta.get("dropped_columns", []):
+            self.schema = T.StructType(
+                [f for f in self.schema.fields if f.name != d])
         for a in self.manifest.table_meta.get("added_columns", []):
             if not any(f.name == a["name"] for f in self.schema.fields):
                 self.schema = T.StructType(
                     list(self.schema.fields)
                     + list(T.StructType.fromDDL(f'`{a["name"]}` {a["ddl"]}')))
-        for d in self.manifest.table_meta.get("dropped_columns", []):
-            self.schema = T.StructType(
-                [f for f in self.schema.fields if f.name != d])
         for r in self.manifest.table_meta.get("renamed_columns", []):
             self.schema = T.StructType([
                 T.StructField(r["to"], f.dataType, f.nullable)
@@ -1173,14 +1176,19 @@ class SparkMergeTree:
                 if a["name"] in missing:
                     df = df.withColumn(
                         a["name"], F.lit(a["default"]).cast(a["ddl"]))
+            for mid in masks:
+                # SQL DELETE WHERE semantics: NULL predicate ⇒ row kept.
+                # Masks filter BEFORE expired-column substitution: a live
+                # DELETE predicate referencing a later-expired column must
+                # evaluate against the physical bytes it matched at delete
+                # time, not the substituted default (which would resurrect
+                # the rows it deleted).
+                df = df.filter(
+                    ~F.coalesce(F.expr(preds[mid]), F.lit(False)))
             for c in expired:
                 dflt = defaults.get(c, (None, None))[0]
                 df = df.withColumn(
                     c, F.lit(dflt).cast(self.schema[c].dataType))
-            for mid in masks:
-                # SQL DELETE WHERE semantics: NULL predicate ⇒ row kept
-                df = df.filter(
-                    ~F.coalesce(F.expr(preds[mid]), F.lit(False)))
             dfs.append(df.select(full_cols))
         out = dfs[0]
         for d in dfs[1:]:
@@ -1447,6 +1455,40 @@ class SparkMergeTree:
             for p in selected:
                 self._delete_part_dirs(p)
 
+    def _parts_with_pending_transforms(
+            self, include_masks: bool) -> list[PartMeta]:
+        """Live parts whose read path applies a recorded transform the
+        physical bytes don't reflect yet: a rename-chain mismatch (the
+        part stores an old physical name), a column-TTL/CLEAR expiry mark,
+        a missing ALTER-ADD column (lazy default), or — with
+        ``include_masks`` — a live lightweight-delete mask. These are
+        exactly the parts a rewrite would change even when it merges
+        nothing. Caller holds ``_lock``."""
+        added_names = {a["name"] for a in
+                       self.manifest.table_meta.get("added_columns", [])}
+        full_cols = [f.name for f in self.schema.fields]
+        original = [c for c in full_cols if c not in added_names]
+        chains = (self._rename_chains()
+                  if self.manifest.table_meta.get("renamed_columns") else {})
+        lw = self._lw_entries() if include_masks else []
+        out = []
+        for p in self.manifest.parts:
+            present = (set(p.columns) if p.columns is not None
+                       else set(original))
+            pending = bool(p.expired_cols)
+            if not pending:
+                for c in full_cols:
+                    pn = next((cand for cand in chains.get(c, (c,))
+                               if cand in present), None)
+                    if pn != c:  # missing (None) or old physical name
+                        pending = True
+                        break
+            if not pending and any(p.part_id in e["parts"] for e in lw):
+                pending = True
+            if pending:
+                out.append(p)
+        return out
+
     def optimize(self, final: bool = False) -> None:
         """R32 OPTIMIZE / ``OPTIMIZE TABLE ... FINAL``: flush, then merge
         until ≤ max_parts (reference src/merge_tree.cpp:199-205). With
@@ -1455,7 +1497,17 @@ class SparkMergeTree:
         the point of FINAL is to force physical materialization of every
         read-time transform (mode collapse/dedup, lightweight-delete
         masks, lazy ALTER defaults) regardless of whether the merge is
-        'worth it' by I/O scoring. Merges still never cross partitions."""
+        'worth it' by I/O scoring — including single-part partitions,
+        which ClickHouse's FINAL also rewrites. Merges still never cross
+        partitions.
+
+        Plain ``optimize()`` additionally rewrites any part whose physical
+        layout lags the table schema (pending rename, column-TTL/CLEAR
+        mark, unmaterialized ALTER-ADD default) — schema-shaped
+        transforms ride every compaction pass. Lightweight-delete masks
+        are NOT a trigger here (they materialize at scheduled merges or
+        FINAL): plain optimize under max_parts stays a no-op for masked
+        tables, matching the mutation model's lazy contract."""
         self.flush()
         if final:
             while True:
@@ -1466,12 +1518,26 @@ class SparkMergeTree:
                             groups.setdefault(p.partition, []).append(p)
                         target = next(
                             (g for g in groups.values() if len(g) > 1), None)
+                        if target is None:
+                            # every partition is one part: force-rewrite
+                            # those still carrying read-time transforms
+                            pending = self._parts_with_pending_transforms(
+                                include_masks=True)
+                            target = [pending[0]] if pending else None
                     if target is None:
                         return
                     self._merge_group(target)
         while self.should_trigger_merge():
             if not self.perform_merge():
                 break
+        while True:
+            with self._merge_lock:
+                with self._lock:
+                    pending = self._parts_with_pending_transforms(
+                        include_masks=False)
+                if not pending:
+                    return
+                self._merge_group([pending[0]])
 
     # ----------------------------------------------------------------- TTL
 
@@ -1593,15 +1659,17 @@ class SparkMergeTree:
                 added = self.manifest.table_meta.setdefault(
                     "added_columns", [])
                 # re-ADD after a DROP: retire the old add record (its
-                # default must not shadow this one) and the drop entry —
-                # parts written before the drop had the name stripped from
+                # default must not shadow this one) but KEEP the drop
+                # entry — reopen replays drops before adds, so the drop
+                # removes the original field and this add record replays
+                # with THIS ddl/position (removing the drop entry would
+                # leave the reopened table at the original type/position
+                # while post-re-add parts physically store the new type).
+                # Parts written before the drop had the name stripped from
                 # their column lists, so they serve THIS default lazily,
                 # never the pre-drop bytes.
                 added[:] = [a for a in added if a["name"] != name]
                 added.append({"name": name, "ddl": ddl, "default": default})
-                dropped = self.manifest.table_meta.get("dropped_columns", [])
-                if name in dropped:
-                    dropped.remove(name)
                 self.manifest.save()
 
     def drop_column(self, name: str) -> None:
@@ -1630,16 +1698,20 @@ class SparkMergeTree:
                         f"cannot drop structural column {name!r} "
                         f"(sorting key / partition / mode / index / "
                         f"projection columns: {sorted(structural)})")
+                # dropping a renamed column: retire its whole rename chain —
+                # every historical physical name must be stripped and listed
+                # as dropped, or replay/reads would resurrect the old bytes.
+                # Computed BEFORE the schema narrows: _rename_chains() only
+                # builds chains for fields still in the schema, so a
+                # post-narrowing lookup would fall back to the trivial
+                # (name,) and lose the historical physical names.
+                chain = set(self._rename_chains().get(name, (name,)))
                 self.schema = T.StructType(
                     [f for f in self.schema.fields if f.name != name])
                 tm = self.manifest.table_meta
                 tm["added_columns"] = [
                     a for a in tm.get("added_columns", [])
                     if a["name"] != name]
-                # dropping a renamed column: retire its whole rename chain —
-                # every historical physical name must be stripped and listed
-                # as dropped, or replay/reads would resurrect the old bytes
-                chain = set(self._rename_chains().get(name, (name,)))
                 tm["renamed_columns"] = [
                     r for r in tm.get("renamed_columns", [])
                     if r["to"] not in chain]
@@ -1756,7 +1828,20 @@ class SparkMergeTree:
                         set(p.expired_cols or ()) | {name})
                     marked += 1
                     cells += p.row_count
-                if marked:
+                # tombstoned snapshot parts get the mark too (as
+                # drop_column does): time-travel reads must observe the
+                # post-CLEAR values, not leak the cleared data — but they
+                # don't count toward the live-table stats
+                dirty = marked > 0
+                for p, _v in self.manifest.tombstones.values():
+                    if partition is not None and p.partition != partition:
+                        continue
+                    if name in (p.expired_cols or ()):
+                        continue
+                    p.expired_cols = sorted(
+                        set(p.expired_cols or ()) | {name})
+                    dirty = True
+                if dirty:
                     self.manifest.save()
             return {"parts_marked": marked, "cells_cleared": cells}
 
@@ -1892,6 +1977,19 @@ class SparkMergeTree:
                     cells += p.row_count * len(full)
                     meta_expired += 1
                     dirty = True
+            # tombstoned snapshot parts: mark fully-expired columns so
+            # time-travel reads observe post-TTL values instead of leaking
+            # the expired data (straddling tombstoned parts are exempt —
+            # expired_cols is whole-part, and a snapshot-only part is
+            # never rewritten; it reclaims at vacuum)
+            with self._lock:
+                for p, _v in self.manifest.tombstones.values():
+                    already = set(p.expired_cols or ())
+                    full = {c for c, cut in cutoffs.items()
+                            if p.max_ts < cut and c not in already}
+                    if full:
+                        p.expired_cols = sorted(already | full)
+                        dirty = True
             if dirty:
                 with self._lock:
                     self.manifest.save()

@@ -1126,7 +1126,8 @@ GROUPARRAY_N = 5
                array_to_string(
                    list_transform(
                        (list(value ORDER BY ts, event_id))[1:{GROUPARRAY_N}],
-                       x -> printf('%.9f', round(x, 9))), ',')
+                       x -> CASE WHEN x IS NULL THEN 'NULL'
+                            ELSE printf('%.9f', round(x, 9)) END), ',')
                    AS first_values
         FROM events GROUP BY user_id
     """,
@@ -1168,8 +1169,14 @@ def q_agg_grouparray(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.transform(
                     F.slice(sorted_vals, 1, GROUPARRAY_N),
-                    lambda r: F.format_string(
-                        "%.9f", F.round(r["value"], 9))), ",")
+                    # NULL elements serialize to the literal 'NULL' on
+                    # BOTH engines: Java's format_string would render
+                    # 'null' while DuckDB printf yields SQL NULL (which
+                    # array_to_string silently drops) — an explicit
+                    # sentinel keeps the serializations identical
+                    lambda r: F.when(r["value"].isNull(), F.lit("NULL"))
+                    .otherwise(F.format_string(
+                        "%.9f", F.round(r["value"], 9)))), ",")
             .alias("first_values"),
         )
     )
@@ -1186,7 +1193,8 @@ QUANTILES = (0.25, 0.5, 0.75, 0.9)
                array_to_string(
                    list_transform(
                        quantile_cont(value, {list(QUANTILES)}),
-                       x -> printf('%.9f', round(x, 9))), ',')
+                       x -> CASE WHEN x IS NULL THEN 'NULL'
+                            ELSE printf('%.9f', round(x, 9)) END), ',')
                    AS quantiles
         FROM events GROUP BY event_type
     """,
@@ -1217,7 +1225,12 @@ def q_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.transform(
                     F.percentile("value", F.lit(list(QUANTILES))),
-                    lambda x: F.format_string("%.9f", F.round(x, 9))),
+                    # NULL-safe serialization (all-NULL group): Java
+                    # format_string renders 'null', DuckDB printf yields
+                    # NULL which array_to_string drops — a shared 'NULL'
+                    # sentinel keeps both sides identical
+                    lambda x: F.when(x.isNull(), F.lit("NULL"))
+                    .otherwise(F.format_string("%.9f", F.round(x, 9)))),
                 ",").alias("quantiles"),
         )
     )

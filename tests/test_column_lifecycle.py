@@ -116,6 +116,46 @@ def test_drop_then_readd_survives_reopen(spark, base):
     t2.close()
 
 
+def test_drop_then_readd_different_type_survives_reopen(spark, base):
+    # re-ADD with a DIFFERENT ddl than the original field: the reopened
+    # table must serve the NEW type (the drop entry survives the re-add
+    # and replays before the add), not the original string type
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    _flush(t, 0, 10)
+    t.drop_column("payload")
+    t.add_column("payload", "bigint", default=-1)
+    t.insert_rows([(f"k{ts:05d}", ts, float(ts), ts * 10)
+                   for ts in range(10, 20)])
+    t.flush()
+    t.close()
+    t2 = SparkMergeTree(spark, base, schema=SCHEMA,
+                        config=MergeTreeConfig(**CFG))
+    assert dict(t2.query_all().dtypes)["payload"] == "bigint"
+    assert [f.name for f in t2.schema.fields] == [
+        "key", "ts", "score", "payload"]
+    rows = {r["key"]: r["payload"] for r in t2.query_all().collect()}
+    assert rows["k00000"] == -1 and rows["k00015"] == 150
+    t2.close()
+
+
+def test_single_part_optimize_materializes_pending_drop_of_rename(
+        spark, table):
+    # ONE part only: plain optimize() must still rewrite it when its
+    # physical layout lags the schema (pending rename materialization)
+    _flush(table, 0, 20)
+    assert table.part_count() == 1
+    table.rename_column("payload", "body")
+    table.optimize()
+    assert table.part_count() == 1
+    physical = spark.read.parquet(table.manifest.parts[0].path)
+    assert "body" in physical.columns and "payload" not in physical.columns
+    # a second optimize is a no-op: the rewrite cleared the pending state
+    pid = table.manifest.parts[0].part_id
+    table.optimize()
+    assert table.manifest.parts[0].part_id == pid
+
+
 def test_drop_column_refuses_structural_and_unknown(table):
     for col in ("key", "ts"):
         with pytest.raises(ValueError, match="structural"):
@@ -211,6 +251,43 @@ def test_expire_columns_idempotent(table):
     assert s1["cells_cleared"] == 100
     assert s2 == {"parts_meta_expired": 0, "parts_rewritten": 0,
                   "cells_cleared": 0}
+
+
+def test_lw_delete_survives_later_column_expiry(table):
+    # a live unmaterialized DELETE whose predicate references a column
+    # that is LATER expired/cleared must keep filtering against the
+    # physical bytes it matched at delete time — the mask applies before
+    # the expired-column default substitution in the read path
+    _flush(table, 0, 100)
+    table.lightweight_delete("payload = 'p42'")
+    assert table.query_all().count() == 99
+    table.expire_columns({"payload": 10**9})     # every row's payload -> NULL
+    out = table.query_all()
+    assert out.count() == 99                      # k00042 stays deleted
+    assert out.filter("key = 'k00042'").count() == 0
+    assert out.filter("payload IS NOT NULL").count() == 0
+    # and a rewrite (merge) materializes the same 99-row result
+    table.optimize(final=True)
+    assert table.query_all().count() == 99
+
+
+def test_clear_column_covers_tombstoned_snapshot_parts(spark, base):
+    # time-travel reads must observe post-CLEAR values: snapshot-retained
+    # (tombstoned) parts get the expiry mark too, so cleared/redacted
+    # data cannot leak through query_at_version
+    cfg = dict(CFG, snapshot_retention=10, max_parts=1)
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**cfg))
+    _flush(t, 0, 10)
+    _flush(t, 10, 20)
+    v0 = t.current_version()
+    t.optimize()                       # merge: old parts -> tombstones
+    assert t.manifest.tombstones
+    t.clear_column("payload")
+    snap = t.query_at_version(v0)
+    assert snap.count() == 20
+    assert snap.filter("payload IS NOT NULL").count() == 0
+    t.close()
 
 
 # -------------------------------------------------------------- RENAME COLUMN
