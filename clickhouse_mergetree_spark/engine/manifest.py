@@ -139,6 +139,15 @@ class PartMeta:
     # straddling TTL) materializes the default physically, ClickHouse's
     # TTL-at-merge contract. None/[] ⇒ no column expired.
     expired_cols: list | None = None
+    # ALTER MODIFY COLUMN (type change — ClickHouse analog, extension):
+    # {physical_column_name: ddl} — this part's files physically store the
+    # column at the RECORDED (pre-modify) type; reads cast to the current
+    # declared type, and the part's next rewrite materializes the new
+    # type physically (same lazy contract as ADD/DROP/RENAME). The
+    # recorded ddl is the type at FIRST modify — later modifies change
+    # only the declared type, never the bytes. None/{} ⇒ physical types
+    # match the declared schema.
+    cast_cols: dict | None = None
 
     def may_match_range(self, col: str, lo, hi) -> bool:
         """minmax skip check: False ⇒ no row of this part has col in

@@ -264,6 +264,14 @@ class SparkMergeTree:
                 T.StructField(r["to"], f.dataType, f.nullable)
                 if f.name == r["from"] else f
                 for f in self.schema.fields])
+        # MODIFY COLUMN log last (entries carry post-rename names; later
+        # entries win naturally by replay order)
+        for mrec in self.manifest.table_meta.get("modified_columns", []):
+            mtype = T.StructType.fromDDL(f'`x` {mrec["ddl"]}')[0].dataType
+            self.schema = T.StructType([
+                T.StructField(mrec["name"], mtype, f.nullable)
+                if f.name == mrec["name"] else f
+                for f in self.schema.fields])
         self._rebuild_missing_metadata()
         # A surviving mutation intent record means a previous process died
         # mid-mutation: per-part swaps are atomic, so the table is
@@ -1149,29 +1157,43 @@ class SparkMergeTree:
             present = set(p.columns) if p.columns is not None else set(original)
             missing = []
             phys = []
+            casts = []
             for c in full_cols:
                 pn = next((cand for cand in chains.get(c, (c,))
                            if cand in present), None)
                 if pn is None:
                     missing.append(c)
-                elif pn != c:
+                    continue
+                if pn != c:
                     phys.append((c, pn))
+                if p.cast_cols and pn in p.cast_cols:
+                    # MODIFY COLUMN: this part physically stores the old
+                    # type; read at it, cast to the declared type below
+                    casts.append((c, p.cast_cols[pn]))
             masks = tuple(e["id"] for e in lw if p.part_id in e["parts"])
             expired = tuple(sorted(
                 set(p.expired_cols or ()) & set(full_cols)))
             groups.setdefault(
-                (tuple(missing), masks, expired, tuple(phys)), []).append(p)
+                (tuple(missing), masks, expired, tuple(phys),
+                 tuple(sorted(casts))), []).append(p)
         preds = {e["id"]: e["pred"] for e in lw}
         dfs = []
-        for (missing, masks, expired, phys), ps in groups.items():
+        for (missing, masks, expired, phys, casts), ps in groups.items():
             phys_map = dict(phys)  # logical -> physical name in these parts
+            cast_types = {
+                logical: T.StructType.fromDDL(f"`x` {ddl}")[0].dataType
+                for logical, ddl in casts}
             sub = T.StructType([
                 T.StructField(phys_map.get(f.name, f.name),
-                              f.dataType, f.nullable)
+                              cast_types.get(f.name, f.dataType), f.nullable)
                 for f in self.schema.fields if f.name not in missing])
             df = self.spark.read.schema(sub).parquet(*[p.path for p in ps])
             for logical, physical in phys:
                 df = df.withColumnRenamed(physical, logical)
+            for logical, _ddl in casts:
+                df = df.withColumn(
+                    logical,
+                    F.col(logical).cast(self.schema[logical].dataType))
             for a in added:
                 if a["name"] in missing:
                     df = df.withColumn(
@@ -1460,10 +1482,11 @@ class SparkMergeTree:
         """Live parts whose read path applies a recorded transform the
         physical bytes don't reflect yet: a rename-chain mismatch (the
         part stores an old physical name), a column-TTL/CLEAR expiry mark,
-        a missing ALTER-ADD column (lazy default), or — with
-        ``include_masks`` — a live lightweight-delete mask. These are
-        exactly the parts a rewrite would change even when it merges
-        nothing. Caller holds ``_lock``."""
+        a MODIFY-COLUMN cast (old physical type), a missing ALTER-ADD
+        column (lazy default), or — with ``include_masks`` — a live
+        lightweight-delete mask. These are exactly the parts a rewrite
+        would change even when it merges nothing. Caller holds ``_lock``.
+        """
         added_names = {a["name"] for a in
                        self.manifest.table_meta.get("added_columns", [])}
         full_cols = [f.name for f in self.schema.fields]
@@ -1475,7 +1498,7 @@ class SparkMergeTree:
         for p in self.manifest.parts:
             present = (set(p.columns) if p.columns is not None
                        else set(original))
-            pending = bool(p.expired_cols)
+            pending = bool(p.expired_cols) or bool(p.cast_cols)
             if not pending:
                 for c in full_cols:
                     pn = next((cand for cand in chains.get(c, (c,))
@@ -1721,12 +1744,18 @@ class SparkMergeTree:
                         dropped.append(c)
                 all_parts = list(self.manifest.parts) + [
                     p for p, _ in self.manifest.tombstones.values()]
+                tm["modified_columns"] = [
+                    m for m in tm.get("modified_columns", [])
+                    if m["name"] != name]
                 for p in all_parts:
                     if p.columns is not None and chain & set(p.columns):
                         p.columns = [c for c in p.columns if c not in chain]
                     if p.expired_cols and chain & set(p.expired_cols):
                         p.expired_cols = [c for c in p.expired_cols
                                           if c not in chain] or None
+                    if p.cast_cols and chain & set(p.cast_cols):
+                        p.cast_cols = {c: d for c, d in p.cast_cols.items()
+                                       if c not in chain} or None
                 self.manifest.save()
 
     def rename_column(self, old: str, new: str) -> None:
@@ -1791,8 +1820,89 @@ class SparkMergeTree:
                 for a in tm.get("added_columns", []):
                     if a["name"] == old:
                         a["name"] = new
+                for mrec in tm.get("modified_columns", []):
+                    # modify-log entries replay AFTER renames, so they
+                    # must carry the column's final (post-rename) name
+                    if mrec["name"] == old:
+                        mrec["name"] = new
                 tm.setdefault("renamed_columns", []).append(
                     {"from": old, "to": new})
+                self.manifest.save()
+
+    def modify_column(self, name: str, ddl: str) -> None:
+        """ALTER TABLE MODIFY COLUMN (type change) analog — metadata-only,
+        zero parts rewritten: the schema field's type changes in place,
+        parts keep their physical encoding, and reads cast each part's
+        recorded physical type to the declared type lazily (``cast_cols``
+        in part metadata). The physical re-encode rides each part's next
+        rewrite — merges/mutations/TTL read through the casting path, so
+        every rewrite materializes the new type. Same lazy contract as
+        ADD/DROP/RENAME; at 100 TB the ALTER is O(parts) metadata, not an
+        O(table) rewrite (ClickHouse materializes type changes at merge
+        the same way).
+
+        The cast follows Spark CAST semantics (ClickHouse's own contract
+        for MODIFY). Structural columns are refused — part sort order,
+        pruning metadata, and merge semantics are typed. Modifies while
+        lightweight-delete masks are live are refused too: the stored SQL
+        predicates were typed against the old column and could silently
+        change meaning under the cast (materialize_deletes() first).
+        Persisted in the manifest; reopen with the original schema
+        replays the modify (after drops/adds/renames, so the log carries
+        the POST-rename name — rename_column keeps it updated)."""
+        with self._merge_lock:
+            self.flush()
+            with self._lock:
+                fld = next((f for f in self.schema.fields
+                            if f.name == name), None)
+                if fld is None:
+                    raise ValueError(f"unknown column {name!r}")
+                structural = self._structural_cols()
+                if name in structural:
+                    raise ValueError(
+                        f"cannot modify structural column {name!r} "
+                        f"(sorting key / partition / mode / index / "
+                        f"projection columns: {sorted(structural)})")
+                if self._lw_entries():
+                    raise ValueError(
+                        "cannot modify while lightweight-delete masks are "
+                        "live — their predicates were typed against the "
+                        "old column; materialize_deletes() first")
+                new_type = T.StructType.fromDDL(f"`x` {ddl}")[0].dataType
+                if new_type == fld.dataType:
+                    return
+                old_ddl = fld.dataType.simpleString()
+                tm = self.manifest.table_meta
+                # per-part record of the PHYSICAL type still on disk —
+                # keyed by the part's physical name for the column (old
+                # parts may predate renames). First modify wins: the
+                # bytes never changed, so the original recorded type
+                # stays authoritative under repeated modifies.
+                chain = self._rename_chains().get(name, (name,))
+                added_names = {a["name"]
+                               for a in tm.get("added_columns", [])}
+                original = [f.name for f in self.schema.fields
+                            if f.name not in added_names]
+                all_parts = list(self.manifest.parts) + [
+                    p for p, _ in self.manifest.tombstones.values()]
+                for p in all_parts:
+                    present = (set(p.columns) if p.columns is not None
+                               else set(original))
+                    phys = next((c for c in chain if c in present), None)
+                    if phys is None:
+                        continue  # pre-ADD part: default fill casts
+                    casts = dict(p.cast_cols or {})
+                    casts.setdefault(phys, old_ddl)
+                    p.cast_cols = casts
+                self.schema = T.StructType([
+                    T.StructField(name, new_type, f.nullable)
+                    if f.name == name else f
+                    for f in self.schema.fields])
+                for a in tm.get("added_columns", []):
+                    if a["name"] == name:
+                        a["ddl"] = ddl  # missing parts fill at the new type
+                tm.setdefault("modified_columns", []).append(
+                    {"name": name, "ddl": ddl})
                 self.manifest.save()
 
     def clear_column(self, name: str, partition=None) -> dict:

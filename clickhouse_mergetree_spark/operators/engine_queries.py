@@ -1831,3 +1831,71 @@ def q_ttl_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert stats["parts_meta_expired"] == 1, stats
     assert stats["parts_rewritten"] == 1, stats
     return table.query_all().select("key", "ts_us", "event_id", "value")
+
+
+@declared_query(
+    "q_modify_column",
+    oracle=f"""
+        SELECT key, ts_us, CAST(event_id AS DOUBLE) AS event_id, value
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+    """,
+)
+def q_modify_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE MODIFY COLUMN`` (type change) end-to-end (ClickHouse
+    ops staple — extension): the MODIFY is a metadata-only manifest
+    commit — ZERO parts rewritten (part ids asserted unchanged). Parts
+    written before the ALTER keep their physical encoding (bigint here)
+    and reads CAST them to the declared type lazily; parts written after
+    carry the new type (double) natively. OPTIMIZE then materializes the
+    new physical type at the rewrite — asserted on the merged part's
+    parquet footer — without changing the result (signature-compared
+    before/after, the q_schema_evolution pattern). The oracle recomputes
+    the same rows with a plain CAST.
+
+    At 100 TB this is why type widening is O(1): no scan, no rewrite,
+    one manifest swap; the re-encode rides compaction — exactly
+    ClickHouse's materialize-at-merge contract for MODIFY COLUMN."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_modcol_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(
+        _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    ).select("key", "ts_us", "event_id", "value")
+    table.insert_batch(
+        kv.filter(F.pmod("event_id", F.lit(2)) == 0), row_count=1)
+    table.flush()
+    ids_before = [p.part_id for p in table.manifest.parts]
+    table.modify_column("event_id", "double")
+    assert [p.part_id for p in table.manifest.parts] == ids_before  # O(1)
+    assert table.manifest.parts[0].cast_cols == {"event_id": "bigint"}
+    table.insert_batch(
+        kv.filter(F.pmod("event_id", F.lit(2)) == 1)
+        .withColumn("event_id", F.col("event_id").cast("double")),
+        row_count=1)
+    table.flush()
+    cols = ["key", "ts_us", "event_id", "value"]
+
+    def _sig(df: DataFrame):  # order-insensitive content signature
+        return df.agg(F.count("*"), F.sum(
+            F.xxhash64(*cols).cast("decimal(38,0)"))).collect()[0]
+
+    before = _sig(table.query_all())
+    table.config.max_parts = 1
+    table.optimize()
+    merged = table.query_all()
+    assert _sig(merged) == before
+    assert all(p.cast_cols is None for p in table.manifest.parts)
+    physical = spark.read.parquet(table.manifest.parts[0].path)
+    assert dict(physical.dtypes)["event_id"] == "double"
+    return merged.select(*cols)
