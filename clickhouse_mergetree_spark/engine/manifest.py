@@ -148,6 +148,15 @@ class PartMeta:
     # only the declared type, never the bytes. None/{} ⇒ physical types
     # match the declared schema.
     cast_cols: dict | None = None
+    # set(N) skipping index (ClickHouse ``INDEX ... TYPE set(N)`` analog —
+    # extension): {col: [distinct values] | None}. The EXACT value set of
+    # the column in this part, or None when the part exceeded the
+    # configured N (overflow ⇒ no claim, never skip — ClickHouse's own
+    # contract). Equality/IN predicates prune parts whose set provably
+    # lacks every probed value. Values are stored canonically as strings
+    # (JSON-safe); the membership check canonicalizes the probe the same
+    # way. None/missing col ⇒ no claim.
+    col_sets: dict | None = None
 
     def may_match_range(self, col: str, lo, hi) -> bool:
         """minmax skip check: False ⇒ no row of this part has col in
@@ -193,6 +202,20 @@ class PartMeta:
                        for p in bloom_positions(gram, nb["bits"], nb["k"])):
                 return False
         return True
+
+    def may_match_values(self, col: str, values) -> bool:
+        """set(N) skip check: False ⇒ no row of this part has ``col``
+        equal to ANY of ``values``. Parts without a stored set for the
+        column — or whose set overflowed N at write time (stored None) —
+        always say True. Membership compares canonical string forms, the
+        same canonicalization the index build applies."""
+        if not self.col_sets or col not in self.col_sets:
+            return True
+        stored = self.col_sets[col]
+        if stored is None:  # overflowed N: no claim
+            return True
+        have = set(stored)
+        return any(str(v) in have for v in values)
 
     def overlaps_range(self, start_key, end_key) -> bool:
         """Part-level min/max pruning predicate (reference src/part.cpp:201-203)."""

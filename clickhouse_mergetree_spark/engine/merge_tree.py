@@ -194,6 +194,16 @@ class MergeTreeConfig:
     # one-aggregate-per-part-write cost shape as token_bloom_cols.
     ngram_bloom_cols: tuple[str, ...] = ()
     ngram_n: int = 3
+    # set(N) skipping indexes (ClickHouse ``INDEX ... TYPE set(N)`` analog
+    # — extension): (col, N) pairs. Each part stores the EXACT distinct
+    # value set of the column — unless it exceeds N values, in which case
+    # the part makes no claim (exactly ClickHouse's overflow contract).
+    # Equality/IN predicates (query_in) prune parts whose stored set
+    # provably lacks every probed value. The right N is small: the index
+    # targets low-cardinality columns (status codes, event types,
+    # categories) where a handful of values per part prunes most of the
+    # table. Costs one collect_set riding the part-write job's observe.
+    set_index_cols: tuple[tuple[str, int], ...] = ()
     # PARTITION BY column (ClickHouse MergeTree analog — extension; users
     # partition by a precomputed bucket column, e.g. a month or a category).
     # Every part holds rows of exactly one partition value: flushes split
@@ -325,6 +335,12 @@ class SparkMergeTree:
                     c: [stats[f"mm_min_{c}"], stats[f"mm_max_{c}"]]
                     for c in self.config.minmax_cols
                 }
+            if self.config.set_index_cols:
+                p.col_sets = {
+                    c: (sorted(stats[f"set_{c}"])
+                        if len(stats[f"set_{c}"]) <= n else None)
+                    for c, n in self.config.set_index_cols
+                }
             if self.config.enable_bloom_index:
                 self._attach_bloom(p)
             if self.config.token_bloom_cols:
@@ -348,6 +364,9 @@ class SparkMergeTree:
         for c in self.config.minmax_cols:
             aggs += [F.min(c).alias(f"mm_min_{c}"),
                      F.max(c).alias(f"mm_max_{c}")]
+        for c, _n in self.config.set_index_cols:
+            aggs.append(F.collect_set(F.col(c).cast("string"))
+                        .alias(f"set_{c}"))
         row = df.agg(*aggs).collect()[0]
         return row.asDict()
 
@@ -524,6 +543,16 @@ class SparkMergeTree:
             # minmax skip index rides the same write-job observation
             metrics += [F.min(c).alias(f"mm_min_{c}"),
                         F.max(c).alias(f"mm_max_{c}")]
+        for c, _n in self.config.set_index_cols:
+            # set(N) skip index rides the same write-job observation:
+            # distinct canonical-string values, partial+final hash agg
+            # collapses occurrences map-side. The overflow cap applies
+            # driver-side (> N ⇒ stored as "no claim"); the index
+            # targets low-cardinality columns, so the collected set is
+            # bounded by the column's vocabulary, not the part size.
+            if c in df.columns:
+                metrics.append(F.collect_set(F.col(c).cast("string"))
+                               .alias(f"set_{c}"))
         obs = Observation(obs_name)
         shaped = shaped.observe(obs, *metrics)
         shaped.write.mode("overwrite").parquet(path)
@@ -549,6 +578,13 @@ class SparkMergeTree:
             meta.col_stats = {
                 c: [stats[f"mm_min_{c}"], stats[f"mm_max_{c}"]]
                 for c in self.config.minmax_cols
+            }
+        if self.config.set_index_cols:
+            meta.col_sets = {
+                c: (sorted(stats[f"set_{c}"])
+                    if len(stats[f"set_{c}"]) <= n else None)
+                for c, n in self.config.set_index_cols
+                if c in df.columns
             }
         if self.config.token_bloom_cols:
             self._attach_token_blooms(meta)
@@ -789,6 +825,41 @@ class SparkMergeTree:
         with self._lock:
             return [p for p in self.manifest.parts
                     if p.may_match_range(col, lo, hi)]
+
+    def query_in(self, col: str, values) -> DataFrame:
+        """Equality/IN read on a set(N)-indexed column (ClickHouse
+        ``INDEX ... TYPE set(N)`` read path): parts whose stored distinct
+        value set provably lacks EVERY probed value are never listed or
+        opened; surviving rows still apply the exact predicate (pruning
+        is pure optimization — overflowed or unindexed parts simply
+        scan). At 100 TB, low-cardinality filters — status codes, event
+        types, tenant tiers — touch only the parts that hold the value
+        instead of every part covering the key range."""
+        values = list(values)
+        with self._lock:
+            pruned = [p for p in self.manifest.parts
+                      if p.may_match_values(col, values)]
+            buf = self._buffer_df()
+        pred = F.col(col).isin(values)
+        sources = []
+        df = self._read_parts(pruned)
+        if df is not None:
+            sources.append(df)
+        if buf is not None:
+            sources.append(buf)
+        if not sources:
+            return self._empty_df()
+        out = sources[0]
+        for s in sources[1:]:
+            out = out.unionByName(s)
+        return self._dedup_sort(out.filter(pred))
+
+    def parts_for_in(self, col: str, values) -> list[PartMeta]:
+        """The parts query_in would scan (introspection/tests)."""
+        values = list(values)
+        with self._lock:
+            return [p for p in self.manifest.parts
+                    if p.may_match_values(col, values)]
 
     def query_token(self, col: str, token: str) -> DataFrame:
         """Token-containment read (ClickHouse ``hasToken(col, t)`` +
@@ -1994,6 +2065,7 @@ class SparkMergeTree:
         cols.update(cfg.minmax_cols)
         cols.update(cfg.token_bloom_cols)
         cols.update(cfg.ngram_bloom_cols)
+        cols.update(c for c, _n in cfg.set_index_cols)
         for spec in cfg.projections:
             cols.update(spec.group_by)
             cols.update(src for _, src in spec.aggs.values())

@@ -1899,3 +1899,55 @@ def q_modify_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical = spark.read.parquet(table.manifest.parts[0].path)
     assert dict(physical.dtypes)["event_id"] == "double"
     return merged.select(*cols)
+
+
+@declared_query(
+    "q_set_skip",
+    oracle=f"""
+        SELECT key, ts_us, event_id, event_type, value
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def q_set_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INDEX ... TYPE set(N)`` skipping index end-to-end (ClickHouse
+    analog — extension): each part stores the EXACT distinct value set of
+    a low-cardinality column in the manifest (built on the part-write
+    job's observe — no second scan), and an equality/IN read prunes every
+    part whose set provably lacks all probed values WITHOUT opening a
+    file. The table is built as three parts with disjoint event_type
+    sets; the probe for {{purchase, signup}} must prune to exactly the
+    two covering parts — asserted on metadata alone before any read.
+    Overflow past N stores "no claim" (never skip), ClickHouse's own
+    contract.
+
+    At 100 TB, low-cardinality filters (status codes, event classes,
+    tenant tiers) skip the bulk of the table at the manifest, the same
+    lever as partition pruning but without dedicating the partition key."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us",
+                          set_index_cols=(("event_type", 8),))
+    table = SparkMergeTree(spark, scratch_dir("q_setskip_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    for group in (("click", "view"), ("purchase", "error"), ("signup",)):
+        table.insert_batch(
+            kv.filter(F.col("event_type").isin(list(group))), row_count=1)
+        table.flush()
+    assert table.part_count() == 3
+    # pruning decision is manifest metadata only: 2 of 3 parts survive
+    cand = table.parts_for_in("event_type", ["purchase", "signup"])
+    assert len(cand) == 2, [p.col_sets for p in table.manifest.parts]
+    return table.query_in("event_type", ["purchase", "signup"]).select(
+        "key", "ts_us", "event_id", "event_type", "value")
