@@ -1719,6 +1719,92 @@ class SparkMergeTree:
                 "rows_removed": rows_removed,
             }
 
+    def expire_rollup(self, before_ts, aggs: dict) -> dict:
+        """TTL GROUP BY (ClickHouse ``TTL ts + INTERVAL ... GROUP BY key
+        SET v = sum(v)`` analog — extension): rows with ts < ``before_ts``
+        don't drop — they AGGREGATE. Per key (the sorting-key prefix,
+        ClickHouse's GROUP BY restriction), all expired rows collapse to
+        ONE rollup row: ts = the group's max expired ts, each ``aggs``
+        column ({col: "sum"|"min"|"max"}) its aggregate, and every other
+        column the value from the group's newest (max-ts) row — the
+        deterministic analog of ClickHouse's keep-first-row contract
+        (our (key, ts) invariant makes max-ts unique per key).
+
+        Execution is one Spark job per partition group, not per part:
+        affected parts (min_ts < cutoff) are read together through the
+        evolved/masked read path, split into young (kept verbatim) and
+        expired (grouped) halves, and written back as ONE part per
+        partition — untouched parts (min_ts ≥ cutoff) are never opened,
+        and partitions with no affected part cost nothing. At 100 TB with
+        time-correlated parts this touches only the expiry frontier, and
+        the aggregation is a single partial+final hash agg on the
+        sorting-key prefix — the cheapest shuffle the table admits.
+        Rollup rows cannot collide with young rows (their ts is below the
+        cutoff by construction), so they re-enter the table as ordinary
+        rows under the table's mode semantics.
+
+        Buffered rows are flushed first. Returns
+        {"parts_replaced", "rows_before", "rows_after"}."""
+        known = {f.name for f in self.schema.fields}
+        bad_cols = set(aggs) - known
+        if bad_cols:
+            raise ValueError(f"unknown column(s) {sorted(bad_cols)}")
+        if {self._key, self._ts} & set(aggs):
+            raise ValueError("cannot aggregate the sorting key columns")
+        bad_fns = {fn for fn in aggs.values()
+                   if fn not in ("sum", "min", "max")}
+        if bad_fns:
+            raise ValueError(f"unsupported rollup fn(s) {sorted(bad_fns)}")
+        with self._merge_lock:
+            self.flush()
+            with self._lock:
+                groups: dict[str | None, list[PartMeta]] = {}
+                for p in self.manifest.parts:
+                    if p.min_ts < before_ts:
+                        groups.setdefault(p.partition, []).append(p)
+            retain = self.config.snapshot_retention > 0
+            types = {f.name: f.dataType for f in self.schema.fields}
+            others = [f.name for f in self.schema.fields
+                      if f.name not in (self._key, self._ts)
+                      and f.name not in aggs]
+            replaced = rows_before = rows_after = 0
+            for partition, parts in groups.items():
+                src = self._read_parts(parts)
+                young = src.filter(F.col(self._ts) >= F.lit(before_ts))
+                rolled = (
+                    src.filter(F.col(self._ts) < F.lit(before_ts))
+                    .groupBy(self._key)
+                    .agg(
+                        F.max(self._ts).alias(self._ts),
+                        *[getattr(F, fn)(c).cast(types[c]).alias(c)
+                          for c, fn in aggs.items()],
+                        *[F.max_by(c, self._ts).alias(c) for c in others],
+                    )
+                )
+                new_df = young.unionByName(rolled).select(
+                    [f.name for f in self.schema.fields])
+                with self._lock:
+                    new_id = self.manifest.allocate_part_id()
+                n_in = sum(p.row_count for p in parts)
+                meta = self._write_part(new_id, new_df, n_in,
+                                        partition=partition)
+                with self._lock:
+                    self.manifest.swap([p.part_id for p in parts], meta,
+                                       retain=retain)
+                    self._gc_lw_deletes()
+                    self.manifest.save()
+                if not retain:
+                    for p in parts:
+                        self._delete_part_dirs(p)
+                replaced += len(parts)
+                rows_before += n_in
+                rows_after += meta.row_count
+            if retain and groups:
+                self.vacuum()
+            return {"parts_replaced": replaced,
+                    "rows_before": rows_before,
+                    "rows_after": rows_after}
+
     # ------------------------------------------------------ schema evolution
 
     def add_column(self, name: str, ddl: str, default=None) -> None:

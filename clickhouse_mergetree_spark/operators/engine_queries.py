@@ -1951,3 +1951,77 @@ def q_set_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(cand) == 2, [p.col_sets for p in table.manifest.parts]
     return table.query_in("event_type", ["purchase", "signup"]).select(
         "key", "ts_us", "event_id", "event_type", "value")
+
+
+@declared_query(
+    "q_ttl_groupby",
+    oracle=f"""
+        WITH kv AS (
+            SELECT key, ts_us, event_id,
+                   CAST(value AS DECIMAL(18,6)) AS value
+            FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        ),
+        b AS (SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS cutoff
+              FROM kv)
+        SELECT key, ts_us, event_id, CAST(value AS DOUBLE) AS value
+        FROM kv, b WHERE ts_us >= cutoff
+        UNION ALL
+        SELECT key, max(ts_us) AS ts_us,
+               arg_max(event_id, ts_us) AS event_id,
+               CAST(CAST(sum(value) AS DECIMAL(18,6)) AS DOUBLE) AS value
+        FROM kv, b WHERE ts_us < cutoff GROUP BY key
+    """,
+)
+def q_ttl_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL GROUP BY end-to-end (ClickHouse ``TTL ts + INTERVAL ... GROUP
+    BY key SET value = sum(value)`` analog — extension): rows past the
+    retention cutoff don't drop — they AGGREGATE. Per key, all expired
+    rows collapse to one rollup row (value summed exactly in
+    decimal(18,6); ts and the other columns from the group's newest
+    expired row) while young rows survive verbatim — the "age detail
+    into a summary" retention pattern that keeps dashboards correct
+    after raw events expire.
+
+    The engine executes one job per partition group over only the
+    affected (expiry-frontier) parts: young|expired split, one
+    partial+final hash agg on the sorting-key prefix — the cheapest
+    shuffle the table admits — and a single part written back per
+    partition; untouched parts are never opened. The oracle reconstructs
+    the same UNION of verbatim young rows and per-key decimal-exact
+    rollups with arg_max for the carried columns."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DecimalType(18, 6), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_ttlgb_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(
+        _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    ).select("key", "ts_us", "event_id",
+             F.col("value").cast("decimal(18,6)").alias("value"))
+    mn, mx = kv.agg(F.min("ts_us"), F.max("ts_us")).first()
+    cutoff = mn + (mx - mn) // 2
+    q1 = mn + (mx - mn) // 4
+    for lo, hi in ((None, q1), (q1, None)):
+        batch = kv
+        if lo is not None:
+            batch = batch.filter(F.col("ts_us") >= lo)
+        if hi is not None:
+            batch = batch.filter(F.col("ts_us") < hi)
+        table.insert_batch(batch, row_count=1)
+        table.flush()
+    n_before = table.total_rows()
+    stats = table.expire_rollup(cutoff, {"value": "sum"})
+    assert stats["rows_before"] == n_before        # both parts straddle/old
+    assert stats["rows_after"] < stats["rows_before"]
+    return table.query_all().select(
+        "key", "ts_us", "event_id",
+        F.col("value").cast("double").alias("value"))
