@@ -204,6 +204,18 @@ class MergeTreeConfig:
     # categories) where a handful of values per part prunes most of the
     # table. Costs one collect_set riding the part-write job's observe.
     set_index_cols: tuple[tuple[str, int], ...] = ()
+    # SAMPLE BY (ClickHouse ``SAMPLE BY intHash32(user_id)`` analog —
+    # extension): the sampling key column. Must be the sorting key
+    # (key_col) — the restriction that makes sampling commute with the
+    # engine's (key, ts) dedup/collapse: every row of a dedup group
+    # shares the key, so the whole group passes or fails the sample
+    # together and SAMPLE-then-FINAL ≡ FINAL-then-SAMPLE. Reads sample
+    # deterministically by VALUE (md5-bucket of the key, 256 buckets):
+    # the same key lands in the same bucket on every run, engine, and
+    # cluster size, and a larger fraction is a strict superset of a
+    # smaller one (nested samples, ClickHouse's contract). None = no
+    # sampling key declared (query_sample refuses).
+    sample_col: str | None = None
     # PARTITION BY column (ClickHouse MergeTree analog — extension; users
     # partition by a precomputed bucket column, e.g. a month or a category).
     # Every part holds rows of exactly one partition value: flushes split
@@ -825,6 +837,57 @@ class SparkMergeTree:
         with self._lock:
             return [p for p in self.manifest.parts
                     if p.may_match_range(col, lo, hi)]
+
+    SAMPLE_BUCKETS = 256
+
+    def query_sample(self, fraction: float, offset: float = 0.0) -> DataFrame:
+        """``SELECT ... SAMPLE f [OFFSET o]`` analog (ClickHouse SAMPLE BY
+        read path): a deterministic, value-keyed sample of the table —
+        rows whose sample-key md5 bucket (256 buckets) falls in
+        [offset, offset + fraction) of the bucket space. Properties
+        ClickHouse guarantees and this reproduces:
+
+        - deterministic: the same key samples identically on every run,
+          engine, and cluster size (hash of the VALUE, no RNG);
+        - nested: SAMPLE 0.2 ⊇ SAMPLE 0.1 (bucket prefix ordering);
+        - disjoint offsets partition the table: SAMPLE 1/3 OFFSET 0,
+          1/3, 2/3 are non-overlapping covers — parallel workers each
+          take a slice;
+        - consistent entities: sample_col is the sorting key, so ALL
+          rows of a key are in or out together — per-entity aggregates
+          over the sample are unbiased, the reason ClickHouse requires
+          the sample key inside the primary key.
+
+        The predicate is applied BELOW the (key, ts) dedup/sort shuffle
+        (sound because a dedup group shares its key, hence its bucket),
+        so at 100 TB the shuffle shrinks by the sample factor — the
+        filter rides the scan stage, not a post-processing step."""
+        col = self.config.sample_col
+        if col is None:
+            raise ValueError("no SAMPLE BY key declared "
+                             "(MergeTreeConfig.sample_col)")
+        if col != self._key:
+            raise ValueError(
+                f"sample_col {col!r} must be the sorting key "
+                f"{self._key!r}: sampling only commutes with the "
+                "engine's (key, ts) dedup when the whole dedup group "
+                "shares the sample bucket")
+        if not (0.0 <= offset and 0.0 < fraction
+                and offset + fraction <= 1.0):
+            raise ValueError("need 0 < fraction, 0 <= offset, "
+                             "offset + fraction <= 1")
+        lo = int(round(offset * self.SAMPLE_BUCKETS))
+        hi = int(round((offset + fraction) * self.SAMPLE_BUCKETS))
+        # bucket = first md5 byte as two lowercase hex chars: hex digits
+        # are ASCII-ordered, so string comparison == numeric comparison
+        # and the same expression replays on any engine with md5()
+        bucket = F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+        pred = F.lit(True)
+        if lo > 0:
+            pred = bucket >= F.lit(format(lo, "02x"))
+        if hi < self.SAMPLE_BUCKETS:
+            pred = pred & (bucket < F.lit(format(hi, "02x")))
+        return self._assemble(pred)
 
     def query_in(self, col: str, values) -> DataFrame:
         """Equality/IN read on a set(N)-indexed column (ClickHouse

@@ -2025,3 +2025,53 @@ def q_ttl_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.query_all().select(
         "key", "ts_us", "event_id",
         F.col("value").cast("double").alias("value"))
+
+
+@declared_query(
+    "q_sample_by",
+    oracle=f"""
+        SELECT key, ts_us, event_id, event_type, value
+        FROM ({_dedup_first_sql(_KV_SQL)})
+        WHERE substring(md5(CAST(key AS VARCHAR)), 1, 2) < '40'
+    """,
+)
+def q_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SAMPLE BY`` end-to-end (ClickHouse ``SAMPLE BY intHash32(key)``
+    + ``SELECT ... SAMPLE 0.25`` analog — extension): the engine declares
+    a sampling key (= the sorting key, ClickHouse's primary-key
+    restriction) and reads take a deterministic value-keyed slice —
+    md5-bucket of the key, 256 buckets, first quarter of the bucket
+    space here. Same key ⇒ same bucket on every run/engine/cluster
+    (no RNG), bigger fractions nest, disjoint offsets partition the
+    table, and ALL rows of a key are in or out together — per-entity
+    aggregates over the sample stay unbiased.
+
+    The sample predicate executes BELOW the (key, ts) dedup shuffle
+    (asserted on the physical plan), sound because a dedup group shares
+    its key and hence its bucket — at 100 TB the dedup shuffle shrinks
+    by the sample factor instead of sampling after the heavy lifting.
+    The oracle replays the identical md5-bucket predicate (hex digits
+    are ASCII-ordered, so string compare == numeric compare)."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us", sample_col="key")
+    table = SparkMergeTree(spark, scratch_dir("q_sampleby_"),
+                           schema=schema, config=cfg)
+    table.insert_batch(_kv(spark, sf_dir), row_count=1)
+    table.flush()
+    out = table.query_sample(0.25)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # root-first print: the md5 filter below the Exchange ⇒ it executes
+    # before the dedup shuffle
+    assert "md5" in plan and plan.index("md5") > plan.index("Exchange")
+    return out.select("key", "ts_us", "event_id", "event_type", "value")
