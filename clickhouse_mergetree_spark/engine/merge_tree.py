@@ -2125,7 +2125,46 @@ class SparkMergeTree:
                     {"name": name, "ddl": ddl})
                 self.manifest.save()
 
-    def clear_column(self, name: str, partition=None) -> dict:
+    def materialize_column(self, name: str) -> dict:
+        """``ALTER TABLE ... MATERIALIZE COLUMN`` analog: force the
+        physical rewrite of every part whose bytes lag the declared
+        column — a missing ALTER-ADD column (lazy default), a pending
+        MODIFY cast, or a pending RENAME — without waiting for the next
+        merge and without touching parts that are already current. The
+        per-column, on-demand version of what rewrites do lazily; after
+        it returns, scans of ``name`` hit physical bytes only.
+
+        Each affected part rewrites independently (single-part merge
+        jobs), so at 100 TB the work parallelizes per part and is bounded
+        by the evolution frontier, not the table. Returns
+        {"parts_rewritten"}."""
+        if not any(f.name == name for f in self.schema.fields):
+            raise ValueError(f"unknown column {name!r}")
+        self.flush()
+        rewritten = 0
+        while True:
+            with self._merge_lock:
+                with self._lock:
+                    added_names = {
+                        a["name"] for a in
+                        self.manifest.table_meta.get("added_columns", [])}
+                    original = [f.name for f in self.schema.fields
+                                if f.name not in added_names]
+                    chain = self._rename_chains().get(name, (name,))
+                    target = None
+                    for p in self.manifest.parts:
+                        present = (set(p.columns) if p.columns is not None
+                                   else set(original))
+                        phys = next((c for c in chain if c in present), None)
+                        if (phys is None                   # lazy default
+                                or phys != name            # pending rename
+                                or (p.cast_cols or {}).get(phys)):  # cast
+                            target = p
+                            break
+                    if target is None:
+                        return {"parts_rewritten": rewritten}
+                self._merge_group([target])
+                rewritten += 1
         """``ALTER TABLE CLEAR COLUMN [IN PARTITION]`` analog: reset the
         column to its declared default (ADD COLUMN default, else NULL) for
         every row — optionally scoped to one partition. Rows survive;

@@ -1850,3 +1850,61 @@ def q_agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("uniq_line_upto"),
         )
     )
+
+
+@declared_query(
+    "q_dict_get",
+    oracle="""
+        SELECT n.n_name AS nation_name, r.r_name AS region_name,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS acctbal_sum
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    """,
+)
+def q_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse external-dictionary lookup (``dictGet('nation_dict',
+    'n_name', c_nationkey)``) analog: tiny dimension tables become
+    in-memory hash maps and fact rows resolve attributes by LOOKUP, not
+    by join — no shuffle, no build side, no join operator in the plan at
+    all.
+
+    The Spark re-expression: collect the KB-scale dimensions once on the
+    driver (nation: 25 rows, region: 5 — the same boundedness contract
+    ClickHouse dictionaries assume) and compile them into literal
+    ``F.create_map`` expressions. The chained dictGet
+    (customer → nation → region) becomes two map lookups INSIDE
+    whole-stage codegen over the fact scan — the plan is scan → project
+    → one aggregate, zero joins (vs the oracle's two). At 100 TB this is
+    the difference between two broadcast joins (build + probe per
+    executor, plan branches) and a constant-folded expression riding the
+    scan; for dims past driver scale, F.broadcast joins are the
+    fallback with the same result. Account balances aggregate in
+    DECIMAL(18,2), the exact-sum contract."""
+    nation = load(spark, sf_dir, "nation").collect()
+    region = load(spark, sf_dir, "region").collect()
+    rmap = {r["r_regionkey"]: r["r_name"] for r in region}
+    name_pairs = []
+    region_pairs = []
+    for n in nation:
+        name_pairs += [F.lit(n["n_nationkey"]), F.lit(n["n_name"])]
+        # chain the second dictGet at compile time: nation key → region
+        # NAME directly (dictionaries compose into one flat lookup)
+        region_pairs += [F.lit(n["n_nationkey"]),
+                         F.lit(rmap[n["n_regionkey"]])]
+    nation_dict = F.create_map(*name_pairs)
+    region_dict = F.create_map(*region_pairs)
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            nation_dict[F.col("c_nationkey")].alias("nation_name"),
+            region_dict[F.col("c_nationkey")].alias("region_name"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+        .groupBy("nation_name", "region_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum("bal").cast("double").alias("acctbal_sum"))
+    )

@@ -158,6 +158,37 @@ def test_drop_of_modified_column_clears_cast_state(table):
     del pid
 
 
+def test_materialize_column_rewrites_only_lagging_parts(spark, table):
+    _flush(table, 0, 10)                  # part 1: physical int
+    table.modify_column("code", "bigint")
+    table.insert_rows([(f"k{ts:05d}", ts, ts, float(ts))
+                       for ts in range(10, 20)])
+    table.flush()                         # part 2: already bigint
+    current = {p.part_id for p in table.manifest.parts
+               if not p.cast_cols}
+    stats = table.materialize_column("code")
+    assert stats == {"parts_rewritten": 1}
+    assert current <= {p.part_id for p in table.manifest.parts}
+    for p in table.manifest.parts:
+        assert p.cast_cols is None
+        assert dict(spark.read.parquet(p.path).dtypes)["code"] == "bigint"
+    # idempotent: everything is current now
+    assert table.materialize_column("code") == {"parts_rewritten": 0}
+
+
+def test_materialize_column_fills_added_default(spark, table):
+    _flush(table, 0, 10)                  # pre-ADD part
+    table.add_column("origin", "string", default="backfill")
+    stats = table.materialize_column("origin")
+    assert stats == {"parts_rewritten": 1}
+    [p] = table.manifest.parts
+    physical = spark.read.parquet(p.path)
+    assert "origin" in physical.columns
+    assert physical.filter("origin <> 'backfill'").count() == 0
+    with pytest.raises(ValueError, match="unknown"):
+        table.materialize_column("nope")
+
+
 def test_modify_refusals(table):
     _flush(table, 0, 10)
     with pytest.raises(ValueError, match="structural"):
