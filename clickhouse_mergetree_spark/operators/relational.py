@@ -1908,3 +1908,59 @@ def q_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"),
              F.sum("bal").cast("double").alias("acctbal_sum"))
     )
+
+
+@declared_query(
+    "q_join_any",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               o.o_orderkey AS first_orderkey,
+               epoch_us(o.o_orderdate) AS first_orderdate_us,
+               o.o_totalprice AS first_totalprice
+        FROM customer c
+        LEFT JOIN (
+            SELECT * FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ANY LEFT JOIN`` analog: each left row pairs with AT
+    MOST ONE right row — the join that answers "a customer and their
+    first order" without multiplying rows. ClickHouse's ANY picks an
+    arbitrary match; this pins the deterministic variant (earliest
+    (o_orderdate, o_orderkey)), the only version two engines can agree
+    on byte-for-byte.
+
+    Spark re-expression: the right side collapses FIRST — one
+    ``min(struct(orderdate, orderkey, totalprice))`` per customer key, a
+    partial+final hash agg with map-side combine — and only then joins.
+    Collapse-before-join is the scale-defining choice: the join's right
+    side shrinks from |orders| to |customers| BEFORE the shuffle, the
+    join is 1:≤1 (no row explosion), and a hot customer's orders combine
+    map-side instead of skewing a join task — where the oracle's
+    row_number() formulation would shuffle every order row to a window
+    sort first."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    first = (
+        o.groupBy("o_custkey")
+        .agg(F.min(F.struct(
+            F.unix_micros("o_orderdate").alias("d"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("p"))).alias("f"))
+    )
+    return (
+        c.join(first, c.c_custkey == first.o_custkey, "left")
+        .select(
+            "c_custkey", "c_name",
+            F.col("f.k").alias("first_orderkey"),
+            F.col("f.d").alias("first_orderdate_us"),
+            F.col("f.p").alias("first_totalprice"),
+        )
+    )
