@@ -36,6 +36,7 @@ path).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import threading
@@ -1234,6 +1235,117 @@ class SparkMergeTree:
                 self.manifest.table_meta["detached"] = keep
                 self.manifest.save()
                 return rows
+
+    def freeze_partition(self, value=None, backup_name: str | None = None
+                         ) -> dict:
+        """``ALTER TABLE FREEZE [PARTITION]`` analog: an instant,
+        space-free backup of the partition's (or, with ``value=None``,
+        the whole table's) live parts into
+        ``<base>/shadow/<backup_name>/`` — part files are HARDLINKED, not
+        copied (immutable parts make links safe; merges create NEW dirs,
+        so a later merge/drop cannot mutate the frozen bytes), plus one
+        JSON snapshot of the frozen parts' metadata for restore. O(files)
+        metadata work at any table size, zero rows read — exactly
+        ClickHouse's FREEZE contract.
+
+        The backup captures PHYSICAL state: unmaterialized lightweight-
+        delete masks, pending ALTER casts/defaults, and expiry marks are
+        per-table metadata and do NOT travel with the frozen files — run
+        ``materialize_deletes()`` / ``optimize(final=True)`` first for a
+        logically-final backup (ClickHouse FREEZE has the same property).
+        Falls back to copy if the filesystem refuses cross-device links.
+
+        Returns {"backup", "parts_frozen", "files"}."""
+        from dataclasses import asdict
+        self.flush()
+        with self._merge_lock:
+            with self._lock:
+                parts = [p for p in self.manifest.parts
+                         if value is None or p.partition == str(value)]
+                name = backup_name or f"backup_v{self.manifest.version}"
+                shadow = os.path.join(self.base_path, "shadow", name)
+                if os.path.exists(shadow):
+                    raise ValueError(f"backup {name!r} already exists")
+                os.makedirs(shadow)
+                n_files = 0
+                for p in parts:
+                    dst = os.path.join(shadow, os.path.basename(p.path))
+                    os.makedirs(dst)
+                    for fn in os.listdir(p.path):
+                        src = os.path.join(p.path, fn)
+                        if not os.path.isfile(src):
+                            continue
+                        try:
+                            os.link(src, os.path.join(dst, fn))
+                        except OSError:
+                            shutil.copy2(src, os.path.join(dst, fn))
+                        n_files += 1
+                with open(os.path.join(shadow, "frozen_manifest.json"),
+                          "w") as f:
+                    json.dump({"parts": [asdict(p) for p in parts],
+                               "partition": value,
+                               "version": self.manifest.version},
+                              f, indent=1, default=str)
+        return {"backup": name, "parts_frozen": len(parts),
+                "files": n_files}
+
+    def list_frozen(self) -> list[str]:
+        """Names of existing FREEZE backups (shadow/ directory listing)."""
+        shadow = os.path.join(self.base_path, "shadow")
+        if not os.path.isdir(shadow):
+            return []
+        return sorted(d for d in os.listdir(shadow)
+                      if os.path.isdir(os.path.join(shadow, d)))
+
+    def unfreeze(self, backup_name: str) -> None:
+        """Delete a FREEZE backup (``SYSTEM UNFREEZE`` analog). Hardlinked
+        blocks are reclaimed only when the last link drops — removing a
+        backup never touches live parts."""
+        shadow = os.path.join(self.base_path, "shadow", backup_name)
+        if not os.path.isdir(shadow):
+            raise ValueError(f"no backup {backup_name!r}")
+        shutil.rmtree(shadow)
+
+    def restore_frozen(self, backup_name: str) -> dict:
+        """Restore a FREEZE backup: each frozen part re-enters the live
+        set under a FRESH part id (the id counter only grows, so restored
+        parts can coexist with whatever replaced them) with its files
+        hardlinked back out of the shadow dir. ADDITIVE, like ClickHouse's
+        manual cp-into-detached + ATTACH restore flow: restoring rows that
+        still exist duplicates them — drop/detach the partition first for
+        a replace-style restore. Returns {"parts_restored", "rows"}."""
+        shadow = os.path.join(self.base_path, "shadow", backup_name)
+        mf = os.path.join(shadow, "frozen_manifest.json")
+        if not os.path.isfile(mf):
+            raise ValueError(f"no backup {backup_name!r}")
+        with open(mf) as f:
+            doc = json.load(f)
+        with self._merge_lock:
+            with self._lock:
+                rows = 0
+                for pd in doc["parts"]:
+                    frozen_dir = os.path.join(
+                        shadow, os.path.basename(pd["path"]))
+                    new_id = self.manifest.allocate_part_id()
+                    new_path = os.path.join(self.base_path,
+                                            f"part_{new_id}")
+                    os.makedirs(new_path)
+                    for fn in os.listdir(frozen_dir):
+                        src = os.path.join(frozen_dir, fn)
+                        if not os.path.isfile(src):
+                            continue
+                        try:
+                            os.link(src, os.path.join(new_path, fn))
+                        except OSError:
+                            shutil.copy2(src, os.path.join(new_path, fn))
+                    meta = PartMeta(**pd)
+                    meta.part_id = new_id
+                    meta.path = new_path
+                    meta.proj_paths = None  # rebuilt at next rewrite
+                    self.manifest.append(meta)
+                    rows += meta.row_count
+                self.manifest.save()
+        return {"parts_restored": len(doc["parts"]), "rows": rows}
 
     def _lw_entries(self, lw_version: int | None = None) -> list[dict]:
         """Live lightweight-delete entries, optionally restricted to those
