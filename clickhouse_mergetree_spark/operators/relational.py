@@ -1964,3 +1964,63 @@ def q_join_any(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f.p").alias("first_totalprice"),
         )
     )
+
+
+@declared_query(
+    "q_quantile_weighted",
+    oracle="""
+        WITH t AS (
+            SELECT l_returnflag AS flag, l_extendedprice AS price,
+                   CAST(l_quantity AS DECIMAL(18,6)) AS w
+            FROM lineitem
+        ), c AS (
+            SELECT flag, price,
+                   sum(w) OVER (PARTITION BY flag ORDER BY price
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(w) OVER (PARTITION BY flag) AS tot
+            FROM t
+        )
+        SELECT flag,
+               min(CASE WHEN cum * 4 >= tot THEN price END) AS wq25,
+               min(CASE WHEN cum * 2 >= tot THEN price END) AS wmedian,
+               min(CASE WHEN cum * 4 >= tot * 3 THEN price END) AS wq75
+        FROM c GROUP BY flag
+    """,
+)
+def q_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(q)(x, w)`` analog: per group,
+    the exact weighted quantiles of extended price with quantity as the
+    weight — the first value whose cumulative weight reaches q x total,
+    the textbook definition.
+
+    One sorted window pass computes the running AND total weight per
+    group; three conditional MINs then read off p25/p50/p75 from the
+    same pass — one shuffle-sort per group serves every requested
+    quantile, the amortization ClickHouse's multi-q form exists for.
+    Weights accumulate in DECIMAL(18,6), so the threshold comparisons
+    are exact and order-independent: within a run of tied values the
+    run's END cumulative weight is permutation-invariant, so whichever
+    row crosses the threshold, the captured value is the same — the
+    property that lets two engines agree byte-for-byte without a shared
+    sort tiebreak. Thresholds compare as cum*k >= tot*m (integer
+    multiples, no division), keeping the arithmetic in exact decimal."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("decimal(18,6)").alias("w"))
+    w_cum = (W.partitionBy("flag").orderBy("price")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_all = (W.partitionBy("flag")
+             .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    c = li.select(
+        "flag", "price",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("tot"))
+    return c.groupBy("flag").agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("tot"),
+                     F.col("price"))).alias("wq25"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"),
+                     F.col("price"))).alias("wmedian"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("tot") * 3,
+                     F.col("price"))).alias("wq75"),
+    )
