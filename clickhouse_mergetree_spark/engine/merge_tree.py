@@ -2277,6 +2277,8 @@ class SparkMergeTree:
                         return {"parts_rewritten": rewritten}
                 self._merge_group([target])
                 rewritten += 1
+
+    def clear_column(self, name: str, partition=None) -> dict:
         """``ALTER TABLE CLEAR COLUMN [IN PARTITION]`` analog: reset the
         column to its declared default (ADD COLUMN default, else NULL) for
         every row — optionally scoped to one partition. Rows survive;

@@ -1,0 +1,197 @@
+"""Randomized ALTER-lifecycle fuzz: the engine vs a plain-Python model.
+
+Round 6 shipped two real bugs in ALTER interaction corners (rename→drop
+replay, single-part FINAL materialization); example-based tests only
+cover the corners someone thought of. This walk drives random sequences
+of insert / flush / ADD / DROP / RENAME / MODIFY / CLEAR / re-ADD /
+optimize / reopen against a dict-based model of the expected table and
+compares the full contents after every sequence and after a reopen with
+the ORIGINAL schema (the replay path, where both r6 bugs lived).
+
+Determinism: seeded random walks, exact value domains (small ints /
+halves for doubles, so casts are float-exact), fresh column names from a
+counter with deliberate re-ADD-after-DROP reuse.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+BASE_FIELDS = [("key", "bigint"), ("ts", "bigint")]
+ORIG_PAYLOAD = [("p0", "int"), ("p1", "double")]  # original droppable cols
+WIDEN = {"int": ["bigint", "double"], "bigint": ["double"], "double": []}
+
+CFG = dict(memtable_flush_threshold=10**9, max_parts=4,
+           key_col="key", ts_col="ts")
+
+
+def _schema(cols):
+    return T.StructType([
+        T.StructField(n, T.StructType.fromDDL(f"`x` {t}")[0].dataType,
+                      n not in ("key", "ts"))
+        for n, t in cols])
+
+
+def _gen_value(rng, typ):
+    if typ == "int":
+        return rng.randrange(-100, 100)
+    if typ == "bigint":
+        return rng.randrange(-10**6, 10**6)
+    if typ == "double":
+        return rng.randrange(-1000, 1000) / 2.0
+    return f"s{rng.randrange(1000)}"
+
+
+def _cast(value, typ):
+    if value is None:
+        return None
+    if typ in ("int", "bigint"):
+        return int(value)
+    if typ == "double":
+        return float(value)
+    return str(value)
+
+
+class Model:
+    """Expected table state: ordered column spec + rows keyed by (key, ts)."""
+
+    def __init__(self):
+        self.cols = list(ORIG_PAYLOAD)          # [(name, type)] in order
+        self.defaults = {}                      # name -> declared default
+        self.rows = {}                          # (key, ts) -> {name: value}
+        self.next_key = 0
+        self.dropped_or_renamed = set()
+
+    def insert(self, rng, n):
+        out = []
+        for _ in range(n):
+            k, ts = self.next_key, self.next_key
+            self.next_key += 1
+            vals = {n_: _gen_value(rng, t) for n_, t in self.cols}
+            self.rows[(k, ts)] = vals
+            out.append((k, ts, *[vals[n_] for n_, _t in self.cols]))
+        return out
+
+    def expected(self):
+        names = [n for n, _t in self.cols]
+        types = dict(self.cols)
+        return sorted(
+            (k, ts, *[_cast(v.get(n), types[n]) for n in names])
+            for (k, ts), v in self.rows.items())
+
+
+def _apply_random_op(rng, t, m, counter):
+    ops = ["insert", "insert", "insert", "flush", "add", "optimize"]
+    if m.cols:
+        ops += ["drop", "rename", "modify", "clear", "final"]
+    op = rng.choice(ops)
+    if op == "insert":
+        rows = m.insert(rng, rng.randrange(1, 6))
+        t.insert_rows(rows)
+    elif op == "flush":
+        t.flush()
+    elif op == "add":
+        # 30%: re-ADD a previously dropped name (the r6 replay corner)
+        dropped = sorted(m.dropped_or_renamed)
+        if dropped and rng.random() < 0.3:
+            name = rng.choice(dropped)
+            try:
+                typ = rng.choice(["int", "bigint", "double", "string"])
+                default = (None if rng.random() < 0.3
+                           else _gen_value(rng, typ))
+                t.add_column(name, typ, default=default)
+            except ValueError:
+                return  # renamed-away names are refused — fine
+            m.dropped_or_renamed.discard(name)
+        else:
+            name = f"c{counter[0]}"
+            counter[0] += 1
+            typ = rng.choice(["int", "bigint", "double", "string"])
+            default = None if rng.random() < 0.3 else _gen_value(rng, typ)
+            t.add_column(name, typ, default=default)
+        m.cols.append((name, typ))
+        m.defaults[name] = default
+        for v in m.rows.values():
+            v[name] = default
+    elif op == "drop":
+        name, _typ = rng.choice(m.cols)
+        t.drop_column(name)
+        m.cols = [(n, ty) for n, ty in m.cols if n != name]
+        m.dropped_or_renamed.add(name)
+        for v in m.rows.values():
+            v.pop(name, None)
+    elif op == "rename":
+        name, typ = rng.choice(m.cols)
+        new = f"c{counter[0]}"
+        counter[0] += 1
+        t.rename_column(name, new)
+        m.cols = [(new, ty) if n == name else (n, ty)
+                  for n, ty in m.cols]
+        m.defaults[new] = m.defaults.pop(name, None)
+        m.dropped_or_renamed.add(name)
+        for v in m.rows.values():
+            if name in v:
+                v[new] = v.pop(name)
+    elif op == "modify":
+        name, typ = rng.choice(m.cols)
+        targets = WIDEN.get(typ, [])
+        if not targets:
+            return
+        new_typ = rng.choice(targets)
+        t.modify_column(name, new_typ)
+        m.cols = [(n, new_typ) if n == name else (n, ty)
+                  for n, ty in m.cols]
+    elif op == "clear":
+        name, _typ = rng.choice(m.cols)
+        t.clear_column(name)
+        d = m.defaults.get(name)
+        for v in m.rows.values():
+            v[name] = d
+    elif op == "optimize":
+        t.optimize()
+    elif op == "final":
+        t.optimize(final=True)
+
+
+def _check(t, m):
+    got = sorted(tuple(r) for r in t.query_all().collect())
+    assert got == m.expected(), (
+        f"mismatch: engine={got[:3]}... model={m.expected()[:3]}... "
+        f"cols={m.cols}")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_lifecycle_fuzz(spark, seed):
+    rng = random.Random(1000 + seed)
+    base = tempfile.mkdtemp(prefix="fuzz_tbl_")
+    counter = [0]
+    m = Model()
+    schema0 = _schema(BASE_FIELDS + ORIG_PAYLOAD)
+    t = SparkMergeTree(spark, base, schema=schema0,
+                       config=MergeTreeConfig(**CFG))
+    try:
+        for _ in range(12):
+            _apply_random_op(rng, t, m, counter)
+        t.flush()
+        _check(t, m)
+        # reopen with the ORIGINAL schema: full replay of the ALTER logs
+        t.close()
+        t = SparkMergeTree(spark, base, schema=schema0,
+                           config=MergeTreeConfig(**CFG))
+        _check(t, m)
+        # keep walking after the reopen, then re-verify (replayed state
+        # must be a working table, not just a readable one)
+        for _ in range(5):
+            _apply_random_op(rng, t, m, counter)
+        t.flush()
+        _check(t, m)
+    finally:
+        t.close()
+        shutil.rmtree(base, ignore_errors=True)
