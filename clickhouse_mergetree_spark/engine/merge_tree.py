@@ -1708,8 +1708,8 @@ class SparkMergeTree:
 
         retain = self.config.snapshot_retention > 0
         with self._lock:
-            self.manifest.swap([p.part_id for p in selected], meta,
-                               retain=retain)
+            self._swap_or_remove([p.part_id for p in selected], meta,
+                                 retain=retain)
             # the merged part materialized any lightweight-delete
             # masks (read path applied them); reclaim satisfied entries
             self._gc_lw_deletes()
@@ -1722,6 +1722,19 @@ class SparkMergeTree:
             # commit point passed — old parts unreachable, reclaim disk
             for p in selected:
                 self._delete_part_dirs(p)
+
+    def _swap_or_remove(self, old_part_ids: list[int], meta: PartMeta,
+                        retain: bool) -> None:
+        """Commit a part rewrite — unless the rewrite produced ZERO rows
+        (every row masked / cancelled / expired), in which case the old
+        parts are removed WITHOUT appending the empty part: a 0-row part
+        has no stats (None min/max) and would poison range pruning, TTL
+        part classification, and merge scoring. Caller holds _lock."""
+        if meta.row_count == 0:
+            self.manifest.remove(old_part_ids, retain=retain)
+            self._delete_part_dirs(meta)
+        else:
+            self.manifest.swap(old_part_ids, meta, retain=retain)
 
     def _parts_with_pending_transforms(
             self, include_masks: bool) -> list[PartMeta]:
@@ -1851,9 +1864,14 @@ class SparkMergeTree:
                     self._buffer_dfs = filtered
                 self._buffer_count -= removed_buf
 
-                drop = [p for p in self.manifest.parts if p.max_ts < before_ts]
+                # row_count == 0 guards legacy empty parts (pre-
+                # _swap_or_remove manifests): no rows ⇒ droppable, and
+                # their None min/max stats must not hit the comparisons
+                drop = [p for p in self.manifest.parts
+                        if p.row_count == 0 or p.max_ts < before_ts]
                 rewrite = [p for p in self.manifest.parts
-                           if p.min_ts < before_ts <= p.max_ts]
+                           if p.row_count > 0
+                           and p.min_ts < before_ts <= p.max_ts]
 
             retain = self.config.snapshot_retention > 0
             rows_removed = removed_buf + sum(p.row_count for p in drop)
@@ -1877,7 +1895,7 @@ class SparkMergeTree:
                                         partition=p.partition)
                 rows_removed += p.row_count - meta.row_count
                 with self._lock:
-                    self.manifest.swap([p.part_id], meta, retain=retain)
+                    self._swap_or_remove([p.part_id], meta, retain=retain)
                     self.manifest.save()
                 if not retain:
                     self._delete_part_dirs(p)
@@ -1964,8 +1982,8 @@ class SparkMergeTree:
                 meta = self._write_part(new_id, new_df, n_in,
                                         partition=partition)
                 with self._lock:
-                    self.manifest.swap([p.part_id for p in parts], meta,
-                                       retain=retain)
+                    self._swap_or_remove([p.part_id for p in parts], meta,
+                                         retain=retain)
                     self._gc_lw_deletes()
                     self.manifest.save()
                 if not retain:
@@ -2449,7 +2467,8 @@ class SparkMergeTree:
                     meta = self._write_part(new_id, new_df, p.row_count,
                                             partition=p.partition)
                     with self._lock:
-                        self.manifest.swap([p.part_id], meta, retain=retain)
+                        self._swap_or_remove([p.part_id], meta,
+                                             retain=retain)
                         self.manifest.save()
                     if not retain:
                         self._delete_part_dirs(p)
@@ -2602,7 +2621,8 @@ class SparkMergeTree:
                     meta = self._write_part(new_id, new_df, n_est,
                                             partition=p.partition)
                     with self._lock:
-                        self.manifest.swap([p.part_id], meta, retain=retain)
+                        self._swap_or_remove([p.part_id], meta,
+                                             retain=retain)
                         _done(p.part_id)
                         self.manifest.save()
                 if not retain:

@@ -91,7 +91,37 @@ def _apply_random_op(rng, t, m, counter):
     ops = ["insert", "insert", "insert", "flush", "add", "optimize"]
     if m.cols:
         ops += ["drop", "rename", "modify", "clear", "final"]
+    if m.rows:
+        ops += ["lwdelete", "expire", "update"]
     op = rng.choice(ops)
+    if op == "lwdelete":
+        # masks bind to current rows; predicates on the (stable) key col.
+        # Renames/modifies while masks live are refused — the walk's later
+        # ops exercise that path via their try/except guards.
+        lo = rng.choice(sorted({k for k, _ in m.rows}))
+        t.lightweight_delete(f"key >= {lo} AND key < {lo + 7}")
+        m.rows = {kt: v for kt, v in m.rows.items()
+                  if not (lo <= kt[0] < lo + 7)}
+        return
+    if op == "expire":
+        cutoff = rng.choice(sorted({ts for _, ts in m.rows})) + 1
+        t.expire(cutoff)
+        m.rows = {kt: v for kt, v in m.rows.items() if kt[1] >= cutoff}
+        return
+    if op == "update":
+        if not m.cols:
+            return
+        from pyspark.sql import functions as F
+        name, typ = rng.choice(m.cols)
+        val = _gen_value(rng, typ)
+        lo = rng.choice(sorted({k for k, _ in m.rows}))
+        t.update_where(
+            (F.col("key") >= lo) & (F.col("key") < lo + 9),
+            {name: F.lit(val).cast(typ)})
+        for (k, ts), v in m.rows.items():
+            if lo <= k < lo + 9:
+                v[name] = val
+        return
     if op == "insert":
         rows = m.insert(rng, rng.randrange(1, 6))
         t.insert_rows(rows)
@@ -131,7 +161,10 @@ def _apply_random_op(rng, t, m, counter):
         name, typ = rng.choice(m.cols)
         new = f"c{counter[0]}"
         counter[0] += 1
-        t.rename_column(name, new)
+        try:
+            t.rename_column(name, new)
+        except ValueError:
+            return  # refused under live lw masks — the documented contract
         m.cols = [(new, ty) if n == name else (n, ty)
                   for n, ty in m.cols]
         m.defaults[new] = m.defaults.pop(name, None)
@@ -145,7 +178,10 @@ def _apply_random_op(rng, t, m, counter):
         if not targets:
             return
         new_typ = rng.choice(targets)
-        t.modify_column(name, new_typ)
+        try:
+            t.modify_column(name, new_typ)
+        except ValueError:
+            return  # refused under live lw masks — the documented contract
         m.cols = [(n, new_typ) if n == name else (n, ty)
                   for n, ty in m.cols]
     elif op == "clear":
