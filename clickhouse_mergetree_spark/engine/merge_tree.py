@@ -2017,18 +2017,22 @@ class SparkMergeTree:
             with self._lock:
                 if any(f.name == name for f in self.schema.fields):
                     raise ValueError(f"column {name!r} already exists")
-                self.schema = T.StructType(
-                    list(self.schema.fields)
-                    + list(T.StructType.fromDDL(f"`{name}` {ddl}")))
                 if any(r["from"] == name for r in
                        self.manifest.table_meta.get("renamed_columns", [])):
                     # replay applies adds before renames; a new column
                     # reusing a renamed-away name would be captured by the
                     # old rename on reopen. ClickHouse permits this; we
                     # trade the corner for a sound three-list replay.
+                    # Validated BEFORE any state mutates: a refused ALTER
+                    # must leave the schema untouched (a previous version
+                    # widened self.schema first, so the refusal left a
+                    # half-applied column behind — caught by the fuzzer).
                     raise ValueError(
                         f"column name {name!r} was renamed away and cannot "
                         f"be reused; pick a different name")
+                self.schema = T.StructType(
+                    list(self.schema.fields)
+                    + list(T.StructType.fromDDL(f"`{name}` {ddl}")))
                 added = self.manifest.table_meta.setdefault(
                     "added_columns", [])
                 # re-ADD after a DROP: retire the old add record (its

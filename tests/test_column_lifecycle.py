@@ -372,6 +372,22 @@ def test_rename_of_added_column_survives_reopen(spark, base):
     t2.close()
 
 
+def test_refused_add_leaves_schema_untouched(table):
+    # a REFUSED ALTER must be a no-op: re-adding a renamed-away name
+    # raises, and the schema must not keep a half-applied column
+    # (regression: add_column widened self.schema before the validation)
+    _flush(table, 0, 5)
+    table.rename_column("payload", "body")
+    before = [f.name for f in table.schema.fields]
+    with pytest.raises(ValueError, match="reused"):
+        table.add_column("payload", "string")
+    assert [f.name for f in table.schema.fields] == before
+    table.insert_rows([(f"k{ts:05d}", ts, f"b{ts}", float(ts))
+                       for ts in range(5, 10)])   # still insertable
+    table.flush()
+    assert table.query_all().count() == 10
+
+
 def test_rename_refusals(table):
     _flush(table, 0, 10)
     with pytest.raises(ValueError, match="structural"):
