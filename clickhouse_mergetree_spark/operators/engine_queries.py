@@ -2075,3 +2075,107 @@ def q_sample_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the dedup shuffle
     assert "md5" in plan and plan.index("md5") > plan.index("Exchange")
     return out.select("key", "ts_us", "event_id", "event_type", "value")
+
+
+@declared_query(
+    "q_matview_cascade",
+    oracle=f"""
+        SELECT ts_us - ts_us % 86400000000 AS day_us,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+               count(*) AS n_rows
+        FROM ({_KV_SQL}) WHERE key <= {RANGE_END}
+        GROUP BY 1
+    """,
+)
+def q_matview_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASCADED materialized views (ClickHouse chained-MV pattern: MV
+    reading from an MV's target table): source inserts trigger a
+    per-(key, day) summing rollup, and every block landing in THAT
+    target triggers a second per-day rollup — two levels of incremental
+    aggregation maintained by one source insert, no rescan of either
+    upstream table, the exact shape of the raw→hourly→daily dashboards
+    ClickHouse users chain.
+
+    The cascade falls out of the trigger model: a view's on_batch calls
+    the target's insert_batch, which notifies the target's OWN views —
+    so depth-N chains need no extra machinery. Correctness holds because
+    each level's measures are associative (DECIMAL sums + counts): level
+    2 sees level 1's block-local PARTIALS, not finalized rows, and
+    summing partials of partials equals the one-shot aggregate — which
+    is exactly what the oracle computes from the raw rows, so the hash
+    match proves the whole chain."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MaterializedView, MergeTreeConfig, SparkMergeTree)
+
+    src_schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    l1_schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("day_us", T.LongType(), False),
+        T.StructField("value_sum", T.DecimalType(18, 6), True),
+        T.StructField("n_rows", T.LongType(), False),
+    ])
+    l2_schema = T.StructType([
+        T.StructField("day_us", T.LongType(), False),
+        T.StructField("zero", T.LongType(), False),
+        T.StructField("value_sum", T.DecimalType(18, 6), True),
+        T.StructField("n_rows", T.LongType(), False),
+    ])
+    DAY_US = 86_400_000_000
+
+    def l1_rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                "key",
+                (F.col("ts_us") - F.pmod("ts_us", F.lit(DAY_US)))
+                .alias("day_us"))
+            .agg(F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("decimal(18,6)").alias("value_sum"),
+                 F.count("*").alias("n_rows"))
+        )
+
+    def l2_rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("day_us")
+            .agg(F.lit(0).cast("bigint").alias("zero"),
+                 F.sum("value_sum").cast("decimal(18,6)")
+                 .alias("value_sum"),
+                 F.sum("n_rows").alias("n_rows"))
+            .select("day_us", "zero", "value_sum", "n_rows")
+        )
+
+    src = SparkMergeTree(
+        spark, scratch_dir("q_mvc_src_"), schema=src_schema,
+        config=MergeTreeConfig(memtable_flush_threshold=10**12,
+                               key_col="key", ts_col="ts_us"))
+    l1 = SparkMergeTree(
+        spark, scratch_dir("q_mvc_l1_"), schema=l1_schema,
+        config=MergeTreeConfig(memtable_flush_threshold=10**12,
+                               max_parts=2, mode="summing",
+                               key_col="key", ts_col="day_us"))
+    l2 = SparkMergeTree(
+        spark, scratch_dir("q_mvc_l2_"), schema=l2_schema,
+        config=MergeTreeConfig(memtable_flush_threshold=10**12,
+                               max_parts=2, mode="summing",
+                               key_col="day_us", ts_col="zero"))
+    l1.attach_view(MaterializedView(l2, l2_rollup))   # level 2 chains off l1
+    src.attach_view(MaterializedView(l1, l1_rollup))
+
+    kv = (_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+          .select("key", "ts_us", "event_id", "value"))
+    for i in range(3):
+        src.insert_batch(
+            kv.filter(F.pmod("event_id", F.lit(3)) == i), row_count=1)
+    l1.flush()
+    l2.flush()
+    # the cascade's read side: finalized level-2 rollup, source untouched
+    return l2.query_all().select(
+        "day_us",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "n_rows")
