@@ -1,0 +1,145 @@
+"""Randomized partition-ops fuzz: partitioned engine vs a Python model.
+
+Same philosophy as tests/test_lifecycle_fuzz.py, aimed at the partition
+machinery: random sequences of insert / flush / DETACH+ATTACH round
+trips / DROP PARTITION / partition-scoped CLEAR COLUMN / row TTL /
+lightweight deletes / optimize(final) on a PARTITION BY table, checked
+against a dict model after every sequence and after an original-schema
+reopen. Partition-scoped ops must never leak into sibling partitions,
+and detached partitions must survive reopen (parked metadata replays).
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+SCHEMA = T.StructType([
+    T.StructField("key", T.LongType(), False),
+    T.StructField("ts", T.LongType(), False),
+    T.StructField("bucket", T.StringType(), True),
+    T.StructField("v", T.LongType(), True),
+])
+
+BUCKETS = ["b0", "b1", "b2"]
+
+CFG = dict(memtable_flush_threshold=10**9, max_parts=4,
+           key_col="key", ts_col="ts", partition_col="bucket")
+
+
+class Model:
+    def __init__(self):
+        self.rows = {}          # (key, ts) -> (bucket, v)
+        self.detached = {}      # bucket -> {(key, ts): (bucket, v)}
+        self.next_key = 0
+
+    def insert(self, rng, n):
+        out = []
+        for _ in range(n):
+            k = self.next_key
+            self.next_key += 1
+            b = rng.choice(BUCKETS)
+            v = rng.randrange(1000)
+            self.rows[(k, k)] = (b, v)
+            out.append((k, k, b, v))
+        return out
+
+    def expected(self):
+        return sorted((k, ts, b, v)
+                      for (k, ts), (b, v) in self.rows.items())
+
+
+def _op(rng, t, m):
+    ops = ["insert", "insert", "insert", "flush", "optimize"]
+    if m.rows:
+        ops += ["detach_attach", "drop_partition", "clear_in_partition",
+                "expire", "lwdelete", "final"]
+    if m.detached:
+        ops += ["attach"]
+    op = rng.choice(ops)
+    if op == "insert":
+        t.insert_rows(m.insert(rng, rng.randrange(1, 6)))
+    elif op == "flush":
+        t.flush()
+    elif op == "optimize":
+        t.optimize()
+    elif op == "final":
+        t.optimize(final=True)
+    elif op == "detach_attach":
+        b = rng.choice(BUCKETS)
+        t.flush()                       # detach covers flushed parts only
+        n = t.detach_partition(b)
+        moved = {kt: bv for kt, bv in m.rows.items() if bv[0] == b}
+        assert n == len(moved), (b, n, len(moved))
+        if rng.random() < 0.5:
+            # immediate round trip — ATTACH brings back EVERY parked part
+            # of the value, including ones detached in earlier ops
+            # (ClickHouse ATTACH PARTITION semantics)
+            parked = m.detached.pop(b, {})
+            assert t.attach_partition(b) == n + len(parked)
+            m.rows.update(parked)
+        else:
+            m.detached.setdefault(b, {}).update(moved)
+            for kt in moved:
+                del m.rows[kt]
+    elif op == "attach":
+        b = rng.choice(sorted(m.detached))
+        got = t.attach_partition(b)
+        assert got == len(m.detached[b]), (b, got)
+        m.rows.update(m.detached.pop(b))
+    elif op == "drop_partition":
+        b = rng.choice(BUCKETS)
+        t.drop_partition(b)
+        m.rows = {kt: bv for kt, bv in m.rows.items() if bv[0] != b}
+    elif op == "clear_in_partition":
+        b = rng.choice(BUCKETS)
+        t.flush()                       # clear marks flushed parts only
+        t.clear_column("v", partition=b)
+        m.rows = {kt: (bv[0], None if bv[0] == b else bv[1])
+                  for kt, bv in m.rows.items()}
+    elif op == "expire":
+        cutoff = rng.choice(sorted({ts for _, ts in m.rows})) + 1
+        t.expire(cutoff)
+        m.rows = {kt: bv for kt, bv in m.rows.items() if kt[1] >= cutoff}
+    elif op == "lwdelete":
+        lo = rng.choice(sorted({k for k, _ in m.rows}))
+        t.lightweight_delete(f"key >= {lo} AND key < {lo + 5}")
+        m.rows = {kt: bv for kt, bv in m.rows.items()
+                  if not (lo <= kt[0] < lo + 5)}
+
+
+def _check(t, m):
+    got = sorted(tuple(r) for r in t.query_all().collect())
+    assert got == m.expected(), f"engine={got[:4]} model={m.expected()[:4]}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_partition_fuzz(spark, seed):
+    rng = random.Random(2000 + seed)
+    base = tempfile.mkdtemp(prefix="pfuzz_tbl_")
+    m = Model()
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    try:
+        for _ in range(14):
+            _op(rng, t, m)
+        t.flush()
+        _check(t, m)
+        t.close()
+        t = SparkMergeTree(spark, base, schema=SCHEMA,
+                           config=MergeTreeConfig(**CFG))
+        _check(t, m)
+        # detached partitions must have survived the reopen: attach them
+        for b in sorted(m.detached):
+            assert t.attach_partition(b) == len(m.detached[b])
+            m.rows.update(m.detached.pop(b))
+        _check(t, m)
+    finally:
+        t.close()
+        shutil.rmtree(base, ignore_errors=True)
