@@ -351,3 +351,65 @@ def q_fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (common.cast("double") / (F.size(ta) + F.size(tb) - common))
         .cast("double").alias("tok_jaccard"),
     )
+
+
+@declared_query(
+    "q_fn_bits",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS b_and,
+               o_orderkey | 4096 AS b_or,
+               xor(o_orderkey, 1365) AS b_xor,
+               (o_orderkey & 65535) << 2 AS b_shl,
+               o_orderkey >> 3 AS b_shr,
+               bit_count(CAST(o_orderkey AS BIGINT)) AS b_pop
+        FROM orders
+    """,
+)
+def q_fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse bit-function family (bitAnd/bitOr/bitXor/
+    bitShiftLeft/bitShiftRight/bitCount) analog — flag fields, bitmap
+    codes, and hash mixing all route through these. Pure row-local
+    projection, fused into whole-stage codegen behind the scan: at
+    100 TB this is a map stage at full cluster width, zero shuffles.
+    Both engines implement two's-complement semantics on BIGINT, so
+    every output hash-matches without tolerance."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+        F.shiftleft(k.bitwiseAND(F.lit(65535)), 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+        F.bit_count(k.cast("bigint")).alias("b_pop"),
+    )
+
+
+@declared_query(
+    "q_fn_encode",
+    oracle="""
+        SELECT c_custkey,
+               hex(encode(c_name)) AS name_hex,
+               base64(encode(c_name)) AS name_b64,
+               md5(c_name) AS name_md5,
+               octet_length(encode(c_name)) AS name_bytes
+        FROM customer
+    """,
+)
+def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse encoding-function family (hex / base64Encode / MD5 /
+    byte length) analog — ID munging, cache keys, and binary-safe
+    export paths. Row-local projection in codegen, zero shuffles.
+    DuckDB's hex() of a BLOB uppercases and Spark's hex() of binary
+    does too; base64 follows RFC 4648 on both; md5 returns lowercase
+    hex on both — each pinned by the value hash."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.hex(F.encode("c_name", "UTF-8")).alias("name_hex"),
+        F.base64(F.encode("c_name", "UTF-8")).alias("name_b64"),
+        F.md5("c_name").alias("name_md5"),
+        F.octet_length("c_name").alias("name_bytes"),
+    )
