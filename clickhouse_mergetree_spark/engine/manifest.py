@@ -207,13 +207,23 @@ class PartMeta:
         """set(N) skip check: False ⇒ no row of this part has ``col``
         equal to ANY of ``values``. Parts without a stored set for the
         column — or whose set overflowed N at write time (stored None) —
-        always say True. Membership compares canonical string forms, the
-        same canonicalization the index build applies."""
+        always say True.
+
+        Membership compares canonical string forms (the index build
+        stores Spark's string CAST). Python's str() agrees with that
+        cast ONLY for str and int probes — floats (1e-07 vs '1.0E-7'),
+        bools ('True' vs 'true'), and dates all diverge, and a
+        systematic divergence would wrongly prune EVERY part — so any
+        other probe type makes no claim (never skip). The index targets
+        low-cardinality string/int columns, where this costs nothing."""
         if not self.col_sets or col not in self.col_sets:
             return True
         stored = self.col_sets[col]
         if stored is None:  # overflowed N: no claim
             return True
+        if not all(isinstance(v, (str, int)) and not isinstance(v, bool)
+                   for v in values):
+            return True  # str() ≠ Spark string cast for this type
         have = set(stored)
         return any(str(v) in have for v in values)
 

@@ -115,6 +115,17 @@ def test_set_index_column_is_structural(table):
         table.rename_column("status", "code")
 
 
+def test_non_string_probe_types_never_prune(table):
+    # str(probe) diverges from Spark's string CAST for floats/bools —
+    # such probes must make NO claim (pruning may never false-negative)
+    _flush_statuses(table, 0, 10, ["ok"])
+    assert len(table.parts_for_in("status", [1e-07])) == 1
+    assert len(table.parts_for_in("status", [True])) == 1
+    assert len(table.parts_for_in("status", ["ok", 2.5])) == 1
+    # pure str/int probes still prune
+    assert len(table.parts_for_in("status", ["absent"])) == 0
+
+
 def test_buffered_rows_still_visible(table):
     _flush_statuses(table, 0, 10, ["seen"])
     table.insert_rows([(99, 99, "buffered", 9.9)])  # unflushed
