@@ -1962,7 +1962,11 @@ class SparkMergeTree:
                       and f.name not in aggs]
             replaced = rows_before = rows_after = 0
             for partition, parts in groups.items():
-                src = self._read_parts(parts)
+                # collapse FIRST (the merge primitive): unmerged parts can
+                # hold duplicate (key, ts) rows that a read would hide —
+                # rolling up the raw bytes would double-count them into
+                # the aggregates. Rollup always sees the finalized view.
+                src = self._collapse(self._read_parts(parts))
                 young = src.filter(F.col(self._ts) >= F.lit(before_ts))
                 rolled = (
                     src.filter(F.col(self._ts) < F.lit(before_ts))

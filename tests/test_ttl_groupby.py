@@ -105,6 +105,23 @@ def test_rollup_respects_partitions(spark, base):
                         (1, "b1"): 5, (3, "b1"): 5}
 
 
+def test_rollup_collapses_duplicates_first(table):
+    # duplicate (key, ts) rows across unmerged parts: a read hides them
+    # ((key, ts) dedup), so the rollup must NOT double-count them
+    table.insert_rows([(5, ts, "a", 10) for ts in range(3)])
+    table.flush()
+    table.insert_rows([(5, ts, "b", 99) for ts in range(3)])  # dupes
+    table.flush()
+    assert table.query_all().count() == 3          # reads dedup
+    table.expire_rollup(100, {"hits": "sum"})
+    [r] = table.query_all().collect()
+    assert r["key"] == 5 and r["ts"] == 2
+    assert r["hits"] in (30, 297)  # one part's rows win wholesale...
+    # ...and the sum equals 3x the surviving duplicate's value — never
+    # the double-counted 30 + 297 mix
+    assert r["hits"] != 327
+
+
 def test_rollup_refusals(table):
     table.insert_rows([(1, 1, "x", 1)])
     with pytest.raises(ValueError, match="unknown"):
