@@ -2833,6 +2833,52 @@ class SparkMergeTree:
         from clickhouse_mergetree_spark.tables import values_df
         return values_df(self.spark, rows, cols)
 
+    def system_columns(self) -> DataFrame:
+        """``system.columns`` analog: the logical schema as a DataFrame —
+        position, name, declared type, ALTER provenance (original / added
+        / renamed / type-modified), declared default, structural role,
+        and how many live parts still lag the declaration physically
+        (missing bytes, pending rename, or pending cast — the count
+        ``materialize_column`` would rewrite). Metadata-sized: one row
+        per column from the manifest, zero data files touched."""
+        cols = [
+            ("position", "int"), ("name", "string"), ("type", "string"),
+            ("origin", "string"), ("default", "string"),
+            ("is_structural", "boolean"), ("parts_lagging", "int"),
+        ]
+        with self._lock:
+            tm = self.manifest.table_meta
+            added = {a["name"]: a for a in tm.get("added_columns", [])}
+            renamed_to = {r["to"] for r in tm.get("renamed_columns", [])}
+            modified = {m["name"] for m in tm.get("modified_columns", [])}
+            structural = self._structural_cols()
+            chains = self._rename_chains()
+            added_names = set(added)
+            original = [f.name for f in self.schema.fields
+                        if f.name not in added_names]
+            rows = []
+            for i, f in enumerate(self.schema.fields):
+                lagging = 0
+                chain = chains.get(f.name, [f.name])
+                for p in self.manifest.parts:
+                    present = (set(p.columns) if p.columns is not None
+                               else set(original))
+                    phys = next((c for c in chain if c in present), None)
+                    if (phys is None or phys != f.name
+                            or (p.cast_cols or {}).get(phys)):
+                        lagging += 1
+                origin = ("added" if f.name in added_names else "original")
+                if f.name in renamed_to:
+                    origin += "+renamed"
+                if f.name in modified:
+                    origin += "+modified"
+                dflt = added.get(f.name, {}).get("default")
+                rows.append((i, f.name, f.dataType.simpleString(), origin,
+                             None if dflt is None else str(dflt),
+                             f.name in structural, lagging))
+        from clickhouse_mergetree_spark.tables import values_df
+        return values_df(self.spark, rows, cols)
+
     # ----------------------------------------------------------- maintenance
 
     def start_background_maintenance(self) -> None:

@@ -189,6 +189,27 @@ def test_materialize_column_fills_added_default(spark, table):
         table.materialize_column("nope")
 
 
+def test_system_columns_tracks_alter_provenance(table):
+    _flush(table, 0, 10)
+    table.modify_column("code", "bigint")
+    table.add_column("origin", "string", default="backfill")
+    table.rename_column("score", "points")
+    info = {r["name"]: r for r in table.system_columns().collect()}
+    assert list(info) == ["key", "ts", "code", "points", "origin"]
+    assert info["key"]["is_structural"] and info["key"]["origin"] == "original"
+    assert info["code"]["origin"] == "original+modified"
+    assert info["code"]["type"] == "bigint"
+    assert info["code"]["parts_lagging"] == 1      # pending cast
+    assert info["points"]["origin"] == "original+renamed"
+    assert info["points"]["parts_lagging"] == 1    # pending rename
+    assert info["origin"]["origin"] == "added"
+    assert info["origin"]["default"] == "backfill"
+    assert info["origin"]["parts_lagging"] == 1    # missing bytes
+    table.optimize()                               # materializes everything
+    info = {r["name"]: r for r in table.system_columns().collect()}
+    assert all(r["parts_lagging"] == 0 for r in info.values())
+
+
 def test_modify_refusals(table):
     _flush(table, 0, 10)
     with pytest.raises(ValueError, match="structural"):
