@@ -2762,13 +2762,17 @@ class SparkMergeTree:
     def _gc_lw_deletes(self) -> None:
         """Drop lightweight-delete entries no reachable part references.
         Tombstoned (snapshot-retained) parts still count as reachable —
-        their versions may be read back and must stay masked. Caller holds
-        self._lock."""
+        their versions may be read back and must stay masked — and so do
+        DETACHED parts: ATTACH PARTITION brings them back masked, so
+        GC'ing an entry while its last part sits detached would resurrect
+        the deleted rows on re-attach. Caller holds self._lock."""
         lw = self.manifest.table_meta.get("lw_deletes")
         if not lw:
             return
         reachable = ({p.part_id for p in self.manifest.parts}
-                     | set(self.manifest.tombstones))
+                     | set(self.manifest.tombstones)
+                     | {d["part_id"] for d in
+                        self.manifest.table_meta.get("detached", [])})
         kept = [e for e in lw if reachable.intersection(e["parts"])]
         if len(kept) != len(lw):
             self.manifest.table_meta["lw_deletes"] = kept

@@ -76,13 +76,16 @@ def _op(rng, t, m):
         t.flush()                       # detach covers flushed parts only
         n = t.detach_partition(b)
         moved = {kt: bv for kt, bv in m.rows.items() if bv[0] == b}
-        assert n == len(moved), (b, n, len(moved))
+        # detach reports PHYSICAL part rows; lightweight-deleted rows stay
+        # in the files until a rewrite materializes the mask, so the
+        # physical count may exceed the logical model's
+        assert n >= len(moved), (b, n, len(moved))
         if rng.random() < 0.5:
             # immediate round trip — ATTACH brings back EVERY parked part
             # of the value, including ones detached in earlier ops
             # (ClickHouse ATTACH PARTITION semantics)
             parked = m.detached.pop(b, {})
-            assert t.attach_partition(b) == n + len(parked)
+            assert t.attach_partition(b) >= len(moved) + len(parked)
             m.rows.update(parked)
         else:
             m.detached.setdefault(b, {}).update(moved)
@@ -91,7 +94,8 @@ def _op(rng, t, m):
     elif op == "attach":
         b = rng.choice(sorted(m.detached))
         got = t.attach_partition(b)
-        assert got == len(m.detached[b]), (b, got)
+        # physical rows: parked parts may still hold lw-masked rows
+        assert got >= len(m.detached[b]), (b, got)
         m.rows.update(m.detached.pop(b))
     elif op == "drop_partition":
         b = rng.choice(BUCKETS)
@@ -137,9 +141,40 @@ def test_partition_fuzz(spark, seed):
         _check(t, m)
         # detached partitions must have survived the reopen: attach them
         for b in sorted(m.detached):
-            assert t.attach_partition(b) == len(m.detached[b])
+            assert t.attach_partition(b) >= len(m.detached[b])
             m.rows.update(m.detached.pop(b))
         _check(t, m)
+    finally:
+        t.close()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_lw_mask_survives_detach_attach_and_gc(spark):
+    # data-loss-of-delete regression: a mask whose LAST live part gets
+    # detached must not be garbage-collected while the part is parked —
+    # ATTACH would resurrect the deleted rows. GC now counts detached
+    # parts as reachable.
+    base = tempfile.mkdtemp(prefix="pfuzz_gc_")
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    try:
+        t.insert_rows([(k, k, "b0", k) for k in range(10)])
+        t.insert_rows([(k, k, "b1", k) for k in range(10, 30)])
+        t.flush()
+        t.lightweight_delete("key < 5")      # masks only the b0 part
+        assert t.query_all().count() == 25
+        t.detach_partition("b0")
+        # force merge activity in the live set: b1's parts compact and
+        # the merge commit runs lw GC — the parked b0 reference must
+        # keep the entry alive
+        t.insert_rows([(k, k, "b1", k) for k in range(30, 40)])
+        t.flush()
+        t.optimize(final=True)
+        assert t.manifest.table_meta.get("lw_deletes"), \
+            "mask GC'd while its part was detached"
+        t.attach_partition("b0")
+        got = {r["key"] for r in t.query_all().collect()}
+        assert got == set(range(5, 40))      # keys 0-4 stay deleted
     finally:
         t.close()
         shutil.rmtree(base, ignore_errors=True)
