@@ -2100,8 +2100,11 @@ class SparkMergeTree:
                 for c in sorted(chain):
                     if c not in dropped:
                         dropped.append(c)
-                all_parts = list(self.manifest.parts) + [
-                    p for p, _ in self.manifest.tombstones.values()]
+                detached = self._detached_metas()
+                all_parts = (list(self.manifest.parts)
+                             + [p for p, _ in
+                                self.manifest.tombstones.values()]
+                             + detached)
                 tm["modified_columns"] = [
                     m for m in tm.get("modified_columns", [])
                     if m["name"] != name]
@@ -2114,6 +2117,7 @@ class SparkMergeTree:
                     if p.cast_cols and chain & set(p.cast_cols):
                         p.cast_cols = {c: d for c, d in p.cast_cols.items()
                                        if c not in chain} or None
+                self._park_detached(detached)
                 self.manifest.save()
 
     def rename_column(self, old: str, new: str) -> None:
@@ -2163,8 +2167,11 @@ class SparkMergeTree:
                                for a in tm.get("added_columns", [])}
                 original = [f.name for f in self.schema.fields
                             if f.name not in added_names]
-                all_parts = list(self.manifest.parts) + [
-                    p for p, _ in self.manifest.tombstones.values()]
+                detached = self._detached_metas()
+                all_parts = (list(self.manifest.parts)
+                             + [p for p, _ in
+                                self.manifest.tombstones.values()]
+                             + detached)
                 for p in all_parts:
                     if p.columns is None:
                         p.columns = list(original)
@@ -2185,6 +2192,7 @@ class SparkMergeTree:
                         mrec["name"] = new
                 tm.setdefault("renamed_columns", []).append(
                     {"from": old, "to": new})
+                self._park_detached(detached)
                 self.manifest.save()
 
     def modify_column(self, name: str, ddl: str) -> None:
@@ -2241,8 +2249,11 @@ class SparkMergeTree:
                                for a in tm.get("added_columns", [])}
                 original = [f.name for f in self.schema.fields
                             if f.name not in added_names]
-                all_parts = list(self.manifest.parts) + [
-                    p for p, _ in self.manifest.tombstones.values()]
+                detached = self._detached_metas()
+                all_parts = (list(self.manifest.parts)
+                             + [p for p, _ in
+                                self.manifest.tombstones.values()]
+                             + detached)
                 for p in all_parts:
                     present = (set(p.columns) if p.columns is not None
                                else set(original))
@@ -2261,6 +2272,7 @@ class SparkMergeTree:
                         a["ddl"] = ddl  # missing parts fill at the new type
                 tm.setdefault("modified_columns", []).append(
                     {"name": name, "ddl": ddl})
+                self._park_detached(detached)
                 self.manifest.save()
 
     def materialize_column(self, name: str) -> dict:
@@ -2342,7 +2354,9 @@ class SparkMergeTree:
                 # post-CLEAR values, not leak the cleared data — but they
                 # don't count toward the live-table stats
                 dirty = marked > 0
-                for p, _v in self.manifest.tombstones.values():
+                detached = self._detached_metas()
+                for p in ([p for p, _v in
+                           self.manifest.tombstones.values()] + detached):
                     if partition is not None and p.partition != partition:
                         continue
                     if name in (p.expired_cols or ()):
@@ -2351,8 +2365,27 @@ class SparkMergeTree:
                         set(p.expired_cols or ()) | {name})
                     dirty = True
                 if dirty:
+                    self._park_detached(detached)
                     self.manifest.save()
             return {"parts_marked": marked, "cells_cleared": cells}
+
+    def _detached_metas(self) -> list[PartMeta]:
+        """Detached (parked) parts as PartMeta handles. Every ALTER's
+        part-marking loop must cover them — they re-enter the live set
+        via ATTACH and must carry the same column-list strips, rename
+        freezes, cast records, and expiry marks as live parts, or ATTACH
+        after an ALTER would serve stale bytes (the same bug class DROP's
+        column-list strip exists to prevent). Pair with _park_detached to
+        persist edits. Caller holds _lock."""
+        return [PartMeta(**d) for d in
+                self.manifest.table_meta.get("detached", [])]
+
+    def _park_detached(self, metas: list[PartMeta]) -> None:
+        """Write edited detached-part handles back to the manifest."""
+        from dataclasses import asdict
+        if metas or self.manifest.table_meta.get("detached"):
+            self.manifest.table_meta["detached"] = [
+                asdict(p) for p in metas]
 
     def _rename_chains(self) -> dict:
         """Per current logical column, its historical physical names,
@@ -2494,13 +2527,17 @@ class SparkMergeTree:
             # expired_cols is whole-part, and a snapshot-only part is
             # never rewritten; it reclaims at vacuum)
             with self._lock:
-                for p, _v in self.manifest.tombstones.values():
+                detached = self._detached_metas()
+                for p in ([p for p, _v in
+                           self.manifest.tombstones.values()] + detached):
                     already = set(p.expired_cols or ())
                     full = {c for c, cut in cutoffs.items()
                             if p.max_ts < cut and c not in already}
                     if full:
                         p.expired_cols = sorted(already | full)
                         dirty = True
+                if dirty:
+                    self._park_detached(detached)
             if dirty:
                 with self._lock:
                     self.manifest.save()

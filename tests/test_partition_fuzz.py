@@ -149,6 +149,57 @@ def test_partition_fuzz(spark, seed):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_alters_reach_detached_parts(spark):
+    # ALTER metadata must cover PARKED parts: a partition detached before
+    # a DROP + re-ADD / RENAME / MODIFY must come back with the marks —
+    # otherwise ATTACH serves stale bytes under the new declaration
+    base = tempfile.mkdtemp(prefix="pfuzz_alter_")
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    try:
+        t.insert_rows([(k, k, "b0", k) for k in range(5)])
+        t.insert_rows([(k, k, "b1", 100 + k) for k in range(5, 10)])
+        t.flush()
+        t.detach_partition("b0")
+        t.drop_column("v")
+        t.add_column("v", "bigint", default=-1)       # re-ADD: new default
+        t.attach_partition("b0")
+        vals = {r["key"]: r["v"] for r in t.query_all().collect()}
+        # pre-drop bytes must NOT resurrect for the re-attached partition
+        assert all(vals[k] == -1 for k in range(10)), vals
+    finally:
+        t.close()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_rename_and_modify_reach_detached_parts(spark):
+    base = tempfile.mkdtemp(prefix="pfuzz_alter2_")
+    t = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    try:
+        t.insert_rows([(k, k, "b0", k * 10) for k in range(5)])
+        t.insert_rows([(k, k, "b1", k * 10) for k in range(5, 10)])
+        t.flush()
+        t.detach_partition("b0")
+        t.rename_column("v", "w")
+        t.modify_column("w", "double")
+        t.attach_partition("b0")
+        vals = {r["key"]: r["w"] for r in t.query_all().collect()}
+        assert vals == {k: float(k * 10) for k in range(10)}
+        assert dict(t.query_all().dtypes)["w"] == "double"
+        # and the marks survive a reopen of the still-detached state too
+        t.detach_partition("b0")
+        t.close()
+        t = SparkMergeTree(spark, base, schema=SCHEMA,
+                           config=MergeTreeConfig(**CFG))
+        t.attach_partition("b0")
+        vals = {r["key"]: r["w"] for r in t.query_all().collect()}
+        assert vals == {k: float(k * 10) for k in range(10)}
+    finally:
+        t.close()
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_lw_mask_survives_detach_attach_and_gc(spark):
     # data-loss-of-delete regression: a mask whose LAST live part gets
     # detached must not be garbage-collected while the part is parked —
