@@ -2353,10 +2353,15 @@ class SparkMergeTree:
                 # drop_column does): time-travel reads must observe the
                 # post-CLEAR values, not leak the cleared data — but they
                 # don't count toward the live-table stats
+                # tombstones only — NOT detached parts: CLEAR is a DATA
+                # operation, and detached data is preserved as-is until
+                # re-attach (the same contract as lightweight deletes and
+                # mutations, which bind to parts in the table at commit;
+                # ClickHouse data ops skip detached/ likewise). Schema
+                # ALTERs (drop/rename/modify) DO mark detached parts —
+                # those are readability requirements, not data edits.
                 dirty = marked > 0
-                detached = self._detached_metas()
-                for p in ([p for p, _v in
-                           self.manifest.tombstones.values()] + detached):
+                for p, _v in self.manifest.tombstones.values():
                     if partition is not None and p.partition != partition:
                         continue
                     if name in (p.expired_cols or ()):
@@ -2365,7 +2370,6 @@ class SparkMergeTree:
                         set(p.expired_cols or ()) | {name})
                     dirty = True
                 if dirty:
-                    self._park_detached(detached)
                     self.manifest.save()
             return {"parts_marked": marked, "cells_cleared": cells}
 
@@ -2527,17 +2531,15 @@ class SparkMergeTree:
             # expired_cols is whole-part, and a snapshot-only part is
             # never rewritten; it reclaims at vacuum)
             with self._lock:
-                detached = self._detached_metas()
-                for p in ([p for p, _v in
-                           self.manifest.tombstones.values()] + detached):
+                # tombstones only — NOT detached parts (data op; see
+                # clear_column's detached-exemption rationale)
+                for p, _v in self.manifest.tombstones.values():
                     already = set(p.expired_cols or ())
                     full = {c for c, cut in cutoffs.items()
                             if p.max_ts < cut and c not in already}
                     if full:
                         p.expired_cols = sorted(already | full)
                         dirty = True
-                if dirty:
-                    self._park_detached(detached)
             if dirty:
                 with self._lock:
                     self.manifest.save()

@@ -38,6 +38,9 @@ class Model:
         self.rows = {}          # (key, ts) -> (bucket, v)
         self.detached = {}      # bucket -> {(key, ts): (bucket, v)}
         self.next_key = 0
+        self.vtype = "bigint"   # current declared type of v
+        self.vdefault = None    # declared default (set by re-ADD)
+        self.altered = False
 
     def insert(self, rng, n):
         out = []
@@ -51,8 +54,14 @@ class Model:
         return out
 
     def expected(self):
-        return sorted((k, ts, b, v)
+        return sorted((k, ts, b, _cast(v, self.vtype))
                       for (k, ts), (b, v) in self.rows.items())
+
+
+def _cast(v, typ):
+    if v is None:
+        return None
+    return float(v) if typ == "double" else int(v)
 
 
 def _op(rng, t, m):
@@ -62,7 +71,32 @@ def _op(rng, t, m):
                 "expire", "lwdelete", "final"]
     if m.detached:
         ops += ["attach"]
+    if not getattr(m, "altered", False):
+        ops += ["drop_readd", "modify"]
     op = rng.choice(ops)
+    if op == "drop_readd":
+        # ALTER interleaved with partition state: marks must reach live,
+        # tombstoned, AND detached parts
+        t.drop_column("v")
+        t.add_column("v", "bigint", default=-9)
+        m.vtype = "bigint"
+        m.vdefault = -9
+        for store in [m.rows, *m.detached.values()]:
+            for kt in store:
+                store[kt] = (store[kt][0], -9)
+        m.altered = True
+        return
+    if op == "modify":
+        try:
+            t.modify_column("v", "double")
+        except ValueError:
+            return  # refused while lw masks live — documented contract
+        m.vtype = "double"
+        for store in [m.rows, *m.detached.values()]:
+            for kt in store:
+                store[kt] = (store[kt][0], _cast(store[kt][1], "double"))
+        m.altered = True
+        return
     if op == "insert":
         t.insert_rows(m.insert(rng, rng.randrange(1, 6)))
     elif op == "flush":
@@ -105,7 +139,7 @@ def _op(rng, t, m):
         b = rng.choice(BUCKETS)
         t.flush()                       # clear marks flushed parts only
         t.clear_column("v", partition=b)
-        m.rows = {kt: (bv[0], None if bv[0] == b else bv[1])
+        m.rows = {kt: (bv[0], m.vdefault if bv[0] == b else bv[1])
                   for kt, bv in m.rows.items()}
     elif op == "expire":
         cutoff = rng.choice(sorted({ts for _, ts in m.rows})) + 1
@@ -123,7 +157,9 @@ def _check(t, m):
     assert got == m.expected(), f"engine={got[:4]} model={m.expected()[:4]}"
 
 
-@pytest.mark.parametrize("seed", range(6))
+# seeds 40/73 pinned: they caught CLEAR/TTL wrongly reaching detached
+# parts (data ops must not touch parked data; schema ALTERs must)
+@pytest.mark.parametrize("seed", [*range(6), 40, 73])
 def test_partition_fuzz(spark, seed):
     rng = random.Random(2000 + seed)
     base = tempfile.mkdtemp(prefix="pfuzz_tbl_")
