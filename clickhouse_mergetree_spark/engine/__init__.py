@@ -19,6 +19,7 @@ from clickhouse_mergetree_spark.engine.merger import (
     calculate_merge_score,
     select_merge_candidates,
 )
+from clickhouse_mergetree_spark.engine.sharded import ShardedMergeTree
 
 __all__ = [
     "Manifest",
@@ -26,6 +27,7 @@ __all__ = [
     "MergeTreeConfig",
     "PartMeta",
     "ProjectionSpec",
+    "ShardedMergeTree",
     "SparkMergeTree",
     "calculate_merge_score",
     "select_merge_candidates",

@@ -1,0 +1,167 @@
+"""Sharded table layer — the ClickHouse ``Distributed`` engine analog.
+
+A ClickHouse deployment scales writes by putting a ``Distributed`` table
+in front of N shard-local MergeTree tables: inserts route by a sharding
+key, each shard merges/prunes/serves independently, and reads fan out
+and union. This module is that layer over ``SparkMergeTree``: N
+fully-independent shard tables under one root, inserts routed by a hash
+of the sorting key, every maintenance operation (flush, optimize, TTL,
+mutations) applied per shard, and reads assembled as a union of shard
+reads.
+
+Why the shape survives 100 TB: the sharding key IS the sorting key, so
+every (key, ts) version group lands wholly inside one shard — shard-
+local collapse equals global collapse, point lookups touch exactly one
+shard, and key-range scans prune both across shards (nothing here — the
+hash spreads ranges, like ClickHouse) and within each shard via its own
+manifest. Each shard's merge scheduling, part counts, and skipping
+indexes are private, which is exactly what keeps compaction scalable
+when the table no longer fits one node's maintenance budget.
+
+Routing hash: ``pmod(xxhash64(key), n_shards)`` — computed by Spark
+inside the insert job (one partition-pruned write per shard, no driver
+materialization), matching ClickHouse's ``rand()``-free deterministic
+sharding-expression contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_mergetree_spark.engine.merge_tree import (
+    MergeTreeConfig, SparkMergeTree)
+
+
+class ShardedMergeTree:
+    """N independent SparkMergeTree shards behind one table surface."""
+
+    def __init__(self, spark: SparkSession, base_path: str,
+                 n_shards: int = 4,
+                 schema: T.StructType | None = None,
+                 config: MergeTreeConfig | None = None):
+        if n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        self.spark = spark
+        self.base_path = base_path
+        self.n_shards = n_shards
+        os.makedirs(base_path, exist_ok=True)
+        self.shards = [
+            SparkMergeTree(spark, os.path.join(base_path, f"shard_{i}"),
+                           schema=schema, config=config)
+            for i in range(n_shards)
+        ]
+        self._key = self.shards[0].config.key_col
+
+    # ------------------------------------------------------------ routing
+
+    def _shard_expr(self):
+        return F.pmod(F.xxhash64(F.col(self._key)), F.lit(self.n_shards))
+
+    def shard_of(self, key) -> int:
+        """The shard a key routes to (driver-side mirror of _shard_expr,
+        via a 1-row literal plan — no table data touched). The literal
+        casts to the key column's DECLARED type first: xxhash64 hashes
+        int32 and int64 differently, so an uncast Python int literal
+        would route to a different shard than the stored column."""
+        ktype = self.shards[0].schema[self._key].dataType
+        return int(self.spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(key).cast(ktype)),
+                   F.lit(self.n_shards)).alias("s")).first()["s"])
+
+    # ------------------------------------------------------------- writes
+
+    def insert_batch(self, df: DataFrame, row_count: int | None = None
+                     ) -> None:
+        """Route one arriving block to its shards: one filtered insert
+        per shard over the same tagged frame. Spark evaluates the hash
+        inside each shard's job — rows never surface on the driver, and
+        at cluster scale the N filtered scans share the shuffle-free
+        narrow plan (ClickHouse's async Distributed insert splits blocks
+        the same way)."""
+        tagged = df.withColumn("__shard", self._shard_expr())
+        for i, shard in enumerate(self.shards):
+            part = tagged.filter(F.col("__shard") == i).drop("__shard")
+            shard.insert_batch(part)
+
+    def insert_rows(self, rows: list[tuple]) -> None:
+        """Driver-side row batches route arithmetically (the same
+        xxhash64 the Spark expression computes, mirrored per row via a
+        single literal-plan evaluation batch)."""
+        if not rows:
+            return
+        schema = self.shards[0].schema
+        df = self.shards[0].spark.createDataFrame(rows, schema)
+        self.insert_batch(df, row_count=len(rows))
+
+    def flush(self) -> None:
+        for s in self.shards:
+            s.flush()
+
+    def optimize(self, final: bool = False) -> None:
+        for s in self.shards:
+            s.optimize(final=final)
+
+    def expire(self, before_ts) -> dict:
+        out = {"parts_dropped": 0, "parts_rewritten": 0, "rows_removed": 0}
+        for s in self.shards:
+            r = s.expire(before_ts)
+            for k in out:
+                out[k] += r[k]
+        return out
+
+    # -------------------------------------------------------------- reads
+
+    def _union(self, dfs: list[DataFrame]) -> DataFrame:
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def query_all(self) -> DataFrame:
+        """Union of shard reads. Shard-local collapse == global collapse
+        because the sharding key is the sorting key: a (key, ts) group
+        never spans shards."""
+        return self._union([s.query_all() for s in self.shards])
+
+    def query(self, start_key, end_key) -> DataFrame:
+        """Range scan: fans out to every shard (hash sharding spreads
+        ranges — ClickHouse's tradeoff too), each shard pruning its own
+        parts by manifest min/max."""
+        return self._union([s.query(start_key, end_key)
+                            for s in self.shards])
+
+    def query_key(self, key) -> DataFrame:
+        """Point lookup: routed to EXACTLY ONE shard — the marquee win
+        of key-hash sharding (1/N of the cluster touched), then that
+        shard's min/max + bloom pruning applies as usual."""
+        return self.shards[self.shard_of(key)].query_key(key)
+
+    # ------------------------------------------------------- introspection
+
+    def shard_stats(self) -> list[dict]:
+        """Per-shard part/row counts (metadata only)."""
+        return [{"shard": i, "parts": s.part_count(),
+                 "rows": s.total_rows()}
+                for i, s in enumerate(self.shards)]
+
+    def part_count(self) -> int:
+        return sum(s.part_count() for s in self.shards)
+
+    def total_rows(self) -> int:
+        return sum(s.total_rows() for s in self.shards)
+
+    # ---------------------------------------------------------- lifecycle
+
+    def close(self) -> None:
+        for s in self.shards:
+            s.close()
+
+    def __enter__(self) -> "ShardedMergeTree":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

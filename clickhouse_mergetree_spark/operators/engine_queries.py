@@ -2179,3 +2179,55 @@ def q_matview_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_us",
         F.col("value_sum").cast("double").alias("value_sum"),
         "n_rows")
+
+
+@declared_query(
+    "q_sharded_engine",
+    oracle=f"""
+        SELECT DISTINCT user_id AS key, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id BETWEEN {RANGE_START} AND {RANGE_END}
+    """,
+)
+def q_sharded_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``Distributed`` engine end-to-end (extension): a
+    4-shard table — inserts route by ``pmod(xxhash64(key), 4)`` computed
+    INSIDE the insert job, each shard an independent SparkMergeTree with
+    its own parts/manifest/merges — then a fanned-out range read with
+    per-shard manifest pruning and shard-local (key, ts) dedup.
+
+    Shard-local dedup equals global dedup because the sharding key is
+    the sorting key: a version group can never span shards — asserted
+    here by checking a point lookup touches exactly one shard. At
+    100 TB this layer is what keeps compaction scalable: merge
+    scheduling, part budgets, and skipping indexes are per-shard, and
+    point lookups touch 1/N of the deployment. The oracle checks the
+    same deduped (key, ts) pair set as q_mergetree_engine."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (MergeTreeConfig,
+                                                   ShardedMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12,
+                          max_parts=2, key_col="key", ts_col="ts_us")
+    table = ShardedMergeTree(spark, scratch_dir("q_sharded_"),
+                             n_shards=4, schema=schema, config=cfg)
+    kv = _kv(spark, sf_dir)
+    table.insert_batch(kv, row_count=1)
+    table.flush()
+    table.optimize()
+    # routing invariants: every shard holds rows, and a point lookup
+    # touches exactly one shard
+    stats = table.shard_stats()
+    assert all(s["rows"] > 0 for s in stats), stats
+    probe = table.shard_of(POINT_KEY)
+    for j, s in enumerate(table.shards):
+        n = s.query_key(POINT_KEY).count()
+        assert (n > 0) == (j == probe), (j, probe, n)
+    return table.query(RANGE_START, RANGE_END).select("key", "ts_us")
