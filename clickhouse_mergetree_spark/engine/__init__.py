@@ -10,6 +10,7 @@ reference's formula (R29).
 
 from clickhouse_mergetree_spark.engine.manifest import Manifest, PartMeta
 from clickhouse_mergetree_spark.engine.matview import MaterializedView
+from clickhouse_mergetree_spark.engine.merge_table import MergeTable
 from clickhouse_mergetree_spark.engine.merge_tree import (
     MergeTreeConfig,
     ProjectionSpec,
@@ -24,6 +25,7 @@ from clickhouse_mergetree_spark.engine.sharded import ShardedMergeTree
 __all__ = [
     "Manifest",
     "MaterializedView",
+    "MergeTable",
     "MergeTreeConfig",
     "PartMeta",
     "ProjectionSpec",

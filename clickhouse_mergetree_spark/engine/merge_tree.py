@@ -1236,6 +1236,85 @@ class SparkMergeTree:
                 self.manifest.save()
                 return rows
 
+    def attach_partition_from(self, src: "SparkMergeTree", value,
+                              replace: bool = False) -> int:
+        """``ALTER TABLE dst ATTACH PARTITION ... FROM src`` analog (with
+        ``replace=True``, ``REPLACE PARTITION ... FROM`` — ClickHouse's
+        backfill/reshard primitive): copy the source partition's live
+        parts into this table as new parts, WITHOUT reading a row — part
+        files are HARDLINKED (immutable parts make links safe, the same
+        argument as FREEZE) and each copy gets a fresh part id from this
+        table's counter. The source table is untouched (ClickHouse
+        semantics: FROM copies; MOVE is the destructive variant).
+
+        Like ClickHouse, both tables must have identical structure: same
+        schema (names + types in order), same sorting key, same engine
+        mode, same partition column. The source partition must also be
+        physically CLEAN — no pending rename/TTL/MODIFY transform and no
+        live lightweight-delete mask on its parts — because those
+        transforms live in the SOURCE's table metadata, which does not
+        travel with the files; ``src.optimize()`` first materializes
+        them. Per-part skipping indexes (key bloom, minmax, token/ngram
+        blooms, value sets) describe the immutable bytes, so they travel
+        with the part verbatim; projection partials are table-scoped and
+        are rebuilt lazily at the next rewrite.
+
+        With ``replace=True`` the destination partition is dropped first
+        (two manifest commits; a concurrent reader between them sees the
+        partition briefly absent, never doubled). Returns
+        rows attached. O(files) metadata + link work at any table size —
+        the 100 TB backfill path (stage into a scratch table, validate,
+        swap) never rewrites data."""
+        if self.config.partition_col is None:
+            raise ValueError("table has no partition_col")
+        if src.config.partition_col != self.config.partition_col:
+            raise ValueError("partition_col mismatch")
+        if (src.config.key_col, src.config.ts_col, src.config.mode) != (
+                self.config.key_col, self.config.ts_col, self.config.mode):
+            raise ValueError("sorting key / engine mode mismatch")
+        if [(f.name, f.dataType) for f in src.schema.fields] != \
+                [(f.name, f.dataType) for f in self.schema.fields]:
+            raise ValueError("schema mismatch")
+        src.flush()
+        with src._lock:
+            take = [p for p in src.manifest.parts
+                    if p.partition == str(value)]
+            dirty = {p.part_id for p in
+                     src._parts_with_pending_transforms(include_masks=True)}
+        if any(p.part_id in dirty for p in take):
+            raise ValueError(
+                "source partition has pending ALTER/TTL/delete transforms; "
+                "run src.optimize() first")
+        from dataclasses import asdict
+        if replace:
+            # REPLACE = drop-then-attach; drop_partition serializes on the
+            # merge lock itself, so it runs before we take it here
+            self.drop_partition(value)
+        with self._merge_lock:
+            with self._lock:
+                rows = 0
+                for p in take:
+                    new_id = self.manifest.allocate_part_id()
+                    new_path = os.path.join(self.base_path, f"part_{new_id}")
+                    os.makedirs(new_path)
+                    for fn in os.listdir(p.path):
+                        s = os.path.join(p.path, fn)
+                        if not os.path.isfile(s):
+                            continue
+                        try:
+                            os.link(s, os.path.join(new_path, fn))
+                        except OSError:
+                            shutil.copy2(s, os.path.join(new_path, fn))
+                    doc = asdict(p)
+                    doc["part_id"] = new_id
+                    doc["path"] = new_path
+                    doc["proj_paths"] = None  # rebuilt at next rewrite
+                    meta = PartMeta(**doc)
+                    self.manifest.append(meta)
+                    rows += meta.row_count
+                self.manifest.save()
+        return rows
+
     def freeze_partition(self, value=None, backup_name: str | None = None
                          ) -> dict:
         """``ALTER TABLE FREEZE [PARTITION]`` analog: an instant,
@@ -1820,6 +1899,67 @@ class SparkMergeTree:
                 if not pending:
                     return
                 self._merge_group([pending[0]])
+
+    def optimize_deduplicate(self, by: tuple[str, ...] | None = None
+                             ) -> dict:
+        """``OPTIMIZE TABLE ... FINAL DEDUPLICATE [BY col, ...]`` analog
+        (ClickHouse — extension): force-merge each partition to one part
+        AND drop duplicate rows in the merged result — the manual cleanup
+        for data that was double-inserted (a replayed batch, a retried
+        load) where the engine's (key, ts) collapse can't help because
+        the duplicates are *whole identical rows*, not versions.
+
+        ``by=None`` removes rows identical in EVERY column (ClickHouse's
+        default). ``by=(cols...)`` keeps one row per distinct value of
+        the subset; where ClickHouse keeps an arbitrary survivor, we pin
+        the deterministic one — minimal in the remaining columns' sort
+        order — so replays and the DuckDB oracle agree.
+
+        One job per partition: the same read→collapse path as any merge,
+        plus one extra window/aggregate on the dedup key, then a single
+        sorted part written back. Merges never cross partitions, so at
+        100 TB each partition dedups independently — schedule them in
+        waves. Returns {"rows_before", "rows_after"}."""
+        self.flush()
+        cols = [f.name for f in self.schema.fields]
+        if by:
+            unknown = set(by) - set(cols)
+            if unknown:
+                raise ValueError(f"unknown dedup columns {sorted(unknown)}")
+        rows_before = self.total_rows()
+        with self._merge_lock:
+            with self._lock:
+                groups: dict[str | None, list[PartMeta]] = {}
+                for p in self.manifest.parts:
+                    groups.setdefault(p.partition, []).append(p)
+            for group in groups.values():
+                with self._lock:
+                    part_id = self.manifest.allocate_part_id()
+                df = self._collapse(self._read_parts(group))
+                if by:
+                    from pyspark.sql import Window as W
+                    rest = [c for c in cols if c not in by]
+                    w = W.partitionBy(*by).orderBy(
+                        *(rest if rest else [F.lit(1)]))
+                    df = (df.withColumn("__rn", F.row_number().over(w))
+                          .filter(F.col("__rn") == 1).drop("__rn"))
+                else:
+                    df = df.dropDuplicates()
+                meta = self._write_part(part_id, df,
+                                        sum(p.row_count for p in group),
+                                        partition=group[0].partition)
+                retain = self.config.snapshot_retention > 0
+                with self._lock:
+                    self._swap_or_remove([p.part_id for p in group], meta,
+                                         retain=retain)
+                    self._gc_lw_deletes()
+                    self.manifest.save()
+                if retain:
+                    self.vacuum()
+                else:
+                    for p in group:
+                        self._delete_part_dirs(p)
+        return {"rows_before": rows_before, "rows_after": self.total_rows()}
 
     # ----------------------------------------------------------------- TTL
 

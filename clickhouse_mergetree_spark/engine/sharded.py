@@ -140,6 +140,44 @@ class ShardedMergeTree:
         shard's min/max + bloom pruning applies as usual."""
         return self.shards[self.shard_of(key)].query_key(key)
 
+    def query_grouped(self, group_by: tuple[str, ...],
+                      aggs: dict[str, tuple[str, str]]) -> DataFrame:
+        """Distributed two-level aggregation — the ClickHouse Distributed
+        read contract: each SHARD computes a partial aggregate over its
+        own (collapsed) rows, and the initiator merges the partials —
+        sum/count partials combine by SUM, min/max by MIN/MAX. ``aggs``
+        maps output column → (fn, source_col) with fn in {sum, count,
+        min, max} (count ignores its source_col).
+
+        Scale shape: the per-shard partial runs as a map-side-combine
+        hash aggregate inside the shard's own plan, so what crosses the
+        final exchange is |groups| rows per shard, not the table — at
+        100 TB with a low-cardinality group key this is the difference
+        between shuffling kilobytes and shuffling the cluster. Exactness
+        does not depend on group keys respecting shard boundaries:
+        partial-merge is associative for these functions, so any key
+        distribution merges correctly."""
+        _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+        _PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min,
+                    "max": F.max}
+        for out, (fn, _) in aggs.items():
+            if fn not in _PARTIAL:
+                raise ValueError(f"{out}: fn must be one of "
+                                 f"{sorted(_PARTIAL)}, got {fn!r}")
+        partials = []
+        for s in self.shards:
+            rows = s.query_all()
+            partials.append(rows.groupBy(*group_by).agg(*[
+                _PARTIAL[fn](F.lit(1) if fn == "count" else F.col(src))
+                .alias(out)
+                for out, (fn, src) in aggs.items()
+            ]))
+        merged = self._union(partials)
+        return merged.groupBy(*group_by).agg(*[
+            _MERGE[fn](F.col(out)).alias(out)
+            for out, (fn, _) in aggs.items()
+        ])
+
     # ------------------------------------------------------- introspection
 
     def shard_stats(self) -> list[dict]:
