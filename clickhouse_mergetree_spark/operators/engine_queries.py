@@ -2231,3 +2231,276 @@ def q_sharded_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = s.query_key(POINT_KEY).count()
         assert (n > 0) == (j == probe), (j, probe, n)
     return table.query(RANGE_START, RANGE_END).select("key", "ts_us")
+
+
+@declared_query(
+    "q_attach_from",
+    oracle=f"""
+        WITH kv AS ({_dedup_first_sql(_KV_SQL)})
+        SELECT key, ts_us, event_id, event_type, value FROM kv
+        WHERE (key > {RANGE_END} AND event_type <> 'signup')
+           OR (key <= {RANGE_END}
+               AND event_type IN ('purchase', 'signup'))
+    """,
+)
+def q_attach_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... ATTACH/REPLACE PARTITION FROM src`` end-to-end
+    (ClickHouse analog — extension): a staging table holds the small-key
+    half of events and the main table the large-key half, both
+    partitioned by event_type. The 'purchase' partition is ATTACHed
+    (copied) and the 'signup' partition REPLACEd (dest partition
+    swapped) from staging into main — both as hardlink + manifest
+    commits, zero rows read (asserted: part count moves by exactly the
+    staged partition's parts, and the query plan is the ordinary
+    manifest-pruned read).
+
+    This is the 100 TB backfill idiom: load into a scratch table,
+    validate, then swap partitions into production as O(files) metadata
+    work. The oracle reconstructs the expected union: main's original
+    rows (minus the replaced partition) plus staging's two moved
+    partitions."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=100,
+                          key_col="key", ts_col="ts_us",
+                          partition_col="event_type")
+    kv = _dedup_first(_kv(spark, sf_dir))
+    src = SparkMergeTree(spark, scratch_dir("q_attachfrom_src_"),
+                         schema=schema, config=cfg)
+    dst = SparkMergeTree(spark, scratch_dir("q_attachfrom_dst_"),
+                         schema=schema, config=cfg)
+    src.insert_batch(kv.filter(F.col("key") <= RANGE_END), row_count=1)
+    src.flush()
+    dst.insert_batch(kv.filter(F.col("key") > RANGE_END), row_count=1)
+    dst.flush()
+    before = dst.part_count()
+    moved = len(src.parts_in_partition("purchase"))
+    dst.attach_partition_from(src, "purchase")
+    assert dst.part_count() == before + moved  # metadata-only commit
+    dst.attach_partition_from(src, "signup", replace=True)
+    return dst.query_all().select(
+        "key", "ts_us", "event_id", "event_type", "value")
+
+
+@declared_query(
+    "q_merge_table",
+    oracle=f"""
+        SELECT key, ts_us, event_id,
+               CASE WHEN key <= {RANGE_END} THEN 'events_cold'
+                    ELSE 'events_hot' END AS _table
+        FROM ({_dedup_first_sql(_KV_SQL)})
+    """,
+)
+def q_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Merge`` table engine end-to-end (ClickHouse ``Merge(db,
+    'regex')`` analog — extension): a hot/cold split — two independent
+    MergeTree tables — read as ONE table through a MergeTable view, each
+    row tagged with the virtual ``_table`` column naming its member.
+    Member selection by name regex happens BEFORE any Spark plan exists
+    (asserted: a pattern narrowed to one member plans only that member's
+    parts), the coarsest prune there is; each member branch then applies
+    its own manifest pruning and (key, ts) collapse, and the union adds
+    no shuffle.
+
+    The 100 TB shape this models: yearly/monthly tables queried as one,
+    where name-level pruning drops whole tables before their manifests
+    are even consulted."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MergeTable, MergeTreeConfig, SparkMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=100,
+                          key_col="key", ts_col="ts_us")
+    kv = _dedup_first(_kv(spark, sf_dir))
+    cold = SparkMergeTree(spark, scratch_dir("q_mergetbl_cold_"),
+                          schema=schema, config=cfg)
+    hot = SparkMergeTree(spark, scratch_dir("q_mergetbl_hot_"),
+                         schema=schema, config=cfg)
+    cold.insert_batch(kv.filter(F.col("key") <= RANGE_END), row_count=1)
+    cold.flush()
+    hot.insert_batch(kv.filter(F.col("key") > RANGE_END), row_count=1)
+    hot.flush()
+    m = MergeTable({"events_cold": cold, "events_hot": hot})
+    # name-level member pruning: one member matched -> one member planned
+    assert [n for n, _ in m.member_tables("events_hot")] == ["events_hot"]
+    assert m.query_all(pattern="events_hot").count() == hot.total_rows()
+    return m.query_all().select("key", "ts_us", "event_id", "_table")
+
+
+@declared_query(
+    "q_optimize_dedup",
+    oracle=f"""
+        SELECT key, ts_us, event_id, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY key
+                ORDER BY ts_us, event_id, event_type, value) AS rn
+            FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        ) WHERE rn = 1
+    """,
+)
+def q_optimize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OPTIMIZE TABLE ... FINAL DEDUPLICATE BY key`` end-to-end
+    (ClickHouse analog — extension): the manual cleanup for
+    double-loaded data. The same batch is inserted TWICE (a replayed
+    load), then the table force-merges each partition to one part while
+    keeping exactly one row per ``key`` — the deterministic survivor,
+    minimal in the remaining columns' sort order (ts_us, event_id,
+    event_type, value), where ClickHouse keeps an arbitrary one. The
+    oracle replays the identical window rule.
+
+    Scale shape: one merge job per partition — the dedup adds a single
+    row_number window on the merge's existing sort, no extra shuffle
+    beyond what the rewrite already pays."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=100,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_optdedup_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    for _ in range(2):  # replayed load
+        table.insert_batch(kv, row_count=1)
+        table.flush()
+    stats = table.optimize_deduplicate(by=("key",))
+    assert table.part_count() == 1
+    assert stats["rows_after"] < stats["rows_before"]
+    return table.query_all().select(
+        "key", "ts_us", "event_id", "event_type", "value")
+
+
+@declared_query(
+    "q_sharded_agg",
+    oracle=f"""
+        SELECT event_type, count(*) AS cnt,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                    AS DOUBLE) AS sum_value,
+               max(ts_us) AS max_ts
+        FROM ({_dedup_first_sql(_KV_SQL)})
+        GROUP BY event_type
+    """,
+)
+def q_sharded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed two-level aggregation over the sharded engine
+    (ClickHouse ``Distributed`` read contract — extension): each of 4
+    hash-routed shards computes a PARTIAL aggregate (count/sum/max) over
+    its own collapsed rows, and the initiator merges the partials —
+    counts and sums re-sum, max re-maxes. What crosses the final
+    exchange is |groups| rows per shard, not the table: at 100 TB with a
+    handful of event types this shuffles kilobytes. Sums run in
+    decimal(18,6) end-to-end so partial-merge order cannot perturb the
+    result; the oracle aggregates the same deduped rows globally —
+    associativity makes shard-local-then-merge equal global."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (MergeTreeConfig,
+                                                   ShardedMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DecimalType(18, 6), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = ShardedMergeTree(spark, scratch_dir("q_shardagg_"),
+                             n_shards=4, schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir)).select(
+        "key", "ts_us", "event_id", "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"))
+    table.insert_batch(kv, row_count=1)
+    table.flush()
+    assert all(s["rows"] > 0 for s in table.shard_stats())
+    out = table.query_grouped(
+        ("event_type",),
+        {"cnt": ("count", ""), "sum_value": ("sum", "value"),
+         "max_ts": ("max", "ts_us")})
+    return out.select(
+        "event_type", "cnt",
+        F.col("sum_value").cast("decimal(18,6)").cast("double")
+        .alias("sum_value"),
+        "max_ts")
+
+
+@declared_query(
+    "q_system_columns",
+    oracle="""
+        SELECT * FROM (VALUES
+            (0, 'key',   'bigint',        'original',
+             CAST(NULL AS VARCHAR), TRUE,  0),
+            (1, 'ts_us', 'bigint',        'original',
+             CAST(NULL AS VARCHAR), TRUE,  0),
+            (2, 'score', 'decimal(18,6)', 'original+modified',
+             CAST(NULL AS VARCHAR), FALSE, 1),
+            (3, 'label', 'string',        'original+renamed',
+             CAST(NULL AS VARCHAR), FALSE, 1),
+            (4, 'note',  'string',        'added',
+             'x',                   FALSE, 1)
+        ) AS t(position, name, type, origin, "default",
+               is_structural, parts_lagging)
+    """,
+)
+def q_system_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.columns`` introspection end-to-end (ClickHouse analog —
+    extension): after a scripted ALTER sequence — ADD COLUMN note
+    DEFAULT 'x', RENAME tag→label, MODIFY score → decimal(18,6) — the
+    table reports each column's position, declared type, ALTER
+    provenance, declared default, structural role (sorting-key columns),
+    and how many live parts still lag the declaration physically (the
+    count MATERIALIZE COLUMN would rewrite). The one pre-ALTER part lags
+    on all three altered columns; the sorting key lags on none.
+
+    Metadata-sized at any table scale: one row per column straight from
+    the manifest, zero data files opened — exactly how ClickHouse serves
+    system.columns. The oracle pins the full expected relation as
+    literals (the DDL script is fixed, so the output is too)."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("tag", T.StringType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=100,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_syscols_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    table.insert_batch(
+        kv.select("key", "ts_us", F.col("value").alias("score"),
+                  F.col("event_type").alias("tag")), row_count=1)
+    table.flush()
+    table.add_column("note", "string", default="x")
+    table.rename_column("tag", "label")
+    table.modify_column("score", "decimal(18,6)")
+    return table.system_columns()
