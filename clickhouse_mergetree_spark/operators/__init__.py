@@ -23,6 +23,7 @@ _OPTIONAL_MODULES = (
     "multimodal",
     "udfs",
     "web",
+    "formats",
 )
 
 for _m in _OPTIONAL_MODULES:

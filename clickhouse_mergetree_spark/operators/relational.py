@@ -2024,3 +2024,111 @@ def q_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cum") * 4 >= F.col("tot") * 3,
                      F.col("price"))).alias("wq75"),
     )
+
+
+@declared_query(
+    "q_agg_foreach",
+    oracle="""
+        WITH ex AS (
+            SELECT label, vec_id, unnest(embedding) AS elem,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        per_pos AS (
+            SELECT label, pos, avg(CAST(elem AS DOUBLE)) AS a,
+                   count(*) AS cnt
+            FROM ex GROUP BY label, pos
+        )
+        SELECT label,
+               CAST(max(cnt) AS BIGINT) AS n_vecs,
+               CAST(count(*) AS INT) AS dim,
+               array_to_string(
+                   list(CASE WHEN a IS NULL THEN 'NULL'
+                        ELSE printf('%.6f', round(a, 6)) END
+                        ORDER BY pos), ',') AS centroid
+        FROM per_pos GROUP BY label
+    """,
+)
+def q_agg_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``avgForEach`` / ``sumForEach`` combinator analog:
+    element-wise aggregation of array columns — per label, the
+    position-wise mean of every embedding vector (the per-class
+    centroid), plus the vector count and dimensionality.
+
+    Spark-first shape: posexplode → ONE partial+final hash aggregate on
+    (label, pos) → per-label reassembly via sort_array(collect_list).
+    The alternative — collecting whole arrays per group and reducing
+    driver- or UDF-side — holds every vector of a group in one task's
+    memory; the exploded form instead shuffles fixed-width (label, pos,
+    partial) rows with map-side combine, so a label with a billion
+    vectors at 100 TB still aggregates in parallel across the cluster,
+    bounded only by |labels|×dim finalize rows. Sums run on float64
+    (each float32 element is exactly representable) and the centroid
+    serializes in the canonical round(6)-%.6f array-string form.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", "vec_id",
+        F.posexplode("embedding").alias("pos0", "elem"))
+    per_pos = (
+        ex.groupBy("label", F.col("pos0").alias("pos"))
+        .agg(F.avg(F.col("elem").cast("double")).alias("a"),
+             F.count("*").alias("cnt"))
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.max("cnt").alias("n_vecs"),
+            F.count("*").cast("int").alias("dim"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "a"))),
+                    lambda r: F.when(r["a"].isNull(), F.lit("NULL"))
+                    .otherwise(
+                        F.format_string("%.6f", F.round(r["a"], 6)))),
+                ",").alias("centroid"),
+        )
+    )
+
+
+MOVING_W = 3
+
+
+@declared_query(
+    "q_moving_agg",
+    oracle=f"""
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               round(sum(value) OVER w, 9) AS mov_sum,
+               round(avg(value) OVER w, 9) AS mov_avg,
+               round(max(value) OVER w, 9) AS mov_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN {MOVING_W - 1} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayMovingSum(N)`` / ``groupArrayMovingAvg(N)``
+    analog: per user in (ts, event_id) order, the trailing-{MOVING_W}
+    moving sum, average, and max of ``value`` — the smoothing/trend
+    primitive behind rate dashboards and anomaly baselines.
+
+    One window spec, three frame aggregates: Spark plans a single sort
+    per user partition and streams the O(1)-state frame over it — no
+    per-row re-scan, no Python. At 100 TB the cost is exactly one
+    shuffle on user_id (skew lands on hot users; salt or pre-bucket if
+    one user dominates). The frame order carries event_id as a
+    tie-break so replays are deterministic; both engines accumulate the
+    identical frame left-to-right, and round(9) absorbs the last-ulp
+    difference.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value")
+    w = (W.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(-(MOVING_W - 1), 0))
+    return ev.select(
+        "user_id", "ts_us", "event_id",
+        F.round(F.sum("value").over(w), 9).alias("mov_sum"),
+        F.round(F.avg("value").over(w), 9).alias("mov_avg"),
+        F.round(F.max("value").over(w), 9).alias("mov_max"),
+    )

@@ -1119,3 +1119,63 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"pos div {N_SHARDS}").alias("pos_in_shard"),
         )
     )
+
+
+@declared_query(
+    "q_text_perplexity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+        ),
+        bg AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(-ln(CAST(c12 AS DOUBLE) / c1)), 6) AS surprisal
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY doc_id
+    """,
+)
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the KenLM-perplexity screen of
+    CCNet/RedPajama, self-trained): a word-bigram model is fit on the
+    corpus itself — P(w2|w1) = c(w1,w2)/c(w1) — and every document is
+    scored by its mean bigram surprisal, avg(-ln P). High scores mark
+    text whose word transitions are rare in the corpus: boilerplate-free
+    gibberish, OCR noise, wrong-language fragments — the standard
+    "perplexity filter" knob in LLM data pipelines.
+
+    Spark-first shape: tokenize via the corpus-standard space split,
+    bigrams from one lead() window per doc, model = two partial+final
+    count aggregates (the model is a DataFrame, never driver-side), then
+    two equi-joins to score. Every stage shuffles on bounded keys (doc,
+    bigram, unigram); at 100 TB the model tables are vocabulary-sized —
+    orders smaller than the corpus — and Spark's AQE broadcast-converts
+    them when they fit. Self-scoring is deliberately leave-in: the
+    standard pipeline trains on a reference corpus, which here IS the
+    corpus, keeping the oracle exactly replayable."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    big = toks.select(
+        "doc_id", F.col("w").alias("w1"),
+        F.lead("w").over(
+            W.partitionBy("doc_id").orderBy("pos")).alias("w2"))
+    bg = big.filter(F.col("w2").isNotNull())
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        bg.join(c12, ["w1", "w2"]).join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(F.col("c12").cast("double")
+                                 / F.col("c1"))), 6).alias("surprisal"))
+    )
