@@ -223,3 +223,147 @@ def test_merge_table_range_and_key(spark, bases):
     assert _keys(m.query(3, 4)) == [3, 3, 4, 4]
     assert sorted(r["_table"] for r in m.query_key(7).collect()) == ["b"]
     a.close(); b.close()
+
+
+# --------------------------------------------------------------- fuzzing
+
+
+def test_attach_from_fuzz(spark, bases):
+    """Model-based fuzz over the cross-table surface: random inserts into
+    main/staging, ATTACH FROM / REPLACE FROM / DROP PARTITION / optimize
+    interleavings checked against dict models after every sequence and
+    after a main-table reopen. Also pins the dirty-source refusal: a
+    staging lw-delete blocks the copy until optimize materializes it."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(7000 + seed)
+        import tempfile
+        da = tempfile.mkdtemp(prefix="affuzz_a_")
+        db = tempfile.mkdtemp(prefix="affuzz_b_")
+        a, b = _mk(spark, da), _mk(spark, db)
+        ma: dict = {}   # (key, ts) -> (bucket, v)
+        mb: dict = {}
+        nk = 0
+        buckets = ["p0", "p1"]
+        try:
+            for _ in range(12):
+                ops = ["ins_a", "ins_b", "flush", "optimize"]
+                if mb:
+                    ops += ["attach_from", "replace_from", "lw_b"]
+                if ma:
+                    ops += ["drop_a"]
+                op = rng.choice(ops)
+                if op in ("ins_a", "ins_b"):
+                    rows, model = [], (ma if op == "ins_a" else mb)
+                    for _ in range(rng.randrange(1, 5)):
+                        bk = rng.choice(buckets)
+                        rows.append((nk, nk, bk, float(nk)))
+                        model[(nk, nk)] = (bk, float(nk))
+                        nk += 1
+                    (a if op == "ins_a" else b).insert_rows(rows)
+                elif op == "flush":
+                    a.flush(); b.flush()
+                elif op == "optimize":
+                    a.optimize()
+                elif op == "lw_b":
+                    lo = rng.choice(sorted(k for k, _ in mb))
+                    b.lightweight_delete(f"key >= {lo} AND key < {lo + 3}")
+                    mb = {kt: bv for kt, bv in mb.items()
+                          if not (lo <= kt[0] < lo + 3)}
+                elif op in ("attach_from", "replace_from"):
+                    bk = rng.choice(buckets)
+                    replace = op == "replace_from"
+                    try:
+                        a.attach_partition_from(b, bk, replace=replace)
+                    except ValueError:
+                        # dirty staging (live lw mask): contract says
+                        # materialize first, then the copy must succeed
+                        b.optimize(final=True)
+                        a.attach_partition_from(b, bk, replace=replace)
+                    moved = {kt: bv for kt, bv in mb.items()
+                             if bv[0] == bk}
+                    if replace:
+                        ma = {kt: bv for kt, bv in ma.items()
+                              if bv[0] != bk}
+                    ma.update(moved)
+                elif op == "drop_a":
+                    bk = rng.choice(buckets)
+                    a.drop_partition(bk)
+                    ma = {kt: bv for kt, bv in ma.items() if bv[0] != bk}
+            a.flush(); b.flush()
+            for t, model in ((a, ma), (b, mb)):
+                got = sorted((r["key"], r["ts"], r["bucket"], r["value"])
+                             for r in t.query_all().collect())
+                want = sorted((k, ts, bk, v)
+                              for (k, ts), (bk, v) in model.items())
+                assert got == want, f"seed {seed}: {got[:3]} != {want[:3]}"
+            # reopen main: attached parts must replay from the manifest
+            a.close()
+            a = _mk(spark, da)
+            got = sorted((r["key"], r["ts"], r["bucket"], r["value"])
+                         for r in a.query_all().collect())
+            want = sorted((k, ts, bk, v)
+                          for (k, ts), (bk, v) in ma.items())
+            assert got == want, f"seed {seed} reopen"
+        finally:
+            a.close(); b.close()
+            shutil.rmtree(da, ignore_errors=True)
+            shutil.rmtree(db, ignore_errors=True)
+
+
+def test_optimize_dedup_by_fuzz(spark, bases):
+    """Model-based fuzz for DEDUPLICATE BY: rows share keys across many
+    (unique) timestamps; random insert/flush/optimize/dedup-by-key
+    sequences must leave, per (partition, key), exactly the minimal-ts
+    row — the engine's pinned deterministic survivor — matching a dict
+    model, including after reopen."""
+    import random
+    import tempfile
+
+    for seed in range(4):
+        rng = random.Random(8000 + seed)
+        d = tempfile.mkdtemp(prefix="odfuzz_")
+        t = _mk(spark, d)
+        model: dict = {}   # (key, ts) -> (bucket, v)
+        ts = 0
+        try:
+            for _ in range(10):
+                op = rng.choice(["ins", "ins", "flush", "optimize", "dedup"])
+                if op == "ins":
+                    rows = []
+                    for _ in range(rng.randrange(1, 6)):
+                        k = rng.randrange(4)          # small key pool
+                        bk = rng.choice(["p0", "p1"])
+                        rows.append((k, ts, bk, float(ts)))
+                        model[(k, ts)] = (bk, float(ts))
+                        ts += 1
+                    t.insert_rows(rows)
+                elif op == "flush":
+                    t.flush()
+                elif op == "optimize":
+                    t.optimize()
+                else:
+                    t.optimize_deduplicate(by=("key",))
+                    # survivor per (bucket, key): minimal (ts, v)
+                    best: dict = {}
+                    for (k, tss), (bk, v) in model.items():
+                        cur = best.get((bk, k))
+                        if cur is None or (tss, v) < cur[0]:
+                            best[(bk, k)] = ((tss, v), (k, tss, bk, v))
+                    model = {(r[0], r[1]): (r[2], r[3])
+                             for (_, r) in best.values()}
+            t.flush()
+            got = sorted((r["key"], r["ts"], r["bucket"], r["value"])
+                         for r in t.query_all().collect())
+            want = sorted((k, tss, bk, v)
+                          for (k, tss), (bk, v) in model.items())
+            assert got == want, f"seed {seed}: {got[:4]} != {want[:4]}"
+            t.close()
+            t = _mk(spark, d)
+            got = sorted((r["key"], r["ts"], r["bucket"], r["value"])
+                         for r in t.query_all().collect())
+            assert got == want, f"seed {seed} reopen"
+        finally:
+            t.close()
+            shutil.rmtree(d, ignore_errors=True)
