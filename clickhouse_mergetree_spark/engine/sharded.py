@@ -178,6 +178,25 @@ class ShardedMergeTree:
             for out, (fn, _) in aggs.items()
         ])
 
+    def query_join_global(self, dim: DataFrame, on: list[str],
+                          how: str = "inner") -> DataFrame:
+        """ClickHouse ``GLOBAL JOIN`` over the sharded table: the right
+        side is evaluated ONCE and shipped whole to every shard (here:
+        an explicit ``F.broadcast`` per shard branch), where it joins the
+        shard's collapsed rows locally — no shard ever sees another
+        shard's fact rows, and the fact side never crosses the network.
+
+        This is the only correct distributed-join shape when the join
+        key is NOT the sharding key (a plain local join would silently
+        drop matches that hash to other shards — exactly the ClickHouse
+        footgun GLOBAL exists to fix). The contract is the same as
+        ClickHouse's: the dimension must fit in memory per node; for
+        dim-×-dim-scale right sides, reshard on the join key instead."""
+        return self._union([
+            s.query_all().join(F.broadcast(dim), on, how)
+            for s in self.shards
+        ])
+
     # ------------------------------------------------------- introspection
 
     def shard_stats(self) -> list[dict]:

@@ -2504,3 +2504,95 @@ def q_system_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.rename_column("tag", "label")
     table.modify_column("score", "decimal(18,6)")
     return table.system_columns()
+
+
+@declared_query(
+    "q_sharded_join",
+    oracle=f"""
+        WITH kv AS ({_dedup_first_sql(_KV_SQL)}),
+        dim AS (SELECT event_type, count(*) AS type_n
+                FROM kv GROUP BY event_type)
+        SELECT k.key, k.ts_us, k.event_id, k.event_type, d.type_n
+        FROM kv k JOIN dim d USING (event_type)
+    """,
+)
+def q_sharded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GLOBAL JOIN`` over the Distributed engine (ClickHouse analog —
+    extension): the join key (event_type) is NOT the sharding key
+    (key), so a shard-local join would silently drop every match that
+    hashes elsewhere — the classic Distributed-join footgun. GLOBAL
+    evaluates the dimension once and broadcasts it to each of the 4
+    shards, which join their own collapsed rows locally; fact rows
+    never cross the network (asserted: every shard branch plans a
+    BroadcastHashJoin, no shuffle on the fact side).
+
+    At 100 TB this is THE distributed-join decision: broadcast
+    node-memory-sized dimensions, reshard on the join key for anything
+    bigger. The oracle joins the same deduped rows globally —
+    broadcast-per-shard ∪ equals the global join because shards
+    partition the fact rows."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (MergeTreeConfig,
+                                                   ShardedMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = ShardedMergeTree(spark, scratch_dir("q_shardjoin_"),
+                             n_shards=4, schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir))
+    table.insert_batch(kv, row_count=1)
+    table.flush()
+    dim = (table.query_all().groupBy("event_type")
+           .agg(F.count("*").alias("type_n")))
+    out = table.query_join_global(dim, ["event_type"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, "shard joins not broadcast"
+    return out.select("key", "ts_us", "event_id", "event_type", "type_n")
+
+
+LATE_K = 100
+
+
+@declared_query(
+    "q_late_materialize",
+    oracle=f"""
+        SELECT e.event_id, e.user_id, e.event_type,
+               epoch_us(e.ts) AS ts_us, e.value
+        FROM events e
+        JOIN (SELECT event_id FROM events
+              ORDER BY value DESC, event_id LIMIT {LATE_K}) t
+        USING (event_id)
+    """,
+)
+def q_late_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late materialization — the columnar top-k idiom (ClickHouse does
+    this implicitly via PREWHERE + ORDER BY ... LIMIT reading lazy
+    columns; Spark needs it spelled out): phase 1 scans ONLY the 2-column
+    (event_id, value) projection to find the top-{LATE_K} ids
+    (TakeOrderedAndProject over a narrow scan — asserted on ReadSchema),
+    phase 2 joins the {LATE_K}-row id set back (broadcast) to fetch the
+    wide columns for just those rows.
+
+    At 100 TB the difference is reading 2 columns of everything + all
+    columns of {LATE_K} rows, versus all columns of everything — on a
+    wide events table (long text props, nested payloads) that is an
+    order-of-magnitude scan saving. Deterministic under value ties via
+    the event_id tiebreak."""
+    ev = load(spark, sf_dir, "events")
+    top_ids = (ev.select("event_id", "value")
+               .orderBy(F.col("value").desc(), "event_id")
+               .limit(LATE_K).select("event_id"))
+    plan = top_ids._jdf.queryExecution().executedPlan().toString()
+    # the phase-1 scan must read ONLY the 2 needed columns
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in plan, plan
+    out = ev.join(F.broadcast(top_ids), "event_id")
+    return out.select("event_id", "user_id", "event_type",
+                      F.unix_micros("ts").alias("ts_us"), "value")
