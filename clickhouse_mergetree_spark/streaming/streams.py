@@ -558,3 +558,87 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "hour_us",
         F.col("value_sum").cast("double").alias("value_sum"),
         "n_events")
+
+
+@declared_query(
+    "q_stream_exactly_once",
+    oracle="""
+        SELECT user_id AS key, epoch_us(ts) AS ts_us,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                    AS DECIMAL(18,6)) AS DOUBLE) AS value_sum
+        FROM events WHERE user_id BETWEEN 3 AND 7
+        GROUP BY key, ts_us
+    """,
+)
+def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion via a transactional batch ledger
+    (the Spark-canonical foreachBatch idempotent-sink pattern; ClickHouse
+    gets the same property from Kafka-engine offset commits): processed
+    batch ids are recorded INSIDE the engine manifest's table_meta, so
+    the ledger entry and the batch's flushed part publish in the SAME
+    atomic manifest commit — a crash before the commit redelivers a
+    batch that left no trace, a crash after it redelivers a batch the
+    ledger skips. No window exists where data is committed without its
+    ledger entry or vice versa.
+
+    The target is a SUMMING table on purpose: duplicate delivery would
+    visibly double the sums — engine (key, ts) collapse cannot mask a
+    ledger failure the way dedup mode would. Redelivery is then
+    simulated (the recorded batch 0 is fed again) and asserted a no-op
+    before the read. The oracle computes the single-delivery rollup
+    relationally; the hash match proves sums were applied exactly once.
+    """
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DecimalType(18, 6)),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=4,
+                          key_col="key", ts_col="ts_us",
+                          mode="summing", sum_cols=("value",))
+    table = SparkMergeTree(spark, scratch_dir("q_stream_e1x_"),
+                           schema=schema, config=cfg)
+
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+
+    def feed(batch_df, batch_id):
+        tm = table.manifest.table_meta
+        done = tm.setdefault("ingested_batches", [])
+        if batch_id in done:
+            return  # redelivered batch: already durably committed
+        table.insert_batch(batch_df)
+        done.append(batch_id)
+        # flush() publishes the part AND the ledger entry in one
+        # manifest commit — the exactly-once atomicity point
+        table.flush()
+
+    q = (
+        stream.writeStream.foreachBatch(feed)
+        .option("checkpointLocation", scratch_dir("ckpt_e1x_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert table.manifest.table_meta.get("ingested_batches"), "no batches ran"
+    # simulate redelivery of the first batch (retry after a post-commit
+    # crash): the ledger must make it a no-op
+    n_before = table.total_rows()
+    redelivered = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.col("user_id").alias("key"),
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("value").cast("decimal(18,6)").alias("value"))
+    )
+    feed(redelivered, table.manifest.table_meta["ingested_batches"][0])
+    assert table.total_rows() == n_before, "redelivered batch re-applied"
+    return table.query(3, 7).select(
+        "key", "ts_us",
+        F.col("value").cast("double").alias("value_sum"))
