@@ -40,6 +40,7 @@ import json
 import os
 import shutil
 import threading
+import time
 import warnings
 from dataclasses import dataclass, field
 from math import ceil
@@ -2816,6 +2817,15 @@ class SparkMergeTree:
                     self._delete_part_dirs(p)
             with self._lock:
                 self.manifest.table_meta.pop("active_mutation", None)
+                try:
+                    cmd = pred._jc.toString()
+                except Exception:
+                    cmd = str(pred)
+                self._log_mutation(
+                    kind="delete" if assignments is None else "update",
+                    command=cmd, parts_scanned=len(cands),
+                    parts_rewritten=parts_rewritten,
+                    rows_affected=rows_affected)
                 self._gc_lw_deletes()  # rewrites materialized masks
                 self.manifest.save()
             if retain:
@@ -2874,6 +2884,10 @@ class SparkMergeTree:
                     "parts": [p.part_id for p in self.manifest.parts],
                 }
                 lw.append(entry)
+                self._log_mutation(
+                    kind="lw_delete", command=pred_sql,
+                    parts_scanned=len(entry["parts"]), parts_rewritten=0,
+                    rows_affected=None, lw_entry_id=eid)
                 self.manifest.save()
         return {"entry_id": eid, "parts_masked": len(entry["parts"])}
 
@@ -2933,6 +2947,12 @@ class SparkMergeTree:
                         self.manifest.save()
                 if not retain:
                     self._delete_part_dirs(p)
+            with self._lock:
+                self._log_mutation(
+                    kind="apply_mask", command=None,
+                    parts_scanned=len(cands), parts_rewritten=rewritten,
+                    rows_affected=rows_removed)
+                self.manifest.save()
             if retain:
                 self.vacuum()
             return {"parts_rewritten": rewritten, "parts_clean": clean,
@@ -3013,6 +3033,56 @@ class SparkMergeTree:
                  sum(1 for e in lw if p.part_id in e["parts"]))
                 for p in self.manifest.parts
             ]
+        from clickhouse_mergetree_spark.tables import values_df
+        return values_df(self.spark, rows, cols)
+
+    def _log_mutation(self, kind: str, command: str | None,
+                      parts_scanned: int, parts_rewritten: int,
+                      rows_affected: int | None,
+                      lw_entry_id: int | None = None) -> None:
+        """Append one row to the persistent mutation ledger
+        (``table_meta["mutation_log"]`` — the ``system.mutations`` data).
+        Caller holds ``_lock`` and saves the manifest right after, so the
+        ledger row commits atomically with the mutation's own metadata."""
+        log = self.manifest.table_meta.setdefault("mutation_log", [])
+        log.append({
+            "mutation_id": len(log) + 1,
+            "kind": kind,
+            "command": command,
+            "parts_scanned": parts_scanned,
+            "parts_rewritten": parts_rewritten,
+            "rows_affected": rows_affected,
+            "lw_entry_id": lw_entry_id,
+            "created_at": time.time(),
+        })
+
+    def system_mutations(self) -> DataFrame:
+        """``system.mutations`` analog: the mutation history as a
+        DataFrame — ALTER DELETE/UPDATE rewrites, lightweight deletes,
+        and APPLY DELETED MASK runs, each with its command text, part
+        and row counts, and completion state. Synchronous mutations are
+        born done; a lightweight delete is ``is_done`` once no live
+        mask entry carries its id — i.e. every masked part has been
+        rewritten (merge/mutation/materialize) and the deferred delete
+        is physical, exactly ClickHouse's is_done contract for
+        ``_row_exists`` mutations. Metadata-sized: straight from the
+        manifest ledger, zero data files opened."""
+        cols = [
+            ("mutation_id", "int"), ("kind", "string"),
+            ("command", "string"), ("parts_scanned", "int"),
+            ("parts_rewritten", "int"), ("rows_affected", "bigint"),
+            ("is_done", "boolean"),
+        ]
+        with self._lock:
+            live = {e["id"] for e in self._lw_entries()}
+            rows = []
+            for m in self.manifest.table_meta.get("mutation_log", []):
+                done = (m.get("lw_entry_id") not in live
+                        if m["kind"] == "lw_delete" else True)
+                rows.append((m["mutation_id"], m["kind"], m.get("command"),
+                             m.get("parts_scanned"),
+                             m.get("parts_rewritten"),
+                             m.get("rows_affected"), done))
         from clickhouse_mergetree_spark.tables import values_df
         return values_df(self.spark, rows, cols)
 

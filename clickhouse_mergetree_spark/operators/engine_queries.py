@@ -2596,3 +2596,72 @@ def q_late_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.join(F.broadcast(top_ids), "event_id")
     return out.select("event_id", "user_id", "event_type",
                       F.unix_micros("ts").alias("ts_us"), "value")
+
+
+@declared_query(
+    "q_system_mutations",
+    oracle=f"""
+        WITH kv AS ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        SELECT CAST(1 AS INT) AS mutation_id, 'delete' AS kind,
+               CAST(1 AS INT) AS parts_scanned,
+               CAST(1 AS INT) AS parts_rewritten,
+               (SELECT count(*) FROM kv WHERE key = {POINT_KEY})
+                   AS rows_affected,
+               TRUE AS is_done
+        UNION ALL
+        SELECT 2, 'update', 1, 1,
+               (SELECT count(*) FROM kv
+                WHERE key <> {POINT_KEY} AND event_type = 'click'), TRUE
+        UNION ALL
+        SELECT 3, 'lw_delete', 1, 0, CAST(NULL AS BIGINT), TRUE
+        UNION ALL
+        SELECT 4, 'apply_mask', 1, 1,
+               (SELECT count(*) FROM kv WHERE key = 3), TRUE
+    """,
+)
+def q_system_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.mutations`` introspection end-to-end (ClickHouse analog —
+    extension): after a scripted mutation sequence — ALTER DELETE (key =
+    {POINT_KEY}), ALTER UPDATE (zero the click values), a lightweight
+    ``DELETE FROM`` mask on key = 3, then APPLY DELETED MASK — the table
+    reports each mutation's kind, parts scanned/rewritten, rows
+    affected, and completion state. Each ledger row commits in the SAME
+    manifest save as its mutation's own metadata (crash-consistent
+    history), and a lightweight delete flips to is_done only when no
+    live mask entry carries its id — the deferred delete has become
+    physical, ClickHouse's is_done contract for _row_exists mutations.
+
+    Metadata-sized at any scale (one row per mutation from the
+    manifest); the oracle recomputes the affected-row counts
+    relationally and pins the full expected ledger. The is_done=False
+    window is also asserted in-flight, between the mask commit and its
+    materialization."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=100,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_sysmut_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    table.insert_batch(kv, row_count=1)
+    table.flush()
+    table.delete_where(F.col("key") == POINT_KEY)
+    table.update_where(F.col("event_type") == "click",
+                       {"value": F.lit(0.0)})
+    table.lightweight_delete("key = 3")
+    pending = {r["mutation_id"]: r["is_done"]
+               for r in table.system_mutations().collect()}
+    assert pending[3] is False, "mask not yet materialized ⇒ not done"
+    table.materialize_deletes()
+    return table.system_mutations().select(
+        "mutation_id", "kind", "parts_scanned", "parts_rewritten",
+        "rows_affected", "is_done")

@@ -207,3 +207,57 @@ def test_crashed_mutation_detected_on_reopen(spark, base_path):
                             config=MergeTreeConfig(**CFG)) as t3:
             assert t3.incomplete_mutation is None
     assert not any("incomplete" in str(c.message) for c in caught2)
+
+
+def test_mutation_ledger_and_reopen(spark):
+    """system.mutations: every mutation kind logs one crash-consistent
+    ledger row; lw_delete flips is_done at materialization; the ledger
+    survives reopen."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (MergeTreeConfig,
+                                                   SparkMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("v", T.LongType(), True),
+    ])
+    base = _tf.mkdtemp(prefix="mutledger_")
+    t = SparkMergeTree(spark, base, schema=schema,
+                       config=MergeTreeConfig(
+                           memtable_flush_threshold=10**9, max_parts=100,
+                           key_col="key", ts_col="ts"))
+    try:
+        t.insert_rows([(k, k, k) for k in range(10)])
+        t.flush()
+        t.delete_where(F.col("key") == 9)
+        t.update_where(F.col("key") == 1, {"v": F.lit(-1)})
+        t.lightweight_delete("key = 2")
+        rows = {r["mutation_id"]: r for r in t.system_mutations().collect()}
+        assert [rows[i]["kind"] for i in (1, 2, 3)] == [
+            "delete", "update", "lw_delete"]
+        assert rows[1]["rows_affected"] == 1
+        assert "key" in rows[1]["command"] and "9" in rows[1]["command"]
+        assert rows[3]["command"] == "key = 2"
+        assert rows[3]["is_done"] is False
+        assert rows[3]["rows_affected"] is None
+        t.materialize_deletes()
+        rows = {r["mutation_id"]: r for r in t.system_mutations().collect()}
+        assert rows[3]["is_done"] is True
+        assert rows[4]["kind"] == "apply_mask"
+        assert rows[4]["rows_affected"] == 1
+        # ledger is manifest state: reopen preserves all four rows
+        t.close()
+        t = SparkMergeTree(spark, base, schema=schema,
+                           config=MergeTreeConfig(
+                               memtable_flush_threshold=10**9,
+                               max_parts=100, key_col="key", ts_col="ts"))
+        assert t.system_mutations().count() == 4
+    finally:
+        t.close()
+        _sh.rmtree(base, ignore_errors=True)
