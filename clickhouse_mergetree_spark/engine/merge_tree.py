@@ -3036,6 +3036,29 @@ class SparkMergeTree:
         from clickhouse_mergetree_spark.tables import values_df
         return values_df(self.spark, rows, cols)
 
+    def system_detached_parts(self) -> DataFrame:
+        """``system.detached_parts`` analog: parts parked by DETACH
+        PARTITION — id, rows, bytes, partition, and key/ts span — served
+        from the manifest's parked metadata, zero files opened. The ops
+        view for "what would ATTACH PARTITION bring back"."""
+        cols = [
+            ("part_id", "bigint"), ("row_count", "bigint"),
+            ("disk_bytes", "bigint"), ("partition", "string"),
+            ("min_key", "string"), ("max_key", "string"),
+            ("min_ts", "bigint"), ("max_ts", "bigint"),
+        ]
+        with self._lock:
+            rows = [
+                (p.part_id, p.row_count, p.disk_size, p.partition,
+                 None if p.min_key is None else str(p.min_key),
+                 None if p.max_key is None else str(p.max_key),
+                 int(p.min_ts) if p.min_ts is not None else None,
+                 int(p.max_ts) if p.max_ts is not None else None)
+                for p in self._detached_metas()
+            ]
+        from clickhouse_mergetree_spark.tables import values_df
+        return values_df(self.spark, rows, cols)
+
     def _log_mutation(self, kind: str, command: str | None,
                       parts_scanned: int, parts_rewritten: int,
                       rows_affected: int | None,

@@ -747,10 +747,14 @@ def test_detach_attach_partition_persistence(spark, base_path):
     with SparkMergeTree(spark, path, schema=schema, config=cfg) as t:
         t.insert_rows([("a", 1, "p0"), ("b", 1, "p1"), ("c", 1, "p0")])
         t.flush()
+        assert t.system_detached_parts().count() == 0
         assert t.detach_partition("p0") == 2
         assert t.query_all().count() == 1
         # idempotent: nothing left to detach
         assert t.detach_partition("p0") == 0
+        # system.detached_parts reports the parked part, metadata-only
+        (dp,) = t.system_detached_parts().collect()
+        assert (dp["partition"], dp["row_count"]) == ("p0", 2)
 
     # reopen from manifest: detached stays detached
     with SparkMergeTree(spark, path, schema=schema, config=cfg) as t2:
