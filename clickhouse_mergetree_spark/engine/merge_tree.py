@@ -218,6 +218,11 @@ class MergeTreeConfig:
     # smaller one (nested samples, ClickHouse's contract). None = no
     # sampling key declared (query_sample refuses).
     sample_col: str | None = None
+    # parts_to_throw_insert (ClickHouse analog — extension): refuse
+    # inserts once any partition holds this many live parts ("Too many
+    # parts" back-pressure — ingestion must not outpace compaction).
+    # 0 = disabled (the reference has no guard).
+    max_parts_to_throw: int = 0
     # PARTITION BY column (ClickHouse MergeTree analog — extension; users
     # partition by a precomputed bucket column, e.g. a month or a category).
     # Every part holds rows of exactly one partition value: flushes split
@@ -425,9 +430,35 @@ class SparkMergeTree:
             self._notify_views(self._rows_df([(key, value, timestamp)]))
         self.trigger_flush_if_needed()
 
+    def _check_parts_throw(self) -> None:
+        """ClickHouse ``parts_to_throw_insert`` back-pressure: refuse the
+        insert when any partition's live part count has run away — the
+        famous "Too many parts" guard that keeps ingestion from outpacing
+        compaction until reads and merges degrade unrecoverably. Off by
+        default (``max_parts_to_throw=0``); when set, inserts raise once
+        a partition reaches the limit and the caller must let merges
+        catch up (optimize / background maintenance), exactly the
+        ClickHouse operational contract. Checked at insert (not flush)
+        so the error surfaces where the producer can react."""
+        limit = getattr(self.config, "max_parts_to_throw", 0)
+        if not limit:
+            return
+        with self._lock:
+            counts: dict[str | None, int] = {}
+            for p in self.manifest.parts:
+                counts[p.partition] = counts.get(p.partition, 0) + 1
+        worst = max(counts.values(), default=0)
+        if worst >= limit:
+            part_val = max(counts, key=counts.get)
+            raise RuntimeError(
+                f"Too many parts ({worst} >= {limit}) in partition "
+                f"{part_val!r} — merges are not keeping up with inserts; "
+                f"run optimize() or enable background maintenance")
+
     def insert_batch(self, df: DataFrame, row_count: int | None = None) -> None:
         """Batch insert. ``row_count`` avoids a count() job when the caller
         already knows it (e.g. foreachBatch gives exact micro-batch sizes)."""
+        self._check_parts_throw()
         n = row_count if row_count is not None else df.count()
         if n == 0:
             return
@@ -438,6 +469,7 @@ class SparkMergeTree:
         self.trigger_flush_if_needed()
 
     def insert_rows(self, rows: list[tuple]) -> None:
+        self._check_parts_throw()
         with self._lock:
             self._buffer_rows.extend(rows)
             self._buffer_count += len(rows)
@@ -1169,6 +1201,34 @@ class SparkMergeTree:
                     self.manifest.remove([p.part_id for p in victims],
                                          retain=retain)
                     self.manifest.save()
+            if victims and not retain:
+                for p in victims:
+                    self._delete_part_dirs(p)
+            return removed
+
+    def truncate(self) -> int:
+        """``TRUNCATE TABLE`` analog: drop every live part and buffered
+        row in ONE manifest commit — metadata-only, zero rows read, O(1)
+        data work at any table size. Detached parts and FREEZE backups
+        survive (ClickHouse semantics: truncate clears the live data;
+        ``detached/`` and ``shadow/`` are untouched — restore/attach
+        still work afterwards). Satisfied lightweight-delete masks are
+        garbage-collected with their parts; the mutation ledger is
+        history and is kept. Returns rows removed."""
+        with self._merge_lock:
+            with self._lock:
+                victims = list(self.manifest.parts)
+                removed = sum(p.row_count for p in victims)
+                removed += self._buffer_count
+                self._buffer_rows = []
+                self._buffer_dfs = []
+                self._buffer_count = 0
+                retain = self.config.snapshot_retention > 0
+                if victims:
+                    self.manifest.remove([p.part_id for p in victims],
+                                         retain=retain)
+                self._gc_lw_deletes()
+                self.manifest.save()
             if victims and not retain:
                 for p in victims:
                     self._delete_part_dirs(p)

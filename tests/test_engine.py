@@ -768,3 +768,61 @@ def test_detach_attach_partition_persistence(spark, base_path):
     with SparkMergeTree(spark, path, schema=schema, config=cfg) as t3:
         rows = {r["key"] for r in t3.query_all().collect()}
         assert rows == {"a", "c"}, rows
+
+
+def test_truncate_clears_live_keeps_detached_and_frozen(spark, base_path):
+    """TRUNCATE drops live parts + buffer in one metadata commit; detached
+    parts and FREEZE backups survive and restore afterwards."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("part", T.StringType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=10,
+                          partition_col="part", key_col="key", ts_col="ts")
+    path = os.path.join(base_path, "trunc")
+    with SparkMergeTree(spark, path, schema=schema, config=cfg) as t:
+        t.insert_rows([("a", 1, "p0"), ("b", 1, "p1"), ("c", 1, "p0")])
+        t.flush()
+        t.freeze_partition(backup_name="pre")
+        t.detach_partition("p1")
+        t.insert_rows([("d", 2, "p0")])  # buffered only
+        assert t.truncate() == 3         # 2 live + 1 buffered
+        assert t.query_all().count() == 0
+        assert t.part_count() == 0
+        # detached survives truncate and re-attaches
+        assert t.attach_partition("p1") == 1
+        assert {r["key"] for r in t.query_all().collect()} == {"b"}
+        # frozen backup survives and restores additively
+        got = t.restore_frozen("pre")
+        assert got["rows"] == 3
+        assert {r["key"] for r in t.query_all().collect()} == {"a", "b", "c"}
+
+
+def test_too_many_parts_insert_guard(spark, base_path):
+    """parts_to_throw_insert: inserts refuse once a partition's live part
+    count reaches the limit; merging below it re-admits inserts."""
+    import pytest as _pt
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("v", T.LongType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=2,
+                          key_col="key", ts_col="ts", max_parts_to_throw=3)
+    path = os.path.join(base_path, "throwparts")
+    with SparkMergeTree(spark, path, schema=schema, config=cfg) as t:
+        for i in range(3):
+            t.insert_rows([(i, i, i)])
+            t.flush()
+        with _pt.raises(RuntimeError, match="Too many parts"):
+            t.insert_rows([(99, 99, 99)])
+        t.optimize()                      # compact below the limit
+        assert t.part_count() < 3
+        t.insert_rows([(99, 99, 99)])     # re-admitted
+        t.flush()
+        assert t.total_rows() == 4
