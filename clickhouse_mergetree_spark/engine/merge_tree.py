@@ -1326,6 +1326,10 @@ class SparkMergeTree:
         rows attached. O(files) metadata + link work at any table size —
         the 100 TB backfill path (stage into a scratch table, validate,
         swap) never rewrites data."""
+        if src is self:
+            # self-attach would double rows; self-REPLACE would drop the
+            # partition and then link from the just-deleted part dirs
+            raise ValueError("source and destination are the same table")
         if self.config.partition_col is None:
             raise ValueError("table has no partition_col")
         if src.config.partition_col != self.config.partition_col:

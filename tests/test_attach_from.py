@@ -367,3 +367,14 @@ def test_optimize_dedup_by_fuzz(spark, bases):
         finally:
             t.close()
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_attach_from_refuses_self(spark, bases):
+    t = _mk(spark, bases[0])
+    t.insert_rows(_rows(0, 3, "a"))
+    t.flush()
+    with pytest.raises(ValueError, match="same table"):
+        t.attach_partition_from(t, "a")
+    with pytest.raises(ValueError, match="same table"):
+        t.attach_partition_from(t, "a", replace=True)
+    t.close()
