@@ -2132,3 +2132,44 @@ def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 9).alias("mov_avg"),
         F.round(F.max("value").over(w), 9).alias("mov_max"),
     )
+
+
+@declared_query(
+    "q_agg_stats",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               round(stddev_pop(value), 6) AS sd_pop,
+               round(var_pop(value), 6) AS var_p,
+               round(covar_pop(value, CAST(user_id AS DOUBLE)), 6)
+                   AS covar_p,
+               round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+        FROM events GROUP BY event_type
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse statistical aggregate family (``stddevPop`` /
+    ``varPop`` / ``covarPop`` / ``corr``): per event type, the population
+    spread of value and its covariance/correlation with the user id —
+    the second-moment family behind variance pruning, feature screening,
+    and drift monitors.
+
+    All four are single-pass partial+final hash aggregates in Spark
+    (each partial carries fixed-size moment state — count, mean, M2 /
+    co-moment — merged associatively), so one shuffle on event_type
+    serves the whole family at any scale. Population (not sample) forms
+    are used on both engines — identical definitions with no Bessel
+    ambiguity — and round(6) absorbs the accumulation-order ulps.
+    """
+    ev = load(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_pop("value"), 6).alias("sd_pop"),
+            F.round(F.var_pop("value"), 6).alias("var_p"),
+            F.round(F.covar_pop(F.col("value"), u), 6).alias("covar_p"),
+            F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        )
+    )
