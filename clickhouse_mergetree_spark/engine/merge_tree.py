@@ -218,6 +218,13 @@ class MergeTreeConfig:
     # smaller one (nested samples, ClickHouse's contract). None = no
     # sampling key declared (query_sample refuses).
     sample_col: str | None = None
+    # Part compression codec (ClickHouse ``CODEC(ZSTD)`` / column codec
+    # analog — extension): the parquet compression codec for part writes
+    # ("zstd", "snappy", "gzip", "lz4", "uncompressed", ...). None =
+    # Spark's session default. Applies to NEW parts only; existing parts
+    # re-encode at their next rewrite (merge/mutation/TTL) — the same
+    # lazy migration contract as ALTER.
+    part_compression: str | None = None
     # parts_to_throw_insert (ClickHouse analog — extension): refuse
     # inserts once any partition holds this many live parts ("Too many
     # parts" back-pressure — ingestion must not outpace compaction).
@@ -601,7 +608,15 @@ class SparkMergeTree:
                                .alias(f"set_{c}"))
         obs = Observation(obs_name)
         shaped = shaped.observe(obs, *metrics)
-        shaped.write.mode("overwrite").parquet(path)
+        writer = shaped.write.mode("overwrite")
+        if self.config.part_compression:
+            # ClickHouse CODEC(...) analog at part granularity: parquet
+            # column-chunk codec chosen per table. Merges re-encode with
+            # the current setting, so changing it migrates data lazily —
+            # the same ride-the-rewrite contract as every ALTER here.
+            writer = writer.option("compression",
+                                   self.config.part_compression)
+        writer.parquet(path)
         stats = obs.get
         meta = PartMeta(
             part_id=part_id, path=path,
@@ -3099,6 +3114,34 @@ class SparkMergeTree:
             ]
         from clickhouse_mergetree_spark.tables import values_df
         return values_df(self.spark, rows, cols)
+
+    def explain_estimate(self, start_key=None, end_key=None,
+                         partition=None) -> dict:
+        """``EXPLAIN ESTIMATE`` analog: how much a read WOULD touch —
+        parts/rows/bytes after manifest pruning (key range via part
+        min/max + bloom, partition scope) versus the table totals —
+        without building a plan or opening a file. The capacity-planning
+        primitive: "will this query scan 2 parts or 2000" answered from
+        metadata at any table size. Buffered (unflushed) rows are
+        reported separately — they are scanned regardless of pruning."""
+        with self._lock:
+            parts = list(self.manifest.parts)
+            total = {"parts": len(parts),
+                     "rows": sum(p.row_count for p in parts),
+                     "bytes": sum(p.disk_size for p in parts)}
+            if partition is not None:
+                parts = [p for p in parts if p.partition == str(partition)]
+            if start_key is not None and end_key is not None:
+                parts = [p for p in parts
+                         if p.min_key is None
+                         or p.overlaps_range(start_key, end_key)]
+            return {
+                "total": total,
+                "estimate": {"parts": len(parts),
+                             "rows": sum(p.row_count for p in parts),
+                             "bytes": sum(p.disk_size for p in parts)},
+                "buffered_rows": self._buffer_count,
+            }
 
     def system_detached_parts(self) -> DataFrame:
         """``system.detached_parts`` analog: parts parked by DETACH

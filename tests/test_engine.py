@@ -826,3 +826,65 @@ def test_too_many_parts_insert_guard(spark, base_path):
         t.insert_rows([(99, 99, 99)])     # re-admitted
         t.flush()
         assert t.total_rows() == 4
+
+
+def test_part_compression_codec(spark, base_path):
+    """part_compression: parquet files carry the configured codec suffix;
+    default tables keep the session default."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+    ])
+    path = os.path.join(base_path, "zstd_tbl")
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9,
+                          key_col="key", ts_col="ts",
+                          part_compression="zstd")
+    with SparkMergeTree(spark, path, schema=schema, config=cfg) as t:
+        t.insert_rows([(i, i) for i in range(100)])
+        t.flush()
+        (p,) = t.manifest.parts
+        files = [f for f in os.listdir(p.path) if f.endswith(".parquet")]
+        assert files and all(".zstd." in f for f in files), files
+        assert t.query_all().count() == 100
+        # merges re-encode with the table codec too
+        t.insert_rows([(i, i + 1) for i in range(100)])
+        t.optimize(final=True)
+        (p2,) = t.manifest.parts
+        files2 = [f for f in os.listdir(p2.path) if f.endswith(".parquet")]
+        assert all(".zstd." in f for f in files2), files2
+
+
+def test_explain_estimate(spark, base_path):
+    """EXPLAIN ESTIMATE: metadata-only scan estimates honor key-range and
+    partition pruning and report buffered rows separately."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("part", T.StringType(), True),
+    ])
+    path = os.path.join(base_path, "estimate")
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**9, max_parts=10,
+                          key_col="key", ts_col="ts", partition_col="part")
+    with SparkMergeTree(spark, path, schema=schema, config=cfg) as t:
+        t.insert_rows([(k, k, "p0") for k in range(10)])
+        t.flush()
+        t.insert_rows([(k, k, "p1") for k in range(100, 110)])
+        t.flush()
+        t.insert_rows([(200, 200, "p0")])        # buffered only
+        est = t.explain_estimate()
+        assert est["total"] == est["estimate"]
+        assert est["total"]["parts"] == 2 and est["total"]["rows"] == 20
+        assert est["buffered_rows"] == 1
+        # key-range pruning: only the p1 part overlaps [100, 120]
+        est = t.explain_estimate(100, 120)
+        assert est["estimate"]["parts"] == 1
+        assert est["estimate"]["rows"] == 10
+        # partition scope composes with the range
+        est = t.explain_estimate(0, 1000, partition="p0")
+        assert est["estimate"]["parts"] == 1
+        est = t.explain_estimate(100, 120, partition="p0")
+        assert est["estimate"]["parts"] == 0
