@@ -214,7 +214,7 @@ def q_mergetree_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
                           max_parts=2, key_col="key", ts_col="ts_us")
     table = SparkMergeTree(spark, scratch_dir("q_mergetree_"),
                            schema=schema, config=cfg)
-    kv = _kv(spark, sf_dir)
+    kv = _kv(spark, sf_dir).persist()  # grouped count + 3 writes share it
     # one grouped count instead of a count() job per insert_batch
     counts = {
         int(r["b"]): r["count"]
@@ -267,7 +267,7 @@ def q_mergetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                           max_parts=2, key_col="key", ts_col="ts_us")
     table = SparkMergeTree(spark, scratch_dir("q_mt_source_"),
                            schema=schema, config=cfg)
-    kv = _kv(spark, sf_dir)
+    kv = _kv(spark, sf_dir).persist()  # grouped count + 3 writes share it
     # one grouped count instead of a count() job per insert_batch
     counts = {
         int(r["b"]): r["count"]
@@ -328,7 +328,8 @@ def q_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
                           max_parts=10, key_col="key", ts_col="ts_us")
     table = SparkMergeTree(spark, scratch_dir("q_ttl_"),
                            schema=schema, config=cfg)
-    kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    # 4 actions (2 stats + 2 part writes) share one cached scan
+    kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END).persist()
     mn, mx = kv.agg(F.min("ts_us"), F.max("ts_us")).first()
     cutoff = (mn + mx) // 2
     counts = {
@@ -440,7 +441,7 @@ def q_summing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value").cast("decimal(18,6)").alias("value"),
                 F.lit(1).cast("long").alias("n_rows"),
                 "event_id")
-    )
+    ).persist()  # grouped count + 3 part writes share one scan
     counts = {
         int(r["b"]): r["count"]
         for r in kv.groupBy(F.pmod(F.col("event_id"), F.lit(3)).alias("b"))
@@ -519,7 +520,7 @@ def q_aggregating_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value").alias("value_max"),
                 F.lit(1).cast("long").alias("n_rows"),
                 "event_id")
-    )
+    ).persist()  # 3 part writes share one scan
     for i in range(3):
         table.insert_batch(
             kv.filter(F.pmod("event_id", F.lit(3)) == i).drop("event_id"),
@@ -571,7 +572,7 @@ def q_system_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = SparkMergeTree(spark, scratch_dir("q_sysparts_"),
                            schema=schema, config=cfg)
     kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
-          .select("key", "ts_us", "event_id", "value"))
+          .select("key", "ts_us", "event_id", "value")).persist()
     for i in range(3):
         table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
                            row_count=1)
@@ -740,7 +741,8 @@ def q_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
                           key_col="key", ts_col="ts_us")
     table = SparkMergeTree(spark, scratch_dir("q_mutation_"),
                            schema=schema, config=cfg)
-    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    kv = _dedup_first(  # one cached window run feeds 3 part writes
+        _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)).persist()
     for i in range(3):
         table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
                            row_count=1)
@@ -809,7 +811,8 @@ def q_lightweight_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                           key_col="key", ts_col="ts_us")
     table = SparkMergeTree(spark, scratch_dir("q_lw_delete_"),
                            schema=schema, config=cfg)
-    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    kv = _dedup_first(  # 5 consuming actions share one cached window run
+        _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)).persist()
     for i in range(3):
         table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
                            row_count=1)
@@ -938,7 +941,8 @@ def q_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                            schema=schema, config=cfg)
     kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
           .select("key", "ts_us", "event_id", "event_type",
-                  F.col("value").cast("decimal(18,6)").alias("value")))
+                  F.col("value").cast("decimal(18,6)").alias("value"))
+          ).persist()  # 3 part writes share one cached window run
     for i in range(3):
         table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
                            row_count=1)
@@ -992,15 +996,20 @@ def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                           key_col="doc_id", ts_col="ts_us")
     table = SparkMergeTree(spark, scratch_dir("q_token_"),
                            schema=schema, config=cfg)
+    # Tokenize every document ONCE: the four banded part writes below
+    # each filter the cached (doc, has-needle) frame instead of
+    # re-splitting the full text column per write action.
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.col("doc_id").alias("ts_us"), "text")
-    has = F.array_contains(
-        F.split(F.lower("text"), "[^a-z0-9]+"), TOKEN_NEEDLE)
-    table.insert_batch(docs.filter(has), row_count=1)
+        "doc_id", F.col("doc_id").alias("ts_us"), "text").withColumn(
+        "_has", F.array_contains(
+            F.split(F.lower("text"), "[^a-z0-9]+"), TOKEN_NEEDLE)).persist()
+    cols = ["doc_id", "ts_us", "text"]
+    table.insert_batch(docs.filter("_has").select(cols), row_count=1)
     table.flush()
     for i in range(3):
         table.insert_batch(
-            docs.filter(~has & (F.pmod("doc_id", F.lit(3)) == i)),
+            docs.filter(~F.col("_has")
+                        & (F.pmod("doc_id", F.lit(3)) == i)).select(cols),
             row_count=1)
         table.flush()
     scanned = table.parts_for_token("text", TOKEN_NEEDLE)
@@ -1066,15 +1075,19 @@ def q_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                           key_col="doc_id", ts_col="ts_us")
     table = SparkMergeTree(spark, scratch_dir("q_like_"),
                            schema=schema, config=cfg)
+    # Evaluate the needle test ONCE: the four banded part writes filter
+    # the cached frame instead of re-deriving text + instr per action.
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("ts_us"),
-        F.expr(_LIKE_TEXT_SQL).alias("text"))
-    has = F.instr(F.lower("text"), LIKE_NEEDLE) > 0
-    table.insert_batch(docs.filter(has), row_count=1)
+        F.expr(_LIKE_TEXT_SQL).alias("text")).withColumn(
+        "_has", F.instr(F.lower("text"), LIKE_NEEDLE) > 0).persist()
+    cols = ["doc_id", "ts_us", "text"]
+    table.insert_batch(docs.filter("_has").select(cols), row_count=1)
     table.flush()
     for i in range(3):
         table.insert_batch(
-            docs.filter(~has & (F.pmod("doc_id", F.lit(3)) == i)),
+            docs.filter(~F.col("_has")
+                        & (F.pmod("doc_id", F.lit(3)) == i)).select(cols),
             row_count=1)
         table.flush()
     scanned = table.parts_for_like("text", LIKE_NEEDLE)
@@ -1152,7 +1165,7 @@ def q_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.attach_view(mv)
 
     kv = (_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
-          .select("key", "ts_us", "event_id", "value"))
+          .select("key", "ts_us", "event_id", "value")).persist()
     counts = {
         int(r["b"]): r["count"]
         for r in kv.groupBy(F.pmod(F.col("event_id"), F.lit(3)).alias("b"))
@@ -1204,7 +1217,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                           snapshot_retention=8, key_col="key", ts_col="ts_us")
     table = SparkMergeTree(spark, scratch_dir("q_timetravel_"),
                            schema=schema, config=cfg)
-    kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END).persist()
     counts = {
         int(r["b"]): r["count"]
         for r in kv.groupBy(F.pmod(F.col("event_id"), F.lit(2)).alias("b"))
@@ -1558,10 +1571,10 @@ def q_versioned_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
                           key_col="key", ts_col="ts_us")
     table = SparkMergeTree(spark, scratch_dir("q_vercollapse_"),
                            schema=schema, config=cfg)
-    base = (
+    base = (  # count + multiple sign-block writes reuse one cached agg
         _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
         .groupBy("key", "ts_us").agg(F.min("event_id").alias("event_id"))
-    )
+    ).persist()
     even = base.filter(F.pmod("event_id", F.lit(2)) == 0)
     n = base.count()
     # cancellation delivered BEFORE the row it cancels
@@ -1810,9 +1823,12 @@ def q_ttl_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                           key_col="key", ts_col="ts_us")
     table = SparkMergeTree(spark, scratch_dir("q_ttlcol_"),
                            schema=schema, config=cfg)
+    # One dedup shuffle total: the min/max agg materializes the cache and
+    # the three banded part writes below reuse it instead of re-running
+    # the window (4 actions consume kv; bench clears the cache per query).
     kv = _dedup_first(
         _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
-    ).select("key", "ts_us", "event_id", "value")
+    ).select("key", "ts_us", "event_id", "value").persist()
     mn, mx = kv.agg(F.min("ts_us"), F.max("ts_us")).first()
     cutoff = mn + (mx - mn) // 2
     q1 = mn + (mx - mn) // 4
@@ -2167,8 +2183,9 @@ def q_matview_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1.attach_view(MaterializedView(l2, l2_rollup))   # level 2 chains off l1
     src.attach_view(MaterializedView(l1, l1_rollup))
 
+    # 3 blocks × 2 MV levels consume this frame; one cached scan total
     kv = (_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
-          .select("key", "ts_us", "event_id", "value"))
+          .select("key", "ts_us", "event_id", "value")).persist()
     for i in range(3):
         src.insert_batch(
             kv.filter(F.pmod("event_id", F.lit(3)) == i), row_count=1)
@@ -2218,7 +2235,9 @@ def q_sharded_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
                           max_parts=2, key_col="key", ts_col="ts_us")
     table = ShardedMergeTree(spark, scratch_dir("q_sharded_"),
                              n_shards=4, schema=schema, config=cfg)
-    kv = _kv(spark, sf_dir)
+    # 4 shard writes each filter this frame; cache the scan+projection so
+    # the parquet read runs once, not once per shard flush.
+    kv = _kv(spark, sf_dir).persist()
     table.insert_batch(kv, row_count=1)
     table.flush()
     table.optimize()
@@ -2273,7 +2292,9 @@ def q_attach_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=100,
                           key_col="key", ts_col="ts_us",
                           partition_col="event_type")
-    kv = _dedup_first(_kv(spark, sf_dir))
+    # Both staging/main loads consume the same full-table dedup; persist
+    # so the window shuffle runs once, not once per part-write action.
+    kv = _dedup_first(_kv(spark, sf_dir)).persist()
     src = SparkMergeTree(spark, scratch_dir("q_attachfrom_src_"),
                          schema=schema, config=cfg)
     dst = SparkMergeTree(spark, scratch_dir("q_attachfrom_dst_"),
@@ -2328,7 +2349,7 @@ def q_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=100,
                           key_col="key", ts_col="ts_us")
-    kv = _dedup_first(_kv(spark, sf_dir))
+    kv = _dedup_first(_kv(spark, sf_dir)).persist()  # shared by both loads
     cold = SparkMergeTree(spark, scratch_dir("q_mergetbl_cold_"),
                           schema=schema, config=cfg)
     hot = SparkMergeTree(spark, scratch_dir("q_mergetbl_hot_"),
@@ -2432,9 +2453,10 @@ def q_sharded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                           key_col="key", ts_col="ts_us")
     table = ShardedMergeTree(spark, scratch_dir("q_shardagg_"),
                              n_shards=4, schema=schema, config=cfg)
+    # 4 shard part-writes reuse one cached dedup instead of 4 window runs
     kv = _dedup_first(_kv(spark, sf_dir)).select(
         "key", "ts_us", "event_id", "event_type",
-        F.col("value").cast("decimal(18,6)").alias("value"))
+        F.col("value").cast("decimal(18,6)").alias("value")).persist()
     table.insert_batch(kv, row_count=1)
     table.flush()
     assert all(s["rows"] > 0 for s in table.shard_stats())
@@ -2547,7 +2569,8 @@ def q_sharded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                           key_col="key", ts_col="ts_us")
     table = ShardedMergeTree(spark, scratch_dir("q_shardjoin_"),
                              n_shards=4, schema=schema, config=cfg)
-    kv = _dedup_first(_kv(spark, sf_dir))
+    # 4 shard part-writes reuse one cached dedup instead of 4 window runs
+    kv = _dedup_first(_kv(spark, sf_dir)).persist()
     table.insert_batch(kv, row_count=1)
     table.flush()
     dim = (table.query_all().groupBy("event_type")
