@@ -308,6 +308,10 @@ class SparkMergeTree:
                 T.StructField(mrec["name"], mtype, f.nullable)
                 if f.name == mrec["name"] else f
                 for f in self.schema.fields])
+        # ALTER ADD INDEX log: re-apply persisted skipping indexes before
+        # metadata rebuild so recovered parts index the full set too.
+        for rec in self.manifest.table_meta.get("indexes", []):
+            self._apply_index_config(rec["col"], rec["kind"], rec.get("n"))
         self._rebuild_missing_metadata()
         # A surviving mutation intent record means a previous process died
         # mid-mutation: per-part swaps are atomic, so the table is
@@ -2535,6 +2539,105 @@ class SparkMergeTree:
                         return {"parts_rewritten": rewritten}
                 self._merge_group([target])
                 rewritten += 1
+
+    def _apply_index_config(self, col: str, kind: str,
+                            n: int | None = None) -> None:
+        """Fold one ADD INDEX record into the live config (idempotent)."""
+        c = self.config
+        if kind == "tokenbf" and col not in c.token_bloom_cols:
+            c.token_bloom_cols = tuple(c.token_bloom_cols) + (col,)
+        elif kind == "ngrambf" and col not in c.ngram_bloom_cols:
+            c.ngram_bloom_cols = tuple(c.ngram_bloom_cols) + (col,)
+        elif kind == "minmax" and col not in c.minmax_cols:
+            c.minmax_cols = tuple(c.minmax_cols) + (col,)
+        elif kind == "set" and col not in [x for x, _ in c.set_index_cols]:
+            c.set_index_cols = (tuple(c.set_index_cols)
+                                + ((col, int(n or 100)),))
+
+    def add_index(self, col: str, kind: str, n: int | None = None) -> None:
+        """``ALTER TABLE ... ADD INDEX`` analog (ClickHouse data-skipping
+        index DDL on an EXISTING table): a metadata-only manifest commit —
+        zero parts read. New parts (flushes, merges, rewrites) build the
+        index at write time; parts that predate the ALTER stay index-less,
+        and index-less means "no claim", so reads stay correct and merely
+        un-pruned until ``materialize_index`` backfills them — exactly
+        ClickHouse's ADD INDEX / MATERIALIZE INDEX split. Kinds:
+        ``tokenbf`` | ``ngrambf`` | ``minmax`` | ``set`` (``n`` = max
+        stored distinct values, default 100). Persisted in the manifest
+        and replayed on reopen."""
+        if not any(f.name == col for f in self.schema.fields):
+            raise ValueError(f"unknown column {col!r}")
+        kinds = ("tokenbf", "ngrambf", "minmax", "set")
+        if kind not in kinds:
+            raise ValueError(f"unknown index kind {kind!r}; one of {kinds}")
+        with self._lock:
+            recs = self.manifest.table_meta.setdefault("indexes", [])
+            if any(r["col"] == col and r["kind"] == kind for r in recs):
+                raise ValueError(f"index {kind}({col!r}) already exists")
+            self._apply_index_config(col, kind, n)
+            recs.append({"col": col, "kind": kind, "n": n})
+            self.manifest.save()
+
+    def materialize_index(self, col: str | None = None) -> dict:
+        """``ALTER TABLE ... MATERIALIZE INDEX`` analog: backfill skipping
+        indexes onto LIVE parts written before their ADD INDEX. Each part
+        missing index metadata gets the same single-column scans a part
+        write runs; already-indexed parts are untouched, so re-running is
+        idempotent and the work is bounded by the ALTER frontier, not the
+        table — at 100 TB each part backfills as an independent job.
+        Snapshot tombstones are exempt (no claim ⇒ time-travel reads scan
+        them; pruning is pure optimization). Returns
+        {"parts_indexed", "parts_skipped"}."""
+        self.flush()
+        indexed = skipped = 0
+        with self._lock:
+            parts = list(self.manifest.parts)
+        for p in parts:
+            present = (set(p.columns) if p.columns is not None
+                       else {f.name for f in self.schema.fields})
+
+            def want(c: str) -> bool:
+                return (col is None or c == col) and c in present
+
+            tok_missing = [c for c in self.config.token_bloom_cols
+                           if want(c) and c not in (p.token_blooms or {})]
+            ng_missing = [c for c in self.config.ngram_bloom_cols
+                          if want(c) and c not in (p.ngram_blooms or {})]
+            mm_missing = [c for c in self.config.minmax_cols
+                          if want(c) and c not in (p.col_stats or {})]
+            set_missing = [(c, nn) for c, nn in self.config.set_index_cols
+                           if want(c) and c not in (p.col_sets or {})]
+            if not (tok_missing or ng_missing or mm_missing or set_missing):
+                skipped += 1
+                continue
+            if tok_missing:
+                self._attach_token_blooms(p)
+            if ng_missing:
+                self._attach_ngram_blooms(p)
+            if mm_missing or set_missing:
+                aggs = []
+                for c in mm_missing:
+                    aggs += [F.min(c).alias(f"mm_min_{c}"),
+                             F.max(c).alias(f"mm_max_{c}")]
+                for c, _nn in set_missing:
+                    aggs.append(F.collect_set(F.col(c).cast("string"))
+                                .alias(f"set_{c}"))
+                row = self.spark.read.parquet(p.path).agg(*aggs).collect()[0]
+                if mm_missing:
+                    p.col_stats = dict(p.col_stats or {})
+                    for c in mm_missing:
+                        p.col_stats[c] = [row[f"mm_min_{c}"],
+                                          row[f"mm_max_{c}"]]
+                if set_missing:
+                    p.col_sets = dict(p.col_sets or {})
+                    for c, nn in set_missing:
+                        vals = row[f"set_{c}"]
+                        p.col_sets[c] = (sorted(vals) if len(vals) <= nn
+                                         else None)
+            indexed += 1
+        with self._lock:
+            self.manifest.save()
+        return {"parts_indexed": indexed, "parts_skipped": skipped}
 
     def clear_column(self, name: str, partition=None) -> dict:
         """``ALTER TABLE CLEAR COLUMN [IN PARTITION]`` analog: reset the

@@ -1019,6 +1019,74 @@ def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.query_token("text", TOKEN_NEEDLE).select("doc_id")
 
 
+@declared_query(
+    "q_materialize_index",
+    oracle=f"""
+        SELECT doc_id FROM documents
+        WHERE list_contains(
+            string_split_regex(lower(text), '[^a-z0-9]+'), '{TOKEN_NEEDLE}')
+    """,
+)
+def q_materialize_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... ADD INDEX`` + ``MATERIALIZE INDEX`` end-to-end
+    (ClickHouse DDL analog — extension): the table is built WITHOUT any
+    text index, then a tokenbf index is ADDed as a metadata-only commit
+    (asserted: the probe still scans every part — an un-materialized
+    index makes no claim, so correctness never depends on it), then
+    MATERIALIZE backfills the existing parts (asserted: the probe now
+    skips at least one needle-free part, re-running is a no-op, and the
+    DDL survives reopen). The oracle recomputes token containment
+    relationally, so the hash match proves the backfilled index serves
+    the same rows a full scan would.
+
+    At 100 TB this is how you retrofit needle-in-haystack search onto a
+    standing corpus: the ALTER is O(1), the backfill is one bounded
+    single-column scan per historical part, and new parts index
+    themselves at write time."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="doc_id", ts_col="ts_us")
+    path = scratch_dir("q_mat_index_")
+    table = SparkMergeTree(spark, path, schema=schema, config=cfg)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("ts_us"), "text").withColumn(
+        "_has", F.array_contains(
+            F.split(F.lower("text"), "[^a-z0-9]+"), TOKEN_NEEDLE)).persist()
+    cols = ["doc_id", "ts_us", "text"]
+    table.insert_batch(docs.filter("_has").select(cols), row_count=1)
+    table.flush()
+    for i in range(3):
+        table.insert_batch(
+            docs.filter(~F.col("_has")
+                        & (F.pmod("doc_id", F.lit(3)) == i)).select(cols),
+            row_count=1)
+        table.flush()
+    table.add_index("text", "tokenbf")          # metadata-only
+    n_parts = table.part_count()
+    assert len(table.parts_for_token("text", TOKEN_NEEDLE)) == n_parts
+    stats = table.materialize_index("text")     # backfill
+    assert stats == {"parts_indexed": n_parts, "parts_skipped": 0}, stats
+    assert len(table.parts_for_token("text", TOKEN_NEEDLE)) < n_parts
+    again = table.materialize_index("text")     # idempotent
+    assert again["parts_indexed"] == 0, again
+    # DDL survives reopen with the ORIGINAL (index-less) config
+    reopened = SparkMergeTree(spark, path, schema=schema,
+                              config=MergeTreeConfig(
+                                  memtable_flush_threshold=10**12,
+                                  max_parts=10,
+                                  key_col="doc_id", ts_col="ts_us"))
+    assert len(reopened.parts_for_token("text", TOKEN_NEEDLE)) < n_parts
+    return reopened.query_token("text", TOKEN_NEEDLE).select("doc_id")
+
+
 # Injected cross-token needle (same fixture technique as q_pii_scrub):
 # it spans a word boundary — the query class tokenbf structurally cannot
 # serve — and its 3-grams ("zqx", "qxv", ...) are absent from the
