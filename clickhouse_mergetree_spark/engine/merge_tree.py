@@ -272,6 +272,10 @@ class SparkMergeTree:
         # reads and flushes still concurrent.
         self._merge_lock = threading.Lock()
         self._closed = False
+        # system.query_log analog: per-session plan-time read ledger
+        # (kind + parts pruned/scanned). In-memory by design — ClickHouse's
+        # query_log is itself a best-effort side table, not table state.
+        self._query_log: list[dict] = []
         self._views: list = []  # attached MaterializedViews (see matview.py)
         os.makedirs(base_path, exist_ok=True)
         self.manifest = Manifest.load(base_path)
@@ -847,6 +851,36 @@ class SparkMergeTree:
 
     # ----------------------------------------------------------------- reads
 
+    def _log_query(self, kind: str, parts_total: int,
+                   parts_scanned: int) -> None:
+        """Append one ``system.query_log`` row (plan-time facts: what the
+        manifest pruned vs scheduled; row counts are an execution-time
+        concept Spark's lazy plans don't surface here)."""
+        with self._lock:
+            self._query_log.append({
+                "seq": len(self._query_log) + 1,
+                "kind": kind,
+                "parts_total": parts_total,
+                "parts_scanned": parts_scanned,
+            })
+
+    def system_query_log(self) -> DataFrame:
+        """``system.query_log`` analog: every read planned against this
+        table instance — kind (point_lookup / range_scan / full_scan /
+        partition_scan / col_range_scan / token_search / like_search /
+        in_scan), live part count at plan time, and how many parts
+        survived manifest + skip-index pruning. The observability loop
+        that tells an operator which indexes are EARNING their build
+        cost: scanned ≈ total on a token_search means the bloom never
+        prunes. Metadata-sized (one row per query), session-local."""
+        cols = [("seq", "int"), ("kind", "string"),
+                ("parts_total", "int"), ("parts_scanned", "int")]
+        with self._lock:
+            rows = [(e["seq"], e["kind"], e["parts_total"],
+                     e["parts_scanned"]) for e in self._query_log]
+        from clickhouse_mergetree_spark.tables import values_df
+        return values_df(self.spark, rows, cols)
+
     def query(self, start_key, end_key) -> DataFrame:
         """R3: inclusive key-range scan over buffer ∪ parts, (key,ts) dedup,
         (key ASC, ts ASC) order (reference src/merge_tree.cpp:37-63).
@@ -955,7 +989,9 @@ class SparkMergeTree:
         with self._lock:
             pruned = [p for p in self.manifest.parts
                       if p.may_match_values(col, values)]
+            n_total = len(self.manifest.parts)
             buf = self._buffer_df()
+        self._log_query("in_scan", n_total, len(pruned))
         pred = F.col(col).isin(values)
         sources = []
         df = self._read_parts(pruned)
@@ -989,7 +1025,9 @@ class SparkMergeTree:
         with self._lock:
             pruned = [p for p in self.manifest.parts
                       if p.may_contain_token(col, tok)]
+            n_total = len(self.manifest.parts)
             buf = self._buffer_df()
+        self._log_query("token_search", n_total, len(pruned))
         pred = F.array_contains(self._token_col(col), tok)
         sources = []
         df = self._read_parts(pruned)
@@ -1025,7 +1063,9 @@ class SparkMergeTree:
         with self._lock:
             pruned = [p for p in self.manifest.parts
                       if p.may_contain_substring(col, low)]
+            n_total = len(self.manifest.parts)
             buf = self._buffer_df()
+        self._log_query("like_search", n_total, len(pruned))
         pred = F.instr(F.lower(F.col(col)), low) > 0
         sources = []
         df = self._read_parts(pruned)
@@ -1647,7 +1687,14 @@ class SparkMergeTree:
                 # partition pruning: a part's rows all share its partition
                 # value, so non-matching parts are skipped entirely
                 pruned = [p for p in pruned if p.partition == partition]
+            n_total = len(self.manifest.parts)
             buf = self._buffer_df()
+        self._log_query(
+            "point_lookup" if point_key is not None else
+            "partition_scan" if partition is not None else
+            "col_range_scan" if col_range is not None else
+            "range_scan" if key_range is not None else "full_scan",
+            n_total, len(pruned))
         sources = []
         df = self._read_parts(pruned)
         if df is not None:

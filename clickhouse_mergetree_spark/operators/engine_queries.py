@@ -581,6 +581,74 @@ def q_system_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_id", "row_count", "min_key", "max_key", "min_ts", "max_ts")
 
 
+@declared_query(
+    "q_query_log",
+    oracle=f"""
+        WITH kv AS ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        SELECT 1 AS seq, 'range_scan' AS kind,
+               (SELECT count(*) FROM kv
+                WHERE key BETWEEN {RANGE_START} AND {RANGE_END}) AS n_rows
+        UNION ALL
+        SELECT 2, 'point_lookup',
+               (SELECT count(*) FROM kv WHERE key = {POINT_KEY})
+        UNION ALL
+        SELECT 3, 'full_scan', (SELECT count(*) FROM kv)
+    """,
+)
+def q_query_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.query_log`` end-to-end (ClickHouse observability analog —
+    extension): every read planned against a table lands in a query
+    ledger with its kind and its pruning outcome (live parts vs parts
+    scheduled after manifest + skip-index pruning) — the surface an
+    operator reads to learn which indexes EARN their build cost.
+
+    Three reads run against a 3-part table (range scan, point lookup,
+    full scan); the asserts pin the ledger's plan-time facts (every read
+    saw 3 live parts; the bloom-backed point lookup never schedules
+    more than that), and the returned rows join the engine's own ledger
+    (seq, kind) with each read's executed row count, which the oracle
+    recomputes relationally — so the hash match proves the log describes
+    the reads that actually ran. The ledger is metadata-sized (one row
+    per query) at any table size."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+    from clickhouse_mergetree_spark.tables import values_df
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_querylog_"),
+                           schema=schema, config=cfg)
+    kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+          .select("key", "ts_us", "event_id", "value")).persist()
+    for i in range(3):
+        table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
+                           row_count=1)
+        table.flush()
+    counts = [
+        table.query(RANGE_START, RANGE_END).count(),   # seq 1
+        table.query_key(POINT_KEY).count(),            # seq 2
+        table.query_all().count(),                     # seq 3
+    ]
+    log = table.system_query_log()
+    entries = log.collect()
+    assert [e["kind"] for e in entries] == [
+        "range_scan", "point_lookup", "full_scan"], entries
+    assert all(e["parts_total"] == 3 for e in entries), entries
+    assert entries[1]["parts_scanned"] <= 3, entries
+    assert entries[2]["parts_scanned"] == 3, entries
+    rows_df = values_df(
+        spark, [(i + 1, int(n)) for i, n in enumerate(counts)],
+        [("seq", "int"), ("n_rows", "bigint")])
+    return log.join(rows_df, "seq").select("seq", "kind", "n_rows")
+
+
 MINMAX_LO, MINMAX_HI = 300.0, 1000.0
 
 

@@ -1179,3 +1179,78 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log(F.col("c12").cast("double")
                                  / F.col("c1"))), 6).alias("surprisal"))
     )
+
+
+QM_VOCAB = 256
+
+
+@declared_query(
+    "q_quality_model",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        alpha AS (
+            SELECT doc_id, tok FROM toks
+            WHERE regexp_matches(tok, '^[a-z]+$')
+        ),
+        vocab AS (
+            SELECT tok,
+                   (length(tok) * 37 + ascii(tok)) % 21 - 10 AS w_int
+            FROM (
+                SELECT tok, count(DISTINCT doc_id) AS df
+                FROM alpha GROUP BY tok
+                ORDER BY df DESC, tok LIMIT {QM_VOCAB}
+            )
+        )
+        SELECT a.doc_id,
+               count(*) AS n_tokens,
+               count(v.w_int) AS n_vocab_hits,
+               sum(COALESCE(v.w_int, 0)) / (10.0 * count(*)) AS score,
+               CASE WHEN sum(COALESCE(v.w_int, 0)) > 0
+                    THEN 1 ELSE 0 END AS keep
+        FROM alpha a LEFT JOIN vocab v USING (tok)
+        GROUP BY a.doc_id
+    """,
+)
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (fastText-classifier pipeline shape —
+    LLM-data extension): score every document with a linear model over
+    lexical token features and emit a keep/drop verdict — the
+    "classifier filter" stage every production corpus pass runs after
+    the cheap heuristic screens (q_text_quality).
+
+    The model is a (token -> weight) table over the corpus's top-{QM_VOCAB}
+    document-frequency tokens; weights here are a deterministic function
+    of the token string so the oracle can recompute them exactly (a
+    trained model would ship the same shape: a small weights table).
+    Scoring is the scalable idiom for "apply a bag-of-words model at
+    100 TB": explode to tokens, BROADCAST-join the node-memory-sized
+    weights table onto the token stream (map-side, no fact shuffle),
+    then one partial+final agg keyed by doc_id — the only exchange.
+    Out-of-vocabulary tokens contribute 0, exactly like a hashed linear
+    model's missing buckets. The score stays rational (integer weight
+    sum / 10.0·n) so both engines produce bit-identical doubles."""
+    d = load(spark, sf_dir, "documents")
+    alpha = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").rlike("^[a-z]+$"))
+    w_int = ((F.length("tok") * 37 + F.ascii("tok")) % 21 - 10).alias("w_int")
+    vocab = (
+        alpha.distinct()
+        .groupBy("tok").agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "tok").limit(QM_VOCAB)
+        .select("tok", w_int)
+    )
+    sum_w = F.sum(F.coalesce("w_int", F.lit(0)))
+    return (
+        alpha.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("w_int").alias("n_vocab_hits"),
+            (sum_w / (F.lit(10.0) * F.count("*"))).alias("score"),
+            F.when(sum_w > 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )
