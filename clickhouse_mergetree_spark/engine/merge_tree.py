@@ -316,6 +316,14 @@ class SparkMergeTree:
         # metadata rebuild so recovered parts index the full set too.
         for rec in self.manifest.table_meta.get("indexes", []):
             self._apply_index_config(rec["col"], rec["kind"], rec.get("n"))
+        # ALTER ADD PROJECTION log (JSON round-trip: lists → tuples)
+        for rec in self.manifest.table_meta.get("projections", []):
+            if not any(s.name == rec["name"]
+                       for s in self.config.projections):
+                self.config.projections = tuple(self.config.projections) + (
+                    ProjectionSpec(rec["name"], tuple(rec["group_by"]),
+                                   {k: tuple(v)
+                                    for k, v in rec["aggs"].items()}),)
         self._rebuild_missing_metadata()
         # A surviving mutation intent record means a previous process died
         # mid-mutation: per-part swaps are atomic, so the table is
@@ -1196,6 +1204,93 @@ class SparkMergeTree:
         if not covering:
             return None
         return min(covering, key=lambda s: len(s.group_by)).name
+
+    def add_projection(self, spec: ProjectionSpec) -> None:
+        """``ALTER TABLE ... ADD PROJECTION`` analog: register a
+        pre-aggregation on a standing table as a metadata-only manifest
+        commit — zero parts read. New parts (flushes, merges, rewrites)
+        build the projection at write time; parts that predate the ALTER
+        serve grouped reads through the raw-row fallback (correctness
+        never depends on materialization state) until
+        ``materialize_projection`` backfills them — ClickHouse's ADD /
+        MATERIALIZE PROJECTION split. Persisted in the manifest and
+        replayed on reopen."""
+        if self.config.mode != "dedup":
+            raise ValueError(
+                "projections require mode='dedup' (read-time collapse "
+                "would diverge from physical-row partials)")
+        if any(s.name == spec.name for s in self.config.projections):
+            raise ValueError(f"projection {spec.name!r} already exists")
+        names = {f.name for f in self.schema.fields}
+        missing = (set(spec.group_by)
+                   | {src for _fn, src in spec.aggs.values() if src}) - names
+        if missing:
+            raise ValueError(f"unknown columns {sorted(missing)}")
+        with self._lock:
+            self.config.projections = (tuple(self.config.projections)
+                                       + (spec,))
+            recs = self.manifest.table_meta.setdefault("projections", [])
+            recs.append({"name": spec.name,
+                         "group_by": list(spec.group_by),
+                         "aggs": {k: list(v) for k, v in spec.aggs.items()}})
+            self.manifest.save()
+
+    def materialize_projection(self, name: str) -> dict:
+        """``ALTER TABLE ... MATERIALIZE PROJECTION`` analog: backfill the
+        named projection onto LIVE parts written before its ADD. Each
+        lagging part gets one aggregate job over its own rows (exactly the
+        write-path projection build); already-materialized parts are
+        untouched, so re-running is idempotent and the work is bounded by
+        the ALTER frontier — at 100 TB each part backfills independently.
+        Returns {"parts_built", "parts_skipped"}."""
+        spec = self._spec(name)
+        self.flush()
+        built = skipped = 0
+        with self._lock:
+            parts = list(self.manifest.parts)
+        for p in parts:
+            if p.proj_paths and name in p.proj_paths:
+                skipped += 1
+                continue
+            cols = (set(p.columns) if p.columns is not None
+                    else {f.name for f in self.schema.fields})
+            part_df = self.spark.read.schema(
+                T.StructType([f for f in self.schema.fields
+                              if f.name in cols])).parquet(p.path)
+            ppath = os.path.join(self.base_path,
+                                 f"part_{p.part_id}_proj_{name}")
+            (self._apply_projection(part_df, spec)
+             .coalesce(1).write.mode("overwrite").parquet(ppath))
+            with self._lock:
+                p.proj_paths = dict(p.proj_paths or {})
+                p.proj_paths[name] = ppath
+            built += 1
+        with self._lock:
+            self.manifest.save()
+        return {"parts_built": built, "parts_skipped": skipped}
+
+    def drop_projection(self, name: str) -> int:
+        """``ALTER TABLE ... DROP PROJECTION`` analog: unregister the
+        projection and reclaim its per-part files. Reads route back to
+        raw rows from the same commit. Returns files removed."""
+        self._spec(name)  # raises on unknown name
+        removed = 0
+        with self._lock:
+            self.config.projections = tuple(
+                s for s in self.config.projections if s.name != name)
+            recs = self.manifest.table_meta.get("projections", [])
+            self.manifest.table_meta["projections"] = [
+                r for r in recs if r["name"] != name]
+            victims = []
+            for p in list(self.manifest.parts) + [
+                    p for p, _v in self.manifest.tombstones.values()]:
+                if p.proj_paths and name in p.proj_paths:
+                    victims.append(p.proj_paths.pop(name))
+            self.manifest.save()
+        for v in victims:
+            shutil.rmtree(v, ignore_errors=True)
+            removed += 1
+        return removed
 
     # ---------------------------------------------------------- partitions
 

@@ -1025,6 +1025,86 @@ def q_projection_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_rows")
 
 
+@declared_query(
+    "q_materialize_projection",
+    oracle=f"""
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+               count(*) AS n_rows
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        GROUP BY event_type
+    """,
+)
+def q_materialize_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... ADD PROJECTION`` + ``MATERIALIZE PROJECTION`` on
+    a STANDING table end-to-end (ClickHouse DDL analog — extension,
+    completing q_projection_agg which declares the projection at
+    creation): the table is built with NO projections, then one is ADDed
+    as a metadata-only commit. Grouped reads stay correct immediately —
+    un-materialized parts serve through the raw-row fallback (asserted:
+    the plan still reads raw part files) — and MATERIALIZE then backfills
+    each lagging part with one part-local aggregate job (asserted: the
+    plan now reads only projection dirs, re-running is a no-op, and the
+    DDL survives reopen with the original config). The oracle aggregates
+    the raw rows relationally, so the hash proves the backfilled partials
+    combine to exactly the data's truth.
+
+    At 100 TB this is how dashboards get retrofitted onto a standing
+    corpus: the ALTER is O(1), the backfill is one bounded job per
+    historical part, and every future merge/mutation/TTL rewrite keeps
+    the projection fresh automatically."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MergeTreeConfig, ProjectionSpec, SparkMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DecimalType(18, 6), True),
+    ])
+
+    def cfg() -> MergeTreeConfig:
+        return MergeTreeConfig(memtable_flush_threshold=10**12,
+                               max_parts=10, key_col="key", ts_col="ts_us")
+
+    path = scratch_dir("q_matprojection_")  # NB: no "_proj_" substring —
+    # the raw-vs-projection file asserts below match on "_proj_by_type"
+    table = SparkMergeTree(spark, path, schema=schema, config=cfg())
+    kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+          .select("key", "ts_us", "event_id", "event_type",
+                  F.col("value").cast("decimal(18,6)").alias("value"))
+          ).persist()
+    for i in range(3):
+        table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
+                           row_count=1)
+        table.flush()
+    spec = ProjectionSpec("by_type", ("key", "event_type"),
+                          {"value_sum": ("sum", "value"),
+                           "n_rows": ("count", "value")})
+    table.add_projection(spec)                     # metadata-only
+    req = {"value_sum": ("sum", "value"), "n_rows": ("count", "value")}
+    assert table.routed_projection(("event_type",), req) == "by_type"
+    # correct BEFORE materialization: raw-row fallback serves the read
+    pre = table.query_grouped(("event_type",), req)
+    assert pre.inputFiles() and all(
+        "_proj_by_type" not in f for f in pre.inputFiles()), "expected raw"
+    stats = table.materialize_projection("by_type")
+    assert stats == {"parts_built": 3, "parts_skipped": 0}, stats
+    assert table.materialize_projection("by_type")["parts_built"] == 0
+    # reopen with the ORIGINAL projection-less config: DDL replays
+    reopened = SparkMergeTree(spark, path, schema=schema, config=cfg())
+    assert reopened.routed_projection(("event_type",), req) == "by_type"
+    out = reopened.query_grouped(("event_type",), req)
+    files = out.inputFiles()
+    assert files and all("_proj_by_type" in f for f in files), files[:3]
+    return out.select("event_type",
+                      F.col("value_sum").cast("double").alias("value_sum"),
+                      "n_rows")
+
+
 TOKEN_NEEDLE = "dup"
 
 

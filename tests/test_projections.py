@@ -222,3 +222,101 @@ def test_projections_refused_on_collapsing_modes(spark, tmp_path):
         with pytest.raises(ValueError, match="mode='dedup'"):
             SparkMergeTree(spark, str(tmp_path / f"m_{mode}"),
                            schema=SCHEMA, config=cfg)
+
+
+# ---------------------------------------------------------------------------
+# ALTER ADD / MATERIALIZE / DROP PROJECTION (retrofit on a standing table)
+
+SPEC2 = ProjectionSpec("by_cat", ("cat",),
+                       {"value_sum": ("sum", "value"),
+                        "n": ("count", "value")})
+
+
+@pytest.fixture()
+def bare_table(spark, tmp_path):
+    """Same data as `table` but built with NO projections."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    t = SparkMergeTree(spark, str(tmp_path / "bare"), schema=SCHEMA,
+                       config=cfg)
+    rows = [(k % 7, 1000 + k, "ab"[k % 2], Decimal(k)) for k in range(300)]
+    for i in range(3):
+        t.insert_rows(rows[i * 100:(i + 1) * 100])
+        t.flush()
+    yield t
+    t.close()
+
+
+def test_add_projection_serves_raw_until_materialized(bare_table):
+    t = bare_table
+    req = {"value_sum": ("sum", "value"), "n": ("count", "value")}
+    t.add_projection(SPEC2)
+    assert t.routed_projection(("cat",), req) == "by_cat"
+    assert all(not (p.proj_paths or {}) for p in t.manifest.parts)
+    pre = {r["cat"]: (r["value_sum"], r["n"])
+           for r in t.query_grouped(("cat",), req).collect()}
+    stats = t.materialize_projection("by_cat")
+    assert stats == {"parts_built": 3, "parts_skipped": 0}
+    post_df = t.query_grouped(("cat",), req)
+    assert all("_proj_by_cat" in f for f in post_df.inputFiles())
+    post = {r["cat"]: (r["value_sum"], r["n"]) for r in post_df.collect()}
+    assert pre == post
+    # idempotent
+    assert t.materialize_projection("by_cat") == {"parts_built": 0,
+                                                  "parts_skipped": 3}
+
+
+def test_add_projection_persists_and_new_parts_build_it(bare_table, spark):
+    t = bare_table
+    t.add_projection(SPEC2)
+    t.insert_rows([(99, 9999, "a", Decimal(5))])
+    t.flush()  # post-ALTER part builds the projection at write time
+    assert "by_cat" in (t.manifest.parts[-1].proj_paths or {})
+    # reopen with the ORIGINAL projection-less config: DDL replays
+    r = SparkMergeTree(spark, t.base_path, schema=SCHEMA,
+                       config=MergeTreeConfig(
+                           memtable_flush_threshold=10**12, max_parts=10,
+                           key_col="key", ts_col="ts_us"))
+    assert [s.name for s in r.config.projections] == ["by_cat"]
+    r.materialize_projection("by_cat")
+    req = {"value_sum": ("sum", "value"), "n": ("count", "value")}
+    got = {x["cat"]: x["n"] for x in
+           r.query_grouped(("cat",), req).collect()}
+    assert got == {"a": 151, "b": 150}
+    r.close()
+
+
+def test_drop_projection_reclaims_files_and_reroutes(bare_table):
+    t = bare_table
+    req = {"value_sum": ("sum", "value"), "n": ("count", "value")}
+    t.add_projection(SPEC2)
+    t.materialize_projection("by_cat")
+    assert t.drop_projection("by_cat") == 3
+    assert t.routed_projection(("cat",), req) is None
+    assert all(not (p.proj_paths or {}) for p in t.manifest.parts)
+    # reads still correct through the raw path
+    got = {x["cat"]: x["n"] for x in
+           t.query_grouped(("cat",), req).collect()}
+    assert got == {"a": 150, "b": 150}
+    with pytest.raises(KeyError):
+        t.drop_projection("nope")
+
+
+def test_add_projection_validation(bare_table, spark, tmp_path):
+    t = bare_table
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.add_projection(ProjectionSpec("bad", ("nope",),
+                                        {"n": ("count", "value")}))
+    t.add_projection(SPEC2)
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_projection(SPEC2)
+    # collapsing-family tables refuse ADD PROJECTION outright
+    s = SparkMergeTree(
+        spark, str(tmp_path / "summing"),
+        schema=SCHEMA,
+        config=MergeTreeConfig(memtable_flush_threshold=10**12,
+                               mode="summing",
+                               key_col="key", ts_col="ts_us"))
+    with pytest.raises(ValueError, match="mode='dedup'"):
+        s.add_projection(SPEC2)
+    s.close()
