@@ -859,6 +859,51 @@ class SparkMergeTree:
 
     # ----------------------------------------------------------------- reads
 
+    def create_row_policy(self, name: str, expr_sql: str) -> None:
+        """``CREATE ROW POLICY ... USING expr`` analog: a predicate every
+        subsequent READ applies automatically — PII scoping, tenant
+        isolation, soft-retention windows — persisted in the manifest, so
+        it survives reopen and cannot be forgotten by a caller. Policies
+        filter the LOGICAL table (after the engine's read-time collapse):
+        what a policy hides is exactly a row of query_all()'s output.
+        Physical rewrites (merges, mutations, TTL) are storage ops and
+        never apply policies, so dropping a policy restores visibility —
+        nothing is deleted. Multiple policies AND together (ClickHouse's
+        restrictive combination)."""
+        # Analyze against the table schema NOW (parse errors and unknown
+        # columns surface at CREATE, not at some later read); .schema
+        # runs analysis only, no job.
+        self._empty_df().filter(F.expr(expr_sql)).schema
+        with self._lock:
+            recs = self.manifest.table_meta.setdefault("row_policies", [])
+            if any(r["name"] == name for r in recs):
+                raise ValueError(f"row policy {name!r} already exists")
+            recs.append({"name": name, "expr": expr_sql})
+            self.manifest.save()
+
+    def drop_row_policy(self, name: str) -> None:
+        """``DROP ROW POLICY`` analog: reads stop filtering from the next
+        query — nothing was ever deleted, so visibility is restored."""
+        with self._lock:
+            recs = self.manifest.table_meta.get("row_policies", [])
+            if not any(r["name"] == name for r in recs):
+                raise KeyError(f"no row policy named {name!r}")
+            self.manifest.table_meta["row_policies"] = [
+                r for r in recs if r["name"] != name]
+            self.manifest.save()
+
+    def row_policies(self) -> list[dict]:
+        with self._lock:
+            return list(self.manifest.table_meta.get("row_policies", []))
+
+    def _apply_policies(self, df: DataFrame) -> DataFrame:
+        """AND every live row policy onto a logical-read result. The
+        filter rides the same plan (whole-stage codegen, pushes toward
+        the scan where Catalyst proves it safe) — no extra job."""
+        for r in self.row_policies():
+            df = df.filter(F.expr(r["expr"]))
+        return df
+
     def _log_query(self, kind: str, parts_total: int,
                    parts_scanned: int) -> None:
         """Append one ``system.query_log`` row (plan-time facts: what the
@@ -1012,7 +1057,7 @@ class SparkMergeTree:
         out = sources[0]
         for s in sources[1:]:
             out = out.unionByName(s)
-        return self._dedup_sort(out.filter(pred))
+        return self._apply_policies(self._dedup_sort(out.filter(pred)))
 
     def parts_for_in(self, col: str, values) -> list[PartMeta]:
         """The parts query_in would scan (introspection/tests)."""
@@ -1048,7 +1093,7 @@ class SparkMergeTree:
         out = sources[0]
         for s in sources[1:]:
             out = out.unionByName(s)
-        return self._dedup_sort(out.filter(pred))
+        return self._apply_policies(self._dedup_sort(out.filter(pred)))
 
     def parts_for_token(self, col: str, token: str) -> list[PartMeta]:
         """The parts query_token would scan (introspection/tests)."""
@@ -1086,7 +1131,7 @@ class SparkMergeTree:
         out = sources[0]
         for s in sources[1:]:
             out = out.unionByName(s)
-        return self._dedup_sort(out.filter(pred))
+        return self._apply_policies(self._dedup_sort(out.filter(pred)))
 
     def parts_for_like(self, col: str, needle: str) -> list[PartMeta]:
         """The parts query_like would scan (introspection/tests)."""
@@ -1112,6 +1157,13 @@ class SparkMergeTree:
         reopened table) and buffered rows fall back to aggregating their
         raw rows on the fly — correctness never depends on materialization
         state, exactly ClickHouse's projection-or-raw planner contract."""
+        if self.row_policies():
+            # pre-aggregated partials counted every stored row; a row
+            # policy makes them unservable (same reason ClickHouse
+            # disables projections under row filters)
+            raise ValueError(
+                "row policies are active; projection reads are disabled "
+                "— use query_grouped (routes to policy-filtered raw rows)")
         spec = self._spec(name)
         gb = tuple(group_by) if group_by is not None else spec.group_by
         unknown = set(gb) - set(spec.group_by)
@@ -1170,12 +1222,13 @@ class SparkMergeTree:
         physical and logical aggregation coincide."""
         req = set(group_by)
         best = None
-        for s in self.config.projections:
-            if req <= set(s.group_by) and all(
-                    out in s.aggs and s.aggs[out] == d
-                    for out, d in aggs.items()):
-                if best is None or len(s.group_by) < len(best.group_by):
-                    best = s
+        if not self.row_policies():  # policies force the raw path below
+            for s in self.config.projections:
+                if req <= set(s.group_by) and all(
+                        out in s.aggs and s.aggs[out] == d
+                        for out, d in aggs.items()):
+                    if best is None or len(s.group_by) < len(best.group_by):
+                        best = s
         if best is not None:
             return (self.query_projection(best.name, group_by)
                     .select(*group_by, *aggs))
@@ -1191,7 +1244,7 @@ class SparkMergeTree:
         raw = sources[0]
         for d in sources[1:]:
             raw = raw.unionByName(d)
-        return self._apply_projection(raw, spec)
+        return self._apply_projection(self._apply_policies(raw), spec)
 
     def routed_projection(self, group_by: tuple[str, ...],
                           aggs: dict[str, tuple[str, str]]) -> str | None:
@@ -1803,7 +1856,7 @@ class SparkMergeTree:
             out = out.unionByName(s)
         if pred is not None:
             out = out.filter(pred)
-        return self._dedup_sort(out)
+        return self._apply_policies(self._dedup_sort(out))
 
     def _sum_cols(self, cols: list[str]) -> list[str]:
         """Summing mode's measure columns, in schema order."""
@@ -1937,7 +1990,8 @@ class SparkMergeTree:
             return self._empty_df()
         # lw_version: only lightweight deletes committed at or before this
         # snapshot apply — later DELETEs must not leak into an older view
-        return self._dedup_sort(self._read_parts(parts, lw_version=version))
+        return self._apply_policies(
+            self._dedup_sort(self._read_parts(parts, lw_version=version)))
 
     def vacuum(self) -> int:
         """Physically delete tombstoned parts no longer covered by the

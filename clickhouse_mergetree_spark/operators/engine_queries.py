@@ -649,6 +649,67 @@ def q_query_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.join(rows_df, "seq").select("seq", "kind", "n_rows")
 
 
+@declared_query(
+    "q_row_policy",
+    oracle=f"""
+        SELECT key, ts_us, event_id, event_type
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        WHERE event_type <> 'click' AND key >= {RANGE_START}
+    """,
+)
+def q_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CREATE ROW POLICY`` end-to-end (ClickHouse row-level security
+    analog — extension): predicates attached to the TABLE that every
+    subsequent read applies automatically — tenant isolation, PII
+    scoping, soft retention — so no caller can forget the filter. Two
+    policies AND together (restrictive combination); they filter the
+    logical table (post-collapse), persist in the manifest (asserted
+    across reopen), and dropping one restores visibility (asserted —
+    nothing was deleted). The policy filter rides the read plan itself,
+    whole-stage codegen, no extra job at any scale; the oracle applies
+    the same predicates relationally."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+    ])
+
+    def cfg() -> MergeTreeConfig:
+        return MergeTreeConfig(memtable_flush_threshold=10**12,
+                               max_parts=10, key_col="key", ts_col="ts_us")
+
+    path = scratch_dir("q_rowpolicy_")
+    table = SparkMergeTree(spark, path, schema=schema, config=cfg())
+    kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+          .select("key", "ts_us", "event_id", "event_type")).persist()
+    for i in range(3):
+        table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
+                           row_count=1)
+        table.flush()
+    full = table.query_all().count()
+    table.create_row_policy("no_clicks", "event_type <> 'click'")
+    table.create_row_policy("key_floor", f"key >= {RANGE_START}")
+    filtered = table.query_all().count()
+    assert filtered < full, (filtered, full)
+    # drop → visibility restored (policies never delete)
+    table.drop_row_policy("key_floor")
+    assert table.query_all().filter(
+        F.col("key") < RANGE_START).count() > 0
+    table.create_row_policy("key_floor", f"key >= {RANGE_START}")
+    # policies survive reopen with the original config
+    reopened = SparkMergeTree(spark, path, schema=schema, config=cfg())
+    assert {p["name"] for p in reopened.row_policies()} == {
+        "no_clicks", "key_floor"}
+    out = reopened.query_all()
+    assert out.count() == filtered
+    return out.select("key", "ts_us", "event_id", "event_type")
+
+
 MINMAX_LO, MINMAX_HI = 300.0, 1000.0
 
 
