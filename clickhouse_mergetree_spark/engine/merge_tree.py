@@ -551,7 +551,8 @@ class SparkMergeTree:
         for partition, pdf, n_est in splits:
             with self._lock:
                 part_id = self.manifest.allocate_part_id()
-            meta = self._write_part(part_id, pdf, n_est, partition=partition)
+            meta = self._write_part(part_id, pdf, n_est, partition=partition,
+                                    enforce_constraints=True)
             with self._lock:
                 self.manifest.append(meta)
                 self.manifest.save()
@@ -565,7 +566,8 @@ class SparkMergeTree:
             shutil.rmtree(ppath, ignore_errors=True)
 
     def _write_part(self, part_id: int, df: DataFrame, n_rows: int,
-                    partition: str | None = None) -> PartMeta:
+                    partition: str | None = None,
+                    enforce_constraints: bool = False) -> PartMeta:
         """Sorted columnar part write (R12+R18). repartitionByRange makes
         per-file key ranges disjoint; sortWithinPartitions orders rows inside
         each file so parquet row-group min/max stats are tight — together the
@@ -622,6 +624,13 @@ class SparkMergeTree:
             if c in df.columns:
                 metrics.append(F.collect_set(F.col(c).cast("string"))
                                .alias(f"set_{c}"))
+        constraints = (self.constraints() if enforce_constraints else [])
+        for i, c in enumerate(constraints):
+            # CHECK constraints ride the same write-job observation: a
+            # row violates when its predicate is not TRUE (false OR null)
+            metrics.append(F.sum(
+                F.when(F.expr(c["expr"]), 0).otherwise(1))
+                .alias(f"viol_{i}"))
         obs = Observation(obs_name)
         shaped = shaped.observe(obs, *metrics)
         writer = shaped.write.mode("overwrite")
@@ -634,6 +643,16 @@ class SparkMergeTree:
                                    self.config.part_compression)
         writer.parquet(path)
         stats = obs.get
+        for i, c in enumerate(constraints):
+            # violation found during the write job: roll the files back
+            # BEFORE the manifest ever sees the part — the insert fails,
+            # the table is untouched (ClickHouse CHECK-at-INSERT contract)
+            n_bad = int(stats[f"viol_{i}"] or 0)
+            if n_bad:
+                shutil.rmtree(path, ignore_errors=True)
+                raise ValueError(
+                    f"constraint {c['name']!r} violated by {n_bad} "
+                    f"row(s): CHECK ({c['expr']})")
         meta = PartMeta(
             part_id=part_id, path=path,
             min_key=stats["min_key"], max_key=stats["max_key"],
@@ -858,6 +877,44 @@ class SparkMergeTree:
                                       meta.bloom_bits)
 
     # ----------------------------------------------------------------- reads
+
+    def add_constraint(self, name: str, expr_sql: str) -> None:
+        """``ALTER TABLE ... ADD CONSTRAINT name CHECK expr`` analog:
+        every subsequent INSERT's flush validates the predicate during
+        the part-write job itself (one conditional sum on the existing
+        write observation — no extra scan) and rolls the part back before
+        the manifest sees it if any row is not-TRUE (false or NULL), so a
+        rejected insert leaves the table untouched. Existing data is NOT
+        re-validated and merges/mutations never re-check — exactly
+        ClickHouse's CHECK-at-INSERT contract. Persisted in the manifest,
+        replayed on reopen, analyzed against the schema at ADD.
+
+        Caveats (documented, matching ClickHouse's own block semantics):
+        the rejected buffered batch is discarded — the caller fixes and
+        re-inserts; on a partitioned table each partition's part commits
+        independently, so a violation in a later partition split leaves
+        earlier splits of the same flush committed."""
+        self._empty_df().filter(F.expr(expr_sql)).schema
+        with self._lock:
+            recs = self.manifest.table_meta.setdefault("constraints", [])
+            if any(r["name"] == name for r in recs):
+                raise ValueError(f"constraint {name!r} already exists")
+            recs.append({"name": name, "expr": expr_sql})
+            self.manifest.save()
+
+    def drop_constraint(self, name: str) -> None:
+        """``ALTER TABLE ... DROP CONSTRAINT`` analog."""
+        with self._lock:
+            recs = self.manifest.table_meta.get("constraints", [])
+            if not any(r["name"] == name for r in recs):
+                raise KeyError(f"no constraint named {name!r}")
+            self.manifest.table_meta["constraints"] = [
+                r for r in recs if r["name"] != name]
+            self.manifest.save()
+
+    def constraints(self) -> list[dict]:
+        with self._lock:
+            return list(self.manifest.table_meta.get("constraints", []))
 
     def create_row_policy(self, name: str, expr_sql: str) -> None:
         """``CREATE ROW POLICY ... USING expr`` analog: a predicate every

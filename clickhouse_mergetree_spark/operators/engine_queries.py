@@ -710,6 +710,63 @@ def q_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "ts_us", "event_id", "event_type")
 
 
+@declared_query(
+    "q_constraint_check",
+    oracle=_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}"),
+)
+def q_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ... ADD CONSTRAINT ... CHECK`` end-to-end (ClickHouse
+    data-quality gate analog — extension): inserts validate the predicate
+    DURING the part-write job (one conditional sum riding the existing
+    write observation — no extra scan at any scale) and a violating batch
+    rolls back before the manifest ever sees the part, leaving the table
+    untouched (asserted: part count and row count unchanged after the
+    rejected insert, and the violating rows are absent from the result
+    the oracle recomputes). The DDL persists in the manifest (asserted
+    across reopen) and existing data is never re-validated — exactly the
+    CHECK-at-INSERT contract."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+
+    def cfg() -> MergeTreeConfig:
+        return MergeTreeConfig(memtable_flush_threshold=10**12,
+                               max_parts=10, key_col="key", ts_col="ts_us")
+
+    path = scratch_dir("q_constraint_")
+    table = SparkMergeTree(spark, path, schema=schema, config=cfg())
+    table.add_constraint("nonneg_key", "key >= 0")
+    kv = _dedup_first(
+        _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)).persist()
+    table.insert_batch(kv, row_count=1)
+    table.flush()  # valid batch lands
+    n_parts, n_rows = table.part_count(), table.total_rows()
+    # a violating batch (negated keys) must reject and leave no trace
+    table.insert_batch(
+        kv.select((-F.col("key") - 1).alias("key"), "ts_us", "event_id",
+                  "event_type", "value"),
+        row_count=1)
+    try:
+        table.flush()
+        raise AssertionError("violating batch was accepted")
+    except ValueError as e:
+        assert "nonneg_key" in str(e), e
+    assert (table.part_count(), table.total_rows()) == (n_parts, n_rows)
+    # DDL survives reopen with the original config
+    reopened = SparkMergeTree(spark, path, schema=schema, config=cfg())
+    assert [c["name"] for c in reopened.constraints()] == ["nonneg_key"]
+    return reopened.query_all().select(
+        "key", "ts_us", "event_id", "event_type", "value")
+
+
 MINMAX_LO, MINMAX_HI = 300.0, 1000.0
 
 
