@@ -592,3 +592,96 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_frac"),
         )
     )
+
+
+def _shingles_sql(src: str) -> str:
+    """DuckDB shingle CTE body over an aliased documents subset."""
+    return f"""
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(string_split(text, ' ')) - {SHINGLE_N - 2}),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]
+                   )) AS shingle
+            FROM {src}
+        )
+    """
+
+
+@declared_query(
+    "q_dedup_incremental",
+    oracle=f"""
+        WITH b AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+        c AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+        exact_surv AS (
+            SELECT doc_id FROM b
+            WHERE sha256(text) NOT IN (SELECT sha256(text) FROM c)
+        ),
+        bs AS ({_shingles_sql("b")}),
+        cs AS ({_shingles_sql("c")}),
+        cb AS (SELECT doc_id, count(*) AS n_sh FROM bs GROUP BY doc_id),
+        cc AS (SELECT doc_id, count(*) AS n_sh FROM cs GROUP BY doc_id),
+        pairs AS (
+            SELECT bs.doc_id AS bd, cs.doc_id AS cd, count(*) AS n_common
+            FROM bs JOIN cs ON bs.shingle = cs.shingle
+            GROUP BY bd, cd
+        ),
+        neardup AS (
+            SELECT DISTINCT p.bd AS doc_id
+            FROM pairs p
+            JOIN cb ON cb.doc_id = p.bd
+            JOIN cc ON cc.doc_id = p.cd
+            WHERE CAST(p.n_common AS DOUBLE)
+                    / (cb.n_sh + cc.n_sh - p.n_common) >= {JACCARD_THRESHOLD}
+        )
+        SELECT doc_id FROM exact_surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the shape every recurring
+    crawl round runs: dedup the NEW batch against the standing corpus
+    without ever re-deduping the corpus against itself. Two screens
+    compose: (1) exact — a LEFT ANTI join of the batch's sha2-256 content
+    hashes against the corpus's (one shuffle on a uniform 256-bit key);
+    (2) near-dup — batch and corpus shingle inventories meet in an
+    inverted-index equi-join (only documents SHARING a shingle ever
+    meet — cost is Σ pairs-per-shingle, never |batch|·|corpus|), exact
+    n-gram Jaccard filters the candidates, and a final anti-join removes
+    flagged batch docs. Within-batch duplicates are out of scope here
+    (q_dedup_content / q_near_dedup own that pass).
+
+    At 100 TB the asymmetry is the point: the corpus side reduces to its
+    hash set and shingle inventory — both incrementally maintainable as
+    tables — so each crawl round's cost scales with the BATCH, and only
+    the shingle join's bucket sizes depend on corpus document frequency
+    (production adds the df-cap documented in the module header)."""
+    d = load(spark, sf_dir, "documents")
+    batch = d.filter(F.pmod("doc_id", F.lit(4)) == 0)
+    corpus = d.filter(F.pmod("doc_id", F.lit(4)) != 0)
+
+    exact_surv = (
+        batch.select("doc_id", F.sha2("text", 256).alias("h"))
+        .join(corpus.select(F.sha2("text", 256).alias("h")).distinct(),
+              "h", "left_anti")
+    )
+
+    bs = _shingles(batch)
+    cs = (_shingles(corpus)
+          .withColumnRenamed("doc_id", "c_doc"))
+    cb = bs.groupBy("doc_id").agg(F.count("*").alias("b_sh"))
+    cc = cs.groupBy("c_doc").agg(F.count("*").alias("c_sh"))
+    pairs = (
+        bs.join(cs, "shingle")
+        .groupBy("doc_id", "c_doc").agg(F.count("*").alias("n_common"))
+    )
+    neardup = (
+        pairs.join(cb, "doc_id").join(cc, "c_doc")
+        .filter(F.col("n_common")
+                / (F.col("b_sh") + F.col("c_sh") - F.col("n_common"))
+                >= JACCARD_THRESHOLD)
+        .select("doc_id").distinct()
+    )
+    return exact_surv.join(neardup, "doc_id", "left_anti").select("doc_id")
