@@ -1802,7 +1802,7 @@ class SparkMergeTree:
         lw = self._lw_entries(lw_version)
         full_cols = [f.name for f in self.schema.fields]
         added_names = {a["name"] for a in added}
-        defaults = {a["name"]: (a["default"], a["ddl"]) for a in added}
+        defaults = {a["name"]: a for a in added}
         original = [c for c in full_cols if c not in added_names]
         chains = (self._rename_chains()
                   if self.manifest.table_meta.get("renamed_columns") else {})
@@ -1850,8 +1850,7 @@ class SparkMergeTree:
                     F.col(logical).cast(self.schema[logical].dataType))
             for a in added:
                 if a["name"] in missing:
-                    df = df.withColumn(
-                        a["name"], F.lit(a["default"]).cast(a["ddl"]))
+                    df = df.withColumn(a["name"], self._default_col(a))
             for mid in masks:
                 # SQL DELETE WHERE semantics: NULL predicate ⇒ row kept.
                 # Masks filter BEFORE expired-column substitution: a live
@@ -1862,9 +1861,9 @@ class SparkMergeTree:
                 df = df.filter(
                     ~F.coalesce(F.expr(preds[mid]), F.lit(False)))
             for c in expired:
-                dflt = defaults.get(c, (None, None))[0]
                 df = df.withColumn(
-                    c, F.lit(dflt).cast(self.schema[c].dataType))
+                    c, self._default_col(defaults.get(c))
+                    .cast(self.schema[c].dataType))
             dfs.append(df.select(full_cols))
         out = dfs[0]
         for d in dfs[1:]:
@@ -2481,7 +2480,20 @@ class SparkMergeTree:
 
     # ------------------------------------------------------ schema evolution
 
-    def add_column(self, name: str, ddl: str, default=None) -> None:
+    @staticmethod
+    def _default_col(a: dict | None):
+        """The declared default of an added-column record as a Column:
+        a DEFAULT EXPRESSION (computed per row from the OTHER columns —
+        ClickHouse ``DEFAULT expr``) when the record carries one, else
+        the literal default (None record ⇒ SQL NULL)."""
+        if a is None:
+            return F.lit(None)
+        if a.get("default_expr") is not None:
+            return F.expr(a["default_expr"]).cast(a["ddl"])
+        return F.lit(a["default"]).cast(a["ddl"])
+
+    def add_column(self, name: str, ddl: str, default=None,
+                   default_expr: str | None = None) -> None:
         """ALTER TABLE ADD COLUMN analog — metadata-only, zero parts
         rewritten (the ClickHouse contract: an ALTER is a metadata commit;
         old parts keep their physical layout and reads/merges fill the
@@ -2489,10 +2501,22 @@ class SparkMergeTree:
 
         ``ddl`` is a Spark type DDL string ("string", "bigint",
         "decimal(18,6)", ...); ``default`` fills the column for every row
-        that predates the ALTER (None = SQL NULL). Buffered rows are
-        flushed first so they land in a part correctly tagged as
+        that predates the ALTER (None = SQL NULL). ``default_expr`` is the
+        ClickHouse ``DEFAULT expr`` form instead: a SQL expression over
+        the table's OTHER columns, computed per row wherever the default
+        applies — lazy reads of pre-ALTER parts, merge materialization,
+        and column-TTL/CLEAR resets — and analyzed against the pre-ALTER
+        schema now so bad expressions fail at the ALTER. Buffered rows
+        are flushed first so they land in a part correctly tagged as
         pre-evolution. Persisted in the manifest — a reopen with the
         original schema replays the evolution."""
+        if default is not None and default_expr is not None:
+            raise ValueError("give default OR default_expr, not both")
+        if default_expr is not None:
+            # analyze against the PRE-ALTER schema: the expression may use
+            # every existing column but not the one being added
+            self._empty_df().select(
+                F.expr(default_expr).cast(ddl)).schema
         with self._merge_lock:
             self.flush()
             with self._lock:
@@ -2527,7 +2551,10 @@ class SparkMergeTree:
                 # their column lists, so they serve THIS default lazily,
                 # never the pre-drop bytes.
                 added[:] = [a for a in added if a["name"] != name]
-                added.append({"name": name, "ddl": ddl, "default": default})
+                rec = {"name": name, "ddl": ddl, "default": default}
+                if default_expr is not None:
+                    rec["default_expr"] = default_expr
+                added.append(rec)
                 self.manifest.save()
 
     def drop_column(self, name: str) -> None:
@@ -3053,7 +3080,7 @@ class SparkMergeTree:
                 parts = list(self.manifest.parts)
             retain = self.config.snapshot_retention > 0
             added = self.manifest.table_meta.get("added_columns", [])
-            defaults = {a["name"]: a["default"] for a in added}
+            defaults = {a["name"]: a for a in added}
             meta_expired = rewritten = cells = 0
             dirty = False
             for p in parts:
@@ -3073,14 +3100,14 @@ class SparkMergeTree:
                     cells += p.row_count * len(full)
                     new_df = src.withColumns({
                         c: F.when(F.col(self._ts) < F.lit(cut),
-                                  F.lit(defaults.get(c)))
+                                  self._default_col(defaults.get(c)))
                         .otherwise(F.col(c))
                         .cast(self.schema[c].dataType)
                         for c, cut in straddle.items()
                     })
                     if full:
                         new_df = new_df.withColumns({
-                            c: F.lit(defaults.get(c)).cast(
+                            c: self._default_col(defaults.get(c)).cast(
                                 self.schema[c].dataType)
                             for c in full})
                     with self._lock:
@@ -3611,7 +3638,10 @@ class SparkMergeTree:
                     origin += "+renamed"
                 if f.name in modified:
                     origin += "+modified"
-                dflt = added.get(f.name, {}).get("default")
+                arec = added.get(f.name, {})
+                dflt = (f'DEFAULT {arec["default_expr"]}'
+                        if arec.get("default_expr") is not None
+                        else arec.get("default"))
                 rows.append((i, f.name, f.dataType.simpleString(), origin,
                              None if dflt is None else str(dflt),
                              f.name in structural, lagging))

@@ -711,6 +711,72 @@ def q_row_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_default_expr",
+    oracle=f"""
+        SELECT key, ts_us, event_id, event_type,
+               CAST(length(event_type) * 100 + key AS BIGINT) AS type_code
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+    """,
+)
+def q_default_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE ADD COLUMN ... DEFAULT expr`` end-to-end (ClickHouse
+    expression defaults — extension, completing the literal-default ADD
+    of q_schema_evolution): the default is a SQL expression over the
+    row's OTHER columns, computed wherever the default applies — lazily
+    for pre-ALTER parts at read time (zero parts rewritten, asserted),
+    and physically at the next merge (OPTIMIZE materializes it; content
+    signature asserted unchanged). A post-ALTER insert supplies the
+    column explicitly, proving old and new parts serve one schema. The
+    oracle recomputes the expression relationally over all rows.
+
+    At 100 TB this is the derived-column backfill without a backfill
+    job: the ALTER is O(1), old data computes the expression on read,
+    and the physical column appears as compaction touches each part."""
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_defaultexpr_"),
+                           schema=schema, config=cfg)
+    kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+          .select("key", "ts_us", "event_id", "event_type")).persist()
+    expr = "CAST(length(event_type) * 100 + key AS BIGINT)"
+    for i in range(2):
+        table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
+                           row_count=1)
+        table.flush()
+    ids_before = [p.part_id for p in table.manifest.parts]
+    table.add_column("type_code", "bigint", default_expr=expr)
+    assert [p.part_id for p in table.manifest.parts] == ids_before  # O(1)
+    # post-ALTER insert supplies the column explicitly
+    table.insert_batch(
+        kv.filter(F.pmod("event_id", F.lit(3)) == 2)
+        .withColumn("type_code", F.expr(expr)),
+        row_count=1)
+    table.flush()
+    cols = ["key", "ts_us", "event_id", "event_type", "type_code"]
+
+    def _sig(df: DataFrame):  # order-insensitive content signature
+        return df.agg(F.count("*"), F.sum(
+            F.xxhash64(*cols).cast("decimal(38,0)"))).collect()[0]
+
+    before = _sig(table.query_all())
+    table.config.max_parts = 1
+    table.optimize()  # merge materializes the expression physically
+    merged = table.query_all()
+    assert _sig(merged) == before
+    return merged.select(*cols)
+
+
+@declared_query(
     "q_constraint_check",
     oracle=_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}"),
 )

@@ -439,3 +439,52 @@ def test_clear_column_in_partition(spark):
     assert all(r["payload"] == f'p{r["ts"]}' for r in rows if r["cat"] == "b")
     t.close()
     shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ADD COLUMN ... DEFAULT expr (expression defaults)
+
+
+def test_default_expr_lazy_read_and_merge(table):
+    _flush(table, 0, 10)
+    ids = [p.part_id for p in table.manifest.parts]
+    table.add_column("score2", "double", default_expr="score * 2")
+    assert [p.part_id for p in table.manifest.parts] == ids  # O(1)
+    rows = {r["key"]: r["score2"] for r in table.query_all().collect()}
+    assert rows["k00003"] == 6.0  # computed from the row's own score
+    table.config.max_parts = 1
+    table.optimize()  # materializes physically
+    assert {r["key"]: r["score2"]
+            for r in table.query_all().collect()} == rows
+
+
+def test_default_expr_survives_reopen(table, spark, base):
+    _flush(table, 0, 5)
+    table.add_column("plen", "bigint", default_expr="length(payload)")
+    r = SparkMergeTree(spark, base, schema=SCHEMA,
+                       config=MergeTreeConfig(**CFG))
+    got = {x["key"]: x["plen"] for x in r.query_all().collect()}
+    assert got["k00004"] == len("p4")
+    # system.columns reports the expression as the declared default
+    col = [c for c in r.system_columns().collect() if c["name"] == "plen"]
+    assert col and "DEFAULT length(payload)" in col[0]["default"]
+
+
+def test_column_ttl_resets_to_expression_default(table):
+    _flush(table, 0, 10)   # all-old part (ts 0..9)
+    _flush(table, 20, 30)  # young part
+    table.add_column("tag", "string", default_expr="upper(payload)")
+    stats = table.expire_columns({"tag": 15})
+    assert stats["parts_meta_expired"] == 1
+    got = {r["key"]: r["tag"] for r in table.query_all().collect()}
+    # expired rows re-derive the expression default; young rows too
+    # (every part predates the ALTER, so both read lazily)
+    assert got["k00003"] == "P3" and got["k00025"] == "P25"
+
+
+def test_default_expr_validation(table):
+    with pytest.raises(ValueError, match="not both"):
+        table.add_column("x", "bigint", default=1, default_expr="1")
+    with pytest.raises(Exception):  # unknown column in the expression
+        table.add_column("x", "bigint", default_expr="nope + 1")
+    assert not any(f.name == "x" for f in table.schema.fields)
