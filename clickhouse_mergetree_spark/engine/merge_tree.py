@@ -2583,6 +2583,11 @@ class SparkMergeTree:
                         f"cannot drop structural column {name!r} "
                         f"(sorting key / partition / mode / index / "
                         f"projection columns: {sorted(structural)})")
+                broken = self._expr_dependents(name)
+                if broken:
+                    raise ValueError(
+                        f"cannot drop {name!r}: referenced by "
+                        f"{', '.join(broken)} — drop those first")
                 # dropping a renamed column: retire its whole rename chain —
                 # every historical physical name must be stripped and listed
                 # as dropped, or replay/reads would resurrect the old bytes.
@@ -2652,6 +2657,11 @@ class SparkMergeTree:
                         f"cannot rename structural column {old!r} "
                         f"(sorting key / partition / mode / index / "
                         f"projection columns: {sorted(structural)})")
+                broken = self._expr_dependents(old)
+                if broken:
+                    raise ValueError(
+                        f"cannot rename {old!r}: referenced by "
+                        f"{', '.join(broken)} — drop those first")
                 tm = self.manifest.table_meta
                 used = {r["from"] for r in tm.get("renamed_columns", [])}
                 used.update(tm.get("dropped_columns", []))
@@ -3010,6 +3020,31 @@ class SparkMergeTree:
                     chain.append(cur)
             chains[f.name] = chain
         return chains
+
+    def _expr_dependents(self, without: str) -> list[str]:
+        """Registered SQL expressions (row policies, CHECK constraints,
+        expression defaults) that stop analyzing once ``without`` leaves
+        the schema — DROP/RENAME must refuse rather than break every
+        later read/insert. Analysis-only, no job."""
+        probe = self.spark.createDataFrame([], T.StructType(
+            [f for f in self.schema.fields if f.name != without]))
+        tm = self.manifest.table_meta
+        recs = ([(f"row policy {r['name']!r}", r["expr"])
+                 for r in tm.get("row_policies", [])]
+                + [(f"constraint {r['name']!r}", r["expr"])
+                   for r in tm.get("constraints", [])]
+                + [(f"default expression of {a['name']!r}",
+                    a["default_expr"])
+                   for a in tm.get("added_columns", [])
+                   if a.get("default_expr") is not None
+                   and a["name"] != without])
+        broken = []
+        for label, expr in recs:
+            try:
+                probe.select(F.expr(expr)).schema
+            except Exception:
+                broken.append(label)
+        return broken
 
     def _structural_cols(self) -> set:
         """Columns the engine's machinery depends on — sorting key,

@@ -488,3 +488,13 @@ def test_default_expr_validation(table):
     with pytest.raises(Exception):  # unknown column in the expression
         table.add_column("x", "bigint", default_expr="nope + 1")
     assert not any(f.name == "x" for f in table.schema.fields)
+
+
+def test_drop_refuses_default_expr_dependency(table):
+    _flush(table, 0, 5)
+    table.add_column("plen", "bigint", default_expr="length(payload)")
+    with pytest.raises(ValueError, match="default expression of 'plen'"):
+        table.drop_column("payload")
+    table.drop_column("plen")     # dependent gone first
+    table.drop_column("payload")  # now fine
+    assert [f.name for f in table.schema.fields] == ["key", "ts", "score"]

@@ -131,3 +131,25 @@ def test_validation(table):
     table.create_row_policy("p1", "key > 0")
     with pytest.raises(ValueError, match="already exists"):
         table.create_row_policy("p1", "key > 1")
+
+
+def test_drop_and_rename_refuse_policy_referenced_columns(spark):
+    base = tempfile.mkdtemp(prefix="rowpol_dep_")
+    t = SparkMergeTree(  # no indexes: tenant is NOT structural here
+        spark, base, schema=SCHEMA,
+        config=MergeTreeConfig(memtable_flush_threshold=10**12,
+                               max_parts=100,
+                               key_col="key", ts_col="ts_us"))
+    try:
+        t.insert_rows(ROWS)
+        t.flush()
+        t.create_row_policy("acme_only", "tenant = 'acme'")
+        with pytest.raises(ValueError, match="row policy 'acme_only'"):
+            t.drop_column("tenant")
+        with pytest.raises(ValueError, match="row policy 'acme_only'"):
+            t.rename_column("tenant", "org")
+        t.drop_row_policy("acme_only")
+        t.rename_column("tenant", "org")  # now fine
+    finally:
+        t.close()
+        shutil.rmtree(base, ignore_errors=True)
