@@ -2868,6 +2868,37 @@ class SparkMergeTree:
             recs.append({"col": col, "kind": kind, "n": n})
             self.manifest.save()
 
+    def drop_index(self, col: str, kind: str) -> None:
+        """``ALTER TABLE ... DROP INDEX`` analog: unregister the index —
+        new parts stop building it; per-part metadata already attached
+        stays (its claims remain TRUE, so old parts keep pruning —
+        harmless) and ages out as rewrites touch each part. The column
+        stops being structural, so it becomes droppable again. Scope:
+        indexes added via ``add_index`` (manifest-tracked DDL) —
+        creation-time config indexes are the caller's config to change."""
+        with self._lock:
+            recs = self.manifest.table_meta.get("indexes", [])
+            if not any(r["col"] == col and r["kind"] == kind
+                       for r in recs):
+                raise KeyError(f"no index {kind}({col!r})")
+            self.manifest.table_meta["indexes"] = [
+                r for r in recs
+                if not (r["col"] == col and r["kind"] == kind)]
+            c = self.config
+            if kind == "tokenbf":
+                c.token_bloom_cols = tuple(
+                    x for x in c.token_bloom_cols if x != col)
+            elif kind == "ngrambf":
+                c.ngram_bloom_cols = tuple(
+                    x for x in c.ngram_bloom_cols if x != col)
+            elif kind == "minmax":
+                c.minmax_cols = tuple(
+                    x for x in c.minmax_cols if x != col)
+            elif kind == "set":
+                c.set_index_cols = tuple(
+                    (x, n) for x, n in c.set_index_cols if x != col)
+            self.manifest.save()
+
     def materialize_index(self, col: str | None = None) -> dict:
         """``ALTER TABLE ... MATERIALIZE INDEX`` analog: backfill skipping
         indexes onto LIVE parts written before their ADD INDEX. Each part

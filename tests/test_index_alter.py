@@ -155,3 +155,24 @@ def test_set_overflow_stores_no_claim(spark, base):
         t2.close()
     finally:
         shutil.rmtree(t2_base, ignore_errors=True)
+
+
+def test_drop_index_unregisters_and_frees_the_column(spark, base):
+    t = _three_parts(spark, base)
+    t.add_index("text", "tokenbf")
+    t.materialize_index("text")
+    assert len(t.parts_for_token("text", "zebra")) == 1
+    t.drop_index("text", "tokenbf")
+    # stale per-part claims remain TRUE, so old parts still prune
+    assert len(t.parts_for_token("text", "zebra")) == 1
+    # new parts stop building the bloom
+    t.insert_rows([_row(9, "x", 50.0, "omega")])
+    t.flush()
+    assert "text" not in (t.manifest.parts[-1].token_blooms or {})
+    # the column is no longer structural: droppable again
+    t.drop_column("text")
+    with pytest.raises(KeyError):
+        t.drop_index("text", "tokenbf")
+    # DDL removal survives reopen
+    r = SparkMergeTree(spark, base, schema=SCHEMA, config=_cfg())
+    assert r.config.token_bloom_cols == ()

@@ -68,6 +68,8 @@ class Model:
         self.rows = {}                          # (key, ts) -> {name: value}
         self.next_key = 0
         self.dropped_or_renamed = set()
+        self.policies = {}                      # name -> (lo, hi) key band
+        self.defexpr = set()                    # cols whose default = key+ts
 
     def insert(self, rng, n):
         out = []
@@ -84,16 +86,70 @@ class Model:
         types = dict(self.cols)
         return sorted(
             (k, ts, *[_cast(v.get(n), types[n]) for n in names])
-            for (k, ts), v in self.rows.items())
+            for (k, ts), v in self.rows.items()
+            # row policies hide (never delete) key bands at read time
+            if not any(lo <= k < hi for lo, hi in self.policies.values()))
 
 
 def _apply_random_op(rng, t, m, counter):
-    ops = ["insert", "insert", "insert", "flush", "add", "optimize"]
+    ops = ["insert", "insert", "insert", "flush", "add", "optimize",
+           "adddx", "policy", "addindex", "matindex", "constraint"]
     if m.cols:
         ops += ["drop", "rename", "modify", "clear", "final"]
     if m.rows:
         ops += ["lwdelete", "expire", "update"]
+    if m.policies:
+        ops += ["droppolicy"]
     op = rng.choice(ops)
+    if op == "adddx":
+        # ADD COLUMN ... DEFAULT expr over the (never-dropped) structural
+        # cols: existing rows derive per-row values, new inserts supply
+        # the column explicitly
+        name = f"c{counter[0]}"
+        counter[0] += 1
+        t.add_column(name, "bigint", default_expr="key + ts")
+        m.cols.append((name, "bigint"))
+        m.defexpr.add(name)  # clear()/TTL reset to the EXPR, not a literal
+        for (k, ts), v in m.rows.items():
+            v[name] = k + ts
+        return
+    if op == "policy":
+        name = f"pol{counter[0]}"
+        counter[0] += 1
+        lo = rng.randrange(0, max(1, m.next_key))
+        hi = lo + rng.randrange(1, 8)
+        t.create_row_policy(name, f"NOT (key >= {lo} AND key < {hi})")
+        m.policies[name] = (lo, hi)
+        return
+    if op == "droppolicy":
+        name = rng.choice(sorted(m.policies))
+        t.drop_row_policy(name)
+        del m.policies[name]
+        return
+    if op == "addindex":
+        # retrofit a skipping index on a payload column; the column
+        # becomes structural (drops/renames refuse via try/except below)
+        if not m.cols:
+            return
+        name, typ = rng.choice(m.cols)
+        kind = "set" if typ == "string" else "minmax"
+        try:
+            t.add_index(name, kind, n=16)
+        except ValueError:
+            return  # duplicate index — fine
+        return
+    if op == "matindex":
+        t.materialize_index()
+        return
+    if op == "constraint":
+        # tautology within the generator's key domain: exercises the
+        # write-job validation metric without tripping it
+        try:
+            t.add_constraint(f"chk{counter[0]}", "key >= 0")
+        except ValueError:
+            return
+        counter[0] += 1
+        return
     if op == "lwdelete":
         # masks bind to current rows; predicates on the (stable) key col.
         # Renames/modifies while masks live are refused — the walk's later
@@ -152,9 +208,13 @@ def _apply_random_op(rng, t, m, counter):
             v[name] = default
     elif op == "drop":
         name, _typ = rng.choice(m.cols)
-        t.drop_column(name)
+        try:
+            t.drop_column(name)
+        except ValueError:
+            return  # indexed/projected columns are structural — refused
         m.cols = [(n, ty) for n, ty in m.cols if n != name]
         m.dropped_or_renamed.add(name)
+        m.defexpr.discard(name)
         for v in m.rows.values():
             v.pop(name, None)
     elif op == "rename":
@@ -168,6 +228,9 @@ def _apply_random_op(rng, t, m, counter):
         m.cols = [(new, ty) if n == name else (n, ty)
                   for n, ty in m.cols]
         m.defaults[new] = m.defaults.pop(name, None)
+        if name in m.defexpr:
+            m.defexpr.discard(name)
+            m.defexpr.add(new)
         m.dropped_or_renamed.add(name)
         for v in m.rows.values():
             if name in v:
@@ -186,10 +249,13 @@ def _apply_random_op(rng, t, m, counter):
                   for n, ty in m.cols]
     elif op == "clear":
         name, _typ = rng.choice(m.cols)
-        t.clear_column(name)
-        d = m.defaults.get(name)
-        for v in m.rows.values():
-            v[name] = d
+        try:
+            t.clear_column(name)
+        except ValueError:
+            return  # indexed/structural columns are refused
+        for (k, ts), v in m.rows.items():
+            v[name] = (k + ts if name in m.defexpr
+                       else m.defaults.get(name))
     elif op == "optimize":
         t.optimize()
     elif op == "final":
