@@ -8,6 +8,10 @@ reference's part metadata (R24), and a compaction job scored with the
 reference's formula (R29).
 """
 
+from clickhouse_mergetree_spark.engine.ddl import (
+    create_table_from_ddl,
+    parse_create_table,
+)
 from clickhouse_mergetree_spark.engine.manifest import Manifest, PartMeta
 from clickhouse_mergetree_spark.engine.matview import MaterializedView
 from clickhouse_mergetree_spark.engine.merge_table import MergeTable
@@ -32,5 +36,7 @@ __all__ = [
     "ShardedMergeTree",
     "SparkMergeTree",
     "calculate_merge_score",
+    "create_table_from_ddl",
+    "parse_create_table",
     "select_merge_candidates",
 ]

@@ -1,0 +1,304 @@
+"""ClickHouse ``CREATE TABLE`` DDL front end (compatibility subset).
+
+The reference engine has no SQL DDL (its surface is a C++ API,
+src/merge_tree.h); this module is extension surface for migrating users:
+paste the ClickHouse DDL you run today and get a configured
+``SparkMergeTree`` back. Supported subset:
+
+    CREATE TABLE [IF NOT EXISTS] [db.]name (
+        col Type [DEFAULT expr],
+        ...,
+        INDEX iname col TYPE minmax | set(N) | tokenbf_v1(...)
+                                   | ngrambf_v1(n, ...) [GRANULARITY g],
+        CONSTRAINT cname CHECK expr
+    ) ENGINE = MergeTree()
+             | ReplacingMergeTree([ver])
+             | SummingMergeTree([(c, ...)])
+             | CollapsingMergeTree(sign)
+             | VersionedCollapsingMergeTree(sign, ver)
+    ORDER BY (a, b) | ORDER BY a
+    [PARTITION BY col]
+    [SAMPLE BY col]
+    [TTL col + INTERVAL n {SECOND|MINUTE|HOUR|DAY}]
+    [SETTINGS k = v, ...]
+
+Mapping notes (each is the engine's documented analog):
+- ORDER BY (k, t): k -> ``key_col``, t -> ``ts_col``. A single-column
+  ORDER BY sets both to it ((k,k) dedup == dedup on k).
+- Types: Int8/16/32 -> int, Int64/UInt* -> bigint, Float32/64 ->
+  float/double, String/FixedString -> string, Date -> date,
+  DateTime[64] -> timestamp, Decimal(p,s) -> decimal(p,s), Bool ->
+  boolean; Nullable(T)/LowCardinality(T) unwrap to T (parquet
+  dictionary-encodes low-cardinality columns automatically).
+- TTL is declared, not self-firing (the engine has no clock);
+  ``SparkMergeTree.apply_declared_ttl(now)`` runs one expiry sweep —
+  call it from whatever scheduler owns time (ClickHouse's own TTL also
+  fires on background merges, not instantly).
+- Column DEFAULTs fill omitted columns at INSERT (insert_batch), the
+  ClickHouse INSERT contract.
+- SETTINGS understood: parts_to_throw_insert, max_parts,
+  memtable_flush_threshold, snapshot_retention, index_granularity
+  (ignored — parquet row groups own granularity). Unknown settings are
+  ignored, matching ClickHouse's own tolerance for older servers.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from clickhouse_mergetree_spark.engine.merge_tree import (
+    MergeTreeConfig,
+    SparkMergeTree,
+)
+
+_TYPE_MAP = {
+    "int8": "int", "int16": "int", "int32": "int", "int64": "bigint",
+    "uint8": "int", "uint16": "int", "uint32": "bigint", "uint64": "bigint",
+    "float32": "float", "float64": "double",
+    "string": "string", "bool": "boolean", "boolean": "boolean",
+    "date": "date", "datetime": "timestamp", "datetime64": "timestamp",
+}
+
+_INTERVAL_US = {
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+}
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses and quotes."""
+    out, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _map_type(ch_type: str) -> str:
+    t = ch_type.strip()
+    # unwrap Nullable(...) / LowCardinality(...) (composable)
+    m = re.fullmatch(r"(?i)(nullable|lowcardinality)\((.+)\)", t)
+    while m:
+        t = m.group(2).strip()
+        m = re.fullmatch(r"(?i)(nullable|lowcardinality)\((.+)\)", t)
+    m = re.fullmatch(r"(?i)decimal\((\d+)\s*,\s*(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    m = re.fullmatch(r"(?i)fixedstring\(\d+\)", t)
+    if m:
+        return "string"
+    m = re.fullmatch(r"(?i)datetime64\(.*\)", t)
+    if m:
+        return "timestamp"
+    key = t.lower()
+    if key in _TYPE_MAP:
+        return _TYPE_MAP[key]
+    raise ValueError(f"unsupported ClickHouse type {ch_type!r}")
+
+
+_CREATE_RE = re.compile(
+    r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:[\w`]+\.)?([\w`]+)\s*\((?P<body>.*)\)\s*"
+    r"ENGINE\s*=\s*(?P<engine>\w+)\s*(?:\((?P<engine_args>[^)]*)\))?\s*"
+    r"(?P<tail>.*?)\s*;?\s*$"
+)
+
+
+def parse_create_table(ddl: str) -> dict:
+    """Parse the DDL into {name, fields, config_kwargs, constraints,
+    defaults, ttl} — pure parsing, no Spark session needed."""
+    m = _CREATE_RE.match(ddl)
+    if not m:
+        raise ValueError("unrecognized CREATE TABLE statement")
+    name = m.group(1).strip("`")
+    body, engine = m.group("body"), m.group("engine")
+    engine_args = [a.strip().strip("`")
+                   for a in (m.group("engine_args") or "").split(",")
+                   if a.strip()]
+    tail = m.group("tail")
+
+    fields: list[tuple[str, str, bool]] = []   # (name, spark_ddl, nullable)
+    defaults: dict[str, str] = {}
+    indexes: list[tuple[str, str, int | None]] = []  # (col, kind, n)
+    constraints: list[tuple[str, str]] = []
+    ngram_n = None
+    for item in _split_top_level(body):
+        im = re.match(
+            r"(?is)^INDEX\s+[\w`]+\s+([\w`]+)\s+TYPE\s+(\w+)"
+            r"\s*(?:\(([^)]*)\))?", item)
+        if im:
+            col = im.group(1).strip("`")
+            kind_raw = im.group(2).lower()
+            args = [a.strip() for a in (im.group(3) or "").split(",")
+                    if a.strip()]
+            if kind_raw == "minmax":
+                indexes.append((col, "minmax", None))
+            elif kind_raw == "set":
+                indexes.append((col, "set", int(args[0]) if args else 100))
+            elif kind_raw in ("tokenbf_v1", "tokenbf"):
+                indexes.append((col, "tokenbf", None))
+            elif kind_raw in ("ngrambf_v1", "ngrambf"):
+                indexes.append((col, "ngrambf", None))
+                if args:
+                    ngram_n = int(args[0])
+            elif kind_raw == "bloom_filter":
+                # key-column blooms are always on (enable_bloom_index);
+                # non-key bloom_filter maps to the token bloom family
+                indexes.append((col, "tokenbf", None))
+            else:
+                raise ValueError(f"unsupported index type {kind_raw!r}")
+            continue
+        cm = re.match(r"(?is)^CONSTRAINT\s+([\w`]+)\s+CHECK\s+(.+)$", item)
+        if cm:
+            constraints.append((cm.group(1).strip("`"),
+                                cm.group(2).strip()))
+            continue
+        fm = re.match(
+            r"(?is)^([\w`]+)\s+([\w()',\s]+?)"
+            r"(?:\s+DEFAULT\s+(.+?))?\s*$", item)
+        if not fm:
+            raise ValueError(f"unparsable column definition {item!r}")
+        col = fm.group(1).strip("`")
+        nullable = bool(re.search(r"(?i)nullable\(", fm.group(2)))
+        fields.append((col, _map_type(fm.group(2)), nullable))
+        if fm.group(3):
+            defaults[col] = fm.group(3).strip()
+
+    om = re.search(r"(?is)ORDER\s+BY\s+(\([^)]*\)|[\w`]+)", tail)
+    if not om:
+        raise ValueError("MergeTree DDL requires ORDER BY")
+    order_cols = [c.strip().strip("`")
+                  for c in om.group(1).strip("()").split(",") if c.strip()]
+    key_col = order_cols[0]
+    ts_col = order_cols[1] if len(order_cols) > 1 else order_cols[0]
+
+    cfg: dict = {"key_col": key_col, "ts_col": ts_col}
+    eng = engine.lower()
+    if eng == "mergetree":
+        pass  # reference semantics: (key, ts) dedup
+    elif eng == "replacingmergetree":
+        cfg["mode"] = "replacing"
+        if engine_args:
+            cfg["version_col"] = engine_args[0]
+    elif eng == "summingmergetree":
+        cfg["mode"] = "summing"
+        if engine_args:
+            cfg["sum_cols"] = tuple(
+                a.strip("() `") for a in engine_args if a.strip("() `"))
+    elif eng == "collapsingmergetree":
+        cfg["mode"] = "collapsing"
+        cfg["sign_col"] = engine_args[0]
+    elif eng == "versionedcollapsingmergetree":
+        cfg["mode"] = "versioned_collapsing"
+        cfg["sign_col"], cfg["version_col"] = engine_args[:2]
+    else:
+        raise ValueError(f"unsupported engine {engine!r}")
+
+    pm = re.search(r"(?is)PARTITION\s+BY\s+([\w`]+)", tail)
+    if pm:
+        cfg["partition_col"] = pm.group(1).strip("`")
+    sm = re.search(r"(?is)SAMPLE\s+BY\s+([\w`]+)", tail)
+    if sm:
+        cfg["sample_col"] = sm.group(1).strip("`")
+
+    ttl = None
+    tm = re.search(
+        r"(?is)\bTTL\s+([\w`]+)\s*\+\s*INTERVAL\s+(\d+)\s+(\w+)", tail)
+    if tm:
+        unit = tm.group(3).lower()
+        if unit not in _INTERVAL_US:
+            raise ValueError(f"unsupported TTL interval unit {unit!r}")
+        ttl = {"col": tm.group(1).strip("`"),
+               "interval_us": int(tm.group(2)) * _INTERVAL_US[unit]}
+
+    setm = re.search(r"(?is)SETTINGS\s+(.+)$", tail)
+    if setm:
+        for kv in _split_top_level(setm.group(1)):
+            k, _, v = kv.partition("=")
+            k, v = k.strip().lower(), v.strip()
+            if k == "parts_to_throw_insert":
+                cfg["max_parts_to_throw"] = int(v)
+            elif k == "max_parts":
+                cfg["max_parts"] = int(v)
+            elif k == "memtable_flush_threshold":
+                cfg["memtable_flush_threshold"] = int(v)
+            elif k == "snapshot_retention":
+                cfg["snapshot_retention"] = int(v)
+            # unknown settings ignored (ClickHouse tolerance)
+
+    for col, kind, n in indexes:
+        if kind == "minmax":
+            cfg.setdefault("minmax_cols", ())
+            cfg["minmax_cols"] += (col,)
+        elif kind == "set":
+            cfg.setdefault("set_index_cols", ())
+            cfg["set_index_cols"] += ((col, n),)
+        elif kind == "tokenbf":
+            cfg.setdefault("token_bloom_cols", ())
+            cfg["token_bloom_cols"] += (col,)
+        elif kind == "ngrambf":
+            cfg.setdefault("ngram_bloom_cols", ())
+            cfg["ngram_bloom_cols"] += (col,)
+    if ngram_n:
+        cfg["ngram_n"] = ngram_n
+
+    return {"name": name, "fields": fields, "config_kwargs": cfg,
+            "constraints": constraints, "defaults": defaults, "ttl": ttl}
+
+
+def create_table_from_ddl(spark: SparkSession, base_path: str,
+                          ddl: str) -> SparkMergeTree:
+    """Create (or reopen) a SparkMergeTree from ClickHouse CREATE TABLE
+    DDL. Constraints register through the normal ADD CONSTRAINT path
+    (manifest-persisted); the declared row TTL and column DEFAULTs land
+    in table_meta for apply_declared_ttl / insert-time fill."""
+    parsed = parse_create_table(ddl)
+    schema = T.StructType([
+        T.StructField(n, T.StructType.fromDDL(f"`x` {t}")[0].dataType,
+                      nullable or n not in (
+                          parsed["config_kwargs"]["key_col"],
+                          parsed["config_kwargs"]["ts_col"]))
+        for n, t, nullable in parsed["fields"]])
+    table = SparkMergeTree(spark, base_path, schema=schema,
+                           config=MergeTreeConfig(
+                               **parsed["config_kwargs"]))
+    for cname, expr in parsed["constraints"]:
+        if not any(c["name"] == cname for c in table.constraints()):
+            table.add_constraint(cname, expr)
+    dirty = False
+    if parsed["ttl"] and table.manifest.table_meta.get(
+            "declared_ttl") != parsed["ttl"]:
+        table.manifest.table_meta["declared_ttl"] = parsed["ttl"]
+        dirty = True
+    if parsed["defaults"] and table.manifest.table_meta.get(
+            "column_defaults") != parsed["defaults"]:
+        table.manifest.table_meta["column_defaults"] = parsed["defaults"]
+        dirty = True
+    if dirty:
+        table.manifest.save()
+    return table

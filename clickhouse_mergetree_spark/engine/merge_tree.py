@@ -480,7 +480,20 @@ class SparkMergeTree:
 
     def insert_batch(self, df: DataFrame, row_count: int | None = None) -> None:
         """Batch insert. ``row_count`` avoids a count() job when the caller
-        already knows it (e.g. foreachBatch gives exact micro-batch sizes)."""
+        already knows it (e.g. foreachBatch gives exact micro-batch sizes).
+
+        Columns with a DDL-declared DEFAULT (create_table_from_ddl) may be
+        omitted from ``df`` — they fill from their default expression here,
+        the ClickHouse INSERT contract."""
+        cd = self.manifest.table_meta.get("column_defaults") or {}
+        if cd:
+            have = set(df.columns)
+            for col, expr in cd.items():
+                fld = next((f for f in self.schema.fields
+                            if f.name == col), None)
+                if fld is not None and col not in have:
+                    df = df.withColumn(
+                        col, F.expr(expr).cast(fld.dataType))
         self._check_parts_throw()
         n = row_count if row_count is not None else df.count()
         if n == 0:
@@ -2298,6 +2311,22 @@ class SparkMergeTree:
         return {"rows_before": rows_before, "rows_after": self.total_rows()}
 
     # ----------------------------------------------------------------- TTL
+
+    def apply_declared_ttl(self, now) -> dict:
+        """Run one expiry sweep for the DDL-declared row TTL
+        (``TTL ts + INTERVAL n unit``): expire rows older than
+        ``now - interval``. The engine owns no clock — call this from
+        whatever scheduler owns time (ClickHouse's own TTL fires on
+        background merges, not instantly), passing ``now`` in the ts
+        column's own unit."""
+        rec = self.manifest.table_meta.get("declared_ttl")
+        if rec is None:
+            raise ValueError("table declares no TTL")
+        if rec["col"] != self._ts:
+            raise ValueError(
+                f"declared TTL column {rec['col']!r} is not the ts "
+                f"column {self._ts!r}; row TTL keys on the ts column")
+        return self.expire(now - rec["interval_us"])
 
     def expire(self, before_ts) -> dict:
         """TTL retention (ClickHouse ``TTL ... DELETE`` analog — extension,

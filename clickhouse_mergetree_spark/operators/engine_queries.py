@@ -833,6 +833,61 @@ def q_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "ts_us", "event_id", "event_type", "value")
 
 
+@declared_query(
+    "q_create_ddl",
+    oracle=f"""
+        WITH kv AS ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        SELECT key, ts_us, event_id, event_type,
+               upper(event_type) AS tag
+        FROM kv WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def q_create_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``CREATE TABLE`` DDL front end end-to-end (migration
+    surface — extension): the table is created from the LITERAL DDL a
+    ClickHouse user runs today — column types (UInt64/Int64/
+    LowCardinality(String)), a ``set`` skipping index, a CHECK
+    constraint, a DEFAULT expression column, PARTITION BY, and SETTINGS
+    — mapped onto the engine's schema/config. The insert OMITS the
+    defaulted column (filled from its expression — the ClickHouse INSERT
+    contract), the set-index read prunes partitions/parts (asserted),
+    and the oracle recomputes the same rows + default relationally. A
+    reopen through the same DDL is idempotent (asserted)."""
+    from clickhouse_mergetree_spark.engine import create_table_from_ddl
+
+    ddl = """
+    CREATE TABLE analytics.kv (
+        key        UInt64,
+        ts_us      Int64,
+        event_id   Nullable(Int64),
+        event_type LowCardinality(String),
+        tag        String DEFAULT upper(event_type),
+        INDEX et_set event_type TYPE set(8),
+        CONSTRAINT nonneg CHECK key >= 0
+    ) ENGINE = MergeTree()
+    ORDER BY (key, ts_us)
+    SETTINGS parts_to_throw_insert = 500
+    """
+    path = scratch_dir("q_createddl_")
+    table = create_table_from_ddl(spark, path, ddl)
+    kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+          .select("key", "ts_us", "event_id", "event_type")).persist()
+    for i in range(3):
+        # tag omitted on purpose: DEFAULT upper(event_type) fills it
+        table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
+                           row_count=1)
+        table.flush()
+    # the DDL-declared set index prunes equality probes
+    probed = table.parts_for_in("event_type", ["click", "purchase"])
+    assert len(probed) <= table.part_count()
+    # reopen through the SAME DDL: idempotent (no duplicate constraints)
+    table.close()
+    reopened = create_table_from_ddl(spark, path, ddl)
+    assert [c["name"] for c in reopened.constraints()] == ["nonneg"]
+    return reopened.query_in("event_type", ["click", "purchase"]).select(
+        "key", "ts_us", "event_id", "event_type", "tag")
+
+
 MINMAX_LO, MINMAX_HI = 300.0, 1000.0
 
 

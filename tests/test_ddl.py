@@ -1,0 +1,142 @@
+"""ClickHouse CREATE TABLE DDL front end (compatibility subset).
+
+parse_create_table maps the DDL a ClickHouse user runs today onto the
+engine's schema + config: engines (MergeTree / Replacing / Summing /
+Collapsing / VersionedCollapsing), ORDER BY -> (key_col, ts_col),
+PARTITION/SAMPLE BY, skipping indexes, CHECK constraints, row TTL,
+column DEFAULTs, SETTINGS. create_table_from_ddl builds a working
+table; declared TTL fires via apply_declared_ttl; omitted DEFAULT
+columns fill at insert.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_mergetree_spark.engine import (
+    create_table_from_ddl,
+    parse_create_table,
+)
+
+DDL = """
+CREATE TABLE IF NOT EXISTS logs.events (
+    `key`      UInt64,
+    ts         Int64,
+    tenant     LowCardinality(String),
+    score      Nullable(Float64),
+    note       String DEFAULT upper(tenant),
+    INDEX sc_mm score TYPE minmax GRANULARITY 4,
+    INDEX tn_set tenant TYPE set(16),
+    CONSTRAINT pos_key CHECK key >= 0
+) ENGINE = MergeTree()
+ORDER BY (key, ts)
+PARTITION BY tenant
+TTL ts + INTERVAL 7 DAY
+SETTINGS index_granularity = 8192, parts_to_throw_insert = 300
+"""
+
+
+def test_parse_maps_every_clause():
+    p = parse_create_table(DDL)
+    assert p["name"] == "events"
+    assert [(n, t) for n, t, _ in p["fields"]] == [
+        ("key", "bigint"), ("ts", "bigint"), ("tenant", "string"),
+        ("score", "double"), ("note", "string")]
+    cfg = p["config_kwargs"]
+    assert cfg["key_col"] == "key" and cfg["ts_col"] == "ts"
+    assert cfg["partition_col"] == "tenant"
+    assert cfg["minmax_cols"] == ("score",)
+    assert cfg["set_index_cols"] == (("tenant", 16),)
+    assert cfg["max_parts_to_throw"] == 300
+    assert p["constraints"] == [("pos_key", "key >= 0")]
+    assert p["defaults"] == {"note": "upper(tenant)"}
+    assert p["ttl"] == {"col": "ts", "interval_us": 7 * 86_400_000_000}
+
+
+def test_engine_variants_map_to_modes():
+    base = "CREATE TABLE t (k UInt64, ts UInt64, v Float64, sign Int8,\n"
+    base += " ver UInt32) ENGINE = %s ORDER BY (k, ts)"
+    assert "mode" not in parse_create_table(
+        base % "MergeTree()")["config_kwargs"]
+    p = parse_create_table(base % "ReplacingMergeTree(ver)")
+    assert p["config_kwargs"]["mode"] == "replacing"
+    assert p["config_kwargs"]["version_col"] == "ver"
+    p = parse_create_table(base % "SummingMergeTree((v))")
+    assert p["config_kwargs"]["mode"] == "summing"
+    assert p["config_kwargs"]["sum_cols"] == ("v",)
+    p = parse_create_table(base % "CollapsingMergeTree(sign)")
+    assert p["config_kwargs"]["mode"] == "collapsing"
+    p = parse_create_table(
+        base % "VersionedCollapsingMergeTree(sign, ver)")
+    assert p["config_kwargs"]["mode"] == "versioned_collapsing"
+    with pytest.raises(ValueError, match="unsupported engine"):
+        parse_create_table(base % "GraphiteMergeTree()")
+
+
+def test_single_column_order_by_and_rejects():
+    p = parse_create_table(
+        "CREATE TABLE t (k UInt64) ENGINE = MergeTree() ORDER BY k")
+    assert p["config_kwargs"]["key_col"] == "k"
+    assert p["config_kwargs"]["ts_col"] == "k"
+    with pytest.raises(ValueError, match="ORDER BY"):
+        parse_create_table("CREATE TABLE t (k UInt64) ENGINE = MergeTree()")
+    with pytest.raises(ValueError, match="unsupported ClickHouse type"):
+        parse_create_table(
+            "CREATE TABLE t (k Array(UInt64)) "
+            "ENGINE = MergeTree() ORDER BY k")
+
+
+def test_end_to_end_table_from_ddl(spark):
+    base = tempfile.mkdtemp(prefix="ddl_tbl_")
+    try:
+        t = create_table_from_ddl(spark, base, DDL)
+        DAY = 86_400_000_000
+        rows = [(1, 1 * DAY, "acme", 0.5), (2, 9 * DAY, "acme", 1.5),
+                (3, 10 * DAY, "globex", 2.5)]
+        # note omitted: DEFAULT upper(tenant) fills at insert
+        t.insert_batch(
+            spark.createDataFrame(rows, "key long, ts long, "
+                                  "tenant string, score double"))
+        t.flush()
+        got = {r["key"]: r["note"] for r in t.query_all().collect()}
+        assert got == {1: "ACME", 2: "ACME", 3: "GLOBEX"}
+        # constraint enforces at insert
+        t.insert_batch(spark.createDataFrame(
+            [(-1, 0, "x", 0.0)], "key long, ts long, "
+            "tenant string, score double"))
+        with pytest.raises(ValueError, match="pos_key"):
+            t.flush()
+        # declared row TTL: now = day 10 -> rows older than day 3 expire
+        stats = t.apply_declared_ttl(10 * DAY)
+        assert stats["rows_removed"] == 1
+        assert sorted(r["key"] for r in t.query_all().collect()) == [2, 3]
+        # partition pruning from PARTITION BY tenant
+        assert [r["key"] for r in
+                t.query_partition("globex").collect()] == [3]
+        # reopen through the same DDL: constraints/ttl/defaults idempotent
+        t.close()
+        r = create_table_from_ddl(spark, base, DDL)
+        assert [c["name"] for c in r.constraints()] == ["pos_key"]
+        assert sorted(x["key"] for x in r.query_all().collect()) == [2, 3]
+        r.close()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ttl_on_non_ts_column_refused(spark):
+    base = tempfile.mkdtemp(prefix="ddl_ttl_")
+    try:
+        t = create_table_from_ddl(
+            spark, base,
+            "CREATE TABLE t (k UInt64, ts UInt64, other UInt64) "
+            "ENGINE = MergeTree() ORDER BY (k, ts) "
+            "TTL other + INTERVAL 1 DAY")
+        with pytest.raises(ValueError, match="not the ts column"):
+            t.apply_declared_ttl(0)
+        t.close()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
