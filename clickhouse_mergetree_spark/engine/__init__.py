@@ -10,6 +10,7 @@ reference's formula (R29).
 
 from clickhouse_mergetree_spark.engine.ddl import (
     create_table_from_ddl,
+    execute_ddl,
     parse_create_table,
 )
 from clickhouse_mergetree_spark.engine.manifest import Manifest, PartMeta
@@ -37,6 +38,7 @@ __all__ = [
     "SparkMergeTree",
     "calculate_merge_score",
     "create_table_from_ddl",
+    "execute_ddl",
     "parse_create_table",
     "select_merge_candidates",
 ]

@@ -302,3 +302,190 @@ def create_table_from_ddl(spark: SparkSession, base_path: str,
     if dirty:
         table.manifest.save()
     return table
+
+
+_ALTER_OPS = """\
+ADD COLUMN | DROP COLUMN | RENAME COLUMN | MODIFY COLUMN | CLEAR COLUMN |
+ADD INDEX | DROP INDEX | MATERIALIZE INDEX | ADD CONSTRAINT |
+DROP CONSTRAINT | ADD PROJECTION | MATERIALIZE PROJECTION |
+DROP PROJECTION | DELETE WHERE | UPDATE ... WHERE |
+DROP/DETACH/ATTACH PARTITION | FREEZE"""
+
+
+def _literal_or_expr(text: str):
+    """DEFAULT value: a bare numeric / quoted-string literal stays a
+    literal; anything else is a DEFAULT expression."""
+    s = text.strip()
+    m = re.fullmatch(r"'(.*)'", s)
+    if m:
+        return m.group(1), None
+    try:
+        return int(s), None
+    except ValueError:
+        pass
+    try:
+        return float(s), None
+    except ValueError:
+        pass
+    if s.upper() == "NULL":
+        return None, None
+    return None, s
+
+
+def execute_ddl(table: SparkMergeTree, sql: str) -> object:
+    """Execute one ClickHouse ALTER/OPTIMIZE/TRUNCATE statement against a
+    SparkMergeTree — the statement surface a migrating user's runbooks
+    already contain. Each clause routes to the engine method that owns
+    its contract (metadata-only ALTERs, backfills, mutations, partition
+    ops); returns whatever that method returns. Supported:
+
+        ALTER TABLE t  {ops}
+        OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY c, ...]]
+        TRUNCATE TABLE t
+    """.format(ops=_ALTER_OPS)
+    from pyspark.sql import functions as F
+
+    s = sql.strip().rstrip(";").strip()
+    m = re.match(r"(?is)^TRUNCATE\s+TABLE\s+[\w`.]+$", s)
+    if m:
+        return table.truncate()
+    m = re.match(r"(?is)^OPTIMIZE\s+TABLE\s+[\w`.]+(?P<rest>.*)$", s)
+    if m:
+        rest = m.group("rest")
+        dm = re.search(r"(?is)DEDUPLICATE(?:\s+BY\s+(?P<by>.+))?$", rest)
+        if dm:
+            by = (tuple(c.strip().strip("`")
+                        for c in dm.group("by").split(","))
+                  if dm.group("by") else None)
+            return table.optimize_deduplicate(by=by)
+        return table.optimize(final=bool(
+            re.search(r"(?i)\bFINAL\b", rest)))
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+[\w`.]+\s+(?P<op>.+)$", s)
+    if not m:
+        raise ValueError(f"unrecognized statement: {sql!r}")
+    op = m.group("op").strip()
+
+    am = re.match(
+        r"(?is)^ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w`]+)\s+"
+        r"([\w()',\s]+?)(?:\s+DEFAULT\s+(.+?))?$", op)
+    if am:
+        default = default_expr = None
+        if am.group(3):
+            default, default_expr = _literal_or_expr(am.group(3))
+        return table.add_column(am.group(1).strip("`"),
+                                _map_type(am.group(2)),
+                                default=default, default_expr=default_expr)
+    am = re.match(r"(?is)^DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?([\w`]+)$", op)
+    if am:
+        return table.drop_column(am.group(1).strip("`"))
+    am = re.match(
+        r"(?is)^RENAME\s+COLUMN\s+([\w`]+)\s+TO\s+([\w`]+)$", op)
+    if am:
+        return table.rename_column(am.group(1).strip("`"),
+                                   am.group(2).strip("`"))
+    am = re.match(
+        r"(?is)^MODIFY\s+COLUMN\s+([\w`]+)\s+([\w()',\s]+)$", op)
+    if am:
+        return table.modify_column(am.group(1).strip("`"),
+                                   _map_type(am.group(2)))
+    am = re.match(
+        r"(?is)^CLEAR\s+COLUMN\s+([\w`]+)"
+        r"(?:\s+IN\s+PARTITION\s+(.+))?$", op)
+    if am:
+        part = am.group(2)
+        if part is not None:
+            part = part.strip().strip("'`")
+        return table.clear_column(am.group(1).strip("`"), partition=part)
+    am = re.match(
+        r"(?is)^ADD\s+INDEX\s+([\w`]+)\s+([\w`]+)\s+TYPE\s+(\w+)"
+        r"\s*(?:\(([^)]*)\))?(?:\s+GRANULARITY\s+\d+)?$", op)
+    if am:
+        kind_raw = am.group(3).lower()
+        args = [a.strip() for a in (am.group(4) or "").split(",")
+                if a.strip()]
+        kind = {"minmax": "minmax", "set": "set",
+                "tokenbf_v1": "tokenbf", "tokenbf": "tokenbf",
+                "ngrambf_v1": "ngrambf", "ngrambf": "ngrambf",
+                "bloom_filter": "tokenbf"}.get(kind_raw)
+        if kind is None:
+            raise ValueError(f"unsupported index type {kind_raw!r}")
+        n = int(args[0]) if (kind == "set" and args) else None
+        return table.add_index(am.group(2).strip("`"), kind, n=n,
+                               name=am.group(1).strip("`"))
+    am = re.match(r"(?is)^DROP\s+INDEX\s+([\w`]+)$", op)
+    if am:
+        rec = table.index_by_name(am.group(1).strip("`"))
+        return table.drop_index(rec["col"], rec["kind"])
+    am = re.match(r"(?is)^MATERIALIZE\s+INDEX\s+([\w`]+)$", op)
+    if am:
+        rec = table.index_by_name(am.group(1).strip("`"))
+        return table.materialize_index(rec["col"])
+    am = re.match(
+        r"(?is)^ADD\s+CONSTRAINT\s+([\w`]+)\s+CHECK\s+(.+)$", op)
+    if am:
+        return table.add_constraint(am.group(1).strip("`"),
+                                    am.group(2).strip())
+    am = re.match(r"(?is)^DROP\s+CONSTRAINT\s+([\w`]+)$", op)
+    if am:
+        return table.drop_constraint(am.group(1).strip("`"))
+    am = re.match(
+        r"(?is)^ADD\s+PROJECTION\s+([\w`]+)\s*\(\s*SELECT\s+(.+?)"
+        r"\s+GROUP\s+BY\s+(.+?)\s*\)$", op)
+    if am:
+        from clickhouse_mergetree_spark.engine.merge_tree import (
+            ProjectionSpec)
+        group_by = tuple(c.strip().strip("`")
+                         for c in am.group(3).split(","))
+        aggs = {}
+        for sel in _split_top_level(am.group(2)):
+            sel = sel.strip()
+            if sel.strip("`") in group_by:
+                continue
+            sm = re.fullmatch(
+                r"(?is)(count|sum|min|max)\s*\(\s*([\w`*]*)\s*\)"
+                r"\s+AS\s+([\w`]+)", sel)
+            if not sm:
+                raise ValueError(
+                    f"unsupported projection select item {sel!r} "
+                    "(need count/sum/min/max(col) AS alias)")
+            fn = sm.group(1).lower()
+            src = sm.group(2).strip("`")
+            if fn == "count":
+                src = src if src not in ("", "*") else group_by[0]
+            aggs[sm.group(3).strip("`")] = (fn, src)
+        return table.add_projection(
+            ProjectionSpec(am.group(1).strip("`"), group_by, aggs))
+    am = re.match(r"(?is)^MATERIALIZE\s+PROJECTION\s+([\w`]+)$", op)
+    if am:
+        return table.materialize_projection(am.group(1).strip("`"))
+    am = re.match(r"(?is)^DROP\s+PROJECTION\s+([\w`]+)$", op)
+    if am:
+        return table.drop_projection(am.group(1).strip("`"))
+    am = re.match(r"(?is)^DELETE\s+WHERE\s+(.+)$", op)
+    if am:
+        return table.delete_where(F.expr(am.group(1).strip()))
+    am = re.match(r"(?is)^UPDATE\s+(.+?)\s+WHERE\s+(.+)$", op)
+    if am:
+        assignments = {}
+        for kv in _split_top_level(am.group(1)):
+            k, _, v = kv.partition("=")
+            col = k.strip().strip("`")
+            fld = next((f for f in table.schema.fields
+                        if f.name == col), None)
+            if fld is None:
+                raise ValueError(f"unknown column {col!r} in UPDATE")
+            assignments[col] = F.expr(v.strip()).cast(fld.dataType)
+        return table.update_where(F.expr(am.group(2).strip()), assignments)
+    am = re.match(
+        r"(?is)^(DROP|DETACH|ATTACH)\s+PARTITION\s+(.+)$", op)
+    if am:
+        verb = am.group(1).lower()
+        val = am.group(2).strip().strip("'`")
+        return getattr(table, f"{verb}_partition")(val)
+    am = re.match(
+        r"(?is)^FREEZE(?:\s+PARTITION\s+(.+?))?"
+        r"(?:\s+WITH\s+NAME\s+'?([\w-]+)'?)?$", op)
+    if am:
+        val = am.group(1).strip().strip("'`") if am.group(1) else None
+        return table.freeze_partition(val, backup_name=am.group(2))
+    raise ValueError(f"unsupported ALTER clause: {op!r}")

@@ -2873,7 +2873,8 @@ class SparkMergeTree:
             c.set_index_cols = (tuple(c.set_index_cols)
                                 + ((col, int(n or 100)),))
 
-    def add_index(self, col: str, kind: str, n: int | None = None) -> None:
+    def add_index(self, col: str, kind: str, n: int | None = None,
+                  name: str | None = None) -> None:
         """``ALTER TABLE ... ADD INDEX`` analog (ClickHouse data-skipping
         index DDL on an EXISTING table): a metadata-only manifest commit —
         zero parts read. New parts (flushes, merges, rewrites) build the
@@ -2889,13 +2890,24 @@ class SparkMergeTree:
         kinds = ("tokenbf", "ngrambf", "minmax", "set")
         if kind not in kinds:
             raise ValueError(f"unknown index kind {kind!r}; one of {kinds}")
+        name = name or f"{kind}_{col}"
         with self._lock:
             recs = self.manifest.table_meta.setdefault("indexes", [])
             if any(r["col"] == col and r["kind"] == kind for r in recs):
                 raise ValueError(f"index {kind}({col!r}) already exists")
+            if any(r.get("name") == name for r in recs):
+                raise ValueError(f"index named {name!r} already exists")
             self._apply_index_config(col, kind, n)
-            recs.append({"col": col, "kind": kind, "n": n})
+            recs.append({"name": name, "col": col, "kind": kind, "n": n})
             self.manifest.save()
+
+    def index_by_name(self, name: str) -> dict:
+        """The ADD INDEX record registered under ``name`` (DDL surface)."""
+        with self._lock:
+            for r in self.manifest.table_meta.get("indexes", []):
+                if r.get("name") == name:
+                    return dict(r)
+        raise KeyError(f"no index named {name!r}")
 
     def drop_index(self, col: str, kind: str) -> None:
         """``ALTER TABLE ... DROP INDEX`` analog: unregister the index —

@@ -888,6 +888,62 @@ def q_create_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "ts_us", "event_id", "event_type", "tag")
 
 
+@declared_query(
+    "q_alter_ddl",
+    oracle=f"""
+        WITH kv AS ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+        SELECT key, ts_us, event_id,
+               CASE WHEN key = {POINT_KEY} THEN 'promo'
+                    ELSE event_type END AS event_type,
+               value, value * 2 AS vb
+        FROM kv
+        WHERE NOT (CASE WHEN key = {POINT_KEY} THEN 'promo'
+                        ELSE event_type END = 'click')
+    """,
+)
+def q_alter_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ALTER-statement runbook end-to-end (migration surface —
+    extension, completing q_create_ddl): a sequence of LITERAL ALTER /
+    OPTIMIZE statements — ADD COLUMN with a DEFAULT expression, ADD +
+    MATERIALIZE INDEX, UPDATE ... WHERE, DELETE WHERE, OPTIMIZE FINAL —
+    executes against the engine through ``execute_ddl``, each clause
+    routed to the engine method that owns its contract. The oracle
+    replays the same mutations relationally (CASE for the UPDATE, a
+    filter for the DELETE, the expression for the default), so the hash
+    match proves statement parsing AND mutation semantics end-to-end."""
+    from clickhouse_mergetree_spark.engine import (create_table_from_ddl,
+                                                   execute_ddl)
+
+    ddl = """
+    CREATE TABLE kv (
+        key UInt64, ts_us Int64, event_id Nullable(Int64),
+        event_type String, value Nullable(Float64)
+    ) ENGINE = MergeTree() ORDER BY (key, ts_us)
+    """
+    table = create_table_from_ddl(spark, scratch_dir("q_alterddl_"), ddl)
+    kv = (_dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+          .select("key", "ts_us", "event_id", "event_type", "value")
+          ).persist()
+    for i in range(3):
+        table.insert_batch(kv.filter(F.pmod("event_id", F.lit(3)) == i),
+                           row_count=1)
+        table.flush()
+    execute_ddl(table,
+                "ALTER TABLE kv ADD COLUMN vb Float64 DEFAULT value * 2")
+    execute_ddl(table, "ALTER TABLE kv ADD INDEX et event_type TYPE set(8)")
+    execute_ddl(table, "ALTER TABLE kv MATERIALIZE INDEX et")
+    execute_ddl(
+        table,
+        f"ALTER TABLE kv UPDATE event_type = 'promo' WHERE key = {POINT_KEY}")
+    execute_ddl(table, "ALTER TABLE kv DELETE WHERE event_type = 'click'")
+    execute_ddl(table, "OPTIMIZE TABLE kv FINAL")
+    # the set index serves the post-mutation table: 'promo' probe prunes
+    assert len(table.parts_for_in("event_type", ["promo"])) \
+        <= table.part_count()
+    return table.query_all().select(
+        "key", "ts_us", "event_id", "event_type", "value", "vb")
+
+
 MINMAX_LO, MINMAX_HI = 300.0, 1000.0
 
 

@@ -140,3 +140,80 @@ def test_ttl_on_non_ts_column_refused(spark):
         t.close()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# execute_ddl: ALTER / OPTIMIZE / TRUNCATE statement surface
+
+from clickhouse_mergetree_spark.engine import execute_ddl  # noqa: E402
+
+BASE_DDL = """
+CREATE TABLE t (k UInt64, ts Int64, tenant String, score Float64)
+ENGINE = MergeTree() ORDER BY (k, ts) PARTITION BY tenant
+"""
+
+
+@pytest.fixture()
+def ddl_table(spark):
+    base = tempfile.mkdtemp(prefix="alter_ddl_")
+    t = create_table_from_ddl(spark, base, BASE_DDL)
+    t.insert_batch(spark.createDataFrame(
+        [(1, 10, "acme", 1.0), (2, 20, "acme", 2.0),
+         (3, 30, "globex", 3.0), (4, 40, "globex", 4.0)],
+        "k long, ts long, tenant string, score double"))
+    t.flush()
+    yield t
+    t.close()
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_alter_column_family_via_sql(ddl_table):
+    t = ddl_table
+    execute_ddl(t, "ALTER TABLE t ADD COLUMN boost Float64 DEFAULT score + 1")
+    got = {r["k"]: r["boost"] for r in t.query_all().collect()}
+    assert got == {1: 2.0, 2: 3.0, 3: 4.0, 4: 5.0}
+    execute_ddl(t, "ALTER TABLE t RENAME COLUMN boost TO lift")
+    execute_ddl(t, "ALTER TABLE t MODIFY COLUMN lift Float32")
+    assert dict(t.query_all().dtypes)["lift"] == "float"
+    execute_ddl(t, "ALTER TABLE t DROP COLUMN lift")
+    assert "lift" not in [f.name for f in t.schema.fields]
+
+
+def test_alter_index_constraint_projection_via_sql(ddl_table):
+    t = ddl_table
+    execute_ddl(t, "ALTER TABLE t ADD INDEX sc score TYPE minmax")
+    assert execute_ddl(t, "ALTER TABLE t MATERIALIZE INDEX sc") == {
+        "parts_indexed": 2, "parts_skipped": 0}
+    assert len(t.parts_for_col_range("score", 3.5, 9.0)) == 1
+    execute_ddl(t, "ALTER TABLE t DROP INDEX sc")
+    execute_ddl(t, "ALTER TABLE t ADD CONSTRAINT pos CHECK score > 0")
+    execute_ddl(t, "ALTER TABLE t DROP CONSTRAINT pos")
+    execute_ddl(
+        t, "ALTER TABLE t ADD PROJECTION by_tenant "
+           "(SELECT tenant, sum(score) AS s, count(*) AS n GROUP BY tenant)")
+    stats = execute_ddl(t, "ALTER TABLE t MATERIALIZE PROJECTION by_tenant")
+    assert stats["parts_built"] == 2
+    req = {"s": ("sum", "score"), "n": ("count", "k")}
+    assert t.routed_projection(("tenant",), {"s": ("sum", "score")}) \
+        == "by_tenant"
+    execute_ddl(t, "ALTER TABLE t DROP PROJECTION by_tenant")
+    assert t.routed_projection(("tenant",), req) is None
+
+
+def test_mutations_partitions_optimize_via_sql(ddl_table):
+    t = ddl_table
+    execute_ddl(t, "ALTER TABLE t UPDATE score = score * 10 WHERE k = 1")
+    execute_ddl(t, "ALTER TABLE t DELETE WHERE k = 2")
+    got = {r["k"]: r["score"] for r in t.query_all().collect()}
+    assert got == {1: 10.0, 3: 3.0, 4: 4.0}
+    execute_ddl(t, "ALTER TABLE t DETACH PARTITION 'globex'")
+    assert sorted(r["k"] for r in t.query_all().collect()) == [1]
+    execute_ddl(t, "ALTER TABLE t ATTACH PARTITION 'globex'")
+    assert sorted(r["k"] for r in t.query_all().collect()) == [1, 3, 4]
+    execute_ddl(t, "OPTIMIZE TABLE t FINAL")
+    execute_ddl(t, "ALTER TABLE t DROP PARTITION 'acme'")
+    assert sorted(r["k"] for r in t.query_all().collect()) == [3, 4]
+    assert execute_ddl(t, "TRUNCATE TABLE t") >= 1
+    assert t.total_rows() == 0
+    with pytest.raises(ValueError, match="unsupported ALTER clause"):
+        execute_ddl(t, "ALTER TABLE t MODIFY TTL ts + INTERVAL 1 DAY")
