@@ -488,4 +488,122 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
     if am:
         val = am.group(1).strip().strip("'`") if am.group(1) else None
         return table.freeze_partition(val, backup_name=am.group(2))
+    am = re.match(
+        r"(?is)^(?:MODIFY|REMOVE)\s+TTL"
+        r"(?:\s+([\w`]+)\s*\+\s*INTERVAL\s+(\d+)\s+(\w+))?$", op)
+    if am:
+        with table._lock:
+            if am.group(1) is None:  # REMOVE TTL / bare MODIFY TTL
+                table.manifest.table_meta.pop("declared_ttl", None)
+            else:
+                unit = am.group(3).lower()
+                if unit not in _INTERVAL_US:
+                    raise ValueError(f"unsupported TTL unit {unit!r}")
+                table.manifest.table_meta["declared_ttl"] = {
+                    "col": am.group(1).strip("`"),
+                    "interval_us": int(am.group(2)) * _INTERVAL_US[unit]}
+            table.manifest.save()
+        return None
     raise ValueError(f"unsupported ALTER clause: {op!r}")
+
+
+def show_create_table(table: SparkMergeTree, name: str = "t") -> str:
+    """Reconstruct ClickHouse CREATE TABLE DDL from a live table — the
+    ``SHOW CREATE TABLE`` analog, and the inverse of
+    ``create_table_from_ddl`` (parse(show(t)) round-trips the schema and
+    config). Emits the CURRENT (post-ALTER) schema; retrofit indexes and
+    constraints appear as table-level clauses."""
+    inv_types = {
+        "int": "Int32", "bigint": "Int64", "float": "Float32",
+        "double": "Float64", "string": "String", "boolean": "Bool",
+        "date": "Date", "timestamp": "DateTime",
+    }
+
+    def ch_type(f: T.StructField) -> str:
+        s = f.dataType.simpleString()
+        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
+        base = (f"Decimal({m.group(1)}, {m.group(2)})" if m
+                else inv_types.get(s))
+        if base is None:
+            raise ValueError(f"type {s!r} has no ClickHouse rendering")
+        cfgc = table.config
+        structural = {cfgc.key_col, cfgc.ts_col}
+        return base if f.name in structural or not f.nullable \
+            else f"Nullable({base})"
+
+    tm = table.manifest.table_meta
+    defaults = dict(tm.get("column_defaults") or {})
+    for a in tm.get("added_columns", []):
+        if a.get("default_expr") is not None:
+            defaults[a["name"]] = a["default_expr"]
+        elif a.get("default") is not None:
+            d = a["default"]
+            defaults[a["name"]] = (f"'{d}'" if isinstance(d, str) else
+                                   str(d))
+    lines = []
+    for f in table.schema.fields:
+        line = f"    `{f.name}` {ch_type(f)}"
+        if f.name in defaults:
+            line += f" DEFAULT {defaults[f.name]}"
+        lines.append(line)
+    cfg = table.config
+    kind_map = {"minmax": "minmax", "set": "set", "tokenbf": "tokenbf_v1",
+                "ngrambf": "ngrambf_v1"}
+    seen = set()
+    for rec in tm.get("indexes", []):
+        iname = rec.get("name") or f"{rec['kind']}_{rec['col']}"
+        arg = (f"({rec['n']})" if rec["kind"] == "set" and rec.get("n")
+               else "")
+        lines.append(f"    INDEX {iname} `{rec['col']}` TYPE "
+                     f"{kind_map[rec['kind']]}{arg}")
+        seen.add((rec["col"], rec["kind"]))
+    for col in cfg.minmax_cols:
+        if (col, "minmax") not in seen:
+            lines.append(f"    INDEX minmax_{col} `{col}` TYPE minmax")
+    for col, n in cfg.set_index_cols:
+        if (col, "set") not in seen:
+            lines.append(f"    INDEX set_{col} `{col}` TYPE set({n})")
+    for col in cfg.token_bloom_cols:
+        if (col, "tokenbf") not in seen:
+            lines.append(f"    INDEX tokenbf_{col} `{col}` TYPE tokenbf_v1")
+    for col in cfg.ngram_bloom_cols:
+        if (col, "ngrambf") not in seen:
+            lines.append(
+                f"    INDEX ngrambf_{col} `{col}` TYPE "
+                f"ngrambf_v1({cfg.ngram_n})")
+    for c in table.constraints():
+        lines.append(f"    CONSTRAINT {c['name']} CHECK {c['expr']}")
+
+    engines = {
+        "dedup": "MergeTree()",
+        "replacing": f"ReplacingMergeTree({cfg.version_col})",
+        "summing": "SummingMergeTree(({}))".format(
+            ", ".join(cfg.sum_cols or ())),
+        "collapsing": f"CollapsingMergeTree({cfg.sign_col})",
+        "versioned_collapsing":
+            f"VersionedCollapsingMergeTree({cfg.sign_col}, "
+            f"{cfg.version_col})",
+        "aggregating": "AggregatingMergeTree()",
+    }
+    out = [f"CREATE TABLE {name} (", ",\n".join(lines), ")",
+           f"ENGINE = {engines[cfg.mode]}",
+           f"ORDER BY ({cfg.key_col}, {cfg.ts_col})"]
+    if cfg.partition_col:
+        out.append(f"PARTITION BY {cfg.partition_col}")
+    if cfg.sample_col:
+        out.append(f"SAMPLE BY {cfg.sample_col}")
+    ttl = tm.get("declared_ttl")
+    if ttl:
+        n_us = ttl["interval_us"]
+        for unit, us in (("DAY", 86_400_000_000), ("HOUR", 3_600_000_000),
+                         ("MINUTE", 60_000_000), ("SECOND", 1_000_000)):
+            if n_us % us == 0:
+                out.append(f"TTL {ttl['col']} + INTERVAL {n_us // us} "
+                           f"{unit}")
+                break
+    settings = []
+    if getattr(cfg, "max_parts_to_throw", 0):
+        settings.append(f"parts_to_throw_insert = {cfg.max_parts_to_throw}")
+    if settings:
+        out.append("SETTINGS " + ", ".join(settings))
+    return "\n".join(out)

@@ -216,4 +216,50 @@ def test_mutations_partitions_optimize_via_sql(ddl_table):
     assert execute_ddl(t, "TRUNCATE TABLE t") >= 1
     assert t.total_rows() == 0
     with pytest.raises(ValueError, match="unsupported ALTER clause"):
-        execute_ddl(t, "ALTER TABLE t MODIFY TTL ts + INTERVAL 1 DAY")
+        execute_ddl(t, "ALTER TABLE t MODIFY ORDER BY (ts)")
+
+
+def test_modify_and_remove_ttl_via_sql(ddl_table):
+    t = ddl_table
+    execute_ddl(t, "ALTER TABLE t MODIFY TTL ts + INTERVAL 10 SECOND")
+    # now = 25_000_000 us? ts values are 10..40 (raw units) — declared
+    # interval is in the ts column's own unit: 10s = 10_000_000 us
+    stats = t.apply_declared_ttl(10_000_030)
+    assert stats["rows_removed"] == 2  # ts 10 and 20 < now - 10s
+    execute_ddl(t, "ALTER TABLE t REMOVE TTL")
+    with pytest.raises(ValueError, match="declares no TTL"):
+        t.apply_declared_ttl(0)
+    with pytest.raises(ValueError, match="unsupported ALTER clause"):
+        execute_ddl(t, "ALTER TABLE t MODIFY ORDER BY (k)")
+
+
+def test_show_create_table_round_trips(spark):
+    from clickhouse_mergetree_spark.engine.ddl import show_create_table
+    base = tempfile.mkdtemp(prefix="showddl_")
+    try:
+        t = create_table_from_ddl(spark, base, DDL)
+        execute_ddl(t, "ALTER TABLE events ADD COLUMN extra Int64 DEFAULT 7")
+        shown = show_create_table(t, "events")
+        p = parse_create_table(shown)
+        assert p["config_kwargs"]["key_col"] == "key"
+        assert p["config_kwargs"]["partition_col"] == "tenant"
+        assert p["config_kwargs"]["minmax_cols"] == ("score",)
+        assert p["config_kwargs"]["set_index_cols"] == (("tenant", 16),)
+        assert ("pos_key", "key >= 0") in p["constraints"]
+        assert p["ttl"] == {"col": "ts", "interval_us": 7 * 86_400_000_000}
+        assert p["defaults"]["note"] == "upper(tenant)"
+        assert p["defaults"]["extra"] == "7"
+        assert [n for n, _t, _x in p["fields"]] == [
+            "key", "ts", "tenant", "score", "note", "extra"]
+        # the reconstructed DDL builds an equivalent table
+        base2 = tempfile.mkdtemp(prefix="showddl2_")
+        try:
+            t2 = create_table_from_ddl(spark, base2, shown)
+            assert [f.name for f in t2.schema.fields] == [
+                "key", "ts", "tenant", "score", "note", "extra"]
+            t2.close()
+        finally:
+            shutil.rmtree(base2, ignore_errors=True)
+        t.close()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
