@@ -121,6 +121,29 @@ def _map_type(ch_type: str) -> str:
     raise ValueError(f"unsupported ClickHouse type {ch_type!r}")
 
 
+# ClickHouse partition-expression functions -> Spark SQL. cityHash64 maps
+# to xxhash64: a DIFFERENT hash, but partition values are internal routing
+# labels — any stable hash partitions equivalently (documented deviation).
+_PARTITION_FN_MAP = [
+    (r"(?i)toYYYYMMDD\(\s*([\w`]+)\s*\)", r"date_format(\1, 'yyyyMMdd')"),
+    (r"(?i)toYYYYMM\(\s*([\w`]+)\s*\)", r"date_format(\1, 'yyyyMM')"),
+    (r"(?i)toStartOfMonth\(\s*([\w`]+)\s*\)", r"date_trunc('month', \1)"),
+    (r"(?i)toStartOfDay\(\s*([\w`]+)\s*\)", r"date_trunc('day', \1)"),
+    (r"(?i)toMonday\(\s*([\w`]+)\s*\)", r"date_trunc('week', \1)"),
+    (r"(?i)toDate\(\s*([\w`]+)\s*\)", r"to_date(\1)"),
+    (r"(?i)intDiv\(\s*([\w`]+)\s*,\s*(\w+)\s*\)", r"(\1 DIV \2)"),
+    (r"(?i)modulo\(\s*([\w`]+)\s*,\s*(\w+)\s*\)", r"pmod(\1, \2)"),
+    (r"(?i)cityHash64\(\s*([\w`]+)\s*\)", r"xxhash64(\1)"),
+]
+
+
+def _translate_partition_expr(expr: str) -> str:
+    out = expr
+    for pat, repl in _PARTITION_FN_MAP:
+        out = re.sub(pat, repl, out)
+    return out.replace("`", "")
+
+
 _CREATE_RE = re.compile(
     r"(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?:[\w`]+\.)?([\w`]+)\s*\((?P<body>.*)\)\s*"
@@ -219,9 +242,15 @@ def parse_create_table(ddl: str) -> dict:
     else:
         raise ValueError(f"unsupported engine {engine!r}")
 
-    pm = re.search(r"(?is)PARTITION\s+BY\s+([\w`]+)", tail)
+    pm = re.search(
+        r"(?is)PARTITION\s+BY\s+(.+?)"
+        r"(?=\s+(?:ORDER|SAMPLE|TTL|SETTINGS|PRIMARY)\b|$)", tail)
     if pm:
-        cfg["partition_col"] = pm.group(1).strip("`")
+        pexpr = pm.group(1).strip()
+        if re.fullmatch(r"[\w`]+", pexpr):
+            cfg["partition_col"] = pexpr.strip("`")
+        else:
+            cfg["partition_expr"] = _translate_partition_expr(pexpr)
     sm = re.search(r"(?is)SAMPLE\s+BY\s+([\w`]+)", tail)
     if sm:
         cfg["sample_col"] = sm.group(1).strip("`")
@@ -590,6 +619,10 @@ def show_create_table(table: SparkMergeTree, name: str = "t") -> str:
            f"ORDER BY ({cfg.key_col}, {cfg.ts_col})"]
     if cfg.partition_col:
         out.append(f"PARTITION BY {cfg.partition_col}")
+    elif getattr(cfg, "partition_expr", None):
+        # emitted in Spark SQL form (the engine's native dialect; the
+        # parser accepts it back unchanged — round-trip holds)
+        out.append(f"PARTITION BY {cfg.partition_expr}")
     if cfg.sample_col:
         out.append(f"SAMPLE BY {cfg.sample_col}")
     ttl = tm.get("declared_ttl")

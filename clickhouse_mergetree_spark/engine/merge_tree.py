@@ -237,6 +237,11 @@ class MergeTreeConfig:
     # DROP PARTITION / partition-scoped queries are manifest-only
     # operations. None = unpartitioned (the reference's behavior).
     partition_col: str | None = None
+    # PARTITION BY <expression> (ClickHouse's usual form, e.g.
+    # toYYYYMM(ts)): a Spark SQL expression string evaluated at flush to
+    # split the buffer into one part per value; partition ops address the
+    # computed values. Mutually exclusive with partition_col.
+    partition_expr: str | None = None
 
 
 class SparkMergeTree:
@@ -249,6 +254,10 @@ class SparkMergeTree:
         self.base_path = base_path
         self.schema = schema or DEFAULT_SCHEMA
         self.config = config or MergeTreeConfig()
+        if (self.config.partition_col is not None
+                and self.config.partition_expr is not None):
+            raise ValueError(
+                "give partition_col OR partition_expr, not both")
         if self.config.projections and self.config.mode != "dedup":
             # summing/collapsing/aggregating reads collapse the row
             # multiset, so physical-row projection partials could never
@@ -545,8 +554,8 @@ class SparkMergeTree:
             self._buffer_rows = []
             self._buffer_dfs = []
             self._buffer_count = 0
-        pc = self.config.partition_col
-        if pc is None:
+        if self.config.partition_col is None \
+                and self.config.partition_expr is None:
             splits = [(None, df, n_rows)]
         else:
             # one small distinct job to enumerate the buffer's partitions
@@ -554,9 +563,11 @@ class SparkMergeTree:
             # part write per value. At scale a single partitionBy write
             # job plus per-directory footer stats would replace the loop;
             # the manifest shape is identical either way.
-            values = [r[0] for r in df.select(pc).distinct().collect()]
+            pcol = self._partition_col_expr()
+            values = [r[0] for r in
+                      df.select(pcol.alias("__p")).distinct().collect()]
             splits = [
-                (str(v), df.filter(F.col(pc).eqNullSafe(v)),
+                (str(v), df.filter(pcol.eqNullSafe(v)),
                  max(1, n_rows // max(1, len(values))))
                 for v in sorted(values, key=str)
             ]
@@ -1417,6 +1428,19 @@ class SparkMergeTree:
 
     # ---------------------------------------------------------- partitions
 
+    def _partition_col_expr(self):
+        """The partitioning value as a Column: the raw ``partition_col``
+        or the evaluated ``partition_expr`` (toYYYYMM-style)."""
+        if self.config.partition_expr is not None:
+            return F.expr(self.config.partition_expr)
+        return F.col(self.config.partition_col)
+
+    def _require_partitioning(self) -> None:
+        if (self.config.partition_col is None
+                and self.config.partition_expr is None):
+            raise ValueError("table declares no partitioning "
+                             "(partition_col / partition_expr)")
+
     def partitions(self) -> list[str | None]:
         """Distinct partition values with live parts, sorted."""
         with self._lock:
@@ -1432,13 +1456,12 @@ class SparkMergeTree:
         """Partition-scoped read: only parts tagged with ``value`` are
         listed or opened (manifest partition pruning — the ClickHouse
         PARTITION BY read path); buffered rows are filtered on the
-        partition column."""
-        if self.config.partition_col is None:
-            raise ValueError("table has no partition_col")
+        partition column/expression."""
+        self._require_partitioning()
+        pcol = self._partition_col_expr()
         return self._assemble(
-            F.col(self.config.partition_col).eqNullSafe(value)
-            if value is not None else
-            F.col(self.config.partition_col).isNull(),
+            pcol.eqNullSafe(value) if value is not None
+            else pcol.isNull(),
             partition=str(value))
 
     def drop_partition(self, value) -> int:
@@ -1446,16 +1469,19 @@ class SparkMergeTree:
         partition with a manifest commit — metadata-only, zero rows read
         (buffered rows of the partition are dropped too). Returns rows
         removed. Serialized against merges like expire()."""
-        if self.config.partition_col is None:
-            raise ValueError("table has no partition_col")
+        self._require_partitioning()
         pc = self.config.partition_col
+        if pc is None:
+            # expression partitioning: flush first so the drop is pure
+            # metadata (driver-side tuples can't evaluate the expression)
+            self.flush()
         with self._merge_lock:
             with self._lock:
                 victims = [p for p in self.manifest.parts
                            if p.partition == str(value)]
                 removed = sum(p.row_count for p in victims)
                 # buffer: drop the partition's rows in place
-                if self._buffer_rows:
+                if pc is not None and self._buffer_rows:
                     ix = [f.name for f in self.schema.fields].index(pc)
                     kept = [r for r in self._buffer_rows
                             if str(r[ix]) != str(value)]
@@ -1463,7 +1489,7 @@ class SparkMergeTree:
                     self._buffer_count -= (len(self._buffer_rows)
                                            - len(kept))
                     self._buffer_rows = kept
-                if self._buffer_dfs:
+                if pc is not None and self._buffer_dfs:
                     filtered = []
                     for d, n in self._buffer_dfs:
                         fd = d.filter(~F.col(pc).eqNullSafe(value))
@@ -1522,8 +1548,7 @@ class SparkMergeTree:
         Buffered rows of the partition are flushed into parts first so
         the detach is exact. Returns rows detached. Metadata + rename
         only — zero rows read at any table size."""
-        if self.config.partition_col is None:
-            raise ValueError("table has no partition_col")
+        self._require_partitioning()
         from dataclasses import asdict
         self.flush()
         with self._merge_lock:
@@ -1550,8 +1575,7 @@ class SparkMergeTree:
         their metadata into the live set. Part ids are never reallocated
         (the id counter only grows), so re-attachment cannot collide.
         Returns rows attached."""
-        if self.config.partition_col is None:
-            raise ValueError("table has no partition_col")
+        self._require_partitioning()
         with self._merge_lock:
             with self._lock:
                 parked = self.manifest.table_meta.get("detached", [])
@@ -1607,10 +1631,10 @@ class SparkMergeTree:
             # self-attach would double rows; self-REPLACE would drop the
             # partition and then link from the just-deleted part dirs
             raise ValueError("source and destination are the same table")
-        if self.config.partition_col is None:
-            raise ValueError("table has no partition_col")
-        if src.config.partition_col != self.config.partition_col:
-            raise ValueError("partition_col mismatch")
+        self._require_partitioning()
+        if (src.config.partition_col != self.config.partition_col
+                or src.config.partition_expr != self.config.partition_expr):
+            raise ValueError("partitioning mismatch")
         if (src.config.key_col, src.config.ts_col, src.config.mode) != (
                 self.config.key_col, self.config.ts_col, self.config.mode):
             raise ValueError("sorting key / engine mode mismatch")
@@ -3101,8 +3125,10 @@ class SparkMergeTree:
         probe = self.spark.createDataFrame([], T.StructType(
             [f for f in self.schema.fields if f.name != without]))
         tm = self.manifest.table_meta
-        recs = ([(f"row policy {r['name']!r}", r["expr"])
-                 for r in tm.get("row_policies", [])]
+        recs = ([("partition expression", self.config.partition_expr)]
+                if self.config.partition_expr is not None else [])
+        recs += ([(f"row policy {r['name']!r}", r["expr"])
+                  for r in tm.get("row_policies", [])]
                 + [(f"constraint {r['name']!r}", r["expr"])
                    for r in tm.get("constraints", [])]
                 + [(f"default expression of {a['name']!r}",

@@ -263,3 +263,57 @@ def test_show_create_table_round_trips(spark):
         t.close()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_partition_expression_end_to_end(spark):
+    """PARTITION BY toYYYYMM(ts): the ClickHouse-typical expression form."""
+    base = tempfile.mkdtemp(prefix="ddl_pexpr_")
+    try:
+        t = create_table_from_ddl(spark, base, """
+            CREATE TABLE ev (k UInt64, ts Int64, d DateTime, v Float64)
+            ENGINE = MergeTree() ORDER BY (k, ts)
+            PARTITION BY toYYYYMM(d)
+        """)
+        assert t.config.partition_expr == "date_format(d, 'yyyyMM')"
+        from datetime import datetime
+        rows = [(1, 10, datetime(2026, 1, 5), 1.0),
+                (2, 20, datetime(2026, 1, 20), 2.0),
+                (3, 30, datetime(2026, 2, 3), 3.0)]
+        t.insert_batch(spark.createDataFrame(
+            rows, "k long, ts long, d timestamp, v double"))
+        t.flush()
+        # one part per computed month value
+        assert t.partitions() == ["202601", "202602"]
+        assert sorted(r["k"] for r in
+                      t.query_partition("202601").collect()) == [1, 2]
+        # partition ops address computed values, metadata-only
+        assert t.drop_partition("202601") == 2
+        assert sorted(r["k"] for r in t.query_all().collect()) == [3]
+        # renaming a column the partition expression needs is refused
+        with pytest.raises(ValueError, match="partition expression"):
+            t.rename_column("d", "when_col")
+        # SHOW CREATE emits the expression and round-trips
+        from clickhouse_mergetree_spark.engine.ddl import show_create_table
+        p = parse_create_table(show_create_table(t, "ev"))
+        assert p["config_kwargs"]["partition_expr"] \
+            == "date_format(d, 'yyyyMM')"
+        t.close()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_partition_fn_translation():
+    p = parse_create_table(
+        "CREATE TABLE t (k UInt64, d Date) ENGINE = MergeTree() "
+        "ORDER BY k PARTITION BY intDiv(k, 100)")
+    assert p["config_kwargs"]["partition_expr"] == "(k DIV 100)"
+    p = parse_create_table(
+        "CREATE TABLE t (k UInt64, d Date) ENGINE = MergeTree() "
+        "ORDER BY k PARTITION BY cityHash64(k)")
+    assert p["config_kwargs"]["partition_expr"] == "xxhash64(k)"
+    # plain column still lands in partition_col
+    p = parse_create_table(
+        "CREATE TABLE t (k UInt64, d Date) ENGINE = MergeTree() "
+        "ORDER BY k PARTITION BY d")
+    assert p["config_kwargs"].get("partition_col") == "d"
+    assert "partition_expr" not in p["config_kwargs"]
