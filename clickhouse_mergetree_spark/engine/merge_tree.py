@@ -423,12 +423,20 @@ class SparkMergeTree:
 
     # ----------------------------------------------------------------- writes
 
-    def attach_view(self, view) -> None:
+    def attach_view(self, view, populate: bool = False) -> None:
         """Bind a MaterializedView: every subsequently inserted block is
         also pushed through the view's transform (ClickHouse MV trigger
         semantics — inserts only; merges/TTL/drops are invisible to
-        views). Existing table contents are NOT backfilled; populate the
-        view first with ``view.on_batch(table.query_all())`` if needed."""
+        views). ``populate=True`` backfills the view from the table's
+        CURRENT contents first (``CREATE MATERIALIZED VIEW ... POPULATE``
+        — with ClickHouse's own caveat: rows inserted between the
+        snapshot read and the attach would be missed; here the flush +
+        single-threaded attach makes the handoff exact)."""
+        if populate:
+            self.flush()
+            existing = self.query_all()
+            if existing.take(1):
+                view.on_batch(existing)
         self._views.append(view)
 
     def _notify_views(self, df: DataFrame) -> None:

@@ -297,6 +297,48 @@ def test_materialized_view_incremental_rollup(spark, tmp_path):
     mv.close()
 
 
+def test_materialized_view_populate_backfills(spark, tmp_path):
+    """attach_view(populate=True): CREATE MATERIALIZED VIEW ... POPULATE —
+    pre-attach contents backfill through the transform, then later
+    inserts accumulate incrementally on top."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import MaterializedView
+
+    tgt_schema = T.StructType([
+        T.StructField("key", T.StringType(), False),
+        T.StructField("zero", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ])
+    src = SparkMergeTree(
+        spark, str(tmp_path / "psrc"),
+        config=MergeTreeConfig(memtable_flush_threshold=10**9))
+    # rows inserted BEFORE the view exists
+    src.insert_rows([("a", "v1", 1), ("a", "v2", 2), ("b", "v3", 3)])
+    src.flush()
+    mv = MaterializedView(
+        SparkMergeTree(
+            spark, str(tmp_path / "ptgt"), schema=tgt_schema,
+            config=MergeTreeConfig(memtable_flush_threshold=10**9,
+                                   max_parts=1, mode="summing",
+                                   key_col="key", ts_col="zero")),
+        lambda df: df.groupBy("key").agg(
+            F.lit(0).cast("long").alias("zero"),
+            F.count("*").alias("n")).select("key", "zero", "n"))
+    src.attach_view(mv, populate=True)
+    mv.flush()
+    assert {r["key"]: r["n"] for r in mv.query().collect()} == \
+        {"a": 2, "b": 1}
+    # incremental on top of the backfill
+    src.insert_rows([("b", "v4", 4), ("c", "v5", 5)])
+    mv.flush()
+    assert {r["key"]: r["n"] for r in mv.query().collect()} == \
+        {"a": 2, "b": 2, "c": 1}
+    src.close()
+    mv.close()
+
+
 # --------------------------------------------------------- demo test_flush
 
 def test_memtable_flush(spark, base_path):
