@@ -9,6 +9,7 @@ reference's formula (R29).
 """
 
 from clickhouse_mergetree_spark.engine.ddl import (
+    create_materialized_view_from_ddl,
     create_table_from_ddl,
     execute_ddl,
     parse_create_table,
@@ -37,6 +38,7 @@ __all__ = [
     "ShardedMergeTree",
     "SparkMergeTree",
     "calculate_merge_score",
+    "create_materialized_view_from_ddl",
     "create_table_from_ddl",
     "execute_ddl",
     "parse_create_table",

@@ -640,3 +640,90 @@ def show_create_table(table: SparkMergeTree, name: str = "t") -> str:
     if settings:
         out.append("SETTINGS " + ", ".join(settings))
     return "\n".join(out)
+
+
+_MV_RE = re.compile(
+    r"(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:[\w`]+\.)?([\w`]+)\s+"
+    r"ENGINE\s*=\s*SummingMergeTree\s*(?:\([^)]*\))?\s*"
+    r"ORDER\s+BY\s+(\([^)]*\)|[\w`]+)\s*"
+    r"(?P<populate>POPULATE\s+)?"
+    r"AS\s+SELECT\s+(?P<select>.+?)\s+FROM\s+[\w`.]+\s*"
+    r"(?:GROUP\s+BY\s+(?P<group>.+?))?\s*;?\s*$"
+)
+
+
+def create_materialized_view_from_ddl(spark: SparkSession, src_table,
+                                      target_path: str, ddl: str):
+    """``CREATE MATERIALIZED VIEW mv ENGINE = SummingMergeTree() ORDER BY
+    ... [POPULATE] AS SELECT <aggs> FROM src GROUP BY <cols>`` analog:
+    builds the incremental-rollup MaterializedView from the literal
+    ClickHouse statement and attaches it to ``src_table``. The SELECT
+    body is the same restricted aggregate form projections accept
+    (count/sum/min/max with aliases); the target schema derives from
+    running the transform over zero rows of the source schema — Spark's
+    own type derivation, never hand-built. Returns the attached view."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_mergetree_spark.engine.matview import MaterializedView
+    from clickhouse_mergetree_spark.engine.merge_tree import (
+        MergeTreeConfig, SparkMergeTree)
+
+    m = _MV_RE.match(ddl)
+    if not m:
+        raise ValueError(
+            "unrecognized CREATE MATERIALIZED VIEW statement (need "
+            "ENGINE = SummingMergeTree, ORDER BY, AS SELECT ... "
+            "[GROUP BY ...])")
+    order_cols = [c.strip().strip("`")
+                  for c in m.group(2).strip("()").split(",") if c.strip()]
+    group_cols = tuple(
+        c.strip().strip("`")
+        for c in (m.group("group") or "").split(",") if c.strip())
+
+    items = []   # (alias, Column)
+    for sel in _split_top_level(m.group("select")):
+        sel = sel.strip()
+        if sel.strip("`") in group_cols:
+            items.append((sel.strip("`"), None))  # grouping passthrough
+            continue
+        sm = re.fullmatch(
+            r"(?is)(count|sum|min|max)\s*\(\s*([\w`*]*)\s*\)"
+            r"\s+AS\s+([\w`]+)", sel)
+        if not sm:
+            raise ValueError(
+                f"unsupported MV select item {sel!r} "
+                "(need count/sum/min/max(col) AS alias, or a GROUP BY "
+                "column)")
+        fn, src_col = sm.group(1).lower(), sm.group(2).strip("`")
+        alias = sm.group(3).strip("`")
+        if fn == "count":
+            col = F.count(F.lit(1)).cast("long").alias(alias)
+        else:
+            col = getattr(F, fn)(src_col).alias(alias)
+        items.append((alias, col))
+    out_order = [a for a, _c in items]
+    aggs = [c for _a, c in items if c is not None]
+    if not aggs:
+        raise ValueError("MV SELECT needs at least one aggregate")
+
+    def transform(df):
+        return df.groupBy(*group_cols).agg(*aggs).select(*out_order)
+
+    # Spark derives the target schema from the transform itself
+    empty = spark.createDataFrame([], src_table.schema)
+    tgt_schema = transform(empty).schema
+    missing = [c for c in order_cols if c not in tgt_schema.names]
+    if missing:
+        raise ValueError(
+            f"ORDER BY columns {missing} absent from the SELECT output")
+    key_col = order_cols[0]
+    ts_col = order_cols[1] if len(order_cols) > 1 else order_cols[0]
+    view = MaterializedView(
+        SparkMergeTree(spark, target_path, schema=tgt_schema,
+                       config=MergeTreeConfig(
+                           memtable_flush_threshold=10**12,
+                           mode="summing",
+                           key_col=key_col, ts_col=ts_col)),
+        transform)
+    src_table.attach_view(view, populate=bool(m.group("populate")))
+    return view

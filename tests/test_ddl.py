@@ -317,3 +317,49 @@ def test_partition_fn_translation():
         "ORDER BY k PARTITION BY d")
     assert p["config_kwargs"].get("partition_col") == "d"
     assert "partition_expr" not in p["config_kwargs"]
+
+
+def test_create_materialized_view_from_ddl(spark):
+    from clickhouse_mergetree_spark.engine.ddl import (
+        create_materialized_view_from_ddl)
+    base = tempfile.mkdtemp(prefix="mv_ddl_")
+    try:
+        src = create_table_from_ddl(spark, base + "/src", """
+            CREATE TABLE ev (k UInt64, ts Int64, tenant String, v Float64)
+            ENGINE = MergeTree() ORDER BY (k, ts)
+        """)
+        # pre-MV rows: POPULATE must backfill them
+        src.insert_batch(spark.createDataFrame(
+            [(1, 10, "acme", 1.0), (2, 20, "acme", 2.0)],
+            "k long, ts long, tenant string, v double"))
+        src.flush()
+        mv = create_materialized_view_from_ddl(
+            spark, src, base + "/mv", """
+            CREATE MATERIALIZED VIEW rollup
+            ENGINE = SummingMergeTree() ORDER BY tenant
+            POPULATE
+            AS SELECT tenant, count(*) AS n, sum(v) AS v_sum
+            FROM ev GROUP BY tenant
+        """)
+        mv.flush()
+        got = {r["tenant"]: (r["n"], r["v_sum"])
+               for r in mv.query().collect()}
+        assert got == {"acme": (2, 3.0)}
+        # incremental on top
+        src.insert_batch(spark.createDataFrame(
+            [(3, 30, "globex", 5.0)],
+            "k long, ts long, tenant string, v double"))
+        mv.flush()
+        got = {r["tenant"]: (r["n"], r["v_sum"])
+               for r in mv.query().collect()}
+        assert got == {"acme": (2, 3.0), "globex": (1, 5.0)}
+        with pytest.raises(ValueError, match="unsupported MV select"):
+            create_materialized_view_from_ddl(
+                spark, src, base + "/mv2",
+                "CREATE MATERIALIZED VIEW x ENGINE = SummingMergeTree() "
+                "ORDER BY tenant AS SELECT tenant, avg(v) AS a "
+                "FROM ev GROUP BY tenant")
+        src.close()
+        mv.close()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
