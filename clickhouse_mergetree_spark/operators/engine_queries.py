@@ -3199,3 +3199,53 @@ def q_system_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.system_mutations().select(
         "mutation_id", "kind", "parts_scanned", "parts_rewritten",
         "rows_affected", "is_done")
+
+
+PATH_FLOW_TOP = 20
+
+
+@declared_query(
+    "q_path_flow",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type AS src, next_type AS dst,
+               count(*) AS n_transitions
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY src, dst
+        ORDER BY n_transitions DESC, src, dst
+        LIMIT {PATH_FLOW_TOP}
+    """,
+)
+def q_path_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path flow analysis (the sankey/behavior-flow query —
+    ClickHouse ships it as the sequenceCount/path dashboards): for every
+    consecutive pair of events per user, count src→dst transitions and
+    rank the heaviest edges.
+
+    One window (partitioned by user_id, the natural key — millions of
+    small partitions, no skew) computes each row's successor via lead();
+    the edge count is then an ordinary partial+final hash aggregate on
+    the (src, dst) pair — two shuffles total, both on well-distributed
+    keys, no self-join (the naive formulation joins events to itself on
+    adjacent ranks and doubles the shuffled bytes). (ts, event_id)
+    ordering makes the successor deterministic under timestamp ties.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return (
+        seq.groupBy("src", "dst").agg(F.count("*").alias("n_transitions"))
+        .orderBy(F.col("n_transitions").desc(), "src", "dst")
+        .limit(PATH_FLOW_TOP)
+    )

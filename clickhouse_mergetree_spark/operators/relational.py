@@ -2173,3 +2173,43 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
         )
     )
+
+
+@declared_query(
+    "q_with_totals",
+    oracle="""
+        SELECT coalesce(event_type, 'TOTALS') AS event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY ROLLUP(event_type)
+    """,
+)
+def q_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``GROUP BY ... WITH TOTALS``: the per-group rows plus
+    one extra grand-total row carrying the aggregate over ALL groups —
+    the dashboard staple (rows for the table body, TOTALS for the footer)
+    without a second scan.
+
+    Spark has no WITH TOTALS modifier; ``rollup`` on the single key is
+    the exact equivalent — Catalyst expands it to one Expand + one hash
+    aggregate, so the totals row costs a second copy of each input row in
+    the SAME shuffle, not a second pass over the data (at 100 TB the
+    alternative — union of two aggregates — scans twice). The NULL
+    grouping key is relabeled 'TOTALS' (event_type is non-null in the
+    fixture, so the label cannot collide). Decimal-exact summation makes
+    the double result accumulation-order independent.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("value_sum"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("TOTALS")).alias("event_type"),
+            "n", "value_sum",
+        )
+    )

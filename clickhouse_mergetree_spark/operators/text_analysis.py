@@ -1254,3 +1254,65 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(sum_w > 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         )
     )
+
+
+BPE_TOP_PAIRS = 30
+
+
+@declared_query(
+    "q_bpe_pairs",
+    oracle=f"""
+        WITH freq AS (
+            SELECT w, count(*) AS c
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                      AS w
+                  FROM documents)
+            WHERE length(w) >= 2
+            GROUP BY w
+        ), pairs AS (
+            SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, c
+            FROM (SELECT w, c,
+                         unnest(generate_series(1, length(w) - 1)) AS i
+                  FROM freq)
+        )
+        SELECT pair, CAST(sum(c) AS BIGINT) AS n
+        FROM pairs
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training step: corpus-wide adjacent-symbol pair
+    counts — the statistic the first merge rule of byte-pair encoding is
+    chosen from (Sennrich et al. 2016, the tokenizer behind most LLM
+    vocabularies).
+
+    The scale trick is the one real BPE trainers use: collapse the corpus
+    to the VOCABULARY first (word → frequency, one shuffle proportional
+    to corpus size), then enumerate character pairs over distinct words
+    only, weighted by word frequency — pair counting costs O(vocab ×
+    word-length), not O(corpus), so at 100 TB the expensive stage is a
+    single map-side-combined word count and the pair stage runs on a
+    few-million-row vocab table. Pair expansion is transform(sequence)
+    + explode, all codegen, no Python.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    pairs = freq.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair").agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
