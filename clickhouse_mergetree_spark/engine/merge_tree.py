@@ -351,6 +351,9 @@ class SparkMergeTree:
                 stacklevel=2)
         self._bg_stop = threading.Event()
         self._bg_thread: threading.Thread | None = None
+        # SYSTEM STOP MERGES state — deliberately in-memory only, like
+        # ClickHouse's (the flag does not survive a server restart)
+        self._merges_stopped = False
         if self.config.enable_background_merge:
             self.start_background_maintenance()
 
@@ -1689,6 +1692,22 @@ class SparkMergeTree:
                 self.manifest.save()
         return rows
 
+    def move_partition_to(self, dst: "SparkMergeTree", value) -> int:
+        """``ALTER TABLE src MOVE PARTITION ... TO TABLE dst`` analog —
+        the destructive sibling of ``attach_partition_from``: the
+        partition's parts land in ``dst`` (hardlinked, zero rows read,
+        same structure checks) and are then dropped from this table.
+        ClickHouse's resharding/tiering primitive: at 100 TB a partition
+        moves between tables as O(files) metadata + link work.
+
+        Ordering makes a crash safe, not atomic: attach commits first,
+        so a crash between the two manifest commits leaves the partition
+        visible in BOTH tables (re-run the drop) — never lost. Returns
+        rows moved."""
+        rows = dst.attach_partition_from(self, value)
+        self.drop_partition(value)
+        return rows
+
     def freeze_partition(self, value=None, backup_name: str | None = None
                          ) -> dict:
         """``ALTER TABLE FREEZE [PARTITION]`` analog: an instant,
@@ -1803,11 +1822,16 @@ class SparkMergeTree:
     def _lw_entries(self, lw_version: int | None = None) -> list[dict]:
         """Live lightweight-delete entries, optionally restricted to those
         committed at or before manifest version ``lw_version`` (time
-        travel: a snapshot read must not see later deletes)."""
+        travel: a snapshot read must not see later deletes). KILLed
+        entries are excluded from current reads but still apply to
+        snapshot versions in [delete, kill) — the kill is itself a
+        versioned commit, not a rewrite of history."""
         entries = self.manifest.table_meta.get("lw_deletes", [])
         if lw_version is None:
-            return entries
-        return [e for e in entries if e["version"] <= lw_version]
+            return [e for e in entries if "killed_at_version" not in e]
+        return [e for e in entries
+                if e["version"] <= lw_version
+                < e.get("killed_at_version", float("inf"))]
 
     def _read_parts(self, parts: list[PartMeta],
                     lw_version: int | None = None) -> DataFrame | None:
@@ -2112,8 +2136,28 @@ class SparkMergeTree:
 
     # ------------------------------------------------------------ compaction
 
+    def stop_merges(self) -> None:
+        """``SYSTEM STOP MERGES`` analog: suspend every merge path —
+        insert-triggered, background-thread, and merge_parts_sync all
+        check this flag — while inserts, flushes, and reads continue
+        normally (parts simply accumulate). The standard runbook guard
+        before bulk loads, schema surgery, or debugging a bad merge.
+        Explicit ``optimize()`` refuses rather than silently no-oping
+        (ClickHouse's OPTIMIZE blocks forever under stopped merges; an
+        error is the non-interactive equivalent). In-memory only, like
+        ClickHouse — a restart clears it."""
+        self._merges_stopped = True
+
+    def start_merges(self) -> None:
+        """``SYSTEM START MERGES`` analog: lift stop_merges(). The next
+        insert/flush re-evaluates the trigger, so a backlog accumulated
+        while stopped compacts on the normal schedule."""
+        self._merges_stopped = False
+
     def should_trigger_merge(self) -> bool:
         """R30 (reference src/merge_tree.cpp:240-243)."""
+        if self._merges_stopped:
+            return False
         with self._lock:
             return len(self.manifest.parts) > self.config.max_parts
 
@@ -2132,6 +2176,8 @@ class SparkMergeTree:
         Spark's sort-shuffle-with-spill replaces the reference's k-way heap
         (src/merger.cpp:7-59), which materialized everything anyway.
         """
+        if self._merges_stopped:
+            return False
         with self._merge_lock:
             with self._lock:
                 # merges never cross partitions (ClickHouse MergeTree
@@ -2250,6 +2296,10 @@ class SparkMergeTree:
         are NOT a trigger here (they materialize at scheduled merges or
         FINAL): plain optimize under max_parts stays a no-op for masked
         tables, matching the mutation model's lazy contract."""
+        if self._merges_stopped:
+            raise ValueError(
+                "merges are stopped (SYSTEM STOP MERGES); start_merges() "
+                "first")
         self.flush()
         if final:
             while True:
@@ -3725,20 +3775,68 @@ class SparkMergeTree:
             ("mutation_id", "int"), ("kind", "string"),
             ("command", "string"), ("parts_scanned", "int"),
             ("parts_rewritten", "int"), ("rows_affected", "bigint"),
-            ("is_done", "boolean"),
+            ("is_done", "boolean"), ("is_killed", "boolean"),
         ]
         with self._lock:
             live = {e["id"] for e in self._lw_entries()}
             rows = []
             for m in self.manifest.table_meta.get("mutation_log", []):
-                done = (m.get("lw_entry_id") not in live
+                killed = bool(m.get("killed"))
+                done = (not killed and m.get("lw_entry_id") not in live
                         if m["kind"] == "lw_delete" else True)
                 rows.append((m["mutation_id"], m["kind"], m.get("command"),
                              m.get("parts_scanned"),
                              m.get("parts_rewritten"),
-                             m.get("rows_affected"), done))
+                             m.get("rows_affected"), done, killed))
         from clickhouse_mergetree_spark.tables import values_df
         return values_df(self.spark, rows, cols)
+
+    def kill_mutation(self, mutation_id: int) -> dict:
+        """``KILL MUTATION`` analog: cancel a PENDING lightweight delete —
+        its mask entry stops applying to current reads immediately, so
+        rows in parts not yet rewritten become visible again, while parts
+        already rewritten stay physically clean (their deletions are
+        irreversible, exactly ClickHouse's contract: KILL stops further
+        application, it does not undo applied parts). Synchronous
+        mutations (ALTER DELETE/UPDATE rewrites, APPLY DELETED MASK runs)
+        complete atomically and cannot be killed; a finished lightweight
+        delete has nothing left to cancel — both refuse.
+
+        The kill is a versioned commit: snapshot reads at versions in
+        [delete, kill) still apply the mask (time travel never rewrites
+        history); with snapshot retention off the entry is removed
+        outright. Returns {"mutation_id", "parts_unmasked"}."""
+        with self._merge_lock:
+            with self._lock:
+                log = self.manifest.table_meta.get("mutation_log", [])
+                m = next((r for r in log
+                          if r["mutation_id"] == mutation_id), None)
+                if m is None:
+                    raise ValueError(f"unknown mutation {mutation_id}")
+                if m["kind"] != "lw_delete":
+                    raise ValueError(
+                        f"mutation {mutation_id} ({m['kind']!r}) is "
+                        "synchronous — it completed at submit time and "
+                        "cannot be killed")
+                entry = next((e for e in self._lw_entries()
+                              if e["id"] == m.get("lw_entry_id")), None)
+                if entry is None:
+                    raise ValueError(
+                        f"mutation {mutation_id} is already done or "
+                        "killed")
+                self.manifest.commit_meta()
+                live = {p.part_id for p in self.manifest.parts}
+                unmasked = len(live.intersection(entry["parts"]))
+                if self.config.snapshot_retention > 0:
+                    entry["killed_at_version"] = self.manifest.version
+                else:
+                    self.manifest.table_meta["lw_deletes"] = [
+                        e for e in
+                        self.manifest.table_meta.get("lw_deletes", [])
+                        if e["id"] != entry["id"]]
+                m["killed"] = True
+                self.manifest.save()
+        return {"mutation_id": mutation_id, "parts_unmasked": unmasked}
 
     def system_columns(self) -> DataFrame:
         """``system.columns`` analog: the logical schema as a DataFrame —

@@ -3249,3 +3249,114 @@ def q_path_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_transitions").desc(), "src", "dst")
         .limit(PATH_FLOW_TOP)
     )
+
+
+@declared_query(
+    "q_kill_mutation",
+    oracle=_dedup_first_sql(
+        _KV_SQL, f"key <= {RANGE_END} AND event_type <> 'error'"),
+)
+def q_kill_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KILL MUTATION end-to-end (ClickHouse ops staple — extension): two
+    lightweight deletes go live ('click' rows, then 'error' rows), the
+    first is KILLed — its mask stops applying and the click rows
+    reappear, rows being still physical in the unrewritten parts — and
+    the second is materialized, physically removing the error rows. The
+    returned read proves both directions: click rows present (killed
+    delete left no trace), error rows absent (surviving delete applied).
+    system.mutations is asserted mid-flight: the killed mutation shows
+    is_killed and never is_done, the materialized one completes.
+
+    Kill is one versioned metadata commit — zero rows read or written at
+    any table size; the restore costs nothing because the deferred
+    delete never touched the parts in the first place.
+    """
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MergeTreeConfig, SparkMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_killmut_"),
+                           schema=schema, config=cfg)
+    kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    table.insert_batch(kv, row_count=1)
+    table.flush()
+    n_all = table.query_all().count()
+    table.lightweight_delete("event_type = 'click'")
+    table.lightweight_delete("event_type = 'error'")
+    assert table.query_all().count() < n_all
+    r = table.kill_mutation(1)
+    assert r["mutation_id"] == 1 and r["parts_unmasked"] > 0
+    table.materialize_deletes()
+    muts = {m["mutation_id"]: m
+            for m in table.system_mutations().collect()}
+    assert muts[1]["is_killed"] and not muts[1]["is_done"]
+    assert muts[2]["is_done"] and not muts[2]["is_killed"]
+    return table.query_all().select(
+        "key", "ts_us", "event_id", "event_type", "value")
+
+
+@declared_query(
+    "q_move_partition",
+    oracle=f"""
+        SELECT *,
+               CASE WHEN event_type = 'click' THEN 'dst' ELSE 'src' END
+                   AS tbl
+        FROM ({_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}")})
+    """,
+)
+def q_move_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVE PARTITION TO TABLE end-to-end (ClickHouse's resharding/
+    tiering primitive — extension), run as the real runbook sequence:
+    SYSTEM STOP MERGES on the source, bulk load, SYSTEM START MERGES,
+    then move the 'click' partition into a second table. The returned
+    union (each row tagged with its table) proves the move is exact and
+    destructive: click rows live only in the destination, everything
+    else only in the source.
+
+    The move itself is hardlink + two manifest commits — zero rows read
+    at any table size — which is why partition moves are how 100 TB
+    re-tiers between tables. The stop/start bracket is the standard
+    guard that keeps the merge scheduler from compacting mid-load parts
+    the move is about to take.
+    """
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MergeTreeConfig, SparkMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = dict(memtable_flush_threshold=10**12, max_parts=10,
+               partition_col="event_type", key_col="key", ts_col="ts_us")
+    src = SparkMergeTree(spark, scratch_dir("q_movesrc_"),
+                         schema=schema, config=MergeTreeConfig(**cfg))
+    dst = SparkMergeTree(spark, scratch_dir("q_movedst_"),
+                         schema=schema, config=MergeTreeConfig(**cfg))
+    src.stop_merges()
+    kv = _kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)
+    src.insert_batch(kv, row_count=1)
+    src.flush()
+    src.start_merges()
+    moved = src.move_partition_to(dst, "click")
+    assert moved > 0
+    assert "click" not in src.partitions()
+    assert dst.partitions() == ["click"]
+    tag = lambda df, t: df.select(  # noqa: E731
+        "key", "ts_us", "event_id", "event_type", "value",
+        F.lit(t).alias("tbl"))
+    return tag(src.query_all(), "src").unionAll(tag(dst.query_all(), "dst"))
