@@ -458,6 +458,17 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
     if am:
         return table.drop_constraint(am.group(1).strip("`"))
     am = re.match(
+        r"(?is)^ADD\s+PROJECTION\s+([\w`]+)\s*\(\s*SELECT\s+\*\s+"
+        r"ORDER\s+BY\s+(.+?)\s*\)$", op)
+    if am:
+        # sort projection: SELECT * ORDER BY col[, ...]
+        from clickhouse_mergetree_spark.engine.merge_tree import (
+            ProjectionSpec)
+        order_by = tuple(c.strip().strip("`")
+                         for c in am.group(2).split(","))
+        return table.add_projection(
+            ProjectionSpec(am.group(1).strip("`"), (), {}, order_by))
+    am = re.match(
         r"(?is)^ADD\s+PROJECTION\s+([\w`]+)\s*\(\s*SELECT\s+(.+?)"
         r"\s+GROUP\s+BY\s+(.+?)\s*\)$", op)
     if am:

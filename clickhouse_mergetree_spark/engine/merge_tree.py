@@ -81,11 +81,22 @@ class ProjectionSpec:
     aggregate the part's PHYSICAL rows: on tables relying on read-time
     (key, ts) collapse they assume insert-unique data (ClickHouse
     equally refuses projections under FINAL).
+
+    With ``order_by`` set (and ``group_by``/``aggs`` empty) the spec is
+    instead a SORT projection (ClickHouse ``PROJECTION p (SELECT *
+    ORDER BY col)``): each part carries a full copy of its rows
+    re-sorted by the secondary key, so parquet row-group stats prune
+    INSIDE the part for range/point reads on that key — the secondary-
+    index read path the primary sort order can't serve. Sort
+    projections store raw physical rows, so (unlike agg partials) they
+    compose with every table mode, lightweight-delete fallback, and row
+    policies.
     """
 
     name: str
     group_by: tuple[str, ...]
     aggs: dict[str, tuple[str, str]] = field(default_factory=dict)
+    order_by: tuple[str, ...] = ()
 
 
 @dataclass
@@ -258,16 +269,25 @@ class SparkMergeTree:
                 and self.config.partition_expr is not None):
             raise ValueError(
                 "give partition_col OR partition_expr, not both")
-        if self.config.projections and self.config.mode != "dedup":
+        if (any(s.aggs for s in self.config.projections)
+                and self.config.mode != "dedup"):
             # summing/collapsing/aggregating reads collapse the row
             # multiset, so physical-row projection partials could never
             # agree with table reads — refuse up front, the same reason
             # ClickHouse refuses projections under FINAL (ADVICE r4).
+            # SORT projections are exempt: they store raw rows, which the
+            # read path collapses exactly like primary rows.
             raise ValueError(
-                f"projections require mode='dedup', not "
+                f"aggregate projections require mode='dedup', not "
                 f"{self.config.mode!r}: this mode collapses rows at read "
                 "time, so pre-aggregated physical partials would diverge "
                 "from table reads")
+        for s in self.config.projections:
+            if s.order_by and (s.group_by or s.aggs):
+                raise ValueError(
+                    f"projection {s.name!r}: order_by (sort projection) "
+                    "and group_by/aggs (aggregate projection) are "
+                    "mutually exclusive")
         self._buffer_rows: list[tuple] = []
         self._buffer_dfs: list[tuple[DataFrame, int]] = []  # (df, row_count)
         self._buffer_count = 0
@@ -332,7 +352,8 @@ class SparkMergeTree:
                 self.config.projections = tuple(self.config.projections) + (
                     ProjectionSpec(rec["name"], tuple(rec["group_by"]),
                                    {k: tuple(v)
-                                    for k, v in rec["aggs"].items()}),)
+                                    for k, v in rec["aggs"].items()},
+                                   tuple(rec.get("order_by", ()))),)
         self._rebuild_missing_metadata()
         # A surviving mutation intent record means a previous process died
         # mid-mutation: per-part swaps are atomic, so the table is
@@ -742,7 +763,12 @@ class SparkMergeTree:
 
     @staticmethod
     def _apply_projection(df: DataFrame, spec: ProjectionSpec) -> DataFrame:
-        """Aggregate rows into one projection partial (write path)."""
+        """Build one part's projection file content (write path): a sort
+        projection re-sorts the part's rows by the secondary key (one
+        file, so the sort produces monotone row-group stats — the whole
+        point); an aggregate projection collapses to one partial."""
+        if spec.order_by:
+            return df.coalesce(1).sortWithinPartitions(*spec.order_by)
         aggs = []
         for out, (fn, src) in spec.aggs.items():
             if fn == "count":
@@ -1257,6 +1283,11 @@ class SparkMergeTree:
                 "row policies are active; projection reads are disabled "
                 "— use query_grouped (routes to policy-filtered raw rows)")
         spec = self._spec(name)
+        if spec.order_by:
+            raise ValueError(
+                f"{name!r} is a sort projection — it has no grouped "
+                "form; it serves query_col_range reads on "
+                f"{spec.order_by[0]!r} automatically")
         gb = tuple(group_by) if group_by is not None else spec.group_by
         unknown = set(gb) - set(spec.group_by)
         if unknown:
@@ -1316,6 +1347,8 @@ class SparkMergeTree:
         best = None
         if not self.row_policies():  # policies force the raw path below
             for s in self.config.projections:
+                if s.order_by:
+                    continue  # sort projections have no grouped form
                 if req <= set(s.group_by) and all(
                         out in s.aggs and s.aggs[out] == d
                         for out, d in aggs.items()):
@@ -1343,7 +1376,8 @@ class SparkMergeTree:
         """Which projection query_grouped would use (introspection/tests)."""
         req = set(group_by)
         covering = [s for s in self.config.projections
-                    if req <= set(s.group_by) and all(
+                    if not s.order_by
+                    and req <= set(s.group_by) and all(
                         out in s.aggs and s.aggs[out] == d
                         for out, d in aggs.items())]
         if not covering:
@@ -1360,14 +1394,19 @@ class SparkMergeTree:
         ``materialize_projection`` backfills them — ClickHouse's ADD /
         MATERIALIZE PROJECTION split. Persisted in the manifest and
         replayed on reopen."""
-        if self.config.mode != "dedup":
+        if spec.aggs and self.config.mode != "dedup":
             raise ValueError(
-                "projections require mode='dedup' (read-time collapse "
-                "would diverge from physical-row partials)")
+                "aggregate projections require mode='dedup' (read-time "
+                "collapse would diverge from physical-row partials)")
+        if spec.order_by and (spec.group_by or spec.aggs):
+            raise ValueError(
+                f"projection {spec.name!r}: order_by (sort projection) "
+                "and group_by/aggs (aggregate projection) are mutually "
+                "exclusive")
         if any(s.name == spec.name for s in self.config.projections):
             raise ValueError(f"projection {spec.name!r} already exists")
         names = {f.name for f in self.schema.fields}
-        missing = (set(spec.group_by)
+        missing = (set(spec.group_by) | set(spec.order_by)
                    | {src for _fn, src in spec.aggs.values() if src}) - names
         if missing:
             raise ValueError(f"unknown columns {sorted(missing)}")
@@ -1377,7 +1416,8 @@ class SparkMergeTree:
             recs = self.manifest.table_meta.setdefault("projections", [])
             recs.append({"name": spec.name,
                          "group_by": list(spec.group_by),
-                         "aggs": {k: list(v) for k, v in spec.aggs.items()}})
+                         "aggs": {k: list(v) for k, v in spec.aggs.items()},
+                         "order_by": list(spec.order_by)})
             self.manifest.save()
 
     def materialize_projection(self, name: str) -> dict:
@@ -1941,6 +1981,7 @@ class SparkMergeTree:
 
     def _assemble(self, pred, key_range=None, point_key=None,
                   partition=None, col_range=None) -> DataFrame:
+        proj_paths: list[str] = []
         with self._lock:
             if key_range is None:
                 pruned = list(self.manifest.parts)
@@ -1952,6 +1993,30 @@ class SparkMergeTree:
                 # minmax skip index on a non-key column
                 c, lo, hi = col_range
                 pruned = [p for p in pruned if p.may_match_range(c, lo, hi)]
+                # sort-projection routing (ClickHouse's secondary-index
+                # planner): a part whose physical layout matches the
+                # current schema and carries a sort projection led by the
+                # queried column serves from its RE-SORTED copy — the
+                # filter pushes into monotone row-group stats, pruning
+                # inside the part, which the primary sort order cannot.
+                # Parts lagging the schema or under a live delete mask
+                # fall back to the evolved/masked primary read path;
+                # correctness never depends on materialization state.
+                sspec = next(
+                    (s for s in self.config.projections
+                     if s.order_by and s.order_by[0] == c), None)
+                if sspec is not None:
+                    dirty = {p.part_id for p in
+                             self._parts_with_pending_transforms(
+                                 include_masks=True)}
+                    served = [p for p in pruned
+                              if p.proj_paths
+                              and sspec.name in p.proj_paths
+                              and p.part_id not in dirty]
+                    proj_paths = [p.proj_paths[sspec.name] for p in served]
+                    served_ids = {p.part_id for p in served}
+                    pruned = [p for p in pruned
+                              if p.part_id not in served_ids]
             if point_key is not None:
                 # bloom skipping index: drop range-covering parts that
                 # provably lack the key (no false negatives by construction)
@@ -1967,8 +2032,11 @@ class SparkMergeTree:
             "partition_scan" if partition is not None else
             "col_range_scan" if col_range is not None else
             "range_scan" if key_range is not None else "full_scan",
-            n_total, len(pruned))
+            n_total, len(pruned) + len(proj_paths))
         sources = []
+        if proj_paths:
+            sources.append(self.spark.read.schema(self.schema)
+                           .parquet(*proj_paths))
         df = self._read_parts(pruned)
         if df is not None:
             sources.append(df)

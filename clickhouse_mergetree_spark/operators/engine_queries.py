@@ -3360,3 +3360,54 @@ def q_move_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", "ts_us", "event_id", "event_type", "value",
         F.lit(t).alias("tbl"))
     return tag(src.query_all(), "src").unionAll(tag(dst.query_all(), "dst"))
+
+
+@declared_query(
+    "q_projection_sort",
+    oracle=_dedup_first_sql(_KV_SQL, "value BETWEEN 1.0 AND 50.0"),
+)
+def q_projection_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort projection end-to-end (ClickHouse ``PROJECTION p (SELECT *
+    ORDER BY col)`` — the secondary-index read path): the table is
+    keyed on user_id, the query filters on VALUE — the access pattern
+    the primary sort order serves worst. A sort projection gives every
+    part a copy re-sorted by value, so the range filter pushes into
+    monotone parquet row-group stats and prunes INSIDE each part;
+    without it the filter scans every row-group because values are
+    scattered across the key-sorted layout.
+
+    Routing is asserted: the planned scan reads projection files, not
+    primary part files. Dirty parts (live delete masks, lagging schema)
+    fall back to the evolved primary path automatically, so correctness
+    never depends on materialization state. At 100 TB this is the
+    difference between a secondary-key range query scanning the table
+    and scanning the few row-groups whose [min,max] intersect.
+    """
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MergeTreeConfig, ProjectionSpec, SparkMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(
+        memtable_flush_threshold=10**12, max_parts=10,
+        projections=(ProjectionSpec("by_value", (), {}, ("value",)),),
+        key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_projsort_"),
+                           schema=schema, config=cfg)
+    kv = _kv(spark, sf_dir)
+    half = kv.filter(F.col("event_id") % 2 == 0)
+    table.insert_batch(half, row_count=1)
+    table.flush()
+    table.insert_batch(kv.subtract(half), row_count=1)
+    table.flush()
+    df = table.query_col_range("value", 1.0, 50.0)
+    assert any("proj_by_value" in f for f in df.inputFiles()), \
+        "sort projection did not serve the read"
+    return df.select("key", "ts_us", "event_id", "event_type", "value")

@@ -413,3 +413,102 @@ def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("name_md5"),
         F.octet_length("c_name").alias("name_bytes"),
     )
+
+
+# Nested CIDR dimension for the ip_trie lookup: (label, a.b.c.d/plen) as
+# integer components so BOTH engines derive lo/hi from the same integer
+# arithmetic (lo = packed octets, hi = lo + 2^(32-plen) - 1) — no
+# hand-computed range literals to drift. Prefix lengths 8..25, nested
+# three deep (corp ⊃ region ⊃ dc/rack/subnet) so the longest-prefix
+# election is actually exercised, not just a range probe.
+_CIDR_DIM = (
+    ("corp-net",        10, 0,  0,   0, 8),
+    ("region-west",     10, 16, 0,   0, 12),
+    ("dc-8",            10, 8,  0,   0, 16),
+    ("dc-9",            10, 9,  0,   0, 16),
+    ("rack-w32",        10, 16, 32,  0, 20),
+    ("rack-24-low",     10, 24, 0,   0, 21),
+    ("subnet-3-7",      10, 3,  7,   0, 24),
+    ("subnet-3-7-high", 10, 3,  7, 128, 25),
+)
+
+_CIDR_VALUES_SQL = ", ".join(
+    f"('{label}', {a}, {b}, {c}, {d}, {plen})"
+    for label, a, b, c, d, plen in _CIDR_DIM)
+
+
+@declared_query(
+    "q_ip_cidr",
+    oracle=f"""
+        WITH ips AS (
+            SELECT o_orderkey, {_IP_NUM_SQL} AS ip_num FROM orders
+        ), dim AS (
+            SELECT label, plen,
+                   ((a * 256 + b) * 256 + c) * 256 + d AS lo,
+                   ((a * 256 + b) * 256 + c) * 256 + d
+                       + CAST(pow(2, 32 - plen) AS BIGINT) - 1 AS hi
+            FROM (VALUES {_CIDR_VALUES_SQL}) v(label, a, b, c, d, plen)
+        ), matched AS (
+            SELECT o_orderkey, ip_num, label, plen,
+                   row_number() OVER (
+                       PARTITION BY o_orderkey
+                       ORDER BY plen DESC, label) AS rn
+            FROM ips JOIN dim ON ip_num BETWEEN lo AND hi
+        )
+        SELECT label, plen,
+               CAST(count(*) AS BIGINT) AS n_ips,
+               CAST(min(ip_num) AS BIGINT) AS min_ip,
+               CAST(max(ip_num) AS BIGINT) AS max_ip
+        FROM matched WHERE rn = 1
+        GROUP BY label, plen
+    """,
+)
+def q_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ip_trie dictionary analog (``dictGet`` over a CIDR
+    layout): enrich each order's IPv4 with the LONGEST matching prefix
+    from a nested CIDR dimension — the geo-IP / network-attribution
+    lookup every telemetry pipeline runs.
+
+    The dimension is node-memory-sized (real route tables are ≤ a few M
+    rows), so it broadcasts and the containment join is a
+    broadcast-nested-loop against 8 rows — zero shuffle of the fact
+    side. The longest-prefix election is a per-ip row_number over
+    (plen DESC); at 100 TB the same plan holds because the window key is
+    the fact's own row id (no skew, no global sort). For route tables
+    too large to broadcast, the standard rewrite is prefix expansion to
+    a fixed stride (each CIDR exploded to its covering /K blocks) which
+    turns containment into an equi-join on the ip's /K block — same
+    result, shuffle-join scalable.
+    """
+    from clickhouse_mergetree_spark.tables import values_df
+
+    o = load(spark, sf_dir, "orders")
+    ip_num = F.expr(_IP_NUM_SQL.replace("//", " div "))
+    ips = o.select("o_orderkey", ip_num.alias("ip_num"))
+    dim = values_df(
+        spark, list(_CIDR_DIM),
+        [("label", "string"), ("a", "bigint"), ("b", "bigint"),
+         ("c", "bigint"), ("d", "bigint"), ("plen", "int")],
+    ).select(
+        "label", "plen",
+        (((F.col("a") * 256 + F.col("b")) * 256 + F.col("c")) * 256
+         + F.col("d")).alias("lo"),
+        (((F.col("a") * 256 + F.col("b")) * 256 + F.col("c")) * 256
+         + F.col("d")
+         + F.pow(F.lit(2), F.lit(32) - F.col("plen")).cast("bigint")
+         - 1).alias("hi"),
+    )
+    from pyspark.sql import Window as W
+    matched = ips.join(
+        F.broadcast(dim),
+        (F.col("ip_num") >= F.col("lo")) & (F.col("ip_num") <= F.col("hi")),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("o_orderkey").orderBy(F.col("plen").desc(), "label"))
+    return (
+        matched.withColumn("rn", rn).filter(F.col("rn") == 1)
+        .groupBy("label", "plen")
+        .agg(F.count("*").alias("n_ips"),
+             F.min("ip_num").alias("min_ip"),
+             F.max("ip_num").alias("max_ip"))
+    )

@@ -32,7 +32,12 @@ NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_sim_search_pq",
                   "q_knn_join",
                   # broadcast side is the CLUSTER_K=16 centroid table —
                   # the O(n·k) assignment scan IS k-means assignment
-                  "q_embed_cluster"}
+                  "q_embed_cluster",
+                  # broadcast side is the 8-row CIDR dimension — the
+                  # containment join IS longest-prefix matching; the
+                  # too-big-to-broadcast rewrite (prefix expansion to a
+                  # fixed-stride equi-join) is documented in the query
+                  "q_ip_cidr"}
 
 _QUERIES = sorted(all_queries())
 

@@ -320,3 +320,161 @@ def test_add_projection_validation(bare_table, spark, tmp_path):
     with pytest.raises(ValueError, match="mode='dedup'"):
         s.add_projection(SPEC2)
     s.close()
+
+
+SORT_SPEC = ProjectionSpec("by_value", (), {}, ("value",))
+
+
+def _reads_proj(df, name):
+    return any(f"proj_{name}" in f for f in df.inputFiles())
+
+
+class TestSortProjections:
+    """Sort projections: per-part secondary-sort copies serving
+    query_col_range with intra-part row-group pruning."""
+
+    @pytest.fixture()
+    def stable(self, spark, tmp_path):
+        cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                              projections=(SORT_SPEC,),
+                              key_col="key", ts_col="ts_us")
+        t = SparkMergeTree(spark, str(tmp_path / "st"), schema=SCHEMA,
+                           config=cfg)
+        rows = [(k, 1000 + k, "ab"[k % 2], Decimal(299 - k))
+                for k in range(300)]
+        for i in range(3):
+            t.insert_rows(rows[i * 100:(i + 1) * 100])
+            t.flush()
+        yield t
+        t.close()
+
+    def test_parts_carry_sorted_copy(self, spark, stable):
+        for p in stable.manifest.parts:
+            assert p.proj_paths and "by_value" in p.proj_paths
+            vals = [r["value"] for r in
+                    spark.read.parquet(p.proj_paths["by_value"])
+                    .select("value").collect()]
+            assert vals == sorted(vals)
+
+    def test_col_range_routes_to_projection(self, stable):
+        df = stable.query_col_range("value", Decimal(10), Decimal(20))
+        assert _reads_proj(df, "by_value")
+        keys = sorted(r["key"] for r in df.collect())
+        assert keys == [299 - v for v in range(20, 9, -1)]
+
+    def test_col_range_other_column_ignores_projection(self, stable):
+        df = stable.query_col_range("ts_us", 1000, 1010)
+        assert not _reads_proj(df, "by_value")
+        assert df.count() == 11
+
+    def test_masked_parts_fall_back(self, stable):
+        stable.lightweight_delete("value < 10")
+        df = stable.query_col_range("value", Decimal(0), Decimal(20))
+        assert not _reads_proj(df, "by_value")  # masked ⇒ primary path
+        assert df.count() == 11  # 0..9 deleted, 10..20 remain
+
+    def test_schema_evolution_falls_back_then_recovers(self, stable):
+        stable.add_column("note", "string", default="x")
+        df = stable.query_col_range("value", Decimal(10), Decimal(20))
+        assert not _reads_proj(df, "by_value")
+        assert df.count() == 11 and df.collect()[0]["note"] == "x"
+        stable.optimize(final=True)  # rewrite materializes the column...
+        df2 = stable.query_col_range("value", Decimal(10), Decimal(20))
+        assert _reads_proj(df2, "by_value")  # ...and rebuilds the proj
+        assert df2.count() == 11
+
+    def test_merge_rebuilds_sorted_copy(self, stable):
+        stable.optimize(final=True)
+        assert len(stable.manifest.parts) == 1
+        p = stable.manifest.parts[0]
+        assert p.proj_paths and "by_value" in p.proj_paths
+        df = stable.query_col_range("value", Decimal(100), Decimal(110))
+        assert _reads_proj(df, "by_value") and df.count() == 11
+
+    def test_alter_add_materialize_drop(self, spark, tmp_path):
+        cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                              key_col="key", ts_col="ts_us")
+        with SparkMergeTree(spark, str(tmp_path / "am"), schema=SCHEMA,
+                            config=cfg) as t:
+            t.insert_rows([(k, 1000 + k, "a", Decimal(k))
+                           for k in range(50)])
+            t.flush()
+            t.add_projection(SORT_SPEC)
+            # pre-ALTER part: fallback, still correct
+            assert t.query_col_range(
+                "value", Decimal(5), Decimal(9)).count() == 5
+            r = t.materialize_projection("by_value")
+            assert r == {"parts_built": 1, "parts_skipped": 0}
+            df = t.query_col_range("value", Decimal(5), Decimal(9))
+            assert _reads_proj(df, "by_value") and df.count() == 5
+            t.drop_projection("by_value")
+            df2 = t.query_col_range("value", Decimal(5), Decimal(9))
+            assert not _reads_proj(df2, "by_value")
+            assert df2.count() == 5
+
+    def test_reopen_replays_order_by(self, spark, tmp_path):
+        cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                              key_col="key", ts_col="ts_us")
+        base = str(tmp_path / "ro")
+        with SparkMergeTree(spark, base, schema=SCHEMA, config=cfg) as t:
+            t.insert_rows([(k, 1000 + k, "a", Decimal(k))
+                           for k in range(50)])
+            t.flush()
+            t.add_projection(SORT_SPEC)
+            t.materialize_projection("by_value")
+        with SparkMergeTree(spark, base, schema=SCHEMA,
+                            config=MergeTreeConfig(
+                                memtable_flush_threshold=10**12,
+                                max_parts=10, key_col="key",
+                                ts_col="ts_us")) as t2:
+            spec = next(s for s in t2.config.projections
+                        if s.name == "by_value")
+            assert spec.order_by == ("value",)
+            df = t2.query_col_range("value", Decimal(5), Decimal(9))
+            assert _reads_proj(df, "by_value") and df.count() == 5
+
+    def test_grouped_routing_never_picks_sort_spec(self, stable):
+        assert stable.routed_projection(
+            ("cat",), {"n": ("count", "value")}) is None
+        with pytest.raises(ValueError, match="sort projection"):
+            stable.query_projection("by_value")
+
+    def test_sort_spec_allowed_on_summing_mode(self, spark, tmp_path):
+        cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                              mode="summing", projections=(SORT_SPEC,),
+                              key_col="key", ts_col="ts_us")
+        with SparkMergeTree(spark, str(tmp_path / "sm"), schema=SCHEMA,
+                            config=cfg) as t:
+            t.insert_rows([(1, 10, "a", Decimal(2)),
+                           (1, 10, "a", Decimal(3)),
+                           (2, 20, "b", Decimal(5))])
+            t.flush()
+            rows = {r["key"]: r["value"] for r in
+                    t.query_col_range("value", Decimal(0),
+                                      Decimal(100)).collect()}
+            assert rows == {1: Decimal(5), 2: Decimal(5)}  # collapse holds
+
+    def test_mixed_spec_refused(self, spark, tmp_path):
+        bad = ProjectionSpec("bad", ("cat",), {"n": ("count", "cat")},
+                             ("value",))
+        cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                              projections=(bad,),
+                              key_col="key", ts_col="ts_us")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            SparkMergeTree(spark, str(tmp_path / "bad"), schema=SCHEMA,
+                           config=cfg)
+
+    def test_ddl_sort_projection(self, spark, tmp_path):
+        from clickhouse_mergetree_spark.engine.ddl import execute_ddl
+        cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                              key_col="key", ts_col="ts_us")
+        with SparkMergeTree(spark, str(tmp_path / "ddl"), schema=SCHEMA,
+                            config=cfg) as t:
+            t.insert_rows([(k, 1000 + k, "a", Decimal(k))
+                           for k in range(30)])
+            t.flush()
+            execute_ddl(t, "ALTER TABLE t ADD PROJECTION by_value "
+                           "(SELECT * ORDER BY value)")
+            execute_ddl(t, "ALTER TABLE t MATERIALIZE PROJECTION by_value")
+            df = t.query_col_range("value", Decimal(3), Decimal(7))
+            assert _reads_proj(df, "by_value") and df.count() == 5
