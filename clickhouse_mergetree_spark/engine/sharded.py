@@ -197,6 +197,27 @@ class ShardedMergeTree:
             for s in self.shards
         ])
 
+    def query_in_global(self, subquery: DataFrame, on: list[str]
+                        ) -> DataFrame:
+        """ClickHouse ``GLOBAL IN`` over the sharded table: the IN
+        subquery is evaluated ONCE (on the initiator, in ClickHouse
+        terms) and its result set broadcast to every shard, which filters
+        its own collapsed rows with a local LEFT SEMI join — the
+        membership sibling of ``query_join_global``, and the same
+        footgun-fix: a plain (non-GLOBAL) IN would re-evaluate the
+        subquery per shard against only that shard's rows, silently
+        changing the membership set whenever the subquery reads the
+        sharded table itself.
+
+        Semi-join (not inner) so subquery duplicates can never multiply
+        fact rows. Same memory contract as GLOBAL JOIN: the set must fit
+        per node; reshard on the membership key for bigger sets."""
+        keys = subquery.select(*on).dropDuplicates(on)
+        return self._union([
+            s.query_all().join(F.broadcast(keys), on, "left_semi")
+            for s in self.shards
+        ])
+
     # ------------------------------------------------------- introspection
 
     def shard_stats(self) -> list[dict]:

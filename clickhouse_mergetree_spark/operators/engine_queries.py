@@ -3411,3 +3411,70 @@ def q_projection_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert any("proj_by_value" in f for f in df.inputFiles()), \
         "sort projection did not serve the read"
     return df.select("key", "ts_us", "event_id", "event_type", "value")
+
+
+@declared_query(
+    "q_sharded_global_in",
+    oracle=f"""
+        WITH kv AS ({_dedup_first_sql(_KV_SQL)}),
+        counts AS (
+            SELECT event_type, count(*) AS n FROM kv GROUP BY event_type
+        ), hot AS (
+            SELECT event_type FROM counts
+            WHERE n > (SELECT avg(n) FROM counts)
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS value_sum
+        FROM kv
+        WHERE event_type IN (SELECT event_type FROM hot)
+        GROUP BY event_type
+    """,
+)
+def q_sharded_global_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GLOBAL IN`` over the Distributed engine (ClickHouse analog —
+    extension): the membership subquery — event types with
+    above-average row counts — reads the SHARDED TABLE ITSELF, the
+    exact case where non-GLOBAL IN is wrong (each shard would compute
+    'above-average' from its own slice and filter against a different
+    set). GLOBAL evaluates the set once over all shards, broadcasts it,
+    and each shard filters locally with a LEFT SEMI join — fact rows
+    never cross the network.
+
+    At 100 TB the set side is |event types| rows — node-memory trivially
+    — while the fact side stays shard-local; the semi-join (never inner)
+    guarantees set duplicates cannot multiply fact rows.
+    """
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (MergeTreeConfig,
+                                                   ShardedMergeTree)
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          key_col="key", ts_col="ts_us")
+    table = ShardedMergeTree(spark, scratch_dir("q_shardin_"),
+                             n_shards=4, schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir)).persist()
+    table.insert_batch(kv, row_count=1)
+    table.flush()
+    counts = table.query_all().groupBy("event_type").agg(
+        F.count("*").alias("n"))
+    # above-average gate via an unpartitioned window — counts is |types|
+    # rows (post-aggregation), so the single-partition window is trivial
+    hot = (counts.withColumn("nbar", F.avg("n").over(W.partitionBy()))
+           .filter(F.col("n") > F.col("nbar")).select("event_type"))
+    return (
+        table.query_in_global(hot, ["event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("value_sum"))
+    )

@@ -1316,3 +1316,55 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+MIX_ALPHA = 0.7          # mixture temperature (GPT-3/PaLM convention)
+MIX_BUDGET = 100_000     # target documents in the mixed corpus
+
+
+@declared_query(
+    "q_mix_temperature",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ), probs AS (
+            SELECT source, n_docs,
+                   n_docs * 1.0 / sum(n_docs) OVER () AS p,
+                   pow(n_docs * 1.0 / sum(n_docs) OVER (), {MIX_ALPHA})
+                       AS wt
+            FROM counts
+        )
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               round(p, 9) AS p_raw,
+               round(wt / sum(wt) OVER (), 9) AS w_mix,
+               CAST(floor(wt / sum(wt) OVER () * {MIX_BUDGET}) AS BIGINT)
+                   AS budget_docs
+        FROM probs
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture weights (the GPT-3/PaLM mixing
+    rule: sample source i with weight p_i^α / Σ p_j^α, α<1 upweights
+    small high-quality sources without drowning the head) plus the
+    per-source document budget it implies at a target corpus size — the
+    planning step every LLM pretraining data recipe starts from.
+
+    One corpus-sized shuffle (the per-source count); everything after
+    runs on |sources| rows, where the unpartitioned windows are free —
+    at 100 TB the mixture math costs the same as at 100 MB. The weights
+    then DRIVE q_sample_deterministic-style hash sampling per source;
+    this query is the exact-arithmetic contract for that driver table
+    (round(9) absorbs pow()'s last-ulp differences across engines).
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_all = W.partitionBy()
+    p = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    wt = F.pow(p, F.lit(MIX_ALPHA))
+    w_mix = wt / F.sum(wt).over(w_all)
+    return counts.select(
+        "source", "n_docs",
+        F.round(p, 9).alias("p_raw"),
+        F.round(w_mix, 9).alias("w_mix"),
+        F.floor(w_mix * MIX_BUDGET).cast("bigint").alias("budget_docs"),
+    )

@@ -104,3 +104,24 @@ def test_shard_maintenance_and_reopen(spark, base):
     assert st2.query_all().count() == 40
     assert st2.query_key(7).count() == 1
     st2.close()
+
+
+def test_query_in_global_semi_join_semantics(spark, base):
+    with ShardedMergeTree(spark, base, n_shards=4, schema=SCHEMA,
+                          config=MergeTreeConfig(**CFG)) as st:
+        st.insert_rows(ROWS)
+        st.flush()
+        from pyspark.sql import functions as F
+        # membership set computed over the WHOLE table (the GLOBAL
+        # contract): keys with v-sum above 60 — spans shards
+        keys = (st.query_all().groupBy("key")
+                .agg(F.sum("v").alias("s")).filter(F.col("s") > 60)
+                .select("key"))
+        expect = {r["key"] for r in keys.collect()}
+        assert 0 < len(expect) < 40
+        got = st.query_in_global(keys, ["key"])
+        assert {r["key"] for r in got.collect()} == expect
+        assert got.count() == 3 * len(expect)  # 3 ts rows per key, never
+        # multiplied: duplicate membership rows must not fan out
+        dup = keys.unionAll(keys)
+        assert st.query_in_global(dup, ["key"]).count() == 3 * len(expect)
