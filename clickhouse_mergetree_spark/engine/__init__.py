@@ -17,6 +17,7 @@ from clickhouse_mergetree_spark.engine.ddl import (
 from clickhouse_mergetree_spark.engine.manifest import Manifest, PartMeta
 from clickhouse_mergetree_spark.engine.matview import MaterializedView
 from clickhouse_mergetree_spark.engine.merge_table import MergeTable
+from clickhouse_mergetree_spark.engine.null_table import NullTable
 from clickhouse_mergetree_spark.engine.merge_tree import (
     MergeTreeConfig,
     ProjectionSpec,
@@ -32,6 +33,7 @@ __all__ = [
     "Manifest",
     "MaterializedView",
     "MergeTable",
+    "NullTable",
     "MergeTreeConfig",
     "PartMeta",
     "ProjectionSpec",

@@ -3478,3 +3478,75 @@ def q_sharded_global_in(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("value").cast("decimal(18,6)"))
              .cast("double").alias("value_sum"))
     )
+
+
+@declared_query(
+    "q_null_engine",
+    oracle=f"""
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS value_sum,
+               count(*) AS n_rows
+        FROM ({_KV_SQL}) WHERE key <= {RANGE_END}
+        GROUP BY event_type
+    """,
+)
+def q_null_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ENGINE = Null`` ingest pipeline (ClickHouse's standard
+    ingest-transform pattern — extension): raw blocks INSERT into a Null
+    table that stores nothing; an attached materialized view pushes each
+    block into a summing-mode rollup target. Three batches flow through;
+    the Null source is asserted empty, and the returned rollup carries
+    every row — proving the MV trigger fired on all blocks even though
+    the source discarded them.
+
+    The 100 TB case for Null: when queries only ever read rollups,
+    storing the raw stream is pure cost — the Null source keeps the MV
+    maintenance machinery (batch-local partial aggregation, merge-time
+    summation) and drops the storage. Measures are DECIMAL so the
+    incremental == one-shot hash comparison is order-independent.
+    """
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (
+        MaterializedView, MergeTreeConfig, NullTable, SparkMergeTree)
+
+    src_schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    mv_schema = T.StructType([
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("marker_ts", T.LongType(), False),
+        T.StructField("value_sum", T.DecimalType(18, 6), True),
+        T.StructField("n_rows", T.LongType(), False),
+    ])
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (df.groupBy("event_type")
+                .agg(F.sum(F.col("value").cast("decimal(18,6)"))
+                     .cast("decimal(18,6)").alias("value_sum"),
+                     F.count("*").alias("n_rows"))
+                .select("event_type", F.lit(0).alias("marker_ts"),
+                        "value_sum", "n_rows"))
+
+    src = NullTable(spark, src_schema)
+    mv = MaterializedView(
+        SparkMergeTree(
+            spark, scratch_dir("q_null_tgt_"), schema=mv_schema,
+            config=MergeTreeConfig(memtable_flush_threshold=10**12,
+                                   max_parts=2, mode="summing",
+                                   key_col="event_type",
+                                   ts_col="marker_ts")),
+        rollup)
+    src.attach_view(mv)
+    kv = (_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END)).persist()
+    for i in range(3):
+        src.insert_batch(kv.filter(F.pmod(F.col("event_id"), F.lit(3)) == i))
+    src.flush()
+    assert src.query_all().count() == 0 and src.total_rows() == 0
+    return mv.query().select("event_type", F.col("value_sum")
+                             .cast("double"), "n_rows")

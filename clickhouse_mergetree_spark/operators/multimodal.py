@@ -573,3 +573,66 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughput at any corpus size."""
     media = media_decode_table(spark, sf_dir)
     return media.mapInPandas(make_decoder(), schema=DECODE_STATS_SCHEMA)
+
+
+@declared_query(
+    "q_embed_covariance",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, CAST(i AS INTEGER) AS i,
+                   CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS ei
+            FROM (SELECT vec_id, embedding,
+                         unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings)
+        ), s AS (
+            SELECT a.i AS i, b.i AS j,
+                   sum(a.ei * b.ei) AS s_ij, count(*) AS n
+            FROM ex a JOIN ex b USING (vec_id)
+            WHERE a.i <= b.i
+            GROUP BY a.i, b.i
+        ), mu AS (
+            SELECT i, avg(ei) AS m FROM ex GROUP BY i
+        )
+        SELECT s.i, s.j,
+               round(s.s_ij / s.n - ma.m * mb.m, 6) AS cov
+        FROM s JOIN mu ma ON s.i = ma.i JOIN mu mb ON s.j = mb.i
+    """,
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (the PCA / whitening prep step —
+    dimensionality reduction, decorrelation, and drift monitoring all
+    start from cov(E)): the upper triangle of the 64×64 covariance of
+    the embedding table, computed as Σ e_i e_j / n − μ_i μ_j.
+
+    The scale shape is the point: pairs are generated ROW-LOCALLY
+    (nested transform over the array — each vector emits its own d(d+1)/2
+    products inside codegen), so the only data-sized shuffle is the
+    (i, j)-keyed partial+final sum — d²/2 keys, no self-join of an
+    exploded fact table (the naive formulation shuffles the exploded
+    corpus TWICE and joins it to itself; the oracle deliberately uses
+    that independent formulation, so a hash match cross-proves both).
+    μ comes from the same pass's diagonal-friendly per-i sums. At 100 TB
+    the reduce state is d² doubles per partition — node-memory no matter
+    the corpus size.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    # 1-based (i, j, e_i*e_j) triples, generated inside the row
+    pairs = emb.select(F.explode(F.expr("""
+        flatten(transform(embedding, (x, i) ->
+            transform(slice(embedding, i + 1, size(embedding) - i),
+                      (y, j) -> struct(i + 1 AS i, i + j + 1 AS j,
+                                       CAST(x AS DOUBLE)
+                                       * CAST(y AS DOUBLE) AS p))))
+    """)).alias("t")).select("t.i", "t.j", "t.p")
+    s = pairs.groupBy("i", "j").agg(F.sum("p").alias("s_ij"),
+                                    F.count("*").alias("n"))
+    mu = (emb.select(F.posexplode("embedding").alias("i0", "ei"))
+          .groupBy((F.col("i0") + 1).alias("i"))
+          .agg(F.avg(F.col("ei").cast("double")).alias("m")))
+    ma = mu.select(F.col("i"), F.col("m").alias("m_i"))
+    mb = mu.select(F.col("i").alias("j"), F.col("m").alias("m_j"))
+    return (s.join(F.broadcast(ma), "i").join(F.broadcast(mb), "j")
+            .select("i", "j",
+                    F.round(F.col("s_ij") / F.col("n")
+                            - F.col("m_i") * F.col("m_j"), 6)
+                    .alias("cov")))
