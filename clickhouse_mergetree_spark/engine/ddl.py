@@ -381,14 +381,23 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
     m = re.match(r"(?is)^OPTIMIZE\s+TABLE\s+[\w`.]+(?P<rest>.*)$", s)
     if m:
         rest = m.group("rest")
+        partition = None
+        pm = re.search(r"(?is)\bPARTITION\s+('[^']*'|\S+)", rest)
+        if pm:
+            partition = pm.group(1).strip("'")
         dm = re.search(r"(?is)DEDUPLICATE(?:\s+BY\s+(?P<by>.+))?$", rest)
         if dm:
+            if partition is not None:
+                raise ValueError(
+                    "OPTIMIZE PARTITION ... DEDUPLICATE is not supported "
+                    "(DEDUPLICATE runs table-wide)")
             by = (tuple(c.strip().strip("`")
                         for c in dm.group("by").split(","))
                   if dm.group("by") else None)
             return table.optimize_deduplicate(by=by)
-        return table.optimize(final=bool(
-            re.search(r"(?i)\bFINAL\b", rest)))
+        return table.optimize(
+            final=bool(re.search(r"(?i)\bFINAL\b", rest)),
+            partition=partition)
     m = re.match(r"(?is)^ALTER\s+TABLE\s+[\w`.]+\s+(?P<op>.+)$", s)
     if not m:
         raise ValueError(f"unrecognized statement: {sql!r}")
@@ -544,6 +553,18 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
                     "interval_us": int(am.group(2)) * _INTERVAL_US[unit]}
             table.manifest.save()
         return None
+    am = re.match(r"(?is)^MODIFY\s+SETTING\s+(.+)$", op)
+    if am:
+        # ALTER TABLE t MODIFY SETTING k = v[, k2 = v2 ...]
+        applied = {}
+        for kv in _split_top_level(am.group(1)):
+            k, _, v = kv.partition("=")
+            k, v = k.strip().strip("`").lower(), v.strip().strip("'")
+            if k == "parts_to_throw_insert":  # ClickHouse spelling
+                k = "max_parts_to_throw"
+            table.modify_setting(k, v)
+            applied[k] = v
+        return applied
     raise ValueError(f"unsupported ALTER clause: {op!r}")
 
 

@@ -354,6 +354,11 @@ class SparkMergeTree:
                                    {k: tuple(v)
                                     for k, v in rec["aggs"].items()},
                                    tuple(rec.get("order_by", ()))),)
+        # ALTER MODIFY SETTING log: runtime overrides beat the
+        # constructor config, like ClickHouse's table-settings persistence
+        for k, v in self.manifest.table_meta.get(
+                "settings_overrides", {}).items():
+            setattr(self.config, k, v)
         self._rebuild_missing_metadata()
         # A surviving mutation intent record means a previous process died
         # mid-mutation: per-part swaps are atomic, so the table is
@@ -2204,6 +2209,38 @@ class SparkMergeTree:
 
     # ------------------------------------------------------------ compaction
 
+    # Settings an operator may retune on a standing table. Structural
+    # knobs (key/ts/mode/partitioning/index/projection declarations) are
+    # deliberately absent — they define part layout and have their own
+    # ALTER verbs.
+    MODIFIABLE_SETTINGS = {
+        "max_parts": int,
+        "memtable_flush_threshold": int,
+        "max_parts_to_throw": lambda v: None if v is None else int(v),
+        "snapshot_retention": int,
+        "merge_interval_seconds": float,
+        "part_compression": str,
+    }
+
+    def modify_setting(self, name: str, value) -> None:
+        """``ALTER TABLE ... MODIFY SETTING`` analog: retune a runtime
+        table setting as a manifest commit — persisted, replayed on
+        reopen (overrides beat the constructor config), effective from
+        the next operation that reads it (flush thresholds, merge
+        scheduling, insert back-pressure, part codec). Structural
+        settings are refused; they have their own ALTER verbs."""
+        caster = self.MODIFIABLE_SETTINGS.get(name)
+        if caster is None:
+            raise ValueError(
+                f"setting {name!r} is not modifiable "
+                f"(allowed: {sorted(self.MODIFIABLE_SETTINGS)})")
+        value = caster(value)
+        with self._lock:
+            setattr(self.config, name, value)
+            self.manifest.table_meta.setdefault(
+                "settings_overrides", {})[name] = value
+            self.manifest.save()
+
     def stop_merges(self) -> None:
         """``SYSTEM STOP MERGES`` analog: suspend every merge path —
         insert-triggered, background-thread, and merge_parts_sync all
@@ -2345,7 +2382,7 @@ class SparkMergeTree:
                 out.append(p)
         return out
 
-    def optimize(self, final: bool = False) -> None:
+    def optimize(self, final: bool = False, partition=None) -> None:
         """R32 OPTIMIZE / ``OPTIMIZE TABLE ... FINAL``: flush, then merge
         until ≤ max_parts (reference src/merge_tree.cpp:199-205). With
         ``final=True``, keep merging until every partition is ONE part —
@@ -2363,12 +2400,39 @@ class SparkMergeTree:
         transforms ride every compaction pass. Lightweight-delete masks
         are NOT a trigger here (they materialize at scheduled merges or
         FINAL): plain optimize under max_parts stays a no-op for masked
-        tables, matching the mutation model's lazy contract."""
+        tables, matching the mutation model's lazy contract.
+
+        With ``partition`` set (``OPTIMIZE TABLE ... PARTITION v``), the
+        pass is scoped to that partition's parts: they merge to one part
+        (plus, with FINAL, a forced rewrite of a lone part carrying
+        pending transforms) and every other partition is untouched — at
+        100 TB you compact the hot partition without scheduling work
+        across the cold ones."""
         if self._merges_stopped:
             raise ValueError(
                 "merges are stopped (SYSTEM STOP MERGES); start_merges() "
                 "first")
         self.flush()
+        if partition is not None:
+            self._require_partitioning()
+            pstr = str(partition)
+            while True:
+                with self._merge_lock:
+                    with self._lock:
+                        group = [p for p in self.manifest.parts
+                                 if p.partition == pstr]
+                        if len(group) > 1:
+                            target = group
+                        else:
+                            pending = [
+                                p for p in
+                                self._parts_with_pending_transforms(
+                                    include_masks=final)
+                                if p.partition == pstr]
+                            target = [pending[0]] if pending else None
+                    if target is None:
+                        return
+                    self._merge_group(target)
         if final:
             while True:
                 with self._merge_lock:

@@ -173,3 +173,90 @@ class TestKillMutation:
             # snapshot at the delete still masks; current read does not
             assert t.query_at_version(v_del).count() == 15
             assert t.query_all().count() == 20
+
+
+class TestModifySetting:
+    def test_changes_behavior_and_persists(self, spark, base_path):
+        with SparkMergeTree(spark, base_path, schema=SCHEMA,
+                            config=MergeTreeConfig(**CFG)) as t:
+            _insert_parts(t, 3)
+            assert t.should_trigger_merge() is True  # max_parts=2
+            t.modify_setting("max_parts", 10)
+            assert t.should_trigger_merge() is False
+        # reopen with the ORIGINAL config: the override must win
+        with SparkMergeTree(spark, base_path, schema=SCHEMA,
+                            config=MergeTreeConfig(**CFG)) as t2:
+            assert t2.config.max_parts == 10
+            assert t2.should_trigger_merge() is False
+
+    def test_refuses_unknown_and_structural(self, spark, base_path):
+        with SparkMergeTree(spark, base_path, schema=SCHEMA,
+                            config=MergeTreeConfig(**CFG)) as t:
+            with pytest.raises(ValueError, match="not modifiable"):
+                t.modify_setting("key_col", "other")
+            with pytest.raises(ValueError, match="not modifiable"):
+                t.modify_setting("no_such_setting", 1)
+
+    def test_ddl_modify_setting(self, spark, base_path):
+        from clickhouse_mergetree_spark.engine.ddl import execute_ddl
+        with SparkMergeTree(spark, base_path, schema=SCHEMA,
+                            config=MergeTreeConfig(**CFG)) as t:
+            r = execute_ddl(t, "ALTER TABLE t MODIFY SETTING "
+                               "max_parts = 7, parts_to_throw_insert = 50")
+            assert r == {"max_parts": "7", "max_parts_to_throw": "50"}
+            assert t.config.max_parts == 7
+            assert t.config.max_parts_to_throw == 50
+
+
+class TestOptimizePartition:
+    def test_scoped_merge_leaves_other_partitions(self, spark, tmp_path):
+        with SparkMergeTree(spark, str(tmp_path / "op"), schema=SCHEMA,
+                            config=MergeTreeConfig(**PCFG)) as t:
+            for _ in range(3):  # 3 parts per partition value
+                t.insert_rows([(k, 1000 + k, float(k % 2))
+                               for k in range(20)])
+                t.flush()
+            assert len(t.parts_in_partition(1.0)) == 3
+            t.optimize(partition=1.0)
+            assert len(t.parts_in_partition(1.0)) == 1
+            assert len(t.parts_in_partition(0.0)) == 3  # untouched
+            assert t.query_all().count() == 20  # dedup collapses replays
+
+    def test_final_materializes_single_part_transforms(self, spark,
+                                                       tmp_path):
+        with SparkMergeTree(spark, str(tmp_path / "opf"), schema=SCHEMA,
+                            config=MergeTreeConfig(**PCFG)) as t:
+            t.insert_rows([(k, 1000 + k, float(k % 2)) for k in range(20)])
+            t.flush()
+            t.lightweight_delete("key < 4")
+            t.optimize(final=True, partition=1.0)
+            # partition 1.0's lone part rewrote: its mask is physical
+            p1 = t.parts_in_partition(1.0)[0]
+            masked = {pid for e in t._lw_entries() for pid in e["parts"]}
+            assert p1.part_id not in masked
+            # partition 0.0 still carries the mask (untouched)
+            p0 = t.parts_in_partition(0.0)[0]
+            assert p0.part_id in masked
+            assert t.query_all().count() == 16
+
+    def test_ddl_optimize_partition(self, spark, tmp_path):
+        from clickhouse_mergetree_spark.engine.ddl import execute_ddl
+        with SparkMergeTree(spark, str(tmp_path / "opd"), schema=SCHEMA,
+                            config=MergeTreeConfig(**PCFG)) as t:
+            for _ in range(2):
+                t.insert_rows([(k, 1000 + k, float(k % 2))
+                               for k in range(10)])
+                t.flush()
+            execute_ddl(t, "OPTIMIZE TABLE t PARTITION '0.0' FINAL")
+            assert len(t.parts_in_partition(0.0)) == 1
+            assert len(t.parts_in_partition(1.0)) == 2
+            with pytest.raises(ValueError, match="not supported"):
+                execute_ddl(t, "OPTIMIZE TABLE t PARTITION '0.0' "
+                               "DEDUPLICATE")
+
+    def test_requires_partitioning(self, spark, base_path):
+        with SparkMergeTree(spark, base_path, schema=SCHEMA,
+                            config=MergeTreeConfig(**CFG)) as t:
+            _insert_parts(t, 2)
+            with pytest.raises(ValueError, match="no partitioning"):
+                t.optimize(partition="x")
