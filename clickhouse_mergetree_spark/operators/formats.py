@@ -71,3 +71,35 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .withColumn("fmt", F.lit("jsonl")))
     return csv_back.unionByName(json_back).select(
         "fmt", "event_id", "user_id", "event_type", "ts_us", "value")
+
+
+@declared_query(
+    "q_format_orc",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type,
+               epoch_us(e.ts) AS ts_us, e.value, e.props
+        FROM events e
+    """,
+)
+def q_format_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round trip (ClickHouse ``FORMAT ORC`` — its
+    binary columnar interchange format alongside Parquet): the events
+    table, INCLUDING the JSON-payload column ``props`` that the text
+    round trip deliberately drops, exports to ORC and reads back —
+    proving the second columnar container preserves longs, strings,
+    doubles, and opaque JSON payloads bit-exactly.
+
+    ORC files are splittable columnar with embedded schema and
+    min/max stripe statistics, so the read-back is a pushdown-capable
+    scan exactly like parquet — at 100 TB ORC interchange costs one
+    narrow per-partition write and a stats-pruned read, no shuffle in
+    either direction.
+    """
+    base = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"), "value", "props")
+    orc_dir = scratch_dir("q_fmt_orc_")
+    base.write.mode("overwrite").orc(orc_dir)
+    back = spark.read.orc(orc_dir)
+    return back.select(
+        "event_id", "user_id", "event_type", "ts_us", "value", "props")

@@ -2213,3 +2213,41 @@ def q_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n", "value_sum",
         )
     )
+
+
+@declared_query("q_uniq_state_merge")  # rows-only: HLL estimates are
+# engine-specific by construction; tests/test_sketch_tolerance.py bounds
+# the estimate against the exact distinct count in-session
+def q_uniq_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqState`` / ``uniqMerge`` (the AggregatingMergeTree
+    sketch-state pattern): per-(event_type, day) Datasketches-HLL states
+    are built ONCE (``hll_sketch_agg`` — binary, mergeable), persisted as
+    a rollup side table, and daily-state merges (``hll_union_agg``)
+    answer the per-type distinct-user question WITHOUT rescanning rows —
+    the pre-aggregation contract that lets a 100 TB events table serve
+    distinct-count dashboards from a days × types state table.
+
+    The merge step consumes ONLY the persisted states (asserted: the
+    estimate column derives from the stored binary sketches), so the
+    expensive pass is the one groupBy building day states; every later
+    question over any day range is state-sized. The same pattern rides
+    the engine's aggregating mode for sum/min/max states
+    (q_aggregating_merge); HLL completes it for distincts, where no
+    exact partial is mergeable at fixed size.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id")
+    states = (
+        ev.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("state"),
+             F.count("*").alias("n_rows"))
+        .persist()
+    )
+    merged = (
+        states.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(
+                 F.hll_union_agg("state")).alias("approx_users"),
+             F.sum("n_rows").alias("n_rows"),
+             F.count("*").alias("n_days"))
+    )
+    return merged.select("event_type", "approx_users", "n_rows", "n_days")

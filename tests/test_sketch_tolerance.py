@@ -59,3 +59,22 @@ def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
         assert lo <= r["qty_quantile"] <= hi, (flag, r, lo, hi)
         lo, hi = rank_window(by_flag_price[flag], 0.5)
         assert lo <= r["median_price"] <= hi, (flag, r, lo, hi)
+
+
+def test_uniq_state_merge_within_hll_error(spark, sf_dir):
+    """Merged day-states must estimate per-type distinct users inside
+    the lgK=14 HLL envelope (rse ≈ 1.04/√2^14 ≈ 0.8%; allow 3σ)."""
+    rows = all_queries()["q_uniq_state_merge"].fn(spark, sf_dir).collect()
+    assert rows
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert abs(r["approx_users"] - e) <= max(1, 0.025 * e), (
+            r["event_type"], r["approx_users"], e)
