@@ -2251,3 +2251,116 @@ def q_uniq_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("n_days"))
     )
     return merged.select("event_type", "approx_users", "n_rows", "n_days")
+
+
+@declared_query(
+    "q_bitmap_segments",
+    oracle="""
+        WITH m AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ), sizes AS (
+            SELECT event_type, count(*) AS n FROM m GROUP BY event_type
+        ), inter AS (
+            SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+                   count(*) AS n_and
+            FROM m a JOIN m b ON a.user_id = b.user_id
+            WHERE a.event_type < b.event_type
+            GROUP BY seg_a, seg_b
+        )
+        SELECT i.seg_a, i.seg_b, i.n_and,
+               sa.n + sb.n - i.n_and AS n_or,
+               round(i.n_and * 1.0 / (sa.n + sb.n - i.n_and), 9)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.seg_a = sa.event_type
+        JOIN sizes sb ON i.seg_b = sb.event_type
+    """,
+)
+def q_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse bitmap segment analytics (``groupBitmapAnd`` /
+    ``groupBitmapOr`` over per-segment user bitmaps): audience overlap
+    between every pair of event-type segments — intersection size,
+    union size, and Jaccard — the ad-tech/cohort question bitmap
+    engines exist to answer.
+
+    Re-expressed set-algebraically (Spark has no roaring bitmaps, and
+    doesn't need them for exactness): distinct (segment, user)
+    membership — one dedup shuffle — then a self-equi-join on user_id
+    counts intersections (each user contributes its own segment pairs;
+    per-user fan-out is |segments|², bounded by the segment vocabulary,
+    never the corpus), and inclusion-exclusion derives unions from the
+    tiny per-segment size table. At 100 TB the join key is user_id —
+    uniform, the same shape bitmap construction would shard on anyway.
+    """
+    ev = load(spark, sf_dir, "events")
+    m = ev.select("event_type", "user_id").distinct()
+    sizes = m.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = m.select(F.col("event_type").alias("seg_a"), "user_id")
+    b = m.select(F.col("event_type").alias("seg_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b").agg(F.count("*").alias("n_and"))
+    )
+    sa = sizes.select(F.col("event_type").alias("seg_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("seg_b"),
+                      F.col("n").alias("nb"))
+    n_or = F.col("na") + F.col("nb") - F.col("n_and")
+    return (
+        inter.join(F.broadcast(sa), "seg_a").join(F.broadcast(sb), "seg_b")
+        .select("seg_a", "seg_b", "n_and", n_or.alias("n_or"),
+                F.round(F.col("n_and") / n_or, 9).alias("jaccard"))
+    )
+
+
+@declared_query(
+    "q_agg_deltasum",
+    oracle="""
+        WITH d AS (
+            SELECT user_id,
+                   value - lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS delta
+            FROM events
+        )
+        SELECT user_id,
+               round(CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                          AS DOUBLE), 6) AS delta_sum,
+               count(*) - 1 AS n_steps,
+               CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_resets
+        FROM d
+        GROUP BY user_id
+    """,
+)
+def q_agg_deltasum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum`` (the monotonic-counter aggregate): per
+    user, the sum of POSITIVE value deltas over the time-ordered event
+    series, ignoring drops — how telemetry pipelines total a counter
+    that resets (process restarts, rollovers) without double-counting
+    the reset cliff. Reset count reported alongside, the monitoring
+    signal itself.
+
+    One window (per-user lag over (ts, event_id) — deterministic under
+    timestamp ties) then a per-user hash aggregate: two shuffles on the
+    uniform user key, no self-join. DECIMAL-free because deltas sum in
+    double with round(6) — the aggregate is per-user-sized, not
+    corpus-sized, so accumulation-order ulps stay inside the rounding.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.when(F.col("delta") > 0, F.col("delta"))
+                          .otherwise(F.lit(0.0))).cast("double"), 6)
+            .alias("delta_sum"),
+            (F.count("*") - 1).alias("n_steps"),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+            .alias("n_resets"),
+        )
+    )
