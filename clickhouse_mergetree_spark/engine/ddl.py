@@ -361,6 +361,49 @@ def _literal_or_expr(text: str):
     return None, s
 
 
+def _execute_insert(table: SparkMergeTree, cols: str | None,
+                    body: str) -> int:
+    """``INSERT INTO t [(cols)] VALUES ... | SELECT ...`` — the ingest
+    half of the migration surface. VALUES runs as a Spark literal
+    relation; SELECT runs verbatim through ``spark.sql`` (against
+    whatever views the session has registered). Column mapping follows
+    ClickHouse: an explicit column list binds by NAME (omitted columns
+    fill from their declared DEFAULTs, else are refused), no list binds
+    by POSITION against the full schema. Every bound column casts to
+    its declared type. Returns rows inserted."""
+    import pyspark.sql.functions as F  # noqa: F811 (local, like executor)
+
+    fields = {f.name: f for f in table.schema.fields}
+    if cols is not None:
+        names = [c.strip().strip("`") for c in cols.split(",") if c.strip()]
+        unknown = [n for n in names if n not in fields]
+        if unknown:
+            raise ValueError(f"unknown INSERT columns {unknown}")
+    else:
+        names = [f.name for f in table.schema.fields]
+    if body.upper().startswith("VALUES"):
+        src = table.spark.sql(
+            f"SELECT * FROM ({body}) AS v({', '.join(names)})")
+    else:
+        src = table.spark.sql(body)
+        if len(src.columns) != len(names):
+            raise ValueError(
+                f"INSERT SELECT produces {len(src.columns)} columns, "
+                f"target list has {len(names)}")
+        src = src.toDF(*names)  # positional binding, ClickHouse-style
+    src = src.select(*[
+        F.col(n).cast(fields[n].dataType).alias(n) for n in names])
+    missing = [f.name for f in table.schema.fields if f.name not in names]
+    defaults = table.manifest.table_meta.get("column_defaults") or {}
+    short = [c for c in missing if c not in defaults]
+    if short:
+        raise ValueError(
+            f"INSERT omits columns with no declared DEFAULT: {short}")
+    n = src.count()
+    table.insert_batch(src, row_count=n)
+    return n
+
+
 def execute_ddl(table: SparkMergeTree, sql: str) -> object:
     """Execute one ClickHouse ALTER/OPTIMIZE/TRUNCATE statement against a
     SparkMergeTree — the statement surface a migrating user's runbooks
@@ -369,8 +412,10 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
     ops); returns whatever that method returns. Supported:
 
         ALTER TABLE t  {ops}
-        OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY c, ...]]
+        OPTIMIZE TABLE t [PARTITION v] [FINAL] [DEDUPLICATE [BY c, ...]]
         TRUNCATE TABLE t
+        INSERT INTO t [(cols)] VALUES (...)[, ...]
+        INSERT INTO t [(cols)] SELECT ... | WITH ... SELECT ...
     """.format(ops=_ALTER_OPS)
     from pyspark.sql import functions as F
 
@@ -378,6 +423,12 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
     m = re.match(r"(?is)^TRUNCATE\s+TABLE\s+[\w`.]+$", s)
     if m:
         return table.truncate()
+    m = re.match(
+        r"(?is)^INSERT\s+INTO\s+[\w`.]+\s*"
+        r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:VALUES|SELECT|WITH)\b.*)$",
+        s)
+    if m:
+        return _execute_insert(table, m.group("cols"), m.group("body"))
     m = re.match(r"(?is)^OPTIMIZE\s+TABLE\s+[\w`.]+(?P<rest>.*)$", s)
     if m:
         rest = m.group("rest")

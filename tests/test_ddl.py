@@ -363,3 +363,83 @@ def test_create_materialized_view_from_ddl(spark):
         mv.close()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+class TestInsertStatement:
+    SCHEMA_DDL = """
+        CREATE TABLE kv (
+            key UInt64,
+            ts_us Int64,
+            label String DEFAULT 'none',
+            value Float64
+        ) ENGINE = MergeTree ORDER BY (key, ts_us)
+        SETTINGS memtable_flush_threshold = 1000000000
+    """
+
+    def _mk(self, spark, tmp_path):
+        from clickhouse_mergetree_spark.engine.ddl import (
+            create_table_from_ddl)
+        return create_table_from_ddl(spark, str(tmp_path / "ins"),
+                                     self.SCHEMA_DDL)
+
+    def test_insert_values_full(self, spark, tmp_path):
+        from clickhouse_mergetree_spark.engine.ddl import execute_ddl
+        with self._mk(spark, tmp_path) as t:
+            n = execute_ddl(
+                t, "INSERT INTO kv VALUES (1, 10, 'a', 1.5), "
+                   "(2, 20, 'b', 2.5)")
+            assert n == 2
+            t.flush()
+            rows = {r["key"]: (r["label"], r["value"])
+                    for r in t.query_all().collect()}
+            assert rows == {1: ("a", 1.5), 2: ("b", 2.5)}
+
+    def test_insert_values_column_subset_fills_default(self, spark,
+                                                       tmp_path):
+        from clickhouse_mergetree_spark.engine.ddl import execute_ddl
+        with self._mk(spark, tmp_path) as t:
+            n = execute_ddl(
+                t, "INSERT INTO kv (key, ts_us, value) "
+                   "VALUES (1, 10, 0.5)")
+            assert n == 1
+            t.flush()
+            r = t.query_all().collect()[0]
+            assert r["label"] == "none" and r["value"] == 0.5
+
+    def test_insert_omitting_no_default_column_refused(self, spark,
+                                                       tmp_path):
+        import pytest
+        from clickhouse_mergetree_spark.engine.ddl import execute_ddl
+        with self._mk(spark, tmp_path) as t:
+            with pytest.raises(ValueError, match="no declared DEFAULT"):
+                execute_ddl(t, "INSERT INTO kv (key, ts_us, label) "
+                               "VALUES (1, 10, 'x')")
+            with pytest.raises(ValueError, match="unknown INSERT"):
+                execute_ddl(t, "INSERT INTO kv (key, ts_us, nope) "
+                               "VALUES (1, 10, 'x')")
+
+    def test_insert_select_positional(self, spark, tmp_path):
+        from clickhouse_mergetree_spark.engine.ddl import execute_ddl
+        with self._mk(spark, tmp_path) as t:
+            spark.range(5).createOrReplaceTempView("seq5")
+            n = execute_ddl(
+                t, "INSERT INTO kv SELECT id, id * 10, "
+                   "concat('r', id), id * 1.0 FROM seq5")
+            assert n == 5
+            t.flush()
+            rows = {r["key"]: r["label"] for r in t.query_all().collect()}
+            assert rows == {i: f"r{i}" for i in range(5)}
+
+    def test_insert_select_casts_types(self, spark, tmp_path):
+        from clickhouse_mergetree_spark.engine.ddl import execute_ddl
+        with self._mk(spark, tmp_path) as t:
+            spark.range(3).createOrReplaceTempView("seq3")
+            # strings → cast to declared long/double
+            n = execute_ddl(
+                t, "INSERT INTO kv (key, ts_us, value) "
+                   "SELECT CAST(id AS STRING), CAST(id AS STRING), "
+                   "CAST(id AS STRING) FROM seq3")
+            assert n == 3
+            t.flush()
+            assert t.query_all().schema["key"].dataType.typeName() == "long"
+            assert t.query_all().count() == 3
