@@ -685,3 +685,70 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id").distinct()
     )
     return exact_surv.join(neardup, "doc_id", "left_anti").select("doc_id")
+
+
+CONTAIN_THRESHOLD = 0.6
+
+
+@declared_query(
+    "q_dedup_containment",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT p.doc_a, p.doc_b,
+               round(CAST(p.n_common AS DOUBLE) / ca.n_sh, 9) AS c_ab,
+               round(CAST(p.n_common AS DOUBLE) / cb.n_sh, 9) AS c_ba
+        FROM pairs p
+        JOIN card ca ON ca.doc_id = p.doc_a
+        JOIN card cb ON cb.doc_id = p.doc_b
+        WHERE CAST(p.n_common AS DOUBLE) / ca.n_sh >= {CONTAIN_THRESHOLD}
+           OR CAST(p.n_common AS DOUBLE) / cb.n_sh >= {CONTAIN_THRESHOLD}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup (Broder's asymmetric variant:
+    c(A→B) = |A∩B| / |A|): flags documents mostly-contained in another —
+    quotes, excerpts, boilerplate-wrapped copies — which symmetric
+    Jaccard systematically misses when lengths differ (a 100-word quote
+    inside a 10k-word page has Jaccard ≈ 0.01 but containment ≈ 1.0).
+    The standard second screen next to Jaccard in crawl dedup.
+
+    Same scale shape as q_dedup_ngram_jaccard: candidates from the
+    inverted-shingle equi-join (only docs sharing a shingle meet),
+    per-pair intersection count, then both containment directions from
+    the broadcast cardinality table — the extra direction is a
+    projection, not another join. 8-byte hashed shingle keys keep
+    shuffle volume minimal; int/int division in double is bit-identical
+    across engines (round(9) guards the two-division form).
+    """
+    spark.catalog.clearCache()
+    sh = _shingles(load(spark, sf_dir, "documents")).persist()
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"),
+                     F.col("n_sh").alias("n_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"),
+                     F.col("n_sh").alias("n_b"))
+    c_ab = F.col("n_common").cast("double") / F.col("n_a")
+    c_ba = F.col("n_common").cast("double") / F.col("n_b")
+    return (
+        pairs.join(F.broadcast(ca), "doc_a").join(F.broadcast(cb), "doc_b")
+        .filter((c_ab >= CONTAIN_THRESHOLD) | (c_ba >= CONTAIN_THRESHOLD))
+        .select("doc_a", "doc_b",
+                F.round(c_ab, 9).alias("c_ab"),
+                F.round(c_ba, 9).alias("c_ba"))
+    )

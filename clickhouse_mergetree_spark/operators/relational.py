@@ -2364,3 +2364,60 @@ def q_agg_deltasum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_resets"),
         )
     )
+
+
+@declared_query(
+    "q_max_intersections",
+    oracle="""
+        WITH iv AS (
+            SELECT event_type, epoch_us(ts) AS t0,
+                   epoch_us(ts) + CAST(value * 1000000 AS BIGINT) AS t1,
+                   event_id
+            FROM events
+        ), pts AS (
+            SELECT event_type, t0 AS t, 1 AS d, event_id FROM iv
+            UNION ALL
+            SELECT event_type, t1 AS t, -1 AS d, event_id FROM iv
+        ), sweep AS (
+            SELECT event_type,
+                   sum(d) OVER (
+                       PARTITION BY event_type
+                       ORDER BY t, d DESC, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS live
+            FROM pts
+        )
+        SELECT event_type, CAST(max(live) AS BIGINT) AS max_concurrent
+        FROM sweep
+        GROUP BY event_type
+    """,
+)
+def q_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections`` (peak concurrency): per event
+    type, the maximum number of simultaneously-open intervals — sessions
+    live at once, calls in flight, rooms occupied — over intervals
+    [ts, ts + value seconds]. The sweep-line algorithm: every interval
+    contributes a +1 open and a −1 close point, the points sort by time,
+    and the peak of the running sum is the answer.
+
+    Touching endpoints count as overlapping (opens sort before closes at
+    equal t — ClickHouse's convention), and event_id makes the sweep
+    order fully deterministic. The running sum is a per-type window over
+    2 rows per interval: one shuffle on event_type; the per-type sort is
+    the real cost at scale, exactly as in any engine — maxIntersections
+    is Θ(n log n) by nature.
+    """
+    ev = load(spark, sf_dir, "events")
+    t0 = F.unix_micros("ts")
+    t1 = t0 + (F.col("value") * 1_000_000).cast("bigint")
+    opens = ev.select("event_type", t0.alias("t"), F.lit(1).alias("d"),
+                      "event_id")
+    closes = ev.select("event_type", t1.alias("t"), F.lit(-1).alias("d"),
+                       "event_id")
+    w = (W.partitionBy("event_type")
+         .orderBy("t", F.col("d").desc(), "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    sweep = opens.unionAll(closes).select(
+        "event_type", F.sum("d").over(w).alias("live"))
+    return (sweep.groupBy("event_type")
+            .agg(F.max("live").alias("max_concurrent")))
