@@ -604,6 +604,11 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
                     "interval_us": int(am.group(2)) * _INTERVAL_US[unit]}
             table.manifest.save()
         return None
+    am = re.match(
+        r"(?is)^COMMENT\s+COLUMN\s+([\w`]+)\s+'((?:[^']|'')*)'$", op)
+    if am:
+        return table.comment_column(
+            am.group(1).strip("`"), am.group(2).replace("''", "'"))
     am = re.match(r"(?is)^MODIFY\s+SETTING\s+(.+)$", op)
     if am:
         # ALTER TABLE t MODIFY SETTING k = v[, k2 = v2 ...]

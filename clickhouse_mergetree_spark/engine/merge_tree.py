@@ -2209,6 +2209,22 @@ class SparkMergeTree:
 
     # ------------------------------------------------------------ compaction
 
+    def comment_column(self, name: str, comment: str | None) -> None:
+        """``ALTER TABLE ... COMMENT COLUMN`` analog: attach (or, with
+        ``None``, clear) a human-readable comment to a column — pure
+        metadata, persisted in the manifest, surfaced by
+        ``system_columns()``. Comments follow renames and die with
+        DROP COLUMN, like ClickHouse's."""
+        if not any(f.name == name for f in self.schema.fields):
+            raise ValueError(f"unknown column {name!r}")
+        with self._lock:
+            cm = self.manifest.table_meta.setdefault("column_comments", {})
+            if comment is None:
+                cm.pop(name, None)
+            else:
+                cm[name] = str(comment)
+            self.manifest.save()
+
     # Settings an operator may retune on a standing table. Structural
     # knobs (key/ts/mode/partitioning/index/projection declarations) are
     # deliberately absent — they define part layout and have their own
@@ -2860,6 +2876,7 @@ class SparkMergeTree:
                 tm["modified_columns"] = [
                     m for m in tm.get("modified_columns", [])
                     if m["name"] != name]
+                tm.get("column_comments", {}).pop(name, None)
                 for p in all_parts:
                     if p.columns is not None and chain & set(p.columns):
                         p.columns = [c for c in p.columns if c not in chain]
@@ -2947,6 +2964,9 @@ class SparkMergeTree:
                     # must carry the column's final (post-rename) name
                     if mrec["name"] == old:
                         mrec["name"] = new
+                cm = tm.get("column_comments", {})
+                if old in cm:
+                    cm[new] = cm.pop(old)  # comments follow renames
                 tm.setdefault("renamed_columns", []).append(
                     {"from": old, "to": new})
                 self._park_detached(detached)
@@ -3982,9 +4002,11 @@ class SparkMergeTree:
             ("position", "int"), ("name", "string"), ("type", "string"),
             ("origin", "string"), ("default", "string"),
             ("is_structural", "boolean"), ("parts_lagging", "int"),
+            ("comment", "string"),
         ]
         with self._lock:
             tm = self.manifest.table_meta
+            comments = tm.get("column_comments", {})
             added = {a["name"]: a for a in tm.get("added_columns", [])}
             renamed_to = {r["to"] for r in tm.get("renamed_columns", [])}
             modified = {m["name"] for m in tm.get("modified_columns", [])}
@@ -4015,7 +4037,8 @@ class SparkMergeTree:
                         else arec.get("default"))
                 rows.append((i, f.name, f.dataType.simpleString(), origin,
                              None if dflt is None else str(dflt),
-                             f.name in structural, lagging))
+                             f.name in structural, lagging,
+                             comments.get(f.name)))
         from clickhouse_mergetree_spark.tables import values_df
         return values_df(self.spark, rows, cols)
 

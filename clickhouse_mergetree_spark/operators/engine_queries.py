@@ -2987,17 +2987,17 @@ def q_sharded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT * FROM (VALUES
             (0, 'key',   'bigint',        'original',
-             CAST(NULL AS VARCHAR), TRUE,  0),
+             CAST(NULL AS VARCHAR), TRUE,  0, CAST(NULL AS VARCHAR)),
             (1, 'ts_us', 'bigint',        'original',
-             CAST(NULL AS VARCHAR), TRUE,  0),
+             CAST(NULL AS VARCHAR), TRUE,  0, CAST(NULL AS VARCHAR)),
             (2, 'score', 'decimal(18,6)', 'original+modified',
-             CAST(NULL AS VARCHAR), FALSE, 1),
+             CAST(NULL AS VARCHAR), FALSE, 1, CAST(NULL AS VARCHAR)),
             (3, 'label', 'string',        'original+renamed',
-             CAST(NULL AS VARCHAR), FALSE, 1),
+             CAST(NULL AS VARCHAR), FALSE, 1, 'renamed from tag'),
             (4, 'note',  'string',        'added',
-             'x',                   FALSE, 1)
+             'x',                   FALSE, 1, CAST(NULL AS VARCHAR))
         ) AS t(position, name, type, origin, "default",
-               is_structural, parts_lagging)
+               is_structural, parts_lagging, comment)
     """,
 )
 def q_system_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3034,7 +3034,8 @@ def q_system_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("event_type").alias("tag")), row_count=1)
     table.flush()
     table.add_column("note", "string", default="x")
-    table.rename_column("tag", "label")
+    table.comment_column("tag", "renamed from tag")
+    table.rename_column("tag", "label")  # the comment must follow
     table.modify_column("score", "decimal(18,6)")
     return table.system_columns()
 

@@ -1368,3 +1368,69 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w_mix, 9).alias("w_mix"),
         F.floor(w_mix * MIX_BUDGET).cast("bigint").alias("budget_docs"),
     )
+
+
+CHUNK_TOKENS = 40        # tokens per chunk
+CHUNK_STRIDE = 30        # tokens between chunk starts (25% overlap)
+
+
+@declared_query(
+    "q_doc_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS tk
+            FROM documents
+        ), starts AS (
+            SELECT doc_id, tk,
+                   unnest(generate_series(
+                       1, greatest(len(tk) - {CHUNK_TOKENS // 2}, 1),
+                       {CHUNK_STRIDE})) AS s
+            FROM toks
+        )
+        SELECT doc_id, CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               CAST(s AS BIGINT) AS tok_start,
+               CAST(least(s + {CHUNK_TOKENS} - 1, len(tk)) AS BIGINT)
+                   AS tok_end,
+               array_to_string(tk[CAST(s AS INTEGER):
+                   CAST(least(s + {CHUNK_TOKENS} - 1, len(tk))
+                        AS INTEGER)], ' ') AS chunk_text
+        FROM starts
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (the RAG / embedding-
+    pipeline prep step: every embedding index is built over chunks, not
+    documents): fixed 40-token windows advancing by a 30-token
+    stride (25% overlap so no boundary sentence is lost), each chunk
+    carrying its (doc_id, chunk_id, token span, text). Tail windows
+    shorter than half a chunk merge into the previous one (no
+    fragment-chunks of 3 tokens).
+
+    Entirely row-local: tokenize once per document (materialized column,
+    not re-split per window), generate start offsets with sequence(),
+    slice per offset — zero shuffles, embarrassingly parallel, the same
+    plan at 100 TB. Chunk ids are derived from offsets (deterministic,
+    engine-independent), not from any row numbering.
+    """
+    d = load(spark, sf_dir, "documents")
+    tk = F.col("__tk")
+    n = F.size(tk)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(CHUNK_TOKENS // 2), F.lit(1)),
+        F.lit(CHUNK_STRIDE))
+    end = F.least(F.col("s") + CHUNK_TOKENS - 1, F.size(tk))
+    return (
+        d.withColumn("__tk", F.split("text", " "))
+        .select("doc_id", tk.alias("__tk"),
+                F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("bigint")
+            .alias("chunk_id"),
+            F.col("s").cast("bigint").alias("tok_start"),
+            end.cast("bigint").alias("tok_end"),
+            F.concat_ws(" ", F.slice(F.col("__tk"), F.col("s"),
+                                     end - F.col("s") + 1))
+            .alias("chunk_text"),
+        )
+    )

@@ -443,3 +443,37 @@ class TestInsertStatement:
             t.flush()
             assert t.query_all().schema["key"].dataType.typeName() == "long"
             assert t.query_all().count() == 3
+
+
+def test_comment_column_lifecycle(spark, tmp_path):
+    from clickhouse_mergetree_spark.engine import (MergeTreeConfig,
+                                                   SparkMergeTree)
+    from clickhouse_mergetree_spark.engine.ddl import execute_ddl
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    base = str(tmp_path / "cc")
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12,
+                          key_col="k", ts_col="ts")
+    with SparkMergeTree(spark, base, schema=schema, config=cfg) as t:
+        execute_ddl(t, "ALTER TABLE t COMMENT COLUMN v 'it''s a value'")
+        got = {r["name"]: r["comment"]
+               for r in t.system_columns().collect()}
+        assert got == {"k": None, "ts": None, "v": "it's a value"}
+        t.rename_column("v", "w")
+        got = {r["name"]: r["comment"]
+               for r in t.system_columns().collect()}
+        assert got["w"] == "it's a value"  # comment followed the rename
+        with pytest.raises(ValueError, match="unknown column"):
+            t.comment_column("nope", "x")
+    # persisted across reopen; drop kills it
+    with SparkMergeTree(spark, base, schema=schema, config=cfg) as t2:
+        got = {r["name"]: r["comment"]
+               for r in t2.system_columns().collect()}
+        assert got["w"] == "it's a value"
+        t2.drop_column("w")
+        assert "w" not in t2.manifest.table_meta.get("column_comments", {})
+        t2.comment_column("ts", None)  # clearing a non-comment is a no-op
