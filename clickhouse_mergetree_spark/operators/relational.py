@@ -2421,3 +2421,96 @@ def q_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.sum("d").over(w).alias("live"))
     return (sweep.groupBy("event_type")
             .agg(F.max("live").alias("max_concurrent")))
+
+
+@declared_query(
+    "q_agg_linreg",
+    oracle="""
+        SELECT event_type, count(*) AS n,
+               round(regr_slope(value, CAST(user_id AS DOUBLE)), 6)
+                   AS slope,
+               round(regr_intercept(value, CAST(user_id AS DOUBLE)), 6)
+                   AS intercept,
+               round(regr_r2(value, CAST(user_id AS DOUBLE)), 6) AS r2
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression`` (per-group OLS fit): slope,
+    intercept, and R² of value ~ user_id per event type — the one-pass
+    regression every drift monitor and trend panel runs.
+
+    Both engines implement the textbook covariance/variance form over
+    identical inputs, and the state is fixed-size power sums (Σx, Σy,
+    Σxy, Σx², n) merged associatively — a single partial+final hash
+    aggregate, one shuffle on event_type at any scale. round(6) absorbs
+    the engines' different accumulation orders.
+    """
+    ev = load(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope(F.col("value"), u), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("value"), u), 6)
+            .alias("intercept"),
+            F.round(F.regr_r2(F.col("value"), u), 6).alias("r2"),
+        )
+    )
+
+
+@declared_query(
+    "q_agg_moments",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, count(*) AS n,
+                   sum(value) AS s1,
+                   sum(value * value) AS s2,
+                   sum(value * value * value) AS s3,
+                   sum(value * value * value * value) AS s4
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((s2 / n) - pow(s1 / n, 2), 6) AS m2,
+               round((s3 - 3 * (s1 / n) * s2 + 2 * n * pow(s1 / n, 3))
+                     / n / pow((s2 / n) - pow(s1 / n, 2), 1.5), 6)
+                   AS skew_pop,
+               round((s4 - 4 * (s1 / n) * s3 + 6 * pow(s1 / n, 2) * s2
+                      - 3 * n * pow(s1 / n, 4))
+                     / n / pow((s2 / n) - pow(s1 / n, 2), 2), 6)
+                   AS kurt_pop
+        FROM s
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop`` / ``kurtPop`` (3rd/4th standardized
+    moments): per event type, population skewness m₃/m₂^1.5 and
+    kurtosis m₄/m₂² of value — the distribution-shape screens behind
+    outlier detection and drift alarms.
+
+    Spark's and DuckDB's built-in skewness/kurtosis disagree on
+    DEFINITION (population g vs sample G vs excess), so both sides
+    compute from raw POWER SUMS (Σx..Σx⁴) with the identical central-
+    moment expansion — definitional drift is impossible and the state is
+    five doubles per group: one partial+final hash aggregate, one
+    shuffle, at any scale. round(6) absorbs accumulation-order ulps.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"), F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"), F.sum(v * v * v * v).alias("s4"))
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = (s2 / n) - mu * mu
+    m3 = (s3 - 3 * mu * s2 + 2 * n * mu * mu * mu) / n
+    m4 = (s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * n * mu**4) / n
+    return g.select(
+        "event_type", "n",
+        F.round(m2, 6).alias("m2"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2), 6).alias("kurt_pop"),
+    )
