@@ -70,6 +70,12 @@ class Model:
         self.dropped_or_renamed = set()
         self.policies = {}                      # name -> (lo, hi) key band
         self.defexpr = set()                    # cols whose default = key+ts
+        # newest lightweight delete, killable while provably un-
+        # materialized: {"mutation_id", "hidden"} — any part-rewriting op
+        # (flush/optimize/final/update/expire) clears it, because after a
+        # rewrite the engine may have applied the mask to SOME parts and
+        # the model cannot know the split
+        self.lw_pending = None
 
     def insert(self, rng, n):
         out = []
@@ -98,9 +104,22 @@ def _apply_random_op(rng, t, m, counter):
         ops += ["drop", "rename", "modify", "clear", "final"]
     if m.rows:
         ops += ["lwdelete", "expire", "update"]
+    if m.lw_pending:
+        ops += ["killlw"]
     if m.policies:
         ops += ["droppolicy"]
     op = rng.choice(ops)
+
+    def _all_rowdicts():
+        # metadata-only column ops (ADD/DROP/RENAME/CLEAR) change what
+        # EVERY physical row reads as — including rows hidden behind a
+        # live delete mask, which a later KILL restores; the hidden
+        # snapshot must track them or the restore resurrects stale shapes
+        vals = list(m.rows.values())
+        if m.lw_pending:
+            vals += list(m.lw_pending["hidden"].values())
+        return vals
+
     if op == "adddx":
         # ADD COLUMN ... DEFAULT expr over the (never-dropped) structural
         # cols: existing rows derive per-row values, new inserts supply
@@ -112,6 +131,9 @@ def _apply_random_op(rng, t, m, counter):
         m.defexpr.add(name)  # clear()/TTL reset to the EXPR, not a literal
         for (k, ts), v in m.rows.items():
             v[name] = k + ts
+        if m.lw_pending:
+            for (k, ts), v in m.lw_pending["hidden"].items():
+                v[name] = k + ts
         return
     if op == "policy":
         name = f"pol{counter[0]}"
@@ -156,11 +178,27 @@ def _apply_random_op(rng, t, m, counter):
         # ops exercise that path via their try/except guards.
         lo = rng.choice(sorted({k for k, _ in m.rows}))
         t.lightweight_delete(f"key >= {lo} AND key < {lo + 7}")
+        hidden = {kt: v for kt, v in m.rows.items()
+                  if lo <= kt[0] < lo + 7}
         m.rows = {kt: v for kt, v in m.rows.items()
                   if not (lo <= kt[0] < lo + 7)}
+        mid = t.manifest.table_meta["mutation_log"][-1]["mutation_id"]
+        # hidden = exactly this entry's removals (earlier live masks
+        # already removed their bands from the model), so a successful
+        # kill restores exactly these rows
+        m.lw_pending = {"mutation_id": mid, "hidden": hidden}
+        return
+    if op == "killlw":
+        e, m.lw_pending = m.lw_pending, None
+        try:
+            t.kill_mutation(e["mutation_id"])
+        except ValueError:
+            return  # GC'd/materialized meanwhile — nothing to model
+        m.rows.update(e["hidden"])
         return
     if op == "expire":
         cutoff = rng.choice(sorted({ts for _, ts in m.rows})) + 1
+        m.lw_pending = None  # whole-part drops may GC the entry
         t.expire(cutoff)
         m.rows = {kt: v for kt, v in m.rows.items() if kt[1] >= cutoff}
         return
@@ -171,6 +209,7 @@ def _apply_random_op(rng, t, m, counter):
         name, typ = rng.choice(m.cols)
         val = _gen_value(rng, typ)
         lo = rng.choice(sorted({k for k, _ in m.rows}))
+        m.lw_pending = None  # part rewrites materialize masks
         t.update_where(
             (F.col("key") >= lo) & (F.col("key") < lo + 9),
             {name: F.lit(val).cast(typ)})
@@ -182,6 +221,7 @@ def _apply_random_op(rng, t, m, counter):
         rows = m.insert(rng, rng.randrange(1, 6))
         t.insert_rows(rows)
     elif op == "flush":
+        m.lw_pending = None  # flush may trigger a mask-materializing merge
         t.flush()
     elif op == "add":
         # 30%: re-ADD a previously dropped name (the r6 replay corner)
@@ -204,7 +244,7 @@ def _apply_random_op(rng, t, m, counter):
             t.add_column(name, typ, default=default)
         m.cols.append((name, typ))
         m.defaults[name] = default
-        for v in m.rows.values():
+        for v in _all_rowdicts():
             v[name] = default
     elif op == "drop":
         name, _typ = rng.choice(m.cols)
@@ -215,7 +255,7 @@ def _apply_random_op(rng, t, m, counter):
         m.cols = [(n, ty) for n, ty in m.cols if n != name]
         m.dropped_or_renamed.add(name)
         m.defexpr.discard(name)
-        for v in m.rows.values():
+        for v in _all_rowdicts():
             v.pop(name, None)
     elif op == "rename":
         name, typ = rng.choice(m.cols)
@@ -232,7 +272,7 @@ def _apply_random_op(rng, t, m, counter):
             m.defexpr.discard(name)
             m.defexpr.add(new)
         m.dropped_or_renamed.add(name)
-        for v in m.rows.values():
+        for v in _all_rowdicts():
             if name in v:
                 v[new] = v.pop(name)
     elif op == "modify":
@@ -253,12 +293,15 @@ def _apply_random_op(rng, t, m, counter):
             t.clear_column(name)
         except ValueError:
             return  # indexed/structural columns are refused
-        for (k, ts), v in m.rows.items():
+        hidden = m.lw_pending["hidden"].items() if m.lw_pending else ()
+        for (k, ts), v in [*m.rows.items(), *hidden]:
             v[name] = (k + ts if name in m.defexpr
                        else m.defaults.get(name))
     elif op == "optimize":
+        m.lw_pending = None
         t.optimize()
     elif op == "final":
+        m.lw_pending = None
         t.optimize(final=True)
 
 
