@@ -2514,3 +2514,46 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_pop"),
         F.round(m4 / (m2 * m2), 6).alias("kurt_pop"),
     )
+
+
+@declared_query(
+    "q_array_join_left",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split(o_orderpriority, '-') END AS tags
+            FROM orders
+        )
+        SELECT o_orderkey,
+               CASE WHEN len(tags) = 0 THEN NULL ELSE u.tag END AS tag,
+               len(tags) AS n_tags
+        FROM t LEFT JOIN
+             (SELECT o_orderkey AS k, unnest(tags) AS tag FROM t) u
+             ON t.o_orderkey = u.k
+    """,
+)
+def q_array_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LEFT ARRAY JOIN``: lateral array expansion that KEEPS
+    rows whose array is empty (as one row with a NULL element) — the
+    variant plain ARRAY JOIN silently drops, and the difference that
+    matters when the array is "labels that may be absent" and absent
+    rows must stay countable.
+
+    Spark's ``explode_outer`` is the exact built-in: still a row-local
+    Generate (zero shuffles, fan-out map-side only). Every third order's
+    tag array is emptied so both behaviors are exercised; the oracle
+    re-derives the outer expansion with a LEFT JOIN against the unnest
+    (DuckDB's unnest drops empties too — the join-back is the
+    independent formulation of the same semantics).
+    """
+    o = load(spark, sf_dir, "orders")
+    tags = F.when(F.col("o_orderkey") % 3 == 0,
+                  F.array().cast("array<string>")) \
+        .otherwise(F.split("o_orderpriority", "-"))
+    return (
+        o.select("o_orderkey", tags.alias("tags"))
+        .select("o_orderkey", F.explode_outer("tags").alias("tag"),
+                F.size("tags").cast("bigint").alias("n_tags"))
+    )

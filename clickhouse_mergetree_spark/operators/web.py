@@ -512,3 +512,39 @@ def q_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("ip_num").alias("min_ip"),
              F.max("ip_num").alias("max_ip"))
     )
+
+
+@declared_query(
+    "q_fn_bitops",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS low_byte,
+               o_orderkey | 4096 AS with_flag,
+               xor(o_orderkey, 170) AS xored,
+               CAST(o_orderkey * 256 AS BIGINT) AS shifted_l,
+               CAST(o_orderkey // 16 AS BIGINT) AS shifted_r,
+               bit_count(o_orderkey) AS popcount
+        FROM orders
+    """,
+)
+def q_fn_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse bit-function family (``bitAnd`` / ``bitOr`` /
+    ``bitXor`` / ``bitShiftLeft`` / ``bitShiftRight`` / ``bitCount``):
+    the flag-packing / hash-mixing primitives every telemetry schema
+    leans on. All row-local integer ops inside whole-stage codegen —
+    zero shuffles at any scale. Shifts are pinned against the oracle's
+    multiplication/division forms (shift-by-constant ≡ ×2ᵏ / ÷2ᵏ for
+    non-negative keys), so the hash match proves the semantics, not
+    just that both engines share an opcode.
+    """
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(255).alias("low_byte"),
+        k.bitwiseOR(4096).alias("with_flag"),
+        k.bitwiseXOR(170).alias("xored"),
+        F.shiftleft(k, 8).cast("bigint").alias("shifted_l"),
+        F.shiftright(k, 4).cast("bigint").alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+    )
