@@ -24,6 +24,7 @@ _OPTIONAL_MODULES = (
     "udfs",
     "web",
     "formats",
+    "stats",
 )
 
 for _m in _OPTIONAL_MODULES:

@@ -2033,6 +2033,63 @@ def q_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "q_seq_count",
+    oracle="""
+        WITH runs AS (
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       OVER w AS p_run,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       OVER w AS c_run
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id,
+               CAST(max(c_run) AS BIGINT) AS n_clicks,
+               CAST(max(p_run) AS BIGINT) AS n_purchases,
+               CAST(max(p_run) - greatest(max(p_run - c_run), 0) AS BIGINT)
+                 AS pairs
+        FROM runs GROUP BY user_id
+    """,
+)
+def q_seq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?t>0)(?2)')`` analog: per user,
+    the number of NON-OVERLAPPING click→purchase chains in time order —
+    the funnel-throughput counterpart to q_seq_match's boolean.
+
+    The greedy left-to-right matcher ClickHouse runs is sequential, but
+    its result has a closed prefix form (bracket matching): with running
+    counts P(t)/C(t) of purchases/clicks up to t, unmatched purchases =
+    max(0, max_t (P(t) − C(t))), so pairs = total_P − that deficit.
+    (Proof sketch: the deficit at t counts purchases so far that cannot
+    possibly have a distinct earlier click; greedy matching achieves the
+    bound.) That re-expression is one per-user running-sum window plus
+    one hash aggregate — two uniform user_id shuffles that Spark fuses
+    into one sort, no per-row Python, no quadratic pairing — where a
+    literal port of the reference matcher would be a per-user UDF.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p_run = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(w)
+    c_run = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).over(w)
+    runs = ev.select(
+        "user_id", p_run.alias("p_run"), c_run.alias("c_run")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("c_run").alias("n_clicks"),
+        F.max("p_run").alias("n_purchases"),
+        (F.max("p_run")
+         - F.greatest(F.max(F.col("p_run") - F.col("c_run")), F.lit(0)))
+        .alias("pairs"),
+    )
+
+
+@declared_query(
     "q_versioned_collapse",
     oracle=f"""
         WITH base AS (

@@ -2557,3 +2557,98 @@ def q_array_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.explode_outer("tags").alias("tag"),
                 F.size("tags").cast("bigint").alias("n_tags"))
     )
+
+
+@declared_query(
+    "q_join_paste",
+    oracle="""
+        WITH c AS (
+            SELECT row_number() OVER (ORDER BY value, event_id) AS pos,
+                   value AS click_value
+            FROM events WHERE event_type = 'click'
+        ),
+        v AS (
+            SELECT row_number() OVER (ORDER BY value, event_id) AS pos,
+                   value AS view_value
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT c.pos, c.click_value, v.view_value,
+               round(c.click_value - v.view_value, 6) AS qq_diff
+        FROM c JOIN v USING (pos)
+    """,
+)
+def q_join_paste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``PASTE JOIN`` (positional zip of two independently
+    ordered result sets, CH 24.2+): here in its canonical analytics use,
+    a Q-Q alignment — click values sorted ascending pasted against view
+    values sorted ascending, so row i compares the i-th order statistic
+    of each cohort (the distribution-shift diagnostic behind
+    q_stat_mannwhitney's single-number z). The inner join on position
+    reproduces PASTE JOIN's truncate-to-shorter-side contract.
+
+    Positions come from row_number over an explicitly deterministic
+    (value, event_id) order. A global row_number is a single-reducer
+    window — fine here because each side is ONE cohort's value column,
+    already reduced; for corpus-sized sides the scale path is two-pass
+    global numbering (per-partition counts broadcast as offsets, i.e.
+    zipWithIndex re-expressed), or at Q-Q granularity approx quantiles.
+    The position join itself is an equi-join AQE handles normally.
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def side(tag: str, out: str) -> DataFrame:
+        w = W.orderBy("value", "event_id")
+        return (
+            ev.filter(F.col("event_type") == tag)
+            .select(F.row_number().over(w).alias("pos"),
+                    F.col("value").alias(out))
+        )
+
+    c, v = side("click", "click_value"), side("view", "view_value")
+    return c.join(v, "pos").select(
+        "pos", "click_value", "view_value",
+        F.round(F.col("click_value") - F.col("view_value"), 6).alias("qq_diff"),
+    )
+
+
+@declared_query(
+    "q_window_range",
+    oracle="""
+        SELECT event_id, user_id,
+               count(*) OVER w AS cnt_1h,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                 AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse RANGE-frame windows (``RANGE BETWEEN 1 HOUR PRECEDING
+    AND CURRENT ROW``): per user, the trailing-one-hour event count and
+    value sum at every event — the rate-limiter / rolling-activity
+    primitive that ROWS frames (q_window_frame, q_moving_agg) cannot
+    express because it bounds by TIME, not row count.
+
+    Both engines order by epoch microseconds with the frame as an
+    integer range (±3 600 000 000 µs), so timestamp-tie handling is
+    identical by construction: a RANGE frame includes ALL peers of the
+    boundary value, making the result independent of tie order — no
+    event_id tiebreak needed, unlike every ROWS-frame query here. One
+    hash(user_id) shuffle + per-partition sort; Spark's WindowExec keeps
+    a sliding frame pointer, so cost is O(n log n) in partition size
+    regardless of how many rows fall in an hour. DECIMAL accumulation
+    makes the double sum accumulation-order independent.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("cnt_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("sum_1h"),
+    )

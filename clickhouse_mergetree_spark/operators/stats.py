@@ -1,0 +1,326 @@
+"""Statistical-test and time-decay aggregates (SURVEY.md §2.B stats family).
+
+ClickHouse ships a family of hypothesis-test and association aggregates
+(``welchTTest``, ``studentTTest``, ``mannWhitneyUTest``, ``cramersV``,
+``theilsU``) plus time-decayed means (``exponentialMovingAverage``).
+The reference engine has no statistics layer, but these are table stakes
+for an analytics engine used to monitor training-data drift: comparing a
+metric between two cohorts, measuring association between categorical
+columns, smoothing per-entity time series.
+
+Everything here is re-expressed as single-pass relational aggregation —
+fixed-size moment state merged associatively — so each query is one or
+two shuffles regardless of corpus size. No Python UDFs: test statistics
+are closed-form over counts/means/variances, ranks come from window
+functions, and the EMA fold runs as a Catalyst higher-order function
+(``aggregate`` over a bounded window frame), all inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_mergetree_spark.registry import declared_query
+from clickhouse_mergetree_spark.tables import load
+
+
+@declared_query(
+    "q_stat_ttest",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   avg(value) AS mean,
+                   var_samp(value) AS var
+            FROM events
+            GROUP BY event_type
+        ),
+        ctrl AS (SELECT n AS n0, mean AS mean0, var AS var0
+                 FROM m WHERE event_type = 'view')
+        SELECT m.event_type,
+               m.n,
+               round((m.mean - ctrl.mean0)
+                     / sqrt(m.var / m.n + ctrl.var0 / ctrl.n0), 6) AS welch_t,
+               round(pow(m.var / m.n + ctrl.var0 / ctrl.n0, 2)
+                     / (pow(m.var / m.n, 2) / (m.n - 1)
+                        + pow(ctrl.var0 / ctrl.n0, 2) / (ctrl.n0 - 1)),
+                     6) AS welch_df,
+               round((m.mean - ctrl.mean0)
+                     / (sqrt(((m.n - 1) * m.var + (ctrl.n0 - 1) * ctrl.var0)
+                             / (m.n + ctrl.n0 - 2))
+                        * sqrt(1.0 / m.n + 1.0 / ctrl.n0)), 6) AS student_t
+        FROM m CROSS JOIN ctrl
+        WHERE m.event_type <> 'view'
+    """,
+)
+def q_stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``welchTTest`` / ``studentTTest``: for every event type,
+    the t statistic of its value distribution against the 'view' control
+    cohort — Welch's unequal-variance form with its Satterthwaite degrees
+    of freedom, plus the pooled-variance Student form.
+
+    Both tests are closed-form over (n, mean, sample variance), so the
+    whole family costs ONE partial+final hash aggregate over the corpus
+    (fixed moment state per event_type) followed by a broadcast of the
+    one-row control cohort — no second scan, no sort, no Python. At
+    100 TB the aggregate is the only data-sized operation; the t math
+    runs on a handful of rows. round(6) absorbs accumulation-order ulps
+    (var_samp matches DuckDB's Bessel-corrected form exactly).
+    """
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    ctrl = (
+        m.filter(F.col("event_type") == "view")
+        .select(F.col("n").alias("n0"), F.col("mean").alias("mean0"),
+                F.col("var").alias("var0"))
+    )
+    se2 = F.col("var") / F.col("n") + F.col("var0") / F.col("n0")
+    pooled = (
+        ((F.col("n") - 1) * F.col("var") + (F.col("n0") - 1) * F.col("var0"))
+        / (F.col("n") + F.col("n0") - 2)
+    )
+    return (
+        m.filter(F.col("event_type") != "view")
+        .crossJoin(F.broadcast(ctrl))
+        .select(
+            "event_type",
+            "n",
+            F.round((F.col("mean") - F.col("mean0")) / F.sqrt(se2), 6)
+            .alias("welch_t"),
+            F.round(
+                F.pow(se2, 2)
+                / (F.pow(F.col("var") / F.col("n"), 2) / (F.col("n") - 1)
+                   + F.pow(F.col("var0") / F.col("n0"), 2) / (F.col("n0") - 1)),
+                6,
+            ).alias("welch_df"),
+            F.round(
+                (F.col("mean") - F.col("mean0"))
+                / (F.sqrt(pooled) * F.sqrt(1.0 / F.col("n") + 1.0 / F.col("n0"))),
+                6,
+            ).alias("student_t"),
+        )
+    )
+
+
+@declared_query(
+    "q_stat_mannwhitney",
+    oracle="""
+        WITH s AS (
+            SELECT event_type, value FROM events
+            WHERE event_type IN ('click', 'view')
+        ),
+        r AS (
+            SELECT event_type,
+                   value,
+                   rank() OVER (ORDER BY value)
+                     + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS arank
+            FROM s
+        ),
+        agg AS (
+            SELECT count(*) FILTER (event_type = 'click') AS n1,
+                   count(*) FILTER (event_type = 'view') AS n2,
+                   sum(arank) FILTER (event_type = 'click') AS r1
+            FROM r
+        ),
+        ties AS (
+            SELECT sum(pow(c, 3) - c) AS tcorr, sum(c) AS n
+            FROM (SELECT count(*) AS c FROM s GROUP BY value) t
+        )
+        SELECT n1, n2,
+               round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+               round(n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0), 6) AS u2,
+               round(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
+                     / sqrt(n1 * n2 / 12.0
+                            * ((n + 1) - tcorr / (n * (n - 1.0)))), 6) AS z
+        FROM agg CROSS JOIN ties
+    """,
+)
+def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``mannWhitneyUTest``: the rank-sum U statistic (and its
+    tie-corrected normal approximation z) comparing click vs view value
+    distributions — the non-parametric complement to q_stat_ttest for
+    skewed metrics where means mislead.
+
+    Average ranks come from ``rank() + (ties-1)/2`` — a min-rank window
+    plus a per-value count window, both over the SAME global value order,
+    so Spark runs them in one sort. That global sort is the honest cost
+    of exact ranks (ClickHouse pays it too inside the aggregate); at
+    100 TB one would switch to binned ranks over a fixed histogram, which
+    this plan degrades to by bucketing value first. The tie-correction
+    term needs per-value tie counts — a second small aggregate over the
+    filtered pair of cohorts, not the corpus.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type", "value"
+    )
+    arank = (
+        F.rank().over(Window.orderBy("value"))
+        + (F.count("*").over(Window.partitionBy("value")) - 1) / 2.0
+    )
+    r = s.select("event_type", "value", arank.alias("arank"))
+    agg = r.agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n2"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("arank"))).alias("r1"),
+    )
+    ties = (
+        s.groupBy("value").agg(F.count("*").alias("c"))
+        .agg(F.sum(F.pow(F.col("c"), 3) - F.col("c")).alias("tcorr"),
+             F.sum("c").alias("n"))
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    sigma = F.sqrt(
+        F.col("n1") * F.col("n2") / 12.0
+        * ((F.col("n") + 1) - F.col("tcorr") / (F.col("n") * (F.col("n") - 1.0)))
+    )
+    return agg.crossJoin(F.broadcast(ties)).select(
+        "n1",
+        "n2",
+        F.round(u1, 6).alias("u1"),
+        F.round(F.col("n1") * F.col("n2") - u1, 6).alias("u2"),
+        F.round((u1 - F.col("n1") * F.col("n2") / 2.0) / sigma, 6).alias("z"),
+    )
+
+
+@declared_query(
+    "q_stat_association",
+    oracle="""
+        WITH s AS (
+            SELECT event_type AS x, CAST(floor(value / 20.0) AS BIGINT) AS y
+            FROM events WHERE value IS NOT NULL
+        ),
+        cell AS (SELECT x, y, count(*) AS nij FROM s GROUP BY x, y),
+        rx AS (SELECT x, sum(nij) AS ri FROM cell GROUP BY x),
+        cy AS (SELECT y, sum(nij) AS cj FROM cell GROUP BY y),
+        tot AS (SELECT sum(nij) AS n, count(DISTINCT x) AS r,
+                       count(DISTINCT y) AS c FROM cell),
+        chi AS (
+            SELECT sum(pow(cell.nij - rx.ri * cy.cj / CAST(tot.n AS DOUBLE), 2)
+                       / (rx.ri * cy.cj / CAST(tot.n AS DOUBLE))) AS chi2
+            FROM cell JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot
+        ),
+        hx AS (SELECT -sum(ri / CAST(n AS DOUBLE) * ln(ri / CAST(n AS DOUBLE))) AS h
+               FROM rx CROSS JOIN tot),
+        hxy AS (
+            SELECT -sum(cell.nij / CAST(tot.n AS DOUBLE)
+                        * ln(cell.nij / CAST(cy.cj AS DOUBLE))) AS h
+            FROM cell JOIN cy USING (y) CROSS JOIN tot
+        )
+        SELECT round(chi.chi2, 6) AS chi2,
+               round(sqrt(chi.chi2 / (tot.n * (least(tot.r, tot.c) - 1))), 6)
+                 AS cramers_v,
+               round((hx.h - hxy.h) / hx.h, 6) AS theils_u
+        FROM chi CROSS JOIN tot CROSS JOIN hx CROSS JOIN hxy
+    """,
+)
+def q_stat_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV`` / ``theilsU``: association strength between
+    two categorical columns — here event_type × a 20-unit value bucket —
+    via the chi-square contingency statistic (Cramér's V, symmetric) and
+    conditional-entropy uncertainty reduction (Theil's U, directional
+    H(x) - H(x|y) over H(x)).
+
+    One corpus-sized aggregate builds the contingency cells; marginals,
+    chi-square, and the entropies are all tiny follow-on aggregates over
+    the cell table (|event types| × |buckets| rows), joined broadcast.
+    At 100 TB the cell table is still KB-sized, so the plan is one
+    shuffle + driver-scale math — exactly how ClickHouse's implementation
+    amortizes it (a single hash-map state merged across streams).
+    """
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("x"),
+        F.floor(F.col("value") / 20.0).cast("bigint").alias("y"),
+    )
+    cell = s.groupBy("x", "y").agg(F.count("*").alias("nij"))
+    rx = cell.groupBy("x").agg(F.sum("nij").alias("ri"))
+    cy = cell.groupBy("y").agg(F.sum("nij").alias("cj"))
+    tot = cell.agg(
+        F.sum("nij").alias("n"),
+        F.countDistinct("x").alias("r"),
+        F.countDistinct("y").alias("c"),
+    )
+    nd = F.col("n").cast("double")
+    expected = F.col("ri") * F.col("cj") / nd
+    chi = (
+        cell.join(F.broadcast(rx), "x").join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(F.pow(F.col("nij") - expected, 2) / expected).alias("chi2"))
+    )
+    hx = rx.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(F.col("ri") / nd * F.log(F.col("ri") / nd))).alias("h")
+    ).select(F.col("h").alias("hx"))
+    hxy = (
+        cell.join(F.broadcast(cy), "y").crossJoin(F.broadcast(tot))
+        .agg((-F.sum(F.col("nij") / nd
+                     * F.log(F.col("nij") / F.col("cj").cast("double")))).alias("h"))
+        .select(F.col("h").alias("hxy"))
+    )
+    return (
+        chi.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hxy))
+        .select(
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 6
+            ).alias("cramers_v"),
+            F.round((F.col("hx") - F.col("hxy")) / F.col("hx"), 6).alias("theils_u"),
+        )
+    )
+
+
+@declared_query(
+    "q_ema",
+    oracle="""
+        WITH w AS (
+            SELECT user_id, event_id, value,
+                   list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS vs
+            FROM events
+        )
+        SELECT user_id, event_id, value,
+               round(CAST(list_reduce(vs, (acc, x) -> 0.5 * acc + 0.5 * x)
+                          AS DOUBLE), 6) AS ema
+        FROM w
+        WHERE user_id < 5
+    """,
+)
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage``: per-user time-ordered EMA
+    of value with decay 0.5, seeded at the first observation — the
+    smoothing primitive behind per-entity trend monitors. A 32-row frame
+    truncation is exact to double precision (0.5^32 < 2.4e-10 relative
+    weight), so the windowed form equals the full-history recurrence.
+
+    The fold runs as a Catalyst higher-order function: ``collect_list``
+    over a BOUNDED window frame (32 doubles of state per row, shuffled
+    once on user_id) then ``aggregate`` — whole-stage codegen, no Python.
+    The streaming twin of this shape is q_stream_stateful's running
+    state; this one is the batch/backfill path, and at 100 TB it is one
+    shuffle with per-row state capped at 32 values regardless of how long
+    a user's history is. DuckDB mirrors it with list() + list_reduce
+    (both engines fold left over the identical (ts, event_id) order).
+    """
+    ev = load(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-31, 0)
+    )
+    vs = F.collect_list("value").over(frame)
+    ema = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1).cast("double"),
+        lambda acc, x: 0.5 * acc + 0.5 * x,
+    )
+    return (
+        ev.select("user_id", "event_id", "value", F.round(ema, 6).alias("ema"))
+        .filter(F.col("user_id") < 5)
+    )
