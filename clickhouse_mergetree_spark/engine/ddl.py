@@ -337,8 +337,9 @@ _ALTER_OPS = """\
 ADD COLUMN | DROP COLUMN | RENAME COLUMN | MODIFY COLUMN | CLEAR COLUMN |
 ADD INDEX | DROP INDEX | MATERIALIZE INDEX | ADD CONSTRAINT |
 DROP CONSTRAINT | ADD PROJECTION | MATERIALIZE PROJECTION |
-DROP PROJECTION | DELETE WHERE | UPDATE ... WHERE |
-DROP/DETACH/ATTACH PARTITION | FREEZE"""
+DROP PROJECTION | DELETE [IN PARTITION p] WHERE |
+UPDATE ... [IN PARTITION p] WHERE |
+DROP/DETACH/ATTACH PARTITION | FREEZE | UNFREEZE WITH NAME"""
 
 
 def _literal_or_expr(text: str):
@@ -561,13 +562,32 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
     am = re.match(r"(?is)^DROP\s+PROJECTION\s+([\w`]+)$", op)
     if am:
         return table.drop_projection(am.group(1).strip("`"))
-    am = re.match(r"(?is)^DELETE\s+WHERE\s+(.+)$", op)
+    am = re.match(
+        r"(?is)^DELETE(?:\s+IN\s+PARTITION\s+(?P<part>'[^']*'|[\w`]+))?"
+        r"\s+WHERE\s+(?P<pred>.+)$", op)
     if am:
-        return table.delete_where(F.expr(am.group(1).strip()))
-    am = re.match(r"(?is)^UPDATE\s+(.+?)\s+WHERE\s+(.+)$", op)
+        part = am.group("part")
+        pred = F.expr(am.group("pred").strip())
+        if part is not None:
+            # ClickHouse `IN PARTITION p` both prunes (only p's parts are
+            # opened) AND scopes (rows outside p never match) — the hint
+            # contract of mutate() requires pred ⇒ hint, so conjoin the
+            # partition predicate instead of trusting the WHERE clause.
+            part = part.strip().strip("'`")
+            pcol = table.config.partition_col
+            if pcol is None:
+                raise ValueError("IN PARTITION on an unpartitioned table")
+            pred = pred & (F.col(pcol) == F.lit(part).cast(
+                table.schema[pcol].dataType))
+            return table.delete_where(pred, partition=part)
+        return table.delete_where(pred)
+    am = re.match(
+        r"(?is)^UPDATE\s+(?P<assign>.+?)"
+        r"(?:\s+IN\s+PARTITION\s+(?P<part>'[^']*'|[\w`]+))?"
+        r"\s+WHERE\s+(?P<pred>.+)$", op)
     if am:
         assignments = {}
-        for kv in _split_top_level(am.group(1)):
+        for kv in _split_top_level(am.group("assign")):
             k, _, v = kv.partition("=")
             col = k.strip().strip("`")
             fld = next((f for f in table.schema.fields
@@ -575,7 +595,17 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
             if fld is None:
                 raise ValueError(f"unknown column {col!r} in UPDATE")
             assignments[col] = F.expr(v.strip()).cast(fld.dataType)
-        return table.update_where(F.expr(am.group(2).strip()), assignments)
+        pred = F.expr(am.group("pred").strip())
+        part = am.group("part")
+        if part is not None:
+            part = part.strip().strip("'`")
+            pcol = table.config.partition_col
+            if pcol is None:
+                raise ValueError("IN PARTITION on an unpartitioned table")
+            pred = pred & (F.col(pcol) == F.lit(part).cast(
+                table.schema[pcol].dataType))
+            return table.update_where(pred, assignments, partition=part)
+        return table.update_where(pred, assignments)
     am = re.match(
         r"(?is)^(DROP|DETACH|ATTACH)\s+PARTITION\s+(.+)$", op)
     if am:
@@ -588,6 +618,9 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
     if am:
         val = am.group(1).strip().strip("'`") if am.group(1) else None
         return table.freeze_partition(val, backup_name=am.group(2))
+    am = re.match(r"(?is)^UNFREEZE\s+WITH\s+NAME\s+'?([\w-]+)'?$", op)
+    if am:
+        return table.unfreeze(am.group(1))
     am = re.match(
         r"(?is)^(?:MODIFY|REMOVE)\s+TTL"
         r"(?:\s+([\w`]+)\s*\+\s*INTERVAL\s+(\d+)\s+(\w+))?$", op)

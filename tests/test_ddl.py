@@ -477,3 +477,51 @@ def test_comment_column_lifecycle(spark, tmp_path):
         t2.drop_column("w")
         assert "w" not in t2.manifest.table_meta.get("column_comments", {})
         t2.comment_column("ts", None)  # clearing a non-comment is a no-op
+
+
+def test_mutation_in_partition_scopes_and_prunes(ddl_table):
+    """ALTER ... UPDATE/DELETE ... IN PARTITION p: rows outside p never
+    match even when WHERE does, and p's parts are the only ones SCANNED
+    (the pruning contract — parts_scanned counts candidate parts after
+    manifest pruning, so a partition-scoped mutation of a 2-partition
+    table must report 1)."""
+    t = ddl_table
+    stats = execute_ddl(
+        t, "ALTER TABLE t UPDATE score = score + 100 "
+           "IN PARTITION 'acme' WHERE k >= 1")
+    assert stats["parts_scanned"] == 1  # globex part never opened
+    got = {r["k"]: r["score"] for r in t.query_all().collect()}
+    assert got == {1: 101.0, 2: 102.0, 3: 3.0, 4: 4.0}
+
+    stats = execute_ddl(
+        t, "ALTER TABLE t DELETE IN PARTITION globex WHERE k >= 1")
+    assert stats["parts_scanned"] == 1
+    assert sorted(r["k"] for r in t.query_all().collect()) == [1, 2]
+
+
+def test_mutation_in_partition_requires_partitioning(spark, tmp_path):
+    t = create_table_from_ddl(spark, str(tmp_path / "np"), """
+        CREATE TABLE np (k Int64, ts Int64, score Float64)
+        ENGINE = MergeTree ORDER BY (k, ts)
+    """)
+    try:
+        t.insert_batch(spark.createDataFrame(
+            [(1, 10, 1.0)], "k long, ts long, score double"))
+        t.flush()
+        with pytest.raises(ValueError, match="unpartitioned"):
+            execute_ddl(
+                t, "ALTER TABLE np DELETE IN PARTITION 'x' WHERE k = 1")
+    finally:
+        t.close()
+
+
+def test_freeze_unfreeze_via_sql(ddl_table):
+    t = ddl_table
+    stats = execute_ddl(
+        t, "ALTER TABLE t FREEZE PARTITION 'acme' WITH NAME snap1")
+    assert stats["backup"] == "snap1" and stats["parts_frozen"] == 1
+    execute_ddl(t, "ALTER TABLE t UNFREEZE WITH NAME snap1")
+    with pytest.raises(ValueError, match="no backup"):
+        t.restore_frozen("snap1")
+    with pytest.raises(ValueError, match="no backup"):
+        execute_ddl(t, "ALTER TABLE t UNFREEZE WITH NAME snap1")
