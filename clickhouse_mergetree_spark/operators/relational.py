@@ -2652,3 +2652,43 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).over(w)
         .cast("double").alias("sum_1h"),
     )
+
+
+@declared_query(
+    "q_set_ops_all",
+    oracle="""
+        WITH b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             f AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS copies, 'except' AS op
+        FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM f) GROUP BY o_custkey
+        UNION ALL
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS copies,
+               'intersect' AS op
+        FROM (SELECT * FROM b INTERSECT ALL SELECT * FROM f)
+        GROUP BY o_custkey
+    """,
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXCEPT ALL`` / ``INTERSECT ALL`` — BAG semantics (q_set_ops is
+    the distinct-set family): a customer with 3 open orders and 1
+    expensive order keeps 2 copies in the EXCEPT ALL and 1 in the
+    INTERSECT ALL, the multiplicity arithmetic ClickHouse (and the SQL
+    standard) define and DISTINCT set ops destroy.
+
+    Spark plans both as a single hash aggregate computing per-row
+    multiplicities on each side then replicating min/difference counts
+    (generate_replicate) — one shuffle per operator on the row value,
+    no sort. The result is grouped back to (key, copies) so the hash
+    compare is order-insensitive while still pinning multiplicities.
+    """
+    o = load(spark, sf_dir, "orders")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+
+    def counted(df: DataFrame, tag: str) -> DataFrame:
+        return (df.groupBy("o_custkey")
+                .agg(F.count("*").alias("copies"))
+                .withColumn("op", F.lit(tag)))
+
+    return counted(b.exceptAll(f), "except").unionByName(
+        counted(b.intersectAll(f), "intersect"))

@@ -548,3 +548,50 @@ def q_fn_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 4).cast("bigint").alias("shifted_r"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@declared_query(
+    "q_fn_multisearch",
+    oracle="""
+        SELECT p_partkey,
+               (p_type LIKE '%BRASS%' OR p_type LIKE '%COPPER%'
+                OR p_type LIKE '%TIN%') AS any_hit,
+               CASE WHEN p_type LIKE '%BRASS%' THEN 1
+                    WHEN p_type LIKE '%COPPER%' THEN 2
+                    WHEN p_type LIKE '%TIN%' THEN 3
+                    ELSE 0 END AS first_idx,
+               CAST((CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_type LIKE '%COPPER%' THEN 1 ELSE 0 END)
+                  + (CASE WHEN p_type LIKE '%TIN%' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+               CAST(strpos(lower(p_type), 'steel') AS BIGINT) AS ci_pos
+        FROM part
+    """,
+)
+def q_fn_multisearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse multi-needle search family (``multiSearchAny`` /
+    ``multiSearchFirstIndex`` / count-of-needles / ``positionCaseInsensitive``)
+    over part type strings — the screening primitive behind blocklist
+    and taxonomy filters.
+
+    All row-local contains/locate calls fused in one codegen projection —
+    zero shuffles, and a needle list of size k is k scalar ops per row,
+    not a join (ClickHouse's Volnitsky multi-pattern automaton is an
+    optimization of the same semantics; at 100 TB with large needle
+    lists the relational form is a broadcast join against the needle
+    table instead, which q_contamination implements). The oracle
+    re-derives every function from LIKE/CASE arithmetic — an independent
+    formulation, so the hash pins semantics, not implementation.
+    """
+    p = load(spark, sf_dir, "part")
+    needles = ["BRASS", "COPPER", "TIN"]
+    hits = [F.col("p_type").contains(n) for n in needles]
+    first_idx = F.when(hits[0], 1).when(hits[1], 2).when(hits[2], 3).otherwise(0)
+    n_hits = sum(h.cast("long") for h in hits)
+    return p.select(
+        "p_partkey",
+        (hits[0] | hits[1] | hits[2]).alias("any_hit"),
+        first_idx.alias("first_idx"),
+        n_hits.alias("n_hits"),
+        F.instr(F.lower("p_type"), "steel").cast("bigint").alias("ci_pos"),
+    )
