@@ -424,6 +424,13 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
     m = re.match(r"(?is)^TRUNCATE\s+TABLE\s+[\w`.]+$", s)
     if m:
         return table.truncate()
+    m = re.match(r"(?is)^DESC(?:RIBE)?(?:\s+TABLE)?\s+[\w`.]+$", s)
+    if m:
+        # ClickHouse DESCRIBE TABLE: one row per column with the declared
+        # type and default — a projection of system.columns (metadata
+        # only, no data files touched).
+        return table.system_columns().select(
+            "name", "type", "default", "comment")
     m = re.match(
         r"(?is)^INSERT\s+INTO\s+[\w`.]+\s*"
         r"(?:\((?P<cols>[^)]*)\)\s*)?(?P<body>(?:VALUES|SELECT|WITH)\b.*)$",

@@ -3608,3 +3608,57 @@ def q_null_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert src.query_all().count() == 0 and src.total_rows() == 0
     return mv.query().select("event_type", F.col("value_sum")
                              .cast("double"), "n_rows")
+
+
+@declared_query(
+    "q_seq_next_node",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lead(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS next_type,
+                   row_number() OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS rn
+            FROM events
+        ),
+        firsts AS (
+            SELECT user_id, next_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY rn)
+                     AS k
+            FROM r WHERE event_type = 'signup'
+        )
+        SELECT user_id, next_type AS after_first_signup
+        FROM firsts WHERE k = 1
+    """,
+)
+def q_seq_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward', 'head')``: for each user,
+    the event that IMMEDIATELY follows the first occurrence of the base
+    condition (here: first signup) in time order — the "what happens
+    next" primitive behind onboarding-path analysis. NULL when the
+    signup is the user's last event; users who never sign up are absent.
+
+    One hash(user_id) shuffle serves everything: lead() and both
+    row_numbers ride the same (ts, event_id) sort, so Spark plans a
+    single Window operator stack over one exchange, then a filter —
+    per-user state is one row, corpus order never re-shuffles. The
+    deterministic tiebreak (event_id) makes "first" and "next"
+    well-defined under timestamp ties on both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).alias("rn"),
+    )
+    firsts = (
+        r.filter(F.col("event_type") == "signup")
+        .select("user_id", "next_type",
+                F.row_number().over(
+                    W.partitionBy("user_id").orderBy("rn")).alias("k"))
+    )
+    return firsts.filter(F.col("k") == 1).select(
+        "user_id", F.col("next_type").alias("after_first_signup"))

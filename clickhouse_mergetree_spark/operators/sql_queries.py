@@ -802,3 +802,56 @@ def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     The identical SQL text is the oracle."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# ClickHouse-DIALECT text (chsql.translate_select turns this into Spark
+# SQL; the oracle below re-derives the same semantics in plain ANSI SQL —
+# the translator is never trusted to check itself).
+_CH_DIALECT_SQL = """
+    SELECT toDate(toStartOfDay(ts)) AS day,
+           event_type,
+           countIf(value > 50) AS n_big,
+           round(quantile(0.5)(value), 6) AS med,
+           argMax(user_id, value) AS top_user,
+           uniqExact(user_id) AS n_users,
+           multiIf(count() > 400, 'hot', count() > 150, 'warm', 'cold')
+             AS load_band
+    FROM events
+    PREWHERE user_id < 40
+    GROUP BY day, event_type
+    SETTINGS max_threads = 8
+"""
+
+
+@declared_query(
+    "q_ch_dialect",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               CAST(count(*) FILTER (value > 50) AS BIGINT) AS n_big,
+               round(quantile_cont(value, 0.5), 6) AS med,
+               arg_max(user_id, value) AS top_user,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CASE WHEN count(*) > 400 THEN 'hot'
+                    WHEN count(*) > 150 THEN 'warm'
+                    ELSE 'cold' END AS load_band
+        FROM events WHERE user_id < 40
+        GROUP BY day, event_type
+    """,
+)
+def q_ch_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse SELECT-dialect front end (chsql.translate_select):
+    the verbatim CH query a migrating dashboard holds — PREWHERE,
+    countIf, quantile(p)(x), argMax, uniqExact, multiIf, count(),
+    SETTINGS suffix — translated ONCE at the string level and handed to
+    spark.sql. Catalyst sees plain Spark SQL, so the translated query
+    pushes the PREWHERE-derived filter into the scan and plans the
+    percentile/count aggregates partial+final like any hand-written
+    query; translation cost is per-statement, never per row. The DuckDB
+    oracle re-derives every clause in independent ANSI SQL, so the hash
+    pins the translator's semantics, not its output text.
+    """
+    from clickhouse_mergetree_spark.chsql import ch_sql
+
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _CH_DIALECT_SQL)

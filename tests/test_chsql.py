@@ -1,0 +1,171 @@
+"""ClickHouse SELECT-dialect translator: string-level rule tests plus
+end-to-end runs against DuckDB recomputing the same semantics in plain
+SQL (an independent formulation — the translator is never trusted to
+check itself)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_mergetree_spark.chsql import ch_sql, translate_select
+
+
+# ---------------------------------------------------------------------------
+# string-level rules
+# ---------------------------------------------------------------------------
+
+CASES = [
+    ("SELECT countIf(value > 5) FROM events",
+     "SELECT count_if(value > 5) FROM events"),
+    ("SELECT sumIf(value, event_type = 'click') FROM events",
+     "SELECT sum(if(event_type = 'click', value, NULL)) FROM events"),
+    ("SELECT quantile(0.9)(value) FROM events",
+     "SELECT percentile(value, 0.9) FROM events"),
+    ("SELECT quantiles(0.5, 0.9)(value) FROM events",
+     "SELECT percentile(value, array(0.5, 0.9)) FROM events"),
+    ("SELECT multiIf(a > 1, 'x', a > 0, 'y', 'z') FROM t",
+     "SELECT CASE WHEN a > 1 THEN 'x' WHEN a > 0 THEN 'y' "
+     "ELSE 'z' END FROM t"),
+    ("SELECT toStartOfDay(ts), toYYYYMM(ts) FROM events",
+     None),  # toYYYYMM untranslated (passes through; Spark has no such fn)
+    ("SELECT toStartOfMonth(ts) FROM events",
+     "SELECT date_trunc('month', ts) FROM events"),
+    ("SELECT toUInt32(value), toString(user_id) FROM events",
+     "SELECT CAST(value AS bigint), CAST(user_id AS string) FROM events"),
+    ("SELECT argMax(event_type, ts) FROM events",
+     "SELECT max_by(event_type, ts) FROM events"),
+    ("SELECT groupArray(event_type) FROM events",
+     "SELECT collect_list(event_type) FROM events"),
+    ("SELECT uniq(user_id), uniqExact(user_id) FROM events",
+     "SELECT approx_count_distinct(user_id), count(DISTINCT user_id) "
+     "FROM events"),
+    ("SELECT intDiv(user_id, 7), modulo(user_id, 7) FROM events",
+     "SELECT (user_id DIV 7), (user_id % 7) FROM events"),
+    ("SELECT splitByChar(',', props) FROM events",
+     "SELECT split(props, ',') FROM events"),
+    ("SELECT position(props, 'k') FROM events",
+     "SELECT instr(props, 'k') FROM events"),
+    # nested dialect calls translate bottom-up
+    ("SELECT sumIf(toFloat64(value), toYear(ts) = 2024) FROM events",
+     "SELECT sum(if(year(ts) = 2024, CAST(value AS double), NULL)) "
+     "FROM events"),
+    # PREWHERE merges into WHERE
+    ("SELECT count() FROM events PREWHERE user_id < 5",
+     "SELECT count(*) FROM events WHERE user_id < 5"),
+    # FORMAT / SETTINGS suffixes stripped
+    ("SELECT 1 FORMAT JSONEachRow", "SELECT 1"),
+    ("SELECT 1 SETTINGS max_threads = 4", "SELECT 1"),
+    ("SELECT user_id GLOBAL IN (SELECT user_id FROM events) FROM events",
+     "SELECT user_id IN (SELECT user_id FROM events) FROM events"),
+    # quote safety: function names inside string literals untouched
+    ("SELECT 'uniq(x)' FROM t", "SELECT 'uniq(x)' FROM t"),
+]
+
+
+@pytest.mark.parametrize("src,expected", CASES)
+def test_translate_rules(src, expected):
+    got = translate_select(src)
+    if expected is not None:
+        assert got == expected, got
+    else:
+        assert "toYYYYMM(ts)" in got  # untouched passthrough
+
+
+def test_prewhere_and_where_conjoin():
+    got = translate_select(
+        "SELECT count() FROM events PREWHERE user_id < 5 "
+        "WHERE event_type = 'click' GROUP BY user_id")
+    assert "WHERE (user_id < 5) AND (event_type = 'click')" in got
+    assert "PREWHERE" not in got
+
+
+@pytest.mark.parametrize("sql,frag", [
+    ("SELECT x FROM t LIMIT 3 BY user_id", "LIMIT n BY"),
+    ("SELECT x FROM t SAMPLE 0.1", "SAMPLE"),
+    ("SELECT sum(v) FROM t GROUP BY k WITH TOTALS", "WITH TOTALS"),
+    ("SELECT x FROM t FINAL", "FINAL"),
+    ("SELECT topK(3)(x) FROM t", "topK"),
+])
+def test_refusals_are_loud(sql, frag):
+    with pytest.raises(ValueError, match="no (?:1:1 Spark translation|exact)"):
+        translate_select(sql)
+
+
+def test_multiif_arity_checked():
+    with pytest.raises(ValueError, match="odd argument count"):
+        translate_select("SELECT multiIf(a, b) FROM t")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: translated CH SQL on Spark == plain SQL on DuckDB
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def views(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events")
+    yield
+    spark.catalog.dropTempView("events")
+
+
+def test_ch_aggregate_query_end_to_end(spark, duck, views):
+    got = {
+        (r["day"].isoformat(), r["event_type"]):
+            (r["n_big"], round(r["med"], 6), r["top_user"])
+        for r in ch_sql(spark, """
+            SELECT toDate(toStartOfDay(ts)) AS day, event_type,
+                   countIf(value > 50) AS n_big,
+                   quantile(0.5)(value) AS med,
+                   argMax(user_id, value) AS top_user
+            FROM events
+            PREWHERE user_id < 40
+            GROUP BY day, event_type
+            SETTINGS max_threads = 8
+        """).collect()
+    }
+    exp = {
+        (str(r[0]), r[1]): (r[2], round(r[3], 6), r[4])
+        for r in duck.execute("""
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   count(*) FILTER (value > 50) AS n_big,
+                   quantile_cont(value, 0.5) AS med,
+                   arg_max(user_id, value) AS top_user
+            FROM events WHERE user_id < 40
+            GROUP BY day, event_type
+        """).fetchall()
+    }
+    assert set(got) == set(exp)
+    for k, (n, med, top) in exp.items():
+        assert got[k][0] == n, k
+        # percentile (exact interpolated) == quantile_cont
+        assert abs(got[k][1] - med) < 1e-6, k
+        assert got[k][2] == top, k
+
+
+def test_ch_scalar_query_end_to_end(spark, duck, views):
+    got = {r["user_id"]: (r["b"], r["m"]) for r in ch_sql(spark, """
+        SELECT user_id,
+               multiIf(value > 75, 'hi', value > 25, 'mid', 'lo') AS b,
+               modulo(toUInt64(user_id), 7) AS m
+        FROM events WHERE event_id < 50
+    """).collect()}
+    exp = {r[0]: (r[1], r[2]) for r in duck.execute("""
+        SELECT user_id,
+               CASE WHEN value > 75 THEN 'hi'
+                    WHEN value > 25 THEN 'mid' ELSE 'lo' END AS b,
+               CAST(user_id AS BIGINT) % 7 AS m
+        FROM events WHERE event_id < 50
+    """).fetchall()}
+    assert got == exp
+
+
+def test_ch_arrayjoin_end_to_end(spark, views):
+    rows = ch_sql(spark, """
+        SELECT user_id, arrayJoin(splitByChar(',', props)) AS piece
+        FROM events WHERE event_id < 3
+    """).collect()
+    raw = spark.sql(
+        "SELECT props FROM events WHERE event_id < 3").collect()
+    expected_pieces = sum(len(r["props"].split(",")) for r in raw)
+    assert len(rows) == expected_pieces

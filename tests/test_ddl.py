@@ -525,3 +525,17 @@ def test_freeze_unfreeze_via_sql(ddl_table):
         t.restore_frozen("snap1")
     with pytest.raises(ValueError, match="no backup"):
         execute_ddl(t, "ALTER TABLE t UNFREEZE WITH NAME snap1")
+
+
+def test_describe_table_via_sql(ddl_table):
+    t = ddl_table
+    execute_ddl(t, "ALTER TABLE t ADD COLUMN boost Float64 DEFAULT 1.5")
+    execute_ddl(t, "ALTER TABLE t COMMENT COLUMN boost 'per-row boost'")
+    rows = {r["name"]: r for r in
+            execute_ddl(t, "DESCRIBE TABLE t").collect()}
+    assert set(rows) == {"k", "ts", "tenant", "score", "boost"}
+    assert rows["boost"]["default"] == "1.5"
+    assert rows["boost"]["comment"] == "per-row boost"
+    assert rows["k"]["type"] == "bigint"
+    # bare DESC shorthand hits the same branch
+    assert execute_ddl(t, "DESC t").count() == 5

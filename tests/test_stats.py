@@ -1,0 +1,120 @@
+"""Semantic tests for the stats family — oracle parity (test_oracle_parity)
+proves Spark==DuckDB; these prove both match the DEFINITION on crafted
+inputs: the EMA fold equals the unbounded recurrence, sequenceCount's
+prefix-deficit closed form equals the greedy matcher, Mann-Whitney's
+tie-averaged ranks equal the hand computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _greedy_pairs(seq: str) -> int:
+    """Reference greedy matcher for click(c)→purchase(p) chains."""
+    open_clicks = pairs = 0
+    for ch in seq:
+        if ch == "c":
+            open_clicks += 1
+        elif ch == "p" and open_clicks:
+            pairs += 1
+            open_clicks -= 1
+    return pairs
+
+
+def test_seq_count_closed_form_equals_greedy(spark):
+    cases = ["cpcpp", "ppcp", "cccp", "p", "c", "", "pcpcpc", "ccpppp"]
+    rows = []
+    for uid, seq in enumerate(cases):
+        for i, ch in enumerate(seq):
+            rows.append((uid, i, {"c": "click", "p": "purchase"}[ch]))
+    df = spark.createDataFrame(rows or [(0, 0, "view")],
+                               "user_id long, ts long, event_type string")
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("user_id").orderBy("ts")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    p_run = F.sum(F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0)).over(w)
+    c_run = F.sum(F.when(F.col("event_type") == "click", 1)
+                  .otherwise(0)).over(w)
+    got = {
+        r["user_id"]: r["pairs"]
+        for r in df.select("user_id", p_run.alias("p"), c_run.alias("c"))
+        .groupBy("user_id")
+        .agg((F.max("p") - F.greatest(F.max(F.col("p") - F.col("c")),
+                                      F.lit(0))).alias("pairs"))
+        .collect()
+    }
+    for uid, seq in enumerate(cases):
+        if seq:
+            assert got[uid] == _greedy_pairs(seq), (uid, seq)
+
+
+def test_ema_fold_equals_recurrence(spark, sf_dir):
+    """The declared query's 32-row-frame fold must equal the unbounded
+    EMA recurrence to double precision on real per-user histories."""
+    from clickhouse_mergetree_spark.operators.stats import q_ema
+
+    got = {(r["user_id"], r["event_id"]): r["ema"]
+           for r in q_ema(spark, sf_dir).collect()}
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("user_id") < 5)
+          .select("user_id", "event_id", "ts", "value")
+          .collect())
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_checked = 0
+    for uid, rows in by_user.items():
+        ema = None
+        for r in rows:
+            ema = r["value"] if ema is None else 0.5 * ema + 0.5 * r["value"]
+            # compare against the UNROUNDED recurrence: the query rounds
+            # half-up to 6dp (|rounded−true| ≤ 0.5e-6) and the 32-row
+            # frame truncates (< 5e-8 at this value range), so 1e-6
+            # bounds both; comparing two independently-rounded values
+            # instead would trip on exact .5-ulp boundaries where
+            # Python's banker's rounding and Spark's HALF_UP disagree
+            # (seen: true EMA 61.1746875).
+            assert abs(got[(uid, r["event_id"])] - ema) < 1e-6, (
+                uid, r["event_id"])
+            n_checked += 1
+    assert n_checked == len(got) and n_checked > 0
+
+
+def test_mannwhitney_hand_case(spark, monkeypatch, tmp_path):
+    """click=[1,2,2], view=[2,3]: joint sorted 1,2,2,2,3 → avg rank of the
+    2s = 3; R1 = 1+3+3 = 7; U1 = 7 − 3·4/2 = 1; U2 = 3·2 − 1 = 5."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "event_id": range(5),
+        "ts": pd.to_datetime(["2024-01-01"] * 5),
+        "user_id": [1, 1, 1, 2, 2],
+        "event_type": ["click", "click", "click", "view", "view"],
+        "value": [1.0, 2.0, 2.0, 2.0, 3.0],
+        "props": [""] * 5,
+    })
+    # the 'view' rows carry values [2,3]; clicks [1,2,2]
+    df.loc[df.event_type == "view", "value"] = [2.0, 3.0]
+    df.to_parquet(tmp_path / "events.parquet")
+    from clickhouse_mergetree_spark.operators.stats import q_stat_mannwhitney
+
+    row = q_stat_mannwhitney(spark, str(tmp_path)).collect()[0]
+    assert (row["n1"], row["n2"]) == (3, 2)
+    assert row["u1"] == 1.0 and row["u2"] == 5.0
+
+
+def test_paste_join_truncates_to_shorter_side(spark, sf_dir):
+    from clickhouse_mergetree_spark.operators.relational import q_join_paste
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    n_view = ev.filter(F.col("event_type") == "view").count()
+    df = q_join_paste(spark, sf_dir)
+    assert df.count() == min(n_click, n_view)
+    # positional zip of two ascending sorts ⇒ both columns non-decreasing
+    rows = df.orderBy("pos").collect()
+    for a, b in zip(rows, rows[1:]):
+        assert b["click_value"] >= a["click_value"]
+        assert b["view_value"] >= a["view_value"]
