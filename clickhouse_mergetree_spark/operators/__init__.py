@@ -25,6 +25,7 @@ _OPTIONAL_MODULES = (
     "web",
     "formats",
     "stats",
+    "dictionaries",
 )
 
 for _m in _OPTIONAL_MODULES:
