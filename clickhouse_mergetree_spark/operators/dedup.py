@@ -752,3 +752,82 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(c_ab, 9).alias("c_ab"),
                 F.round(c_ba, 9).alias("c_ba"))
     )
+
+
+@declared_query(
+    "q_cluster_representative",
+    oracle=f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+        card AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v
+            FROM pairs JOIN card ca ON ca.doc_id = doc_a
+                       JOIN card cb ON cb.doc_id = doc_b
+            WHERE CAST(n_common AS DOUBLE)
+                    / (ca.n_sh + cb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+        ),
+        bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        reach AS (
+            SELECT u, v FROM bidir
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN bidir e ON r.v = e.u
+        ),
+        labels AS (
+            SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u
+        ),
+        ranked AS (
+            SELECT l.cluster_id, d.doc_id, d.n_chars,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY d.n_chars DESC, d.doc_id)
+                     AS rn,
+                   count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+            FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+        )
+        SELECT cluster_id, doc_id AS rep_doc_id,
+               n_chars AS rep_n_chars, n_members
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster REPRESENTATIVE selection: after clustering
+    (q_dedup_clusters' connected components over the verified near-dup
+    edges), pick the document each cluster KEEPS — highest n_chars, ties
+    to the lowest doc_id. This is the keep/drop policy step of a
+    training-data dedup pipeline: q_dedup_clusters decides who is
+    together, this decides who survives, and every dropped doc maps to
+    its surviving representative.
+
+    One extra shuffle past clustering: join labels to the documents
+    metadata (doc_id-keyed, co-partitioned with the labels), then a
+    single max_by-style aggregate per cluster — the (−n_chars, doc_id)
+    struct min carries the argmax through partial+final aggregation, so
+    no per-cluster sort and no window over the corpus. At 100 TB the
+    aggregate state is one struct per cluster, and clusters are tiny by
+    construction (near-dup groups).
+    """
+    from clickhouse_mergetree_spark.operators.graph import (
+        connected_components)
+
+    edges = _prefix_filtered_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges, src="doc_a", dst="doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    best = F.min(F.struct((-F.col("n_chars")).alias("neg_chars"),
+                          F.col("doc_id").alias("doc_id")))
+    return (
+        labels.select(F.col("node").alias("doc_id"),
+                      F.col("label").alias("cluster_id"))
+        .join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(best.alias("b"), F.count("*").alias("n_members"))
+        .select("cluster_id",
+                F.col("b.doc_id").alias("rep_doc_id"),
+                (-F.col("b.neg_chars")).alias("rep_n_chars"),
+                "n_members")
+    )

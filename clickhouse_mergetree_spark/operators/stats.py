@@ -324,3 +324,109 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", "value", F.round(ema, 6).alias("ema"))
         .filter(F.col("user_id") < 5)
     )
+
+
+@declared_query(
+    "q_stat_ks",
+    oracle="""
+        WITH pts AS (
+            SELECT value,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS nc,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     AS nv
+            FROM events
+            WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+            GROUP BY value
+        ),
+        tot AS (SELECT sum(nc) AS n1, sum(nv) AS n2 FROM pts),
+        cum AS (
+            SELECT sum(nc) OVER (ORDER BY value) AS cc,
+                   sum(nv) OVER (ORDER BY value) AS cv
+            FROM pts
+        ),
+        dmax AS (
+            SELECT max(abs(CAST(cc AS DOUBLE) / (SELECT n1 FROM tot)
+                           - CAST(cv AS DOUBLE) / (SELECT n2 FROM tot)))
+                     AS d
+            FROM cum
+        ),
+        lam AS (
+            SELECT d, d * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))
+                     AS lambda
+            FROM dmax, tot
+        )
+        SELECT (SELECT CAST(n1 AS BIGINT) FROM tot) AS n1,
+               (SELECT CAST(n2 AS BIGINT) FROM tot) AS n2,
+               round(d, 9) AS d_stat,
+               round(lambda, 6) AS lambda,
+               round((SELECT sum(CASE WHEN k % 2 = 1 THEN 2.0 ELSE -2.0 END
+                                 * exp(-2.0 * k * k * lam.lambda
+                                       * lam.lambda))
+                      FROM range(1, 101) t(k)), 6) AS p_approx
+        FROM lam
+    """,
+)
+def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest``: two-sample KS over the click
+    vs view value distributions — D = sup|F1 − F2| between the empirical
+    CDFs, λ = D·√(n1·n2/(n1+n2)), and the asymptotic p-value from the
+    Kolmogorov distribution's alternating series (100 terms, far past
+    double convergence — both engines sum the identical ascending series,
+    so the rounded values agree bit-for-bit).
+
+    Distributed shape: ECDFs need one global value order — the same floor
+    as exact quantiles, and exactly what ClickHouse pays inside the
+    aggregate's sorted-array merge. Here: one groupBy(value) collapses
+    ties (counts per atom, linear), one range-partitioned window computes
+    both cumulative counts in a single sort, one max reduces D. Per-row
+    state is two counters; nothing is collected. At 100 TB the groupBy
+    output is bounded by the number of DISTINCT values, so the sort that
+    follows is over the compressed domain, not the corpus.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view")
+                & F.col("value").isNotNull())
+    )
+    pts = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("nc"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .alias("nv"),
+    )
+    tot = pts.agg(F.sum("nc").alias("n1"), F.sum("nv").alias("n2"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.select(
+        F.sum("nc").over(w).alias("cc"),
+        F.sum("nv").over(w).alias("cv"),
+    )
+    # tot is one row: the cross join broadcasts it alongside every
+    # cumulative row, so D reduces in the same stage.
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max(F.abs(
+                F.col("cc").cast("double") / F.col("n1")
+                - F.col("cv").cast("double") / F.col("n2"))).alias("d"),
+        )
+        .withColumn(
+            "lambda_raw",
+            F.col("d") * F.sqrt(F.col("n1").cast("double") * F.col("n2")
+                                / (F.col("n1") + F.col("n2"))))
+    )
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.when(k % 2 == 1, F.lit(2.0)).otherwise(F.lit(-2.0))
+        * F.exp(-2.0 * k.cast("double") * k.cast("double")
+                * F.col("lambda_raw") * F.col("lambda_raw")),
+    )
+    return agg.select(
+        "n1", "n2",
+        F.round("d", 9).alias("d_stat"),
+        F.round("lambda_raw", 6).alias("lambda"),
+        F.round(series, 6).alias("p_approx"))

@@ -118,3 +118,31 @@ def test_paste_join_truncates_to_shorter_side(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert b["click_value"] >= a["click_value"]
         assert b["view_value"] >= a["view_value"]
+
+
+def test_ks_hand_case(spark, tmp_path):
+    """click=[1,2,3], view=[2,3,4]: D = 1/3 (ECDF gap constant at 1/3
+    over [1,4)), lambda = (1/3)*sqrt(9/6)."""
+    import math
+
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "event_id": range(6),
+        "ts": pd.to_datetime(["2024-01-01"] * 6),
+        "user_id": [1] * 6,
+        "event_type": ["click"] * 3 + ["view"] * 3,
+        "value": [1.0, 2.0, 3.0, 2.0, 3.0, 4.0],
+        "props": [""] * 6,
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    from clickhouse_mergetree_spark.operators.stats import q_stat_ks
+
+    row = q_stat_ks(spark, str(tmp_path)).collect()[0]
+    assert (row["n1"], row["n2"]) == (3, 3)
+    assert abs(row["d_stat"] - 1 / 3) < 1e-9
+    lam = (1 / 3) * math.sqrt(9 / 6)
+    assert abs(row["lambda"] - lam) < 1e-6
+    p = sum((2.0 if k % 2 else -2.0) * math.exp(-2 * k * k * lam * lam)
+            for k in range(1, 101))
+    assert abs(row["p_approx"] - p) < 1e-5
