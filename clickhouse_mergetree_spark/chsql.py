@@ -179,6 +179,15 @@ _CASTS = {
     "tostring": "string",
 }
 
+# higher-order array functions: CH is lambda-first, Spark is
+# collection-first — swap the argument order.
+_LAMBDA_ARRAY = {
+    "arraymap": "transform",
+    "arrayfilter": "filter",
+    "arrayexists": "exists",
+    "arrayall": "forall",
+}
+
 # -If combinators: agg(x) filtered by the LAST argument.
 _IF_COMBINATORS = {
     "countif": None,                 # countIf(cond) -> count_if(cond)
@@ -232,6 +241,28 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
         return f"split({args[1]}, '{re.escape(m.group(1))}')"
     if low == "match":
         return f"({args[0]} RLIKE {args[1]})"
+    if low in _LAMBDA_ARRAY:
+        if len(args) != 2:
+            raise ValueError(f"{name} translates only in its 2-argument "
+                             f"(lambda, array) form, got {len(args)} args")
+        return f"{_LAMBDA_ARRAY[low]}({args[1]}, {args[0]})"
+    if low == "arraycount":
+        if len(args) != 2:
+            raise ValueError("arrayCount translates only in its "
+                             "(lambda, array) form")
+        return f"size(filter({args[1]}, {args[0]}))"
+    if low == "arrayfirst":
+        if len(args) != 2:
+            raise ValueError("arrayFirst translates only in its "
+                             "(lambda, array) form")
+        return f"try_element_at(filter({args[1]}, {args[0]}), 1)"
+    if low == "arraysum":
+        # arraySum(a) and arraySum(f, a); both fold as doubles (the CH
+        # result type for Float sums) so empty arrays yield 0.0
+        arr = args[0] if len(args) == 1 else \
+            f"transform({args[1]}, {args[0]})"
+        return (f"aggregate({arr}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + x)")
     if low in _RENAMES:
         tgt = _RENAMES[low]
         if tgt == "":
@@ -246,8 +277,10 @@ _DISPATCH_RE = "|".join(
         {n for n in _RENAMES if _RENAMES[n] is not None}
         | set(_TRUNC) | set(_CASTS) | set(_IF_COMBINATORS)
         | {"uniqexact"}
+        | set(_LAMBDA_ARRAY)
         | {"multiif", "if", "intdiv", "modulo", "arrayjoin", "empty",
-           "notempty", "splitbychar", "match"},
+           "notempty", "splitbychar", "match",
+           "arraycount", "arrayfirst", "arraysum"},
         key=len, reverse=True,
     )
 )

@@ -855,3 +855,58 @@ def q_ch_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return ch_sql(spark, _CH_DIALECT_SQL)
+
+
+# ClickHouse-DIALECT higher-order array pipeline (chsql.translate_select):
+# lambda-first CH array functions over tokenized document text.
+_CH_ARRAYS_SQL = """
+    SELECT doc_id,
+           arrayCount(w -> length(w) > 4, splitByChar(' ', text))
+             AS n_long_words,
+           toFloat64(arraySum(w -> length(w), splitByChar(' ', text)))
+             AS letters_total,
+           arrayFirst(w -> length(w) > 6, splitByChar(' ', text))
+             AS first_long_word,
+           arrayExists(w -> w = 'the', splitByChar(' ', text)) AS has_the,
+           arrayAll(w -> notEmpty(w), splitByChar(' ', text))
+             AS no_empty_tokens
+    FROM documents
+    WHERE notEmpty(text)
+"""
+
+
+@declared_query(
+    "q_ch_dialect_arrays",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE text <> ''
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(ws, w -> length(w) > 4)) AS INT)
+                 AS n_long_words,
+               CAST(coalesce(list_sum(list_transform(ws,
+                                                     w -> length(w))), 0)
+                    AS DOUBLE) AS letters_total,
+               list_filter(ws, w -> length(w) > 6)[1] AS first_long_word,
+               len(list_filter(ws, w -> w = 'the')) > 0 AS has_the,
+               len(list_filter(ws, w -> w = '')) = 0 AS no_empty_tokens
+        FROM toks
+    """,
+)
+def q_ch_dialect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse higher-order array functions through the dialect front
+    end: ``arrayMap``-family calls are lambda-FIRST in CH and
+    collection-first in Spark SQL, so the translator swaps argument order
+    (and re-derives arrayCount/arrayFirst/arraySum from
+    filter/element_at/aggregate). The lambdas land inside Catalyst's
+    HigherOrderFunction expressions — per-row array work stays in
+    codegen, no Python, and the scan still prunes to (doc_id, text).
+    The DuckDB oracle re-derives each clause with its own list_* lambda
+    functions — independent syntax, same semantics, so the hash pins the
+    translation's meaning rather than echoing its output.
+    """
+    from clickhouse_mergetree_spark.chsql import ch_sql
+
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _CH_ARRAYS_SQL)

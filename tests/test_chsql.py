@@ -169,3 +169,36 @@ def test_ch_arrayjoin_end_to_end(spark, views):
         "SELECT props FROM events WHERE event_id < 3").collect()
     expected_pieces = sum(len(r["props"].split(",")) for r in raw)
     assert len(rows) == expected_pieces
+
+
+def test_translate_lambda_array_functions():
+    from clickhouse_mergetree_spark.chsql import translate_select
+
+    got = translate_select(
+        "SELECT arrayMap(x -> x * 2, xs) AS m, "
+        "arrayFilter(x -> x > 1, xs) AS f, "
+        "arrayExists(x -> x = 3, xs) AS e, "
+        "arrayAll(x -> x > 0, xs) AS a, "
+        "arrayCount(x -> x > 1, xs) AS c, "
+        "arrayFirst(x -> x > 1, xs) AS fst, "
+        "arraySum(xs) AS s1, arraySum(x -> x * x, xs) AS s2 FROM t")
+    assert "transform(xs, x -> x * 2)" in got
+    assert "filter(xs, x -> x > 1)" in got
+    assert "exists(xs, x -> x = 3)" in got
+    assert "forall(xs, x -> x > 0)" in got
+    assert "size(filter(xs, x -> x > 1))" in got
+    assert "try_element_at(filter(xs, x -> x > 1), 1)" in got
+    assert "aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + x)" in got
+    assert ("aggregate(transform(xs, x -> x * x), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)") in got
+
+
+def test_lambda_array_functions_refuse_wrong_arity():
+    import pytest
+
+    from clickhouse_mergetree_spark.chsql import translate_select
+
+    with pytest.raises(ValueError, match="arrayCount"):
+        translate_select("SELECT arrayCount(xs) FROM t")
+    with pytest.raises(ValueError, match="2-argument"):
+        translate_select("SELECT arrayMap(xs) FROM t")

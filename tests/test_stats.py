@@ -146,3 +146,47 @@ def test_ks_hand_case(spark, tmp_path):
     p = sum((2.0 if k % 2 else -2.0) * math.exp(-2 * k * k * lam * lam)
             for k in range(1, 101))
     assert abs(row["p_approx"] - p) < 1e-5
+
+
+def test_lttb_matches_python_reference(spark, sf_dir):
+    """Bucket-anchor LTTB: re-derive the selection in plain Python per
+    user and compare point-for-point (buckets, edges, tie-breaks)."""
+    from clickhouse_mergetree_spark.operators.stats import (
+        LTTB_BUCKETS, q_lttb)
+
+    got = {(r["user_id"], r["bucket"]): (r["sel_ts_us"], r["sel_value"])
+           for r in q_lttb(spark, sf_dir).collect()}
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter("user_id < 20 AND value IS NOT NULL")
+          .selectExpr("user_id", "unix_micros(ts) AS x", "value AS y",
+                      "event_id")
+          .collect())
+    by_user: dict[int, list] = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["x"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append((r["x"], r["y"]))
+    n_checked = 0
+    for uid, pts in by_user.items():
+        n = len(pts)
+        if n < LTTB_BUCKETS:
+            continue
+        buckets: dict[int, list] = {}
+        for rn, (x, y) in enumerate(pts):
+            buckets.setdefault(rn * LTTB_BUCKETS // n, []).append((rn, x, y))
+        means = {b: (sum(x for _, x, _ in v) / len(v),
+                     sum(y for _, _, y in v) / len(v))
+                 for b, v in buckets.items()}
+        order = sorted(buckets)
+        for i, b in enumerate(order):
+            if i == 0 or i == len(order) - 1:
+                rn, x, y = min(buckets[b])      # edge: first point
+            else:
+                px, py = means[order[i - 1]]
+                nx, ny = means[order[i + 1]]
+                rn, x, y = max(
+                    buckets[b],
+                    key=lambda p: (abs((px - nx) * (p[2] - py)
+                                       - (px - p[1]) * (ny - py)) / 2,
+                                   -p[0]))
+            assert got[(uid, b)] == (x, y), (uid, b)
+            n_checked += 1
+    assert n_checked == len(got) and n_checked > 0
