@@ -335,7 +335,7 @@ def create_table_from_ddl(spark: SparkSession, base_path: str,
 
 _ALTER_OPS = """\
 ADD COLUMN | DROP COLUMN | RENAME COLUMN | MODIFY COLUMN | CLEAR COLUMN |
-ADD INDEX | DROP INDEX | MATERIALIZE INDEX | ADD CONSTRAINT |
+MATERIALIZE COLUMN | ADD INDEX | DROP INDEX | MATERIALIZE INDEX | ADD CONSTRAINT |
 DROP CONSTRAINT | ADD PROJECTION | MATERIALIZE PROJECTION |
 DROP PROJECTION | DELETE [IN PARTITION p] WHERE |
 UPDATE ... [IN PARTITION p] WHERE |
@@ -517,6 +517,9 @@ def execute_ddl(table: SparkMergeTree, sql: str) -> object:
     if am:
         rec = table.index_by_name(am.group(1).strip("`"))
         return table.materialize_index(rec["col"])
+    am = re.match(r"(?is)^MATERIALIZE\s+COLUMN\s+([\w`]+)$", op)
+    if am:
+        return table.materialize_column(am.group(1).strip("`"))
     am = re.match(
         r"(?is)^ADD\s+CONSTRAINT\s+([\w`]+)\s+CHECK\s+(.+)$", op)
     if am:

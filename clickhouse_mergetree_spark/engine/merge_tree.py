@@ -3292,6 +3292,56 @@ class SparkMergeTree:
                     self.manifest.save()
             return {"parts_marked": marked, "cells_cleared": cells}
 
+    def materialize_column(self, name: str) -> dict:
+        """``ALTER TABLE ... MATERIALIZE COLUMN`` analog: force the
+        physical rewrite of every live part whose bytes do not yet
+        reflect THIS column's current metadata — an unmaterialized
+        ALTER-ADD default, an old physical name from a rename chain, a
+        pending MODIFY-COLUMN cast, or a column-TTL/CLEAR expiry mark.
+        ClickHouse uses this to pre-pay the lazy-ALTER read cost before a
+        latency-sensitive period; semantics are unchanged (reads already
+        serve the transformed values), only the storage catches up.
+
+        Column-scoped ``optimize()``: parts pending ONLY on other columns
+        are untouched, so the rewrite I/O is proportional to the parts
+        this column actually lags in, not the table. Each selected part
+        rewrites via the standard single-part merge (one job per part —
+        at 100 TB these schedule independently, the same story as
+        materialize_index). Returns {"parts_rewritten", "rows_rewritten"}.
+        """
+        known = {f.name for f in self.schema.fields}
+        if name not in known:
+            raise ValueError(f"unknown column {name!r}")
+        self.flush()
+        rewritten = rows = 0
+        while True:
+            with self._merge_lock:
+                with self._lock:
+                    target = None
+                    chain = self._rename_chains().get(name, (name,)) \
+                        if self.manifest.table_meta.get("renamed_columns") \
+                        else (name,)
+                    added_names = {
+                        a["name"] for a in
+                        self.manifest.table_meta.get("added_columns", [])}
+                    original = [f.name for f in self.schema.fields
+                                if f.name not in added_names]
+                    for p in self.manifest.parts:
+                        present = (set(p.columns) if p.columns is not None
+                                   else set(original))
+                        pn = next((c for c in chain if c in present), None)
+                        if (pn != name
+                                or name in (p.expired_cols or ())
+                                or name in (p.cast_cols or {})):
+                            target = p
+                            break
+                    if target is None:
+                        return {"parts_rewritten": rewritten,
+                                "rows_rewritten": rows}
+                rows += target.row_count
+                rewritten += 1
+                self._merge_group([target])
+
     def _detached_metas(self) -> list[PartMeta]:
         """Detached (parked) parts as PartMeta handles. Every ALTER's
         part-marking loop must cover them — they re-enter the live set

@@ -498,3 +498,56 @@ def test_drop_refuses_default_expr_dependency(table):
     table.drop_column("plen")     # dependent gone first
     table.drop_column("payload")  # now fine
     assert [f.name for f in table.schema.fields] == ["key", "ts", "score"]
+
+
+# -------------------------------------------------------- MATERIALIZE COLUMN
+
+def test_materialize_column_rewrites_only_lagging_parts(table):
+    _flush(table, 0, 10)                      # part 1: pre-ADD
+    table.add_column("boost", "DOUBLE", default=1.5)
+    table.insert_rows([(f"k{ts:05d}", ts, f"p{ts}", float(ts), 1.5)
+                       for ts in range(10, 20)])
+    table.flush()                             # part 2: has boost physically
+    ids_before = {p.part_id for p in table.manifest.parts}
+    res = table.materialize_column("boost")
+    assert res == {"parts_rewritten": 1, "rows_rewritten": 10}
+    # the post-ADD part is untouched; the pre-ADD part was replaced
+    survivors = {p.part_id for p in table.manifest.parts}
+    assert len(survivors & ids_before) == 1
+    # physical column lists now all carry boost; values unchanged
+    for p in table.manifest.parts:
+        assert p.columns is None or "boost" in p.columns
+    rows = table.query_all().orderBy("ts").collect()
+    assert [r["boost"] for r in rows] == [1.5] * 20
+    # idempotent: nothing lags anymore
+    assert table.materialize_column("boost") == {
+        "parts_rewritten": 0, "rows_rewritten": 0}
+
+
+def test_materialize_column_is_column_scoped(table):
+    _flush(table, 0, 10)
+    table.add_column("a", "DOUBLE", default=1.0)
+    table.add_column("b", "DOUBLE", default=2.0)
+    # materializing a also materializes b physically (the rewrite runs at
+    # the CURRENT schema — same as any merge), so afterwards b lags in
+    # zero parts too: the scoping contract is about which parts are
+    # SELECTED, pinned here by the second call being a no-op
+    assert table.materialize_column("a")["parts_rewritten"] == 1
+    assert table.materialize_column("b")["parts_rewritten"] == 0
+
+
+def test_materialize_column_after_rename_and_clear(table):
+    _flush(table, 0, 10)
+    table.rename_column("payload", "body")
+    assert table.materialize_column("body")["parts_rewritten"] == 1
+    assert table.materialize_column("body")["parts_rewritten"] == 0
+    table.clear_column("score")
+    assert table.materialize_column("score")["parts_rewritten"] == 1
+    rows = table.query_all().collect()
+    assert all(r["score"] is None for r in rows)
+    assert all(r["body"] == f"p{r['ts']}" for r in rows)
+
+
+def test_materialize_column_unknown_refused(table):
+    with pytest.raises(ValueError, match="unknown column"):
+        table.materialize_column("nope")

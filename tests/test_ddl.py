@@ -539,3 +539,14 @@ def test_describe_table_via_sql(ddl_table):
     assert rows["k"]["type"] == "bigint"
     # bare DESC shorthand hits the same branch
     assert execute_ddl(t, "DESC t").count() == 5
+
+
+def test_materialize_column_via_sql(ddl_table):
+    t = ddl_table
+    execute_ddl(t, "ALTER TABLE t ADD COLUMN boost Float64 DEFAULT 2.5")
+    res = execute_ddl(t, "ALTER TABLE t MATERIALIZE COLUMN boost")
+    assert res["parts_rewritten"] >= 1
+    assert execute_ddl(t, "ALTER TABLE t MATERIALIZE COLUMN boost") == {
+        "parts_rewritten": 0, "rows_rewritten": 0}
+    rows = t.query_all().collect()
+    assert rows and all(r["boost"] == 2.5 for r in rows)
