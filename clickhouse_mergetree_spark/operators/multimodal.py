@@ -636,3 +636,53 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("s_ij") / F.col("n")
                             - F.col("m_i") * F.col("m_j"), 6)
                     .alias("cov")))
+
+
+MRL_DIM = 16
+
+
+@declared_query(
+    "q_embed_mrl",
+    oracle=f"""
+        WITH m AS (
+            SELECT vec_id, label,
+                   sqrt(list_sum(list_transform(embedding[1:{MRL_DIM}],
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     AS knorm,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     AS fnorm
+            FROM embeddings
+        )
+        SELECT vec_id, label,
+               round(knorm, 6) AS trunc_norm,
+               round(fnorm, 6) AS full_norm,
+               round(knorm / fnorm, 6) AS retained_cos
+        FROM m
+    """,
+)
+def q_embed_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) embedding truncation audit: per vector, the L2
+    norm of the first {MRL_DIM} dims, the full norm, and the retained
+    cosine — cos(full, truncated-zero-padded) = ‖v[:k]‖/‖v‖ — the
+    number an embedding pipeline checks before switching ANN search to a
+    cheaper truncated index (truncate-and-renormalize serving, the MRL
+    deployment pattern).
+
+    Pure row-local Catalyst higher-order math: slice + aggregate fold per
+    row, no shuffle at all — the scan IS the plan, so it pipelines at
+    I/O speed at any corpus size. The renormalized truncated vector
+    never materializes (its direction is v[:k] and its norm is 1 by
+    construction); only the audit scalars ship.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sq_sum = (lambda col: F.aggregate(
+        col, F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double")))
+    knorm = F.sqrt(sq_sum(F.slice("embedding", 1, MRL_DIM)))
+    fnorm = F.sqrt(sq_sum(F.col("embedding")))
+    return emb.select(
+        "vec_id", "label",
+        F.round(knorm, 6).alias("trunc_norm"),
+        F.round(fnorm, 6).alias("full_norm"),
+        F.round(knorm / fnorm, 6).alias("retained_cos"))

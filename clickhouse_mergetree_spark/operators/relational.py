@@ -2692,3 +2692,59 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return counted(b.exceptAll(f), "except").unionByName(
         counted(b.intersectAll(f), "intersect"))
+
+
+@declared_query(
+    "q_agg_minmax_map",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, event_type,
+                   min(value) AS mn, max(value) AS mx
+            FROM events WHERE value IS NOT NULL
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               string_agg(event_type || '=' || printf('%.6f', mn), ','
+                          ORDER BY event_type) AS min_map,
+               string_agg(event_type || '=' || printf('%.6f', mx), ','
+                          ORDER BY event_type) AS max_map,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM g GROUP BY user_id
+    """,
+)
+def q_agg_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap`` / ``maxMap``: per user, key-wise map-merge
+    with min/max combine — the sibling of q_agg_summap's sumMap, same
+    canonical key-sorted 'k=v' serialization so the whole map is one
+    hash-verifiable scalar (no DECIMAL needed: min/max pick an input
+    verbatim, so %.6f of a double is already engine-stable).
+
+    Same two-shuffle shape as sumMap: partial+final agg on (user, type)
+    — map-side combine IS the key-wise min/max merge — then a per-user
+    sorted fold over |users × types| rows.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    )
+    pair = F.struct(
+        F.col("event_type"),
+        F.format_string("%.6f", F.col("mn")).alias("mnv"),
+        F.format_string("%.6f", F.col("mx")).alias("mxv"))
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(pair)),
+                            lambda r: F.concat(r["event_type"], F.lit("="),
+                                               r["mnv"])), ",")
+            .alias("min_map"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(pair)),
+                            lambda r: F.concat(r["event_type"], F.lit("="),
+                                               r["mxv"])), ",")
+            .alias("max_map"),
+            F.count("*").alias("n_keys"),
+        )
+    )
