@@ -3056,7 +3056,8 @@ class SparkMergeTree:
         """``ALTER TABLE ... MATERIALIZE COLUMN`` analog: force the
         physical rewrite of every part whose bytes lag the declared
         column — a missing ALTER-ADD column (lazy default), a pending
-        MODIFY cast, or a pending RENAME — without waiting for the next
+        MODIFY cast, a pending RENAME, or a column-TTL/CLEAR expiry
+        mark — without waiting for the next
         merge and without touching parts that are already current. The
         per-column, on-demand version of what rewrites do lazily; after
         it returns, scans of ``name`` hit physical bytes only.
@@ -3064,11 +3065,11 @@ class SparkMergeTree:
         Each affected part rewrites independently (single-part merge
         jobs), so at 100 TB the work parallelizes per part and is bounded
         by the evolution frontier, not the table. Returns
-        {"parts_rewritten"}."""
+        {"parts_rewritten", "rows_rewritten"}."""
         if not any(f.name == name for f in self.schema.fields):
             raise ValueError(f"unknown column {name!r}")
         self.flush()
-        rewritten = 0
+        rewritten = rows = 0
         while True:
             with self._merge_lock:
                 with self._lock:
@@ -3085,11 +3086,15 @@ class SparkMergeTree:
                         phys = next((c for c in chain if c in present), None)
                         if (phys is None                   # lazy default
                                 or phys != name            # pending rename
-                                or (p.cast_cols or {}).get(phys)):  # cast
+                                or (p.cast_cols or {}).get(phys)  # cast
+                                # column-TTL / CLEAR COLUMN expiry mark
+                                or name in (p.expired_cols or ())):
                             target = p
                             break
                     if target is None:
-                        return {"parts_rewritten": rewritten}
+                        return {"parts_rewritten": rewritten,
+                                "rows_rewritten": rows}
+                rows += target.row_count
                 self._merge_group([target])
                 rewritten += 1
 
@@ -3291,56 +3296,6 @@ class SparkMergeTree:
                 if dirty:
                     self.manifest.save()
             return {"parts_marked": marked, "cells_cleared": cells}
-
-    def materialize_column(self, name: str) -> dict:
-        """``ALTER TABLE ... MATERIALIZE COLUMN`` analog: force the
-        physical rewrite of every live part whose bytes do not yet
-        reflect THIS column's current metadata — an unmaterialized
-        ALTER-ADD default, an old physical name from a rename chain, a
-        pending MODIFY-COLUMN cast, or a column-TTL/CLEAR expiry mark.
-        ClickHouse uses this to pre-pay the lazy-ALTER read cost before a
-        latency-sensitive period; semantics are unchanged (reads already
-        serve the transformed values), only the storage catches up.
-
-        Column-scoped ``optimize()``: parts pending ONLY on other columns
-        are untouched, so the rewrite I/O is proportional to the parts
-        this column actually lags in, not the table. Each selected part
-        rewrites via the standard single-part merge (one job per part —
-        at 100 TB these schedule independently, the same story as
-        materialize_index). Returns {"parts_rewritten", "rows_rewritten"}.
-        """
-        known = {f.name for f in self.schema.fields}
-        if name not in known:
-            raise ValueError(f"unknown column {name!r}")
-        self.flush()
-        rewritten = rows = 0
-        while True:
-            with self._merge_lock:
-                with self._lock:
-                    target = None
-                    chain = self._rename_chains().get(name, (name,)) \
-                        if self.manifest.table_meta.get("renamed_columns") \
-                        else (name,)
-                    added_names = {
-                        a["name"] for a in
-                        self.manifest.table_meta.get("added_columns", [])}
-                    original = [f.name for f in self.schema.fields
-                                if f.name not in added_names]
-                    for p in self.manifest.parts:
-                        present = (set(p.columns) if p.columns is not None
-                                   else set(original))
-                        pn = next((c for c in chain if c in present), None)
-                        if (pn != name
-                                or name in (p.expired_cols or ())
-                                or name in (p.cast_cols or {})):
-                            target = p
-                            break
-                    if target is None:
-                        return {"parts_rewritten": rewritten,
-                                "rows_rewritten": rows}
-                rows += target.row_count
-                rewritten += 1
-                self._merge_group([target])
 
     def _detached_metas(self) -> list[PartMeta]:
         """Detached (parked) parts as PartMeta handles. Every ALTER's

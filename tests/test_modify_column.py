@@ -167,20 +167,21 @@ def test_materialize_column_rewrites_only_lagging_parts(spark, table):
     current = {p.part_id for p in table.manifest.parts
                if not p.cast_cols}
     stats = table.materialize_column("code")
-    assert stats == {"parts_rewritten": 1}
+    assert stats == {"parts_rewritten": 1, "rows_rewritten": 10}
     assert current <= {p.part_id for p in table.manifest.parts}
     for p in table.manifest.parts:
         assert p.cast_cols is None
         assert dict(spark.read.parquet(p.path).dtypes)["code"] == "bigint"
     # idempotent: everything is current now
-    assert table.materialize_column("code") == {"parts_rewritten": 0}
+    assert table.materialize_column("code") == {
+        "parts_rewritten": 0, "rows_rewritten": 0}
 
 
 def test_materialize_column_fills_added_default(spark, table):
     _flush(table, 0, 10)                  # pre-ADD part
     table.add_column("origin", "string", default="backfill")
     stats = table.materialize_column("origin")
-    assert stats == {"parts_rewritten": 1}
+    assert stats == {"parts_rewritten": 1, "rows_rewritten": 10}
     [p] = table.manifest.parts
     physical = spark.read.parquet(p.path)
     assert "origin" in physical.columns
