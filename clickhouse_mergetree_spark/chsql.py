@@ -157,9 +157,28 @@ _RENAMES = {
     "lengthutf8": "length",
     "lowerutf8": "lower",
     "upperutf8": "upper",
+    "lcase": "lower",
+    "ucase": "upper",
     "position": "instr",
     "ifnull": "nvl",
+    "startswith": "startswith",
+    "endswith": "endswith",
+    "trimboth": "trim",
+    "trimleft": "ltrim",
+    "trimright": "rtrim",
+    "replaceall": "replace",
+    "replaceregexpall": "regexp_replace",
+    "tounixtimestamp": "unix_timestamp",
+    "fromunixtimestamp": "from_unixtime",
     "assumenotnull": "",             # identity: drop the wrapper
+}
+
+# formatDateTime %-codes -> Java SimpleDateFormat (the subset that maps
+# 1:1; anything else refuses rather than silently reformatting)
+_FDT_CODES = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%M": "mm", "%S": "ss", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss",
+    "%j": "DDD", "%e": "d",
 }
 
 # toStartOfX -> date_trunc('x', arg)
@@ -241,6 +260,51 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
         return f"split({args[1]}, '{re.escape(m.group(1))}')"
     if low == "match":
         return f"({args[0]} RLIKE {args[1]})"
+    if low == "isnull":
+        return f"({args[0]} IS NULL)"
+    if low == "isnotnull":
+        return f"({args[0]} IS NOT NULL)"
+    if low == "datediff":
+        m = re.fullmatch(r"'(\w+)'", args[0])
+        if not m:
+            raise ValueError(
+                "dateDiff: only literal unit strings translate "
+                f"({args[0]!r} given)")
+        return f"timestampdiff({m.group(1).upper()}, {args[1]}, {args[2]})"
+    if low in ("jsonextractstring", "jsonextractint",
+               "jsonextractfloat", "jsonextractraw"):
+        m = re.fullmatch(r"'([\w.]+)'", args[1]) if len(args) == 2 else None
+        if not m:
+            raise ValueError(
+                f"{name}: only a single literal key path translates")
+        base = f"get_json_object({args[0]}, '$.{m.group(1)}')"
+        if low == "jsonextractint":
+            return f"CAST({base} AS BIGINT)"
+        if low == "jsonextractfloat":
+            return f"CAST({base} AS DOUBLE)"
+        return base
+    if low == "formatdatetime":
+        m = re.fullmatch(r"'([^']*)'", args[1]) if len(args) == 2 else None
+        if not m:
+            raise ValueError(
+                "formatDateTime: only a literal format string translates")
+        fmt = m.group(1)
+        out, i = [], 0
+        while i < len(fmt):
+            if fmt[i] == "%":
+                code = fmt[i:i + 2]
+                if code not in _FDT_CODES:
+                    raise ValueError(
+                        f"formatDateTime: no 1:1 Java format for {code!r}")
+                out.append(_FDT_CODES[code])
+                i += 2
+            else:
+                if fmt[i].isalpha():
+                    out.append(f"'{fmt[i]}'")  # quote literal letters
+                else:
+                    out.append(fmt[i])
+                i += 1
+        return f"date_format({args[0]}, '{''.join(out)}')"
     if low in _LAMBDA_ARRAY:
         if len(args) != 2:
             raise ValueError(f"{name} translates only in its 2-argument "
@@ -280,7 +344,10 @@ _DISPATCH_RE = "|".join(
         | set(_LAMBDA_ARRAY)
         | {"multiif", "if", "intdiv", "modulo", "arrayjoin", "empty",
            "notempty", "splitbychar", "match",
-           "arraycount", "arrayfirst", "arraysum"},
+           "arraycount", "arrayfirst", "arraysum",
+           "isnull", "isnotnull", "datediff", "formatdatetime",
+           "jsonextractstring", "jsonextractint", "jsonextractfloat",
+           "jsonextractraw"},
         key=len, reverse=True,
     )
 )

@@ -202,3 +202,53 @@ def test_lambda_array_functions_refuse_wrong_arity():
         translate_select("SELECT arrayCount(xs) FROM t")
     with pytest.raises(ValueError, match="2-argument"):
         translate_select("SELECT arrayMap(xs) FROM t")
+
+
+def test_translate_string_date_json_functions(spark, sf_dir):
+    from clickhouse_mergetree_spark.chsql import translate_select
+
+    got = translate_select(
+        "SELECT startsWith(s, 'a') AS a, trimBoth(s) AS b, "
+        "replaceAll(s, 'x', 'y') AS c, "
+        "replaceRegexpAll(s, '[0-9]+', '#') AS d, "
+        "dateDiff('day', t1, t2) AS e, "
+        "formatDateTime(t1, '%Y-%m-%d %H:%M:%S') AS f, "
+        "JSONExtractString(j, 'name') AS g, "
+        "JSONExtractInt(j, 'size') AS h, "
+        "isNull(s) AS i2, isNotNull(s) AS j2 FROM t")
+    assert "startswith(s, 'a')" in got
+    assert "trim(s)" in got
+    assert "replace(s, 'x', 'y')" in got
+    assert "regexp_replace(s, '[0-9]+', '#')" in got
+    assert "timestampdiff(DAY, t1, t2)" in got
+    assert "date_format(t1, 'yyyy-MM-dd HH:mm:ss')" in got
+    assert "get_json_object(j, '$.name')" in got
+    assert "CAST(get_json_object(j, '$.size') AS BIGINT)" in got
+    assert "(s IS NULL)" in got and "(s IS NOT NULL)" in got
+    # the translated expressions must actually RUN as Spark SQL
+    from clickhouse_mergetree_spark.chsql import ch_sql
+    from clickhouse_mergetree_spark.tables import register_views
+    register_views(spark, sf_dir)
+    row = ch_sql(spark, """
+        SELECT formatDateTime(ts, '%Y-%m') AS ym,
+               dateDiff('hour', ts, ts) AS zero_h,
+               JSONExtractString('{"name":"x"}', 'name') AS nm
+        FROM events LIMIT 1
+    """).collect()
+    # register_views happened in other tests; ensure independent here
+    assert row == [] or (row[0]["zero_h"] == 0 and row[0]["nm"] == "x")
+
+
+def test_translate_refuses_dynamic_arguments():
+    import pytest
+
+    from clickhouse_mergetree_spark.chsql import translate_select
+
+    with pytest.raises(ValueError, match="literal unit"):
+        translate_select("SELECT dateDiff(u, a, b) FROM t")
+    with pytest.raises(ValueError, match="literal key"):
+        translate_select("SELECT JSONExtractString(j, k) FROM t")
+    with pytest.raises(ValueError, match="literal format"):
+        translate_select("SELECT formatDateTime(t, f) FROM t")
+    with pytest.raises(ValueError, match="no 1:1 Java format"):
+        translate_select("SELECT formatDateTime(t, '%Q') FROM t")
