@@ -686,3 +686,145 @@ def q_embed_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(knorm, 6).alias("trunc_norm"),
         F.round(fnorm, 6).alias("full_norm"),
         F.round(knorm / fnorm, 6).alias("retained_cos"))
+
+
+PHASH_MAX_HAMMING = 3
+
+
+def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every PGM image payload and compute its 64-bit average
+    hash: 16×16 pixels → 2×2 block sums (64 blocks) → bit b set iff
+    64·s_b > Σs (pure integer compare, so both engines agree exactly).
+    The hash ships as two 32-bit halves in BIGINTs (no sign-bit overflow)
+    plus four 16-bit LSH bands."""
+    imgs = media_decode_table(spark, sf_dir).filter(
+        F.col("media_type") == "image/x-portable-graymap")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("hi", T.LongType()),
+        T.StructField("lo", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "hi", "lo",
+                                   "b0", "b1", "b2", "b3")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parts = bytes(payload).split(b"\n", 3)
+                w, h = (int(x) for x in parts[1].split())
+                a = _np.frombuffer(parts[3][: w * h],
+                                   dtype=_np.uint8).reshape(h, w)
+                blocks = a.astype(_np.int64).reshape(
+                    h // 2, 2, w // 2, 2).sum(axis=(1, 3)).ravel()
+                total = int(blocks.sum())
+                bits = [1 if 64 * int(s) > total else 0 for s in blocks]
+                val = 0
+                for k, b in enumerate(bits):
+                    val |= b << k
+                out["doc_id"].append(doc_id)
+                out["hi"].append((val >> 32) & 0xFFFFFFFF)
+                out["lo"].append(val & 0xFFFFFFFF)
+                out["b0"].append(val & 0xFFFF)
+                out["b1"].append((val >> 16) & 0xFFFF)
+                out["b2"].append((val >> 32) & 0xFFFF)
+                out["b3"].append((val >> 48) & 0xFFFF)
+            yield _pd.DataFrame(out)
+
+    return imgs.mapInPandas(run, schema=schema)
+
+
+@declared_query(
+    "q_media_phash_dedup",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   list_transform(range(0, 64), b ->
+                       ord(substring(p, ((b // 8) * 2    ) * 16
+                                        + (b % 8) * 2 + 1, 1))
+                     + ord(substring(p, ((b // 8) * 2    ) * 16
+                                        + (b % 8) * 2 + 2, 1))
+                     + ord(substring(p, ((b // 8) * 2 + 1) * 16
+                                        + (b % 8) * 2 + 1, 1))
+                     + ord(substring(p, ((b // 8) * 2 + 1) * 16
+                                        + (b % 8) * 2 + 2, 1))) AS s
+            FROM (SELECT doc_id,
+                         rpad(substring(text, 1, 256), 256, ' ') AS p
+                  FROM documents WHERE doc_id % 2 = 0)
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 32), k ->
+                        CASE WHEN 64 * s[k + 33] > list_sum(s)
+                             THEN 1 << k ELSE 0 END)) AS BIGINT) AS hi,
+                   CAST(list_sum(list_transform(range(0, 32), k ->
+                        CASE WHEN 64 * s[k + 1] > list_sum(s)
+                             THEN 1 << k ELSE 0 END)) AS BIGINT) AS lo
+            FROM px
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi))
+              + bit_count(xor(a.lo, b.lo)) <= {PHASH_MAX_HAMMING}
+    """,
+)
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dedup: decode each PGM payload, compute
+    the 64-bit AVERAGE HASH (aHash — 2×2 block sums vs the global sum,
+    integer-exact so the oracle replays it bit-for-bit from the source
+    text), and emit every image pair within Hamming distance
+    {PHASH_MAX_HAMMING} — the visual-duplicate screen a multimodal
+    training pipeline runs before exact byte dedup can help.
+
+    Pairing is banded LSH over four 16-bit hash bands — and at this
+    threshold it is EXACT, not approximate: ≤ 3 differing bits across 4
+    bands leaves at least one band identical (pigeonhole), so the
+    band-bucket equi-join provably generates every qualifying pair.
+    Candidates then verify with two xor+bit_count ops (whole-stage
+    codegen). At 100 TB: hashes are 16 bytes/image, the join key is a
+    16-bit band value, and no pair outside shared buckets is ever
+    materialized — the all-pairs product never exists. The decode+hash
+    runs once per image in an Arrow batch (mapInPandas), the join side
+    is the hash table, never the payloads. DuckDB's oracle brute-forces
+    the same pair set from the raw text at gate scale.
+    """
+    hashes = _phash_table(spark, sf_dir).persist()
+    bands = hashes.select(
+        "doc_id", "hi", "lo",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"), F.col("b0").alias("v")),
+            F.struct(F.lit(1).alias("band"), F.col("b1").alias("v")),
+            F.struct(F.lit(2).alias("band"), F.col("b2").alias("v")),
+            F.struct(F.lit(3).alias("band"), F.col("b3").alias("v")),
+        )).alias("bv"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
+                     F.col("bv.band").alias("band"),
+                     F.col("bv.v").alias("v"))
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
+                     F.col("bv.band").alias("band"),
+                     F.col("bv.v").alias("v"))
+    cand = (
+        a.join(b, ["band", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    return (
+        cand.select("doc_a", "doc_b",
+                    hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )

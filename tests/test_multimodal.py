@@ -185,3 +185,25 @@ def test_decoder_rejects_unknown_type():
         list(run(iter([pd.DataFrame({
             "doc_id": [3], "media_type": ["video/mp4"],
             "payload": [b"\x00" * 16]})])))
+
+
+def test_phash_banded_pairs_equal_brute_force(spark, sf_dir):
+    """Pigeonhole exactness: at Hamming <= 3 with four 16-bit bands the
+    band-bucket join must produce EXACTLY the brute-force pair set."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_mergetree_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING, _phash_table, q_media_phash_dedup)
+
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in q_media_phash_dedup(spark, sf_dir).collect()}
+    hs = _phash_table(spark, sf_dir).collect()
+    brute = {}
+    for i, x in enumerate(hs):
+        for y in hs[i + 1:]:
+            a, b = sorted((x, y), key=lambda r: r["doc_id"])
+            d = (bin((a["hi"] ^ b["hi"])).count("1")
+                 + bin((a["lo"] ^ b["lo"])).count("1"))
+            if d <= PHASH_MAX_HAMMING:
+                brute[(a["doc_id"], b["doc_id"])] = d
+    assert got == brute and len(got) > 0
