@@ -395,17 +395,24 @@ def q_stat_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
         .alias("nv"),
     )
-    tot = pts.agg(F.sum("nc").alias("n1"), F.sum("nv").alias("n2"))
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    # the cumsum already runs in one global window partition, so the
+    # grand totals ride the SAME sorted pass as unbounded-frame maxes —
+    # one scan, one sort, no second aggregate branch re-reading events
+    # (the first formulation cross-joined a separate totals aggregate,
+    # doubling the source scans — caught by plan audit)
+    wg = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
     cum = pts.select(
         F.sum("nc").over(w).alias("cc"),
         F.sum("nv").over(w).alias("cv"),
+    ).select(
+        "cc", "cv",
+        F.max("cc").over(wg).alias("n1"),
+        F.max("cv").over(wg).alias("n2"),
     )
-    # tot is one row: the cross join broadcasts it alongside every
-    # cumulative row, so D reduces in the same stage.
     agg = (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
+        cum.agg(
             F.max("n1").alias("n1"),
             F.max("n2").alias("n2"),
             F.max(F.abs(
@@ -498,10 +505,13 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation step — makes every bucket's selection independent:
     one row_number window assigns buckets, one agg computes bucket means,
     one lag/lead window pairs anchors, one max-by per bucket selects.
-    All four are per-user-keyed; the corpus shuffles once on user_id and
-    everything else rides that partitioning. Per-row state is O(1);
+    All four are per-user-keyed, so every exchange carries user_id and
+    the points-side join is co-partitioned. Per-row state is O(1);
     10^9-point series downsample with no driver involvement and no
-    sequential chain. Ties break to the earliest point (rn), so the
+    sequential chain. The plan reads the source twice (points branch +
+    anchors branch) — both scans are pruned to the same 4 columns; at
+    corpus scale one would persist the bucketed stage to trade memory
+    for the second scan. Ties break to the earliest point (rn), so the
     output is deterministic on both engines.
     """
     ev = (
