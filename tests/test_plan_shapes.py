@@ -37,7 +37,14 @@ NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_sim_search_pq",
                   # containment join IS longest-prefix matching; the
                   # too-big-to-broadcast rewrite (prefix expansion to a
                   # fixed-stride equi-join) is documented in the query
-                  "q_ip_cidr"}
+                  "q_ip_cidr",
+                  # broadcast side is a ONE-ROW aggregate (the control
+                  # cohort's moments / the tie-correction scalars / the
+                  # contingency grand totals) joined onto a KB-scale
+                  # grouped relation — O(groups·1), the closed-form
+                  # test-statistic shape, never corpus-sized
+                  "q_stat_ttest", "q_stat_mannwhitney",
+                  "q_stat_association"}
 
 _QUERIES = sorted(all_queries())
 
