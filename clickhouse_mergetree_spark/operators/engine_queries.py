@@ -3662,3 +3662,51 @@ def q_seq_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return firsts.filter(F.col("k") == 1).select(
         "user_id", F.col("next_type").alias("after_first_signup"))
+
+
+@declared_query(
+    "q_events_markov",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS cur,
+                   lead(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS nxt
+            FROM events
+        ),
+        c AS (
+            SELECT cur, nxt, count(*) AS n
+            FROM seq WHERE nxt IS NOT NULL
+            GROUP BY cur, nxt
+        )
+        SELECT cur, nxt, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY cur), 9) AS p
+        FROM c
+    """,
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a) with transition counts — the
+    model behind next-action prediction and funnel-leak diagnosis
+    (ClickHouse users build this exact matrix with sequence functions +
+    array joins; here it is one window + one aggregate).
+
+    One hash(user_id) exchange feeds the lead() window (per-user time
+    order, event_id tiebreak); transitions then collapse in a
+    partial+final agg keyed by (cur, next) — at most |types|² rows reach
+    the final stage regardless of corpus size, and the row-normalization
+    window runs over that vocabulary-sized table for free.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"))
+    c = (seq.filter(F.col("nxt").isNotNull())
+         .groupBy("cur", "nxt").agg(F.count("*").alias("n")))
+    wrow = W.partitionBy("cur")
+    return c.select(
+        "cur", "nxt", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 9)
+        .alias("p"))

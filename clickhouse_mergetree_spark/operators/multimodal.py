@@ -828,3 +828,137 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
     )
+
+
+AUDIO_FP_MAX_HAMMING = 3
+
+
+def _audio_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode every WAV payload (stdlib ``wave``, the q_media_decode
+    path) and compute a 64-bit delta-coded energy fingerprint: 256
+    samples → 64 contiguous 4-sample block sums → bit b set iff
+    s_b > s_{b+1} (final bit 0) — the band-energy-delta shape of
+    audio fingerprinting (Chromaprint's comparison step), integer-exact
+    so the oracle replays it from the source text."""
+    auds = media_decode_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio/wav")
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("hi", T.LongType()),
+        T.StructField("lo", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "hi", "lo",
+                                   "b0", "b1", "b2", "b3")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with _wave.open(_io.BytesIO(bytes(payload)), "rb") as wf:
+                    frames = wf.readframes(wf.getnframes())
+                a = _np.frombuffer(frames, dtype=_np.uint8).astype(_np.int64)
+                s = a.reshape(64, 4).sum(axis=1)
+                bits = [1 if int(s[b]) > int(s[b + 1]) else 0
+                        for b in range(63)] + [0]
+                val = 0
+                for k, b in enumerate(bits):
+                    val |= b << k
+                out["doc_id"].append(doc_id)
+                out["hi"].append((val >> 32) & 0xFFFFFFFF)
+                out["lo"].append(val & 0xFFFFFFFF)
+                out["b0"].append(val & 0xFFFF)
+                out["b1"].append((val >> 16) & 0xFFFF)
+                out["b2"].append((val >> 32) & 0xFFFF)
+                out["b3"].append((val >> 48) & 0xFFFF)
+            yield _pd.DataFrame(out)
+
+    return auds.mapInPandas(run, schema=schema)
+
+
+@declared_query(
+    "q_media_audio_dedup",
+    oracle=f"""
+        WITH blk AS (
+            SELECT doc_id,
+                   list_transform(range(0, 64), b ->
+                       ord(substring(p, b * 4 + 1, 1))
+                     + ord(substring(p, b * 4 + 2, 1))
+                     + ord(substring(p, b * 4 + 3, 1))
+                     + ord(substring(p, b * 4 + 4, 1))) AS s
+            FROM (SELECT doc_id,
+                         rpad(substring(text, 1, 256), 256, ' ') AS p
+                  FROM documents WHERE doc_id % 2 = 1)
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(32, 63), k ->
+                        CASE WHEN s[k + 1] > s[k + 2]
+                             THEN 1 << (k - 32) ELSE 0 END)) AS BIGINT)
+                     AS hi,
+                   CAST(list_sum(list_transform(range(0, 32), k ->
+                        CASE WHEN s[k + 1] > s[k + 2]
+                             THEN 1 << k ELSE 0 END)) AS BIGINT) AS lo
+            FROM blk
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi))
+              + bit_count(xor(a.lo, b.lo)) <= {AUDIO_FP_MAX_HAMMING}
+    """,
+)
+def q_media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dedup by delta-coded energy fingerprint: decode each
+    WAV payload, fingerprint its 4-sample block-energy envelope (bit b =
+    energy rising into block b+1 — Chromaprint's comparison step, pinned
+    integer-exact so the oracle replays it from the source text), and
+    emit every pair within Hamming distance {AUDIO_FP_MAX_HAMMING} —
+    the audio twin of q_media_phash_dedup.
+
+    Same pigeonhole-exact banded pairing: ≤ 3 differing bits across four
+    16-bit bands leaves one band identical, so the band-bucket equi-join
+    generates every qualifying pair; candidates verify with xor+bit_count
+    in codegen. Fingerprints are 16 bytes/clip; payloads never join.
+    """
+    hashes = _audio_fp_table(spark, sf_dir).persist()
+    bands = hashes.select(
+        "doc_id", "hi", "lo",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"), F.col("b0").alias("v")),
+            F.struct(F.lit(1).alias("band"), F.col("b1").alias("v")),
+            F.struct(F.lit(2).alias("band"), F.col("b2").alias("v")),
+            F.struct(F.lit(3).alias("band"), F.col("b3").alias("v")),
+        )).alias("bv"))
+    a = bands.select(F.col("doc_id").alias("doc_a"),
+                     F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
+                     F.col("bv.band").alias("band"),
+                     F.col("bv.v").alias("v"))
+    b = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
+                     F.col("bv.band").alias("band"),
+                     F.col("bv.v").alias("v"))
+    cand = (
+        a.join(b, ["band", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+    return (
+        cand.select("doc_a", "doc_b",
+                    hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= AUDIO_FP_MAX_HAMMING)
+    )

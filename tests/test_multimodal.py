@@ -207,3 +207,21 @@ def test_phash_banded_pairs_equal_brute_force(spark, sf_dir):
             if d <= PHASH_MAX_HAMMING:
                 brute[(a["doc_id"], b["doc_id"])] = d
     assert got == brute and len(got) > 0
+
+
+def test_audio_fp_banded_pairs_equal_brute_force(spark, sf_dir):
+    from clickhouse_mergetree_spark.operators.multimodal import (
+        AUDIO_FP_MAX_HAMMING, _audio_fp_table, q_media_audio_dedup)
+
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in q_media_audio_dedup(spark, sf_dir).collect()}
+    hs = _audio_fp_table(spark, sf_dir).collect()
+    brute = {}
+    for i, x in enumerate(hs):
+        for y in hs[i + 1:]:
+            a, b = sorted((x, y), key=lambda r: r["doc_id"])
+            d = (bin((a["hi"] ^ b["hi"])).count("1")
+                 + bin((a["lo"] ^ b["lo"])).count("1"))
+            if d <= AUDIO_FP_MAX_HAMMING:
+                brute[(a["doc_id"], b["doc_id"])] = d
+    assert got == brute and len(got) > 0
