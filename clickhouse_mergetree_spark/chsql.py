@@ -170,6 +170,13 @@ _RENAMES = {
     "replaceregexpall": "regexp_replace",
     "tounixtimestamp": "unix_timestamp",
     "fromunixtimestamp": "from_unixtime",
+    "stddevpop": "stddev_pop",
+    "stddevsamp": "stddev_samp",
+    "varpop": "var_pop",
+    "varsamp": "var_samp",
+    "covarpop": "covar_pop",
+    "covarsamp": "covar_samp",
+    "corr": "corr",
     "assumenotnull": "",             # identity: drop the wrapper
 }
 
@@ -225,6 +232,8 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
         return f"count_if({args[0]})"
     if low == "uniqexact":
         return f"count(DISTINCT {', '.join(args)})"
+    if low == "median":
+        return f"percentile({args[0]}, 0.5)"
     if low in _IF_COMBINATORS and low != "countif":
         agg = _IF_COMBINATORS[low]
         *vals, cond = args
@@ -340,7 +349,7 @@ _DISPATCH_RE = "|".join(
     sorted(
         {n for n in _RENAMES if _RENAMES[n] is not None}
         | set(_TRUNC) | set(_CASTS) | set(_IF_COMBINATORS)
-        | {"uniqexact"}
+        | {"uniqexact", "median"}
         | set(_LAMBDA_ARRAY)
         | {"multiif", "if", "intdiv", "modulo", "arrayjoin", "empty",
            "notempty", "splitbychar", "match",

@@ -252,3 +252,14 @@ def test_translate_refuses_dynamic_arguments():
         translate_select("SELECT formatDateTime(t, f) FROM t")
     with pytest.raises(ValueError, match="no 1:1 Java format"):
         translate_select("SELECT formatDateTime(t, '%Q') FROM t")
+
+
+def test_translate_stat_aggregates():
+    from clickhouse_mergetree_spark.chsql import translate_select
+
+    got = translate_select(
+        "SELECT median(v) AS m, stddevPop(v) AS sp, varSamp(v) AS vs, "
+        "covarPop(a, b) AS cp, corr(a, b) AS r FROM t GROUP BY g")
+    assert "percentile(v, 0.5)" in got
+    assert "stddev_pop(v)" in got and "var_samp(v)" in got
+    assert "covar_pop(a, b)" in got and "corr(a, b)" in got
