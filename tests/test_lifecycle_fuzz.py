@@ -101,7 +101,7 @@ def _apply_random_op(rng, t, m, counter):
     ops = ["insert", "insert", "insert", "flush", "add", "optimize",
            "adddx", "policy", "addindex", "matindex", "constraint"]
     if m.cols:
-        ops += ["drop", "rename", "modify", "clear", "final"]
+        ops += ["drop", "rename", "modify", "clear", "final", "matcol"]
     if m.rows:
         ops += ["lwdelete", "expire", "update"]
     if m.lw_pending:
@@ -297,6 +297,12 @@ def _apply_random_op(rng, t, m, counter):
         for (k, ts), v in [*m.rows.items(), *hidden]:
             v[name] = (k + ts if name in m.defexpr
                        else m.defaults.get(name))
+    elif op == "matcol":
+        # semantics-free by contract: reads already serve the
+        # transformed values, so the model is untouched — the walk
+        # checks the forced rewrite never changes visible rows
+        name, _typ = rng.choice(m.cols)
+        t.materialize_column(name)
     elif op == "optimize":
         m.lw_pending = None
         t.optimize()
