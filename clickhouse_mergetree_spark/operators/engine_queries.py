@@ -3710,3 +3710,67 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cur", "nxt", "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 9)
         .alias("p"))
+
+
+@declared_query(
+    "q_events_rfm",
+    oracle="""
+        WITH base AS (
+            SELECT user_id,
+                   max(epoch_us(ts)) AS last_us,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   round(sum(value), 6) AS monetary
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        anchor AS (SELECT max(last_us) AS now_us FROM base)
+        SELECT user_id,
+               CAST(floor((now_us - last_us) / 86400000000.0) AS BIGINT)
+                 AS recency_days,
+               frequency, monetary,
+               CAST(ntile(5) OVER (ORDER BY last_us, user_id) AS INT)
+                 AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT)
+                 AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS INT)
+                 AS m_score
+        FROM base CROSS JOIN anchor
+    """,
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) over purchase
+    events — the classic CRM scoring every analytics engine gets asked
+    for: days since last purchase (anchored at the corpus max so the
+    query is deterministic), purchase count, spend sum, and quintile
+    scores 1–5 for each axis (ntile with a user_id tiebreak so both
+    engines cut identical quintiles).
+
+    One partial+final agg on user_id collapses the corpus to one row per
+    purchaser; everything after — the 1-row anchor broadcast and three
+    ntile windows — runs over the user-cardinality table, not the event
+    stream. The three windows are the honest cost of exact quintiles
+    (three sorts of |users| rows); at extreme user counts they bucket
+    the same way q_stat_mannwhitney's rank note documents.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    base = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"))
+    anchor = base.agg(F.max("last_us").alias("now_us"))
+    return (
+        base.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.floor((F.col("now_us") - F.col("last_us")) / 86400000000.0)
+            .cast("bigint").alias("recency_days"),
+            "frequency", "monetary",
+            F.ntile(5).over(W.orderBy("last_us", "user_id"))
+            .cast("int").alias("r_score"),
+            F.ntile(5).over(W.orderBy("frequency", "user_id"))
+            .cast("int").alias("f_score"),
+            F.ntile(5).over(W.orderBy("monetary", "user_id"))
+            .cast("int").alias("m_score"),
+        )
+    )
