@@ -2748,3 +2748,55 @@ def q_agg_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_keys"),
         )
     )
+
+
+@declared_query(
+    "q_join_asof_forward",
+    oracle="""
+        SELECT event_id, user_id, ts_us, next_purchase_value,
+               next_purchase_us FROM (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   first_value(CASE WHEN event_type = 'purchase'
+                                    THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN 1 FOLLOWING
+                                    AND UNBOUNDED FOLLOWING)
+                     AS next_purchase_value,
+                   first_value(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts) END IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN 1 FOLLOWING
+                                    AND UNBOUNDED FOLLOWING)
+                     AS next_purchase_us
+            FROM events
+        )
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD ASOF join (ClickHouse ``ASOF JOIN ... ON l.ts <= r.ts``,
+    the `>=`-default's mirror): for every event, the NEXT purchase by
+    the same user — value and time — the time-to-conversion primitive
+    (q_join_asof is the backward twin).
+
+    Same single-window re-expression: an ASOF join where the right side
+    is a filtered view of the left collapses to first_value IGNORE NULLS
+    over a FOLLOWING frame — one hash(user_id) exchange, one per-user
+    sort shared by both outputs, no join operator, no row explosion.
+    Deterministic under timestamp ties via the event_id tiebreak.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"), "event_id")
+         .rowsBetween(1, W.unboundedFollowing))
+    pval = F.when(F.col("event_type") == "purchase", F.col("value"))
+    pts = F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+    return ev.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.first(pval, ignorenulls=True).over(w)
+        .alias("next_purchase_value"),
+        F.first(pts, ignorenulls=True).over(w)
+        .alias("next_purchase_us"),
+    )
