@@ -1763,7 +1763,9 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY user_id, event_type
         )
         SELECT user_id,
-               string_agg(event_type || '=' || printf('%.6f', s), ','
+               string_agg(event_type || '=' ||
+                          CASE WHEN s IS NULL THEN 'NULL'
+                               ELSE printf('%.6f', s) END, ','
                           ORDER BY event_type) AS sum_map,
                string_agg(event_type || '=' || CAST(n AS STRING), ','
                           ORDER BY event_type) AS count_map,
@@ -1792,7 +1794,12 @@ def q_agg_summap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pair_s = F.struct(
         F.col("event_type"),
-        F.format_string("%.6f", F.col("s")).alias("sv"),
+        # all-NULL groups sum to NULL: serialize as the shared 'NULL'
+        # sentinel on BOTH engines (Java format_string would render
+        # 'null' while DuckDB's printf NULL makes string_agg drop the
+        # whole element) — the q_agg_grouparray contract
+        F.when(F.col("s").isNull(), F.lit("NULL"))
+        .otherwise(F.format_string("%.6f", F.col("s"))).alias("sv"),
         F.col("n").cast("string").alias("nv"))
     return (
         g.groupBy("user_id")
