@@ -153,7 +153,6 @@ _RENAMES = {
     "arrayconcat": "concat",
     "arrayuniq": "array_distinct",
     "arrayflatten": "flatten",
-    "arraystringconcat": "array_join",
     "lengthutf8": "length",
     "lowerutf8": "lower",
     "upperutf8": "upper",
@@ -234,6 +233,11 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
         return f"count(DISTINCT {', '.join(args)})"
     if low == "median":
         return f"percentile({args[0]}, 0.5)"
+    if low == "arraystringconcat":
+        # CH separator is OPTIONAL (default ''); Spark's array_join
+        # requires one — caught by the registry-wide parse sweep
+        sep = args[1] if len(args) > 1 else "''"
+        return f"array_join({args[0]}, {sep})"
     if low in _IF_COMBINATORS and low != "countif":
         agg = _IF_COMBINATORS[low]
         *vals, cond = args
@@ -349,7 +353,7 @@ _DISPATCH_RE = "|".join(
     sorted(
         {n for n in _RENAMES if _RENAMES[n] is not None}
         | set(_TRUNC) | set(_CASTS) | set(_IF_COMBINATORS)
-        | {"uniqexact", "median"}
+        | {"uniqexact", "median", "arraystringconcat"}
         | set(_LAMBDA_ARRAY)
         | {"multiif", "if", "intdiv", "modulo", "arrayjoin", "empty",
            "notempty", "splitbychar", "match",

@@ -263,3 +263,62 @@ def test_translate_stat_aggregates():
     assert "percentile(v, 0.5)" in got
     assert "stddev_pop(v)" in got and "var_samp(v)" in got
     assert "covar_pop(a, b)" in got and "corr(a, b)" in got
+
+
+def test_every_rename_translation_parses_in_spark(spark):
+    """Safety net over the whole rename/cast/trunc tables: each
+    translated call must at least PARSE as Spark SQL (catalyst analysis
+    against a typed dummy view) — catches rename-table typos and
+    arity drift without hand-writing a case per function."""
+    from clickhouse_mergetree_spark import chsql
+
+    spark.sql(
+        "SELECT 'a,b' AS s, 1.5d AS x, 7L AS i, "
+        "CAST('2024-01-02 03:04:05' AS TIMESTAMP) AS ts_c, "
+        "array(1, 2) AS arr"
+    ).createOrReplaceTempView("chsql_parse_probe")
+    # (ch_name, args) — typed so analysis succeeds, not just parsing
+    arg_for = {
+        "todate": "ts_c", "todatetime": "s", "toyear": "ts_c",
+        "tomonth": "ts_c", "todayofmonth": "ts_c", "todayofweek": "ts_c",
+        "tohour": "ts_c", "tominute": "ts_c", "tosecond": "ts_c",
+        "grouparray": "i", "groupargray": "i", "groupuniqarray": "i",
+        "uniq": "i", "any": "i", "anylast": "i",
+        "argmax": "i, x", "argmin": "i, x",
+        "has": "arr, 1", "indexof": "arr, 1", "arrayelement": "arr, 1",
+        "arraysort": "arr", "arrayreverse": "arr",
+        "arrayconcat": "arr, arr", "arrayuniq": "arr",
+        "arrayflatten": "array(arr)",
+        "lengthutf8": "s", "lowerutf8": "s", "upperutf8": "s",
+        "lcase": "s", "ucase": "s", "position": "s, 'a'",
+        "ifnull": "s, 'd'", "startswith": "s, 'a'", "endswith": "s, 'a'",
+        "trimboth": "s", "trimleft": "s", "trimright": "s",
+        "replaceall": "s, 'a', 'b'",
+        "replaceregexpall": "s, 'a', 'b'",
+        "tounixtimestamp": "ts_c", "fromunixtimestamp": "i",
+        "stddevpop": "x", "stddevsamp": "x", "varpop": "x",
+        "varsamp": "x", "covarpop": "x, x", "covarsamp": "x, x",
+        "corr": "x, x", "assumenotnull": "s",
+    }
+    missing = set(chsql._RENAMES) - set(arg_for)
+    assert not missing, f"add probe args for {missing}"
+    for low, args in arg_for.items():
+        sql = chsql.translate_select(
+            f"SELECT {low}({args}) AS r FROM chsql_parse_probe")
+        spark.sql(sql).schema  # forces full catalyst analysis
+    for low in chsql._TRUNC:
+        spark.sql(chsql.translate_select(
+            f"SELECT {low}(ts_c) AS r FROM chsql_parse_probe")).schema
+    for low in chsql._CASTS:
+        spark.sql(chsql.translate_select(
+            f"SELECT {low}(i) AS r FROM chsql_parse_probe")).schema
+    spark.catalog.dropTempView("chsql_parse_probe")
+
+
+def test_arraystringconcat_optional_separator():
+    from clickhouse_mergetree_spark.chsql import translate_select
+
+    assert translate_select("SELECT arrayStringConcat(a) FROM t") \
+        == "SELECT array_join(a, '') FROM t"
+    assert translate_select("SELECT arrayStringConcat(a, '-') FROM t") \
+        == "SELECT array_join(a, '-') FROM t"
