@@ -3774,3 +3774,53 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("m_score"),
         )
     )
+
+
+GAP_THRESHOLD_US = 6 * 3600 * 1000000  # 6 hours
+
+
+@declared_query(
+    "q_ts_gaps",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev_us
+            FROM events
+        )
+        SELECT user_id, prev_us AS gap_start_us, ts_us AS gap_end_us,
+               ts_us - prev_us AS gap_us
+        FROM seq
+        WHERE prev_us IS NOT NULL
+          AND ts_us - prev_us > {GAP_THRESHOLD_US}
+    """,
+)
+def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap detection: every silent interval longer than 6
+    hours in each user's event stream, with its boundaries — the
+    monitoring primitive behind "did ingestion stall?" and "which
+    devices went dark?" dashboards (the complement of WITH FILL, which
+    papers over the gaps this query surfaces).
+
+    One lag() over the per-user (ts, event_id) order — a single
+    hash(user_id) exchange and sort, O(1) state per row, then a
+    stateless filter. The deterministic tiebreak makes gap boundaries
+    well-defined under equal timestamps on both engines. At 100 TB this
+    is the cheapest possible shape for the question: no self-join, no
+    windowing by wall-clock buckets, no densification.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"))
+    return (
+        seq.filter(F.col("prev_us").isNotNull()
+                   & (F.col("ts_us") - F.col("prev_us") > GAP_THRESHOLD_US))
+        .select("user_id",
+                F.col("prev_us").alias("gap_start_us"),
+                F.col("ts_us").alias("gap_end_us"),
+                (F.col("ts_us") - F.col("prev_us")).alias("gap_us"))
+    )
