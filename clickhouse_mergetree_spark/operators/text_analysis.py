@@ -1434,3 +1434,55 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_text"),
         )
     )
+
+
+CURRICULUM_BANDS = 5
+
+
+@declared_query(
+    "q_curriculum_order",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, n_chars,
+                   ntile({CURRICULUM_BANDS}) OVER (ORDER BY n_chars, doc_id)
+                     AS band,
+                   md5(CAST(doc_id AS VARCHAR) || ':curriculum')
+                     AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id, CAST(band AS INT) AS band,
+               CAST(row_number() OVER (ORDER BY band, shuffle_key, doc_id)
+                    AS BIGINT) AS position
+        FROM scored
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: documents banded easy→hard by a
+    difficulty proxy (length, the standard first-order curriculum
+    signal), then deterministically SHUFFLED within each band — the
+    "sorted between bands, random within" layout curriculum-learning
+    data loaders consume. The shuffle key is a seeded hash of doc_id, so
+    the order is reproducible run-to-run and engine-to-engine (the
+    q_corpus_shuffle contract: md5 of the seeded id, identical text on
+    both engines).
+
+    Two global sorts over (doc_id, n_chars)-wide rows — the honest cost
+    of a total order, exactly what writing the final dataset requires
+    anyway; no data moves besides the ids. Band count is fixed; at
+    100 TB the banding degrades gracefully to range-partitioned writes
+    per band with the same keys.
+    """
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.ntile(CURRICULUM_BANDS)
+        .over(W.orderBy("n_chars", "doc_id")).alias("band"),
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":curriculum"))).alias("shuffle_key"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("band").cast("int").alias("band"),
+        F.row_number().over(
+            W.orderBy("band", "shuffle_key", "doc_id"))
+        .cast("bigint").alias("position"))
