@@ -642,3 +642,62 @@ def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.query(3, 7).select(
         "key", "ts_us",
         F.col("value").cast("double").alias("value_sum"))
+
+
+TOPK_PER_WINDOW = 3
+
+
+@declared_query(
+    "q_stream_topk",
+    oracle=f"""
+        WITH agg AS (
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT window_start, event_type, n,
+                   row_number() OVER (PARTITION BY window_start
+                                      ORDER BY n DESC, event_type)
+                     AS rnk
+            FROM agg
+        )
+        SELECT window_start,
+               CAST(rnk AS INT) AS rnk, event_type, n
+        FROM ranked WHERE rnk <= {TOPK_PER_WINDOW}
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed TOP-K (speed-layer + serving split): the
+    STREAM maintains per-(hour window, event_type) counts — the only
+    state that must be incrementally correct — and the top-{TOPK_PER_WINDOW}
+    ranking runs as a batch query over the drained sink table, because
+    rank-over-aggregate is not incrementally maintainable in Structured
+    Streaming (Spark refuses it) and every real dashboard does exactly
+    this: aggregate in the stream, rank at serve time.
+
+    The streaming side is one keyed state per (window, type) — bounded
+    by vocabulary × open windows, the same state budget as
+    q_stream_tumbling; the serving side ranks |windows × types| rows.
+    Bounded replay == batch recomputation, so the DuckDB oracle pins the
+    full pipeline.
+    """
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = run_to_memory(agg, "complete")
+    from pyspark.sql import Window as W
+    rnk = F.row_number().over(
+        W.partitionBy("w").orderBy(F.desc("n"), "event_type"))
+    return (
+        counts.select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "w", "event_type", "n", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= TOPK_PER_WINDOW)
+        .select("window_start", F.col("rnk").cast("int").alias("rnk"),
+                "event_type", "n")
+    )
