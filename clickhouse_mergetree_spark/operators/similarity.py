@@ -1329,3 +1329,72 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rnk", "vec_id",
                 F.round("cos_raw", 9).alias("cosine"))
     )
+
+
+OUTLIER_TOP_N = 20
+
+
+@declared_query(
+    "q_embed_outliers",
+    oracle=f"""
+        WITH dims AS (
+            SELECT vec_id, label, e.i AS i, e.v AS v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i,
+                                 unnest(embedding) AS v) e
+        ),
+        cent AS (
+            SELECT label, i, avg(CAST(v AS DOUBLE)) AS c
+            FROM dims GROUP BY label, i
+        ),
+        dist AS (
+            SELECT d.vec_id, d.label,
+                   sqrt(sum(pow(CAST(d.v AS DOUBLE) - c.c, 2))) AS l2
+            FROM dims d JOIN cent c ON d.label = c.label AND d.i = c.i
+            GROUP BY d.vec_id, d.label
+        )
+        SELECT vec_id, label, round(l2, 6) AS dist
+        FROM dist
+        ORDER BY round(l2, 6) DESC, vec_id
+        LIMIT {OUTLIER_TOP_N}
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screen: the {OUTLIER_TOP_N} vectors farthest
+    (L2) from their own label's centroid — the data-quality pass that
+    catches mislabeled/corrupted vectors before they poison an ANN index
+    or a classifier head.
+
+    Centroids come from ONE partial+final agg keyed by (label, dim) —
+    the q_agg_foreach shape, fixed-width partials with map-side combine
+    — then reassemble per label (labels × dim doubles, KB-scale) and
+    BROADCAST back onto the vector scan: each row computes its distance
+    in a single zip_with fold inside codegen, no shuffle of the
+    embedding column at all. The oracle re-derives distances through an
+    independent unnest/join formulation, so the hash cross-proves both.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    cent = (
+        per_dim.groupBy("label")
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "c"))),
+            lambda r: r["c"]).alias("centroid"))
+    )
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("embedding", "centroid",
+                   lambda x, ci: (x.cast("double") - ci)
+                   * (x.cast("double") - ci)),
+        F.lit(0.0), lambda acc, t: acc + t))
+    return (
+        emb.join(F.broadcast(cent), "label")
+        # order by the ROUNDED distance (the emitted value) so the
+        # LIMIT boundary can't flip on sub-1e-6 accumulation-order ulps
+        .select("vec_id", "label", F.round(dist, 6).alias("dist"))
+        .orderBy(F.desc("dist"), "vec_id")
+        .limit(OUTLIER_TOP_N)
+    )

@@ -1486,3 +1486,74 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             W.orderBy("band", "shuffle_key", "doc_id"))
         .cast("bigint").alias("position"))
+
+
+ZIPF_TOP_N = 200
+
+
+@declared_query(
+    "q_text_zipf",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        freq AS (
+            SELECT token, count(*) AS n FROM tok
+            WHERE token <> '' GROUP BY token
+        ),
+        ranked AS (
+            SELECT token, n,
+                   row_number() OVER (ORDER BY n DESC, token) AS rnk
+            FROM freq
+        ),
+        top AS (
+            SELECT ln(rnk) AS x, ln(n) AS y FROM ranked
+            WHERE rnk <= {ZIPF_TOP_N}
+        ),
+        m AS (
+            SELECT count(*) AS c, avg(x) AS mx, avg(y) AS my,
+                   avg(x * y) AS mxy, avg(x * x) AS mxx
+            FROM top
+        )
+        SELECT CAST(c AS BIGINT) AS n_ranks,
+               round((mxy - mx * my) / (mxx - mx * mx), 6) AS zipf_slope,
+               round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6)
+                 AS zipf_intercept
+        FROM m
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: OLS slope
+    of log(frequency) on log(rank) over the top {ZIPF_TOP_N} tokens —
+    the sanity statistic corpus-quality reports lead with (natural text
+    sits near −1; templated/generated corpora drift shallow or steep).
+
+    One token-count aggregate compresses the corpus to its vocabulary,
+    one window ranks it, and the regression is a closed-form moment
+    aggregate over {ZIPF_TOP_N} rows (the q_agg_linreg shape). The only
+    corpus-sized operation is the token count — explode + partial+final
+    hash agg, exactly q_text_tf's plan.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    freq = (tok.filter(F.col("token") != "")
+            .groupBy("token").agg(F.count("*").alias("n")))
+    ranked = freq.select(
+        "n", F.row_number().over(W.orderBy(F.desc("n"), "token"))
+        .alias("rnk"))
+    top = ranked.filter(F.col("rnk") <= ZIPF_TOP_N).select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"))
+    m = top.agg(
+        F.count("*").alias("c"), F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"))
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) \
+        / (F.col("mxx") - F.col("mx") * F.col("mx"))
+    return m.select(
+        F.col("c").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6)
+        .alias("zipf_intercept"))
