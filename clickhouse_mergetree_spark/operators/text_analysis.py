@@ -1557,3 +1557,58 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(F.col("my") - slope * F.col("mx"), 6)
         .alias("zipf_intercept"))
+
+
+@declared_query(
+    "q_dataset_card",
+    oracle="""
+        WITH per_doc AS (
+            SELECT source, lang, n_chars,
+                   sha256(text) AS h,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 6) AS mean_chars,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+               round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6)
+                 AS dup_rate,
+               string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+        FROM per_doc
+        GROUP BY source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics per source — the summary table a corpus
+    release ships (HuggingFace dataset-card style): document and token
+    counts, size, exact-dup rate (1 − distinct content hashes / docs),
+    and the language inventory as a canonical sorted string.
+
+    One pass: per-doc projections (hash, whitespace token count) ride
+    the scan row-locally, then a single partial+final agg per source.
+    countDistinct over the 256-bit hash is the exact-dup measurement —
+    at 100 TB one swaps it for the HLL state (q_uniq_state_merge) with
+    a documented error bar; everything else is O(sources) output.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", "lang", "n_chars",
+        F.sha2("text", 256).alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("h").alias("n_unique"),
+            F.round(1.0 - F.countDistinct("h") / F.count("*"), 6)
+            .alias("dup_rate"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",")
+            .alias("langs"),
+        )
+    )
