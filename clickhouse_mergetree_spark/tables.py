@@ -107,7 +107,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     different sf_dir re-registers (the driver and tests use one sf_dir
     per session, but correctness never depends on the memo)."""
     try:
-        if spark.conf.get(_VIEWS_KEY) == sf_dir:
+        if (spark.conf.get(_VIEWS_KEY) == sf_dir
+                and spark.catalog.tableExists(TABLE_NAMES[0])):
+            # trust the memo only while the views actually exist — a
+            # caller dropping a temp view would otherwise strand every
+            # later register_views call on a stale memo
             return
     except Exception:
         pass

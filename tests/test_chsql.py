@@ -103,10 +103,15 @@ def test_multiif_arity_checked():
 
 @pytest.fixture(scope="module")
 def views(spark, sf_dir):
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
-        "events")
+    # use the shared registrar (and do NOT drop at teardown): other test
+    # modules and the plan-shape lints rely on the same session views,
+    # and register_views memoizes per session — a drop here left the
+    # memo stale and broke every later register_views caller (caught by
+    # the full-suite order interaction, r7)
+    from clickhouse_mergetree_spark.tables import register_views
+
+    register_views(spark, sf_dir)
     yield
-    spark.catalog.dropTempView("events")
 
 
 def test_ch_aggregate_query_end_to_end(spark, duck, views):
