@@ -44,7 +44,9 @@ NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_sim_search_pq",
                   # grouped relation — O(groups·1), the closed-form
                   # test-statistic shape, never corpus-sized
                   "q_stat_ttest", "q_stat_mannwhitney",
-                  "q_stat_association"}
+                  "q_stat_association",
+                  # 1-row recency anchor broadcast onto the per-user agg
+                  "q_events_rfm"}
 
 _QUERIES = sorted(all_queries())
 
