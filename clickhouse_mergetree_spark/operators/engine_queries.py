@@ -3824,3 +3824,70 @@ def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts_us").alias("gap_end_us"),
                 (F.col("ts_us") - F.col("prev_us")).alias("gap_us"))
     )
+
+
+@declared_query(
+    "q_events_cohort_matrix",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   CAST(floor(date_diff('day', f.cohort_week,
+                                        CAST(date_trunc('week', e.ts)
+                                             AS DATE)) / 7.0) AS BIGINT)
+                     AS week_offset
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        ),
+        sizes AS (
+            SELECT cohort_week, count(*) AS cohort_size
+            FROM firsts GROUP BY cohort_week
+        )
+        SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+               a.week_offset,
+               CAST(count(*) AS BIGINT) AS n_active,
+               s.cohort_size,
+               round(count(*) * 1.0 / s.cohort_size, 6) AS retention
+        FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+        GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+)
+def q_events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    each cell = share of the cohort active in week N after joining —
+    the classic product-analytics triangle (q_events_retention's day-N
+    check generalized to the full grid).
+
+    Three aggregates, all user-keyed or cohort-keyed: first-week per
+    user (one agg), distinct (user, week-offset) activity (one agg over
+    the firsts join — the join key is user_id, co-partitioned with the
+    first agg's output so AQE plans it shuffle-free on the fact side's
+    existing partitioning), cohort sizes (aggregating the tiny firsts
+    table). The matrix itself is |cohorts × offsets| rows — dashboard-
+    sized at any corpus scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    week = F.to_date(F.date_trunc("week", "ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort_week",
+                F.floor(F.datediff(week, F.col("cohort_week")) / 7.0)
+                .cast("bigint").alias("week_offset"))
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size"))
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset", "n_active", "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6)
+            .alias("retention"))
+    )
