@@ -847,3 +847,51 @@ def q_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (-F.col("b.neg_chars")).alias("rep_n_chars"),
                 "n_members")
     )
+
+
+@declared_query(
+    "q_ngram_novelty",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        firsts AS (
+            SELECT shingle, min(doc_id) AS first_doc
+            FROM sh GROUP BY shingle
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = s.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN f.first_doc = s.doc_id
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                 AS novelty
+        FROM sh s JOIN firsts f ON s.shingle = f.shingle
+        GROUP BY s.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's distinct
+    3-token shingles whose first corpus occurrence (min doc_id, the
+    ingestion order) is this document — the incremental-value metric a
+    crawl pipeline uses to rank candidate documents ("mostly-seen text"
+    scores near 0, fresh content near 1; the rolling complement of the
+    batch dedup screens).
+
+    Two shuffles on the 8-byte shingle key: the global first-occurrence
+    aggregate (min doc_id per shingle — map-side combine collapses
+    repeats) and the join back onto the per-doc shingle stream, then one
+    doc-keyed agg. No pairwise anything: cost is linear in total
+    shingles at any corpus size, the same inventory q_dedup_ngram_*
+    already builds (in production the firsts table is maintained
+    incrementally, the q_dedup_incremental pattern).
+    """
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"),
+             novel.alias("n_novel"),
+             F.round(novel / F.count("*"), 6).alias("novelty"))
+    )

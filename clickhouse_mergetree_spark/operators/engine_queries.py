@@ -3891,3 +3891,60 @@ def q_events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_active") / F.col("cohort_size"), 6)
             .alias("retention"))
     )
+
+
+ANOMALY_WINDOW = 20
+ANOMALY_Z = 3.0
+
+
+@declared_query(
+    "q_events_anomaly",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                   avg(value) OVER w AS mu,
+                   stddev_samp(value) OVER w AS sigma,
+                   count(*) OVER w AS n_hist
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {ANOMALY_WINDOW} PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id, ts_us, value,
+               round(mu, 6) AS mu,
+               round((value - mu) / sigma, 6) AS z
+        FROM seq
+        WHERE n_hist >= 10 AND sigma > 0
+          AND abs((value - mu) / sigma) > {ANOMALY_Z}
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: every event whose value sits
+    more than {ANOMALY_Z}σ from its own user's trailing-{ANOMALY_WINDOW}
+    mean — the self-baselining monitor that flags per-entity outliers
+    without any global threshold (a user whose values run hot isn't
+    flagged for being hot, only for deviating from their own history).
+
+    One window spec computes mean, sample std, and history count over
+    the same bounded trailing frame — a single hash(user_id) exchange
+    and per-user sort, O(frame) state per row, stateless filter after.
+    The warm-up guard (≥10 prior points) and σ>0 keep the statistic
+    defined; both engines share Bessel-corrected stddev_samp exactly.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-ANOMALY_WINDOW, -1))
+    seq = ev.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ts_us"), "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_hist"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        seq.filter((F.col("n_hist") >= 10) & (F.col("sigma") > 0)
+                   & (F.abs(z) > ANOMALY_Z))
+        .select("user_id", "event_id", "ts_us", "value",
+                F.round("mu", 6).alias("mu"),
+                F.round(z, 6).alias("z"))
+    )

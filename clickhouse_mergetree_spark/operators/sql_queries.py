@@ -20,10 +20,11 @@ the map output before the exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
 
 from clickhouse_mergetree_spark.registry import declared_query
-from clickhouse_mergetree_spark.tables import register_views
+from clickhouse_mergetree_spark.tables import load, register_views
 
 _REVENUE = (
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
@@ -910,3 +911,72 @@ def q_ch_dialect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return ch_sql(spark, _CH_ARRAYS_SQL)
+
+
+@declared_query(
+    "q_pareto_abc",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey AS partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                     AS revenue
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT partkey, revenue,
+                   sum(revenue) OVER (ORDER BY revenue DESC, partkey)
+                     AS cum_rev,
+                   sum(revenue) OVER () AS total_rev
+            FROM rev
+        ),
+        classed AS (
+            SELECT CASE WHEN cum_rev <= 0.8 * total_rev THEN 'A'
+                        WHEN cum_rev <= 0.95 * total_rev THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   revenue
+            FROM ranked
+        )
+        SELECT abc_class,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(revenue) AS DOUBLE) AS class_revenue
+        FROM classed GROUP BY abc_class
+    """,
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by revenue: the 80/95%
+    cumulative-share cut (A = parts covering the first 80% of revenue,
+    B to 95%, C the tail) — the inventory-analytics staple behind "which
+    SKUs matter". DECIMAL revenue keeps the cumulative thresholds exact,
+    so the class boundaries cannot drift between engines on sum order.
+
+    One partkey-keyed aggregate collapses lineitem to |parts| rows; the
+    cumulative share is a single global revenue-descending window (the
+    honest cost of a Pareto curve — ClickHouse pays the same sort), and
+    the output is 3 rows. At 100 TB the windowed relation is the part
+    dimension, never the fact table.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                   * (1 - F.col("l_discount").cast("decimal(18,2)")))
+             .alias("revenue"))
+    )
+    wcum = (W.orderBy(F.desc("revenue"), "partkey")
+            .rowsBetween(W.unboundedPreceding, 0))
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(wcum).alias("cum_rev"),
+        F.sum("revenue").over(wall).alias("total_rev"))
+    classed = ranked.select(
+        "revenue",
+        F.when(F.col("cum_rev") <= 0.8 * F.col("total_rev"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("total_rev"), "B")
+        .otherwise("C").alias("abc_class"))
+    return (
+        classed.groupBy("abc_class")
+        .agg(F.count("*").alias("n_parts"),
+             F.sum("revenue").cast("double").alias("class_revenue"))
+    )
