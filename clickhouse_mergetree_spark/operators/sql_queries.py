@@ -980,3 +980,68 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_parts"),
              F.sum("revenue").cast("double").alias("class_revenue"))
     )
+
+
+@declared_query(
+    "q_orders_backlog",
+    oracle="""
+        WITH ship AS (
+            SELECT l_orderkey, max(l_shipdate) AS shipped_at
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        pts AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   1 AS delta
+            FROM orders
+            UNION ALL
+            SELECT CAST(date_trunc('month', shipped_at) AS DATE) AS m,
+                   -1 AS delta
+            FROM orders JOIN ship ON o_orderkey = l_orderkey
+        )
+        SELECT strftime(m, '%Y-%m') AS month,
+               CAST(sum(sum(delta)) OVER (ORDER BY m) AS BIGINT)
+                 AS open_backlog,
+               CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS placed,
+               CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS completed
+        FROM pts GROUP BY m
+    """,
+)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order BACKLOG time series: per month, orders placed,
+    orders completed (last line item shipped), and the running count of
+    orders still open — the interval-arithmetic shape (+1 at open, −1 at
+    close, running sum) that q_max_intersections uses for peak
+    concurrency, applied to the order lifecycle at month grain.
+
+    One orderkey agg finds each order's completion date (partial+final,
+    map-side combine), the ±1 point set collapses to |months| rows in a
+    second agg, and the running sum is a window over that dashboard-
+    sized series — the corpus is touched exactly twice (orders scan +
+    lineitem scan), never joined to itself.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("shipped_at"))
+    month = lambda c: F.to_date(F.date_trunc("month", c))
+    pts = (
+        orders.select(month("o_orderdate").alias("m"),
+                      F.lit(1).alias("delta"))
+        .unionByName(
+            orders.join(ship, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(month("shipped_at").alias("m"),
+                    F.lit(-1).alias("delta")))
+    )
+    agg = pts.groupBy("m").agg(
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("placed"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+        .alias("completed"))
+    return agg.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        F.sum("net").over(
+            W.orderBy("m").rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint").alias("open_backlog"),
+        "placed", "completed")
