@@ -463,3 +463,76 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     views: one-string translation, then ``spark.sql`` — Catalyst sees
     plain Spark SQL and optimizes it like any hand-written query."""
     return spark.sql(translate_select(sql))
+
+
+class ClickHouseSession:
+    """Unified "paste any ClickHouse statement" front end: routes each
+    statement to the engine or translator that owns its semantics —
+    CREATE TABLE → ``create_table_from_ddl`` (a SparkMergeTree under
+    this session's base directory), ALTER/OPTIMIZE/TRUNCATE/INSERT/
+    DESCRIBE/etc. on a known table → ``execute_ddl``, SELECT → the
+    dialect translator over the session's registered views PLUS a view
+    per created engine table (refreshed after mutating statements, so a
+    SELECT observes its own session's writes). DROP TABLE closes and
+    removes the engine table.
+
+    This is the migration surface in one object: a runbook or dashboard
+    script executes top to bottom unchanged. Each statement stays on its
+    owner's scale path — engine DDL is manifest-metadata work, SELECTs
+    are Catalyst plans; the router itself never touches data.
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        import os
+
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+        self.tables: dict[str, object] = {}
+
+    def _refresh_view(self, name: str) -> None:
+        self.tables[name].query_all().createOrReplaceTempView(name)
+
+    def execute(self, sql: str):
+        import os
+        import re as _re
+
+        from clickhouse_mergetree_spark.engine.ddl import (
+            create_table_from_ddl, execute_ddl)
+
+        s = sql.strip().rstrip(";").strip()
+        m = _re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                      r"(?:[\w`]+\.)?([\w`]+)", s)
+        if m:
+            name = m.group(1).strip("`")
+            self.tables[name] = create_table_from_ddl(
+                self.spark, os.path.join(self.base_dir, name), s)
+            self._refresh_view(name)
+            return self.tables[name]
+        m = _re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+                      r"(?:[\w`]+\.)?([\w`]+)$", s)
+        if m:
+            name = m.group(1).strip("`")
+            t = self.tables.pop(name, None)
+            if t is None:
+                if _re.search(r"(?i)IF\s+EXISTS", s):
+                    return None
+                raise ValueError(f"unknown table {name!r}")
+            t.close()
+            self.spark.catalog.dropTempView(name)
+            return None
+        m = _re.match(r"(?is)^(ALTER\s+TABLE|OPTIMIZE\s+TABLE|TRUNCATE"
+                      r"\s+TABLE|INSERT\s+INTO|DESC(?:RIBE)?(?:\s+TABLE)?|"
+                      r"SHOW\s+CREATE\s+TABLE|SYSTEM\s+\w+\s+MERGES)\s+"
+                      r"(?:[\w`]+\.)?([\w`]+)", s)
+        if m:
+            name = m.group(2).strip("`")
+            if name not in self.tables:
+                raise ValueError(f"unknown table {name!r} (created tables: "
+                                 f"{sorted(self.tables)})")
+            out = execute_ddl(self.tables[name], s)
+            self._refresh_view(name)
+            return out
+        if _re.match(r"(?is)^(SELECT|WITH)\b", s):
+            return ch_sql(self.spark, s)
+        raise ValueError(f"unroutable statement: {s[:80]!r}")

@@ -327,3 +327,36 @@ def test_arraystringconcat_optional_separator():
         == "SELECT array_join(a, '') FROM t"
     assert translate_select("SELECT arrayStringConcat(a, '-') FROM t") \
         == "SELECT array_join(a, '-') FROM t"
+
+
+def test_clickhouse_session_runbook(spark, tmp_path):
+    """A CH runbook executes top-to-bottom through one router: CREATE,
+    INSERTs, ALTER, OPTIMIZE, dialect SELECT observing the writes,
+    DESCRIBE, DROP."""
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+
+    sess = ClickHouseSession(spark, str(tmp_path))
+    sess.execute("""
+        CREATE TABLE kv (
+            k String,
+            ts UInt64,
+            score Float64
+        ) ENGINE = MergeTree() ORDER BY (k, ts)
+    """)
+    sess.execute("INSERT INTO kv VALUES ('a', 1, 1.5), ('b', 2, 2.5)")
+    sess.execute("INSERT INTO kv VALUES ('a', 3, 9.0)")
+    sess.execute("ALTER TABLE kv ADD COLUMN boost Float64 DEFAULT 1.0")
+    sess.execute("OPTIMIZE TABLE kv FINAL")
+    rows = {r["k"]: r for r in sess.execute(
+        "SELECT k, argMax(score, ts) AS last_score, "
+        "sumIf(boost, score > 2) AS hot_boost "
+        "FROM kv GROUP BY k").collect()}
+    # dedup mode: (a,3) supersedes (a,1)
+    assert rows["a"]["last_score"] == 9.0
+    assert rows["b"]["last_score"] == 2.5
+    desc = {r["name"] for r in sess.execute("DESCRIBE TABLE kv").collect()}
+    assert desc == {"k", "ts", "score", "boost"}
+    sess.execute("DROP TABLE kv")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown table"):
+        sess.execute("OPTIMIZE TABLE kv")
