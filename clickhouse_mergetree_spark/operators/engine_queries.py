@@ -3948,3 +3948,67 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("mu", 6).alias("mu"),
                 F.round(z, 6).alias("z"))
     )
+
+
+@declared_query(
+    "q_events_dau_wau",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM pairs)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT CASE WHEN p.day = d.day
+                                        THEN p.user_id END) AS BIGINT)
+                 AS dau,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau,
+               round(count(DISTINCT CASE WHEN p.day = d.day
+                                         THEN p.user_id END) * 1.0
+                     / count(DISTINCT p.user_id), 6) AS stickiness
+        FROM days d
+        JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """,
+)
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness per day (the engagement dashboard's
+    headline row): daily distinct actives, trailing-7-day distinct
+    actives, and their ratio. Distinct-over-a-sliding-window does NOT
+    decompose into window aggregates (distinct isn't subtractable), so
+    the standard exact shape is: dedup the corpus to (day, user) pairs
+    ONCE, then join the day spine onto the pairs with a 7-day band and
+    count distinct per day.
+
+    Cost at scale: the corpus-sized work is the ONE (day, user) dedup
+    agg; each pair then EXPLODES to the ≤7 spine days it covers (a fixed
+    ×7 multiplier — turning the range condition into an EQUI key, so the
+    spine attach is a broadcast hash join, never a nested loop), and the
+    final distinct-count agg runs over |days × daily-actives × 7| — the
+    engagement table, not the event stream. ClickHouse does the same via
+    uniqExact over range-joined days (or uniqState merges for the
+    approximate tier, which is this plan with the HLL swap).
+    """
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = pairs.select("day").distinct()
+    d = days.select(F.col("day").alias("spine_day"))
+    expanded = pairs.select(
+        "day", "user_id",
+        F.explode(F.sequence(
+            F.col("day"), F.date_add(F.col("day"), 6))).alias("spine_day"))
+    # inner equi-join to the observed-day spine drops synthetic spine
+    # days past the corpus edge (exactly the oracle's days set)
+    joined = expanded.join(F.broadcast(d), "spine_day")
+    return (
+        joined.groupBy("spine_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("spine_day"),
+                       F.col("user_id"))).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .select(
+            F.date_format("spine_day", "yyyy-MM-dd").alias("day"),
+            "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"))
+    )

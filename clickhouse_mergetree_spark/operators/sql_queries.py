@@ -1045,3 +1045,52 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.orderBy("m").rowsBetween(W.unboundedPreceding, 0))
         .cast("bigint").alias("open_backlog"),
         "placed", "completed")
+
+
+@declared_query(
+    "q_sql_qoq_growth",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                     AS quarter,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(quarter, '%Y-%m') AS quarter,
+               CAST(revenue AS DOUBLE) AS revenue, n_orders,
+               round(CAST(revenue AS DOUBLE)
+                     / lag(CAST(revenue AS DOUBLE))
+                         OVER (ORDER BY quarter) - 1, 6) AS qoq_growth,
+               round(CAST(revenue AS DOUBLE)
+                     / lag(CAST(revenue AS DOUBLE), 4)
+                         OVER (ORDER BY quarter) - 1, 6) AS yoy_growth
+        FROM q
+    """,
+)
+def q_sql_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter and year-over-year revenue growth: exact
+    DECIMAL quarterly sums, then lag(1) and lag(4) ratios — the finance
+    dashboard staple (NULL growth on the first quarters, where there is
+    no prior period, on both engines).
+
+    One partial+final agg collapses orders to |quarters| rows; both lag
+    windows share one ordering of that dashboard-sized series. DECIMAL
+    accumulation makes the quarterly sums sum-order-exact, so the growth
+    ratios round identically across engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    q = (
+        o.groupBy(F.to_date(F.date_trunc("quarter", "o_orderdate"))
+                  .alias("quarter"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+    w = W.orderBy("quarter")
+    rev = F.col("revenue").cast("double")
+    return q.select(
+        F.date_format("quarter", "yyyy-MM").alias("quarter"),
+        rev.alias("revenue"), "n_orders",
+        F.round(rev / F.lag(rev).over(w) - 1, 6).alias("qoq_growth"),
+        F.round(rev / F.lag(rev, 4).over(w) - 1, 6).alias("yoy_growth"))
