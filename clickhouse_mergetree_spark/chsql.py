@@ -365,23 +365,39 @@ _DISPATCH_RE = "|".join(
     )
 )
 
-# constructs with NO 1:1 Spark SQL equivalent — refuse, never mistranslate.
-# Each names the dedicated operator that covers the semantics.
+# constructs with NO 1:1 Spark SQL *string* equivalent — refuse at the
+# translator, never mistranslate. Each names the route that covers the
+# semantics: LIMIT n BY and ASOF JOIN are structural DataFrame routes in
+# ch_sql(); SAMPLE and FINAL need the engine table, so ClickHouseSession
+# routes them (the bare-string translator has no table to read).
 _REFUSE = [
-    (r"(?i)\bWITH\s+TOTALS\b", "WITH TOTALS (use q_with_totals / rollup)"),
-    (r"(?i)\bLIMIT\s+\d+\s+BY\b", "LIMIT n BY (use q_limit_by)"),
-    (r"(?i)\bSAMPLE\s+[\d.]", "SAMPLE clause (use q_sample_by)"),
+    (r"(?i)\bLIMIT\s+\d+\s+BY\b", "LIMIT n BY at the string level "
+                                  "(ch_sql routes it as a window plan)"),
+    (r"(?i)\bSAMPLE\s+[\d.]", "SAMPLE clause at the string level "
+                              "(ClickHouseSession routes it through the "
+                              "engine's SAMPLE BY read)"),
     (r"(?i)\bARRAY\s+JOIN\b", "ARRAY JOIN clause (use arrayJoin(col) in the "
                               "SELECT list, or q_array_join)"),
-    (r"(?i)\bFINAL\b", "FINAL (read through SparkMergeTree.query*, which "
-                       "always collapses)"),
-    (r"(?i)\bASOF\s+JOIN\b", "ASOF JOIN (use q_join_asof's window form)"),
+    (r"(?i)\bFINAL\b", "FINAL at the string level (ClickHouseSession "
+                       "routes it — engine reads always collapse)"),
+    (r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", "ASOF JOIN at the string level "
+                                       "(ch_sql routes it as the union+"
+                                       "window as-of plan)"),
 ]
 
 
 def translate_select(sql: str) -> str:
     """ClickHouse-dialect SELECT -> Spark SQL string (see module doc)."""
     s = sql.strip().rstrip(";").strip()
+    # GROUP BY <keys> WITH TOTALS -> GROUP BY GROUPING SETS ((<keys>), ())
+    # — exact: the per-group rows plus ONE grand-total row in the same
+    # shuffle (Expand + one hash aggregate). Spark marks the totals row
+    # with NULL group keys where ClickHouse renders default values; the
+    # grouping() function distinguishes a totals NULL from a data NULL.
+    s = re.sub(
+        r"(?is)\bGROUP\s+BY\s+(.*?)\s+WITH\s+TOTALS\b",
+        lambda m: f"GROUP BY GROUPING SETS (({m.group(1).strip()}), ())",
+        s)
     for pat, what in _REFUSE:
         if re.search(pat, s):
             raise ValueError(f"no 1:1 Spark translation for {what}")
@@ -460,9 +476,255 @@ def _rewrite_parameterized(s: str) -> str:
 
 def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run a ClickHouse-dialect SELECT against the session's registered
-    views: one-string translation, then ``spark.sql`` — Catalyst sees
-    plain Spark SQL and optimizes it like any hand-written query."""
-    return spark.sql(translate_select(sql))
+    views. Two constructs have no Spark SQL *string* form and are routed
+    as DataFrame plans (semantics from their dedicated operators):
+
+    - ``LIMIT n BY exprs`` -> q_limit_by's row_number window + filter
+      (one shuffle on the BY key, rank-limit pruned per partition);
+    - ``ASOF [LEFT] JOIN`` -> q_join_asof's union+window as-of plan
+      (one shuffle on the equality key, linear within partition — never
+      a per-row range join).
+
+    Everything else is one-string translation, then ``spark.sql`` —
+    Catalyst sees plain Spark SQL and optimizes it like any hand-written
+    query."""
+    s = sql.strip().rstrip(";").strip()
+    lb = _parse_limit_by(s)
+    if lb is not None:
+        return _run_limit_by(spark, *lb)
+    if re.search(r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", s):
+        return _run_asof_join(spark, s)
+    return spark.sql(translate_select(s))
+
+
+# ---------------------------------------------------------------------------
+# structural routes: constructs that become DataFrame plans, not strings
+# ---------------------------------------------------------------------------
+
+
+def _split_top(s: str, sep_re: str) -> list[str]:
+    """Split on a regex separator at paren/quote depth 0."""
+    parts, depth, quote, last = [], 0, None, 0
+    pat = re.compile(sep_re)
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch == "'":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                parts.append(s[last:i])
+                last = i = m.end()
+                continue
+        i += 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _order_items(order_text: str, *, invert: bool = False) -> list:
+    """``a DESC, b`` -> [Column sort items]; dialect-translated exprs."""
+    from pyspark.sql import functions as F
+
+    items = []
+    for part in _split_top(order_text, r","):
+        if re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\b", part):
+            raise ValueError(
+                "NULLS FIRST/LAST inside a routed ORDER BY is not "
+                "supported — rewrite without it")
+        m = re.match(r"(?is)^(.*?)(?:\s+(ASC|DESC))?$", part.strip())
+        expr, direction = m.group(1).strip(), (m.group(2) or "ASC").upper()
+        col = F.expr(_translate_expr(expr))
+        desc = (direction == "DESC") != invert
+        items.append(col.desc() if desc else col.asc())
+    return items
+
+
+def _parse_limit_by(s: str):
+    """Detect a top-level ``[ORDER BY o] LIMIT n BY exprs [LIMIT m]``
+    tail; return (base_sql, order_text, n, by_text, outer_limit) or
+    None. Only the OUTER query's tail is considered: a match inside a
+    parenthesized subquery (non-zero paren depth at the match) is
+    ignored."""
+    best = None
+    for m in re.finditer(r"(?i)\bLIMIT\s+(\d+)\s+BY\b", s):
+        prefix = s[: m.start()]
+        if prefix.count("(") == prefix.count(")") and \
+                prefix.count("'") % 2 == 0:
+            best = m
+    if best is None:
+        return None
+    n = int(best.group(1))
+    tail = s[best.end():]
+    outer = None
+    lm = re.search(r"(?is)\s+LIMIT\s+(\d+)\s*$", tail)
+    if lm:
+        outer = int(lm.group(1))
+        tail = tail[: lm.start()]
+    by_text = tail.strip()
+    before = s[: best.start()].rstrip()
+    order_text = None
+    for om in re.finditer(r"(?i)\bORDER\s+BY\b", before):
+        prefix = before[: om.start()]
+        if prefix.count("(") == prefix.count(")") and \
+                prefix.count("'") % 2 == 0:
+            order_text = before[om.end():].strip()
+            before = before[: om.start()].rstrip()
+            break
+    return before, order_text, n, by_text, outer
+
+
+def _run_limit_by(spark, base, order_text, n, by_text, outer):
+    """``LIMIT n BY`` as the q_limit_by plan: rank per BY-group with a
+    row_number window ordered by the query's ORDER BY (falling back to
+    the BY exprs themselves when none — same unspecified-order contract
+    as ClickHouse), keep rank <= n, re-apply the outer ORDER BY/LIMIT.
+    One shuffle on the BY key; the window's rank-limit prunes inside
+    each partition, so group size never exceeds memory at 100 TB."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base_df = spark.sql(translate_select(base))
+    by_cols = [F.expr(_translate_expr(b)) for b in _split_top(by_text, r",")]
+    order_cols = (_order_items(order_text) if order_text
+                  else [c.asc() for c in by_cols])
+    w = Window.partitionBy(*by_cols).orderBy(*order_cols)
+    rn = "__ch_limit_by_rn"
+    out = (base_df.withColumn(rn, F.row_number().over(w))
+           .filter(F.col(rn) <= n).drop(rn))
+    if order_text:
+        out = out.orderBy(*_order_items(order_text))
+    if outer is not None:
+        out = out.limit(outer)
+    return out
+
+
+_ASOF_FROM = re.compile(
+    r"(?is)\bFROM\s+([A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?!ASOF\b|LEFT\b|INNER\b|JOIN\b)([A-Za-z_]\w*))?"
+    r"\s+ASOF\s+(LEFT\s+)?JOIN\s+([A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?"
+    r"\s+ON\s+(.*?)"
+    r"(?=\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING)\b|\s*$)")
+
+
+def _run_asof_join(spark, s: str):
+    """``A ASOF [LEFT] JOIN B ON A.k = B.k AND A.t >= B.t`` routed as
+    the q_join_asof union+window plan: tag both inputs, union on the
+    equality key, one window pass picks each probe row's nearest match
+    (``last(match, ignorenulls)`` over a (ts, side)-ordered preceding
+    frame). ONE shuffle on the equality key, linear within partition —
+    the per-row range join a naive translation would emit is never
+    planned. Inequality direction (>=, >, <=, <) selects backward/
+    forward and inclusive/strict; the remaining SELECT runs over the
+    joined relation with qualifiers rewritten (right-side columns that
+    collide with left names get a ``_r`` suffix, exactly how ClickHouse
+    clients disambiguate with b.name)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    m = _ASOF_FROM.search(s)
+    if not m:
+        raise ValueError(
+            "unsupported ASOF JOIN shape — need FROM <t> [a] ASOF [LEFT] "
+            "JOIN <t2> [b] ON <equalities AND one inequality>")
+    ltab, la, left_kw, rtab, ra, on_text = m.groups()
+    la, ra = la or ltab, ra or rtab
+    how = "left" if left_kw else "inner"
+
+    eq: list[tuple[str, str]] = []
+    ineq = None
+    for cond in _split_top(on_text, r"(?i)\bAND\b"):
+        cm = re.match(
+            r"(?is)^\(?\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*"
+            r"(>=|<=|=|>|<)\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*\)?$", cond)
+        if not cm:
+            raise ValueError(f"unsupported ASOF JOIN condition {cond!r}")
+        q1, c1, op, q2, c2 = cm.groups()
+        if q1 == la and q2 == ra:
+            lcol, rcol = c1, c2
+        elif q1 == ra and q2 == la:
+            lcol, rcol = c2, c1
+            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+        else:
+            raise ValueError(
+                f"ASOF JOIN condition {cond!r} must compare "
+                f"{la!r} against {ra!r}")
+        if op == "=":
+            eq.append((lcol, rcol))
+        elif ineq is not None:
+            raise ValueError("ASOF JOIN needs exactly ONE inequality")
+        else:
+            ineq = (lcol, op, rcol)
+    if not eq or ineq is None:
+        raise ValueError("ASOF JOIN needs >=1 equality and exactly one "
+                         "inequality condition")
+    lts, op, rts = ineq
+    strict = op in (">", "<")
+    forward = op in ("<", "<=")
+
+    left, right = spark.table(ltab), spark.table(rtab)
+    # collision-safe right-column names for the flattened output
+    taken = set(left.columns)
+    ren: dict[str, str] = {}
+    for c in right.columns:
+        name = c
+        while name in taken:
+            name += "_r"
+        ren[c] = name
+        taken.add(name)
+
+    rstruct = F.struct(*[F.col(c).alias(ren[c]) for c in right.columns])
+    rtype = right.select(rstruct.alias("s")).schema["s"].dataType
+    lstruct = F.struct(*left.columns)
+    ltype = left.select(lstruct.alias("s")).schema["s"].dataType
+    keys = [f"__k{i}" for i in range(len(eq))]
+    # strict: probe rows order BEFORE same-ts matches (can't see them);
+    # inclusive: matches first, so an equal-ts match is visible.
+    l_ord, r_ord = (0, 1) if strict else (1, 0)
+    lpart = left.select(
+        *[F.col(lc).alias(k) for k, (lc, _) in zip(keys, eq)],
+        F.col(lts).alias("__ts"), F.lit(1).alias("__is_l"),
+        F.lit(l_ord).alias("__ord"),
+        lstruct.alias("__l"), F.lit(None).cast(rtype).alias("__r"))
+    rpart = right.select(
+        *[F.col(rc).alias(k) for k, (_, rc) in zip(keys, eq)],
+        F.col(rts).alias("__ts"), F.lit(0).alias("__is_l"),
+        F.lit(r_ord).alias("__ord"),
+        F.lit(None).cast(ltype).alias("__l"), rstruct.alias("__r"))
+    u = lpart.unionByName(rpart)
+    ts_item = F.col("__ts").desc() if forward else F.col("__ts").asc()
+    w = (Window.partitionBy(*keys).orderBy(ts_item, F.col("__ord").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    probes = u.filter(F.col("__is_l") == 1)
+    if how == "inner":
+        probes = probes.filter(F.col("__m").isNotNull())
+    # flatten both sides (a null match struct -> null fields, = LEFT join)
+    joined = probes.select(
+        F.col("__l.*"),
+        *[F.col("__m").getField(ren[c]).alias(ren[c])
+          for c in right.columns])
+
+    view = "__ch_asof_routed"
+    joined.createOrReplaceTempView(view)
+    rest = s[: m.start()] + f" FROM {view}" + s[m.end():]
+    for al in {la, ltab}:
+        rest = re.sub(rf"(?i)\b{re.escape(al)}\.([A-Za-z_]\w*)",
+                      r"\1", rest)
+    for al in {ra, rtab}:
+        rest = re.sub(rf"(?i)\b{re.escape(al)}\.([A-Za-z_]\w*)",
+                      lambda mm: ren.get(mm.group(1), mm.group(1)), rest)
+    return ch_sql(spark, rest)
 
 
 class ClickHouseSession:
@@ -534,5 +796,41 @@ class ClickHouseSession:
             self._refresh_view(name)
             return out
         if _re.match(r"(?is)^(SELECT|WITH)\b", s):
-            return ch_sql(self.spark, s)
+            return ch_sql(self.spark, self._route_table_reads(s))
         raise ValueError(f"unroutable statement: {s[:80]!r}")
+
+    def _route_table_reads(self, s: str) -> str:
+        """Rewrite FROM-clause modifiers that need the engine table:
+
+        - ``FROM t FINAL`` — the session's per-table views are
+          ``query_all()`` reads, which ALWAYS collapse (dedup/replace/
+          collapse per the table's engine mode), so FINAL is already the
+          contract: strip the keyword. A FINAL on a non-session table
+          still refuses in the translator.
+        - ``FROM t SAMPLE f [OFFSET o]`` — routed to the engine's
+          ``query_sample`` (deterministic SAMPLE BY bucket read: the
+          predicate rides the scan below the dedup shuffle, so at 100 TB
+          the shuffle shrinks by the sample factor); the sampled read is
+          registered as a view and the query runs over it.
+        """
+        import re as _re
+
+        for name, table in self.tables.items():
+            s = _re.sub(
+                rf"(?is)\bFROM\s+{name}"
+                rf"((?:\s+(?:AS\s+)?(?!FINAL\b|SAMPLE\b)\w+)?)\s+FINAL\b",
+                rf"FROM {name}\1", s)
+            m = _re.search(
+                rf"(?is)\bFROM\s+{name}\s+SAMPLE\s+([\d.]+)"
+                rf"(?:\s+OFFSET\s+([\d.]+))?", s)
+            if m:
+                frac = float(m.group(1))
+                if frac >= 1.0:
+                    raise ValueError(
+                        "SAMPLE n (row-count form) has no deterministic "
+                        "translation — use a fraction in (0, 1)")
+                view = f"__ch_sample_{name}"
+                table.query_sample(frac, float(m.group(2) or 0.0)) \
+                    .createOrReplaceTempView(view)
+                s = s[: m.start()] + f" FROM {view}" + s[m.end():]
+        return s

@@ -82,13 +82,26 @@ def test_prewhere_and_where_conjoin():
 @pytest.mark.parametrize("sql,frag", [
     ("SELECT x FROM t LIMIT 3 BY user_id", "LIMIT n BY"),
     ("SELECT x FROM t SAMPLE 0.1", "SAMPLE"),
-    ("SELECT sum(v) FROM t GROUP BY k WITH TOTALS", "WITH TOTALS"),
     ("SELECT x FROM t FINAL", "FINAL"),
+    ("SELECT a ASOF JOIN b ON a.k = b.k AND a.t >= b.t", "ASOF"),
     ("SELECT topK(3)(x) FROM t", "topK"),
 ])
 def test_refusals_are_loud(sql, frag):
+    # the STRING translator refuses these; ch_sql / ClickHouseSession
+    # route them as DataFrame plans (tested end-to-end below)
     with pytest.raises(ValueError, match="no (?:1:1 Spark translation|exact)"):
         translate_select(sql)
+
+
+def test_with_totals_translates_to_grouping_sets():
+    got = translate_select(
+        "SELECT event_type, sum(value) FROM events "
+        "GROUP BY event_type WITH TOTALS")
+    assert "GROUP BY GROUPING SETS ((event_type), ())" in got
+    assert "TOTALS" not in got
+    got2 = translate_select(
+        "SELECT a, b, count() FROM t GROUP BY a, b WITH TOTALS")
+    assert "GROUPING SETS ((a, b), ())" in got2
 
 
 def test_multiif_arity_checked():
@@ -329,6 +342,119 @@ def test_arraystringconcat_optional_separator():
         == "SELECT array_join(a, '-') FROM t"
 
 
+def test_with_totals_end_to_end(spark, duck, views):
+    got = {(r["event_type"],): (r["n"], round(r["s"], 4))
+           for r in ch_sql(spark, """
+               SELECT event_type, count() AS n,
+                      sumIf(value, value > 10) AS s
+               FROM events GROUP BY event_type WITH TOTALS
+           """).collect()}
+    exp = {(r[0],): (r[1], round(r[2], 4)) for r in duck.execute("""
+        SELECT event_type, count(*) AS n,
+               sum(value) FILTER (value > 10) AS s
+        FROM events GROUP BY GROUPING SETS ((event_type), ())
+    """).fetchall()}
+    assert got == exp
+    assert (None,) in got  # the TOTALS row rode the same aggregate
+
+
+def test_limit_by_end_to_end(spark, duck, views):
+    got = [(r["user_id"], r["event_id"]) for r in ch_sql(spark, """
+        SELECT user_id, event_id, value FROM events
+        ORDER BY value DESC, event_id ASC
+        LIMIT 2 BY user_id
+        LIMIT 10
+    """).collect()]
+    exp = [(r[0], r[1]) for r in duck.execute("""
+        SELECT user_id, event_id FROM (
+            SELECT user_id, event_id, value, row_number() OVER (
+                PARTITION BY user_id ORDER BY value DESC, event_id ASC
+            ) AS rn FROM events
+        ) WHERE rn <= 2 ORDER BY value DESC, event_id ASC LIMIT 10
+    """).fetchall()]
+    assert got == exp
+
+
+def test_limit_by_expression_group(spark, duck, views):
+    # BY on a dialect expression, no outer LIMIT
+    got = sorted((r["g"], r["event_id"]) for r in ch_sql(spark, """
+        SELECT modulo(user_id, 3) AS g, event_id FROM events
+        ORDER BY event_id LIMIT 1 BY g
+    """).collect())
+    exp = sorted((r[0], r[1]) for r in duck.execute("""
+        SELECT g, event_id FROM (
+            SELECT user_id % 3 AS g, event_id, row_number() OVER (
+                PARTITION BY user_id % 3 ORDER BY event_id) AS rn
+            FROM events
+        ) WHERE rn <= 1
+    """).fetchall())
+    assert got == exp
+
+
+@pytest.fixture()
+def asof_views(spark, duck, views):
+    # clicks probe stream + per-(user, ts) deduped purchase quotes, on
+    # BOTH engines, so ties can't make either engine's pick ambiguous
+    clicks = ("SELECT event_id, user_id, ts, value FROM events "
+              "WHERE event_type = 'click'")
+    purch = ("SELECT user_id, ts, max(value) AS pval FROM events "
+             "WHERE event_type = 'purchase' GROUP BY user_id, ts")
+    spark.sql(clicks).createOrReplaceTempView("asof_clicks")
+    spark.sql(purch).createOrReplaceTempView("asof_purch")
+    duck.execute(f"CREATE OR REPLACE VIEW asof_clicks AS {clicks}")
+    duck.execute(f"CREATE OR REPLACE VIEW asof_purch AS {purch}")
+    yield
+    duck.execute("DROP VIEW asof_clicks")
+    duck.execute("DROP VIEW asof_purch")
+
+
+def test_asof_left_join_end_to_end(spark, duck, asof_views):
+    got = {r["event_id"]: r["pval"] for r in ch_sql(spark, """
+        SELECT c.event_id, p.pval
+        FROM asof_clicks c ASOF LEFT JOIN asof_purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    """).collect()}
+    exp = {r[0]: r[1] for r in duck.execute("""
+        SELECT c.event_id, p.pval
+        FROM asof_clicks c ASOF LEFT JOIN asof_purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    """).fetchall()}
+    assert got == exp
+    assert any(v is None for v in got.values())  # LEFT kept unmatched
+
+
+def test_asof_inner_join_strict_end_to_end(spark, duck, asof_views):
+    # strict backward (>) drops equal-ts matches; INNER drops unmatched.
+    # DuckDB's ASOF supports only >=, so the oracle shifts: a.ts > b.ts
+    # over integer-microsecond timestamps == a.ts >= b.ts + 1us.
+    got = {r["event_id"]: r["pval"] for r in ch_sql(spark, """
+        SELECT c.event_id, p.pval
+        FROM asof_clicks c ASOF JOIN asof_purch p
+        ON c.user_id = p.user_id AND c.ts > p.ts
+    """).collect()}
+    exp = {r[0]: r[1] for r in duck.execute("""
+        WITH shifted AS (
+            SELECT user_id, ts + INTERVAL 1 MICROSECOND AS ts, pval
+            FROM asof_purch
+        )
+        SELECT c.event_id, p.pval
+        FROM asof_clicks c ASOF JOIN shifted p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    """).fetchall()}
+    assert got == exp
+
+
+def test_asof_join_plan_has_no_range_join(spark, asof_views):
+    df = ch_sql(spark, """
+        SELECT c.event_id, p.pval
+        FROM asof_clicks c ASOF LEFT JOIN asof_purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_clickhouse_session_runbook(spark, tmp_path):
     """A CH runbook executes top-to-bottom through one router: CREATE,
     INSERTs, ALTER, OPTIMIZE, dialect SELECT observing the writes,
@@ -360,3 +486,81 @@ def test_clickhouse_session_runbook(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown table"):
         sess.execute("OPTIMIZE TABLE kv")
+
+
+def test_clickhouse_session_routes_all_dialect_constructs(spark, tmp_path):
+    """The five constructs the translator refuses all execute through
+    the session router: FINAL, SAMPLE, LIMIT n BY, WITH TOTALS, ASOF
+    JOIN — the statements a migrating ClickHouse dashboard actually
+    contains, pasted unchanged."""
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+
+    sess = ClickHouseSession(spark, str(tmp_path))
+    sess.execute("""
+        CREATE TABLE quotes (
+            sym String,
+            ts UInt64,
+            px Float64
+        ) ENGINE = MergeTree() ORDER BY (sym, ts) SAMPLE BY sym
+    """)
+    sess.execute(
+        "INSERT INTO quotes VALUES "
+        "('a', 10, 1.0), ('a', 20, 2.0), ('a', 20, 9.0), "
+        "('b', 10, 5.0), ('b', 30, 6.0), ('c', 15, 7.0)")
+    sess.execute("""
+        CREATE TABLE trades (
+            sym String,
+            ts UInt64,
+            qty Float64
+        ) ENGINE = MergeTree() ORDER BY (sym, ts)
+    """)
+    sess.execute(
+        "INSERT INTO trades VALUES "
+        "('a', 15, 100.0), ('a', 25, 200.0), ('b', 5, 50.0), "
+        "('d', 40, 75.0)")
+
+    # FINAL: engine reads always collapse -> (a,20) deduped to one row
+    rows = sess.execute(
+        "SELECT sym, ts, px FROM quotes FINAL WHERE sym = 'a' "
+        "ORDER BY ts").collect()
+    assert [(r["sym"], r["ts"]) for r in rows] == [("a", 10), ("a", 20)]
+    assert rows[1]["px"] == 2.0  # (key, ts) dedup is first-wins (R14)
+
+    # WITH TOTALS: per-sym rows + one grand-total row (NULL key)
+    tot = {r["sym"]: r["n"] for r in sess.execute(
+        "SELECT sym, count() AS n FROM quotes GROUP BY sym WITH TOTALS"
+    ).collect()}
+    assert tot[None] == tot["a"] + tot["b"] + tot["c"]
+
+    # LIMIT n BY: top-1 quote per symbol by price
+    top = {r["sym"]: r["px"] for r in sess.execute(
+        "SELECT sym, px FROM quotes ORDER BY px DESC LIMIT 1 BY sym"
+    ).collect()}
+    assert top == {"a": 2.0, "b": 6.0, "c": 7.0}  # (a,20,9.0) deduped away
+
+    # SAMPLE f: deterministic SAMPLE BY bucket read — a strict subset
+    # of symbols, every row of a kept symbol in or out together
+    full = {r["sym"] for r in sess.execute(
+        "SELECT sym FROM quotes").collect()}
+    half = [r for r in sess.execute(
+        "SELECT sym, count() AS n FROM quotes SAMPLE 0.5 GROUP BY sym"
+    ).collect()]
+    per_sym = {r["sym"]: r["n"] for r in sess.execute(
+        "SELECT sym, count() AS n FROM quotes GROUP BY sym").collect()}
+    assert {r["sym"] for r in half} < full
+    for r in half:  # whole entities sampled, never partial rows
+        assert r["n"] == per_sym[r["sym"]]
+
+    # ASOF JOIN: latest trade at-or-before each quote tick
+    asof = {(r["sym"], r["ts"]): r["qty"] for r in sess.execute("""
+        SELECT q.sym, q.ts, t.qty
+        FROM quotes q ASOF LEFT JOIN trades t
+        ON q.sym = t.sym AND q.ts >= t.ts
+    """).collect()}
+    assert asof[("a", 10)] is None        # no trade yet at ts=10
+    assert asof[("a", 20)] == 100.0       # trade@15 is latest <= 20
+    assert asof[("b", 30)] == 50.0        # trade@5
+    assert asof[("c", 15)] is None        # sym never traded
+
+    sess.execute("DROP TABLE quotes")
+    sess.execute("DROP TABLE trades")
