@@ -27,11 +27,19 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_query(fn, spark, sf_dir: str) -> float:
+def run_query(fn, spark, sf_dir: str) -> tuple[float, float]:
+    """(total_sec, build_sec). ``build`` is the fn(spark, sf_dir) call
+    itself: ~0 for relational queries (lazy plan assembly), but for
+    engine-lifecycle queries it is the eager fixture work (inserts,
+    flushes, OPTIMIZE, ALTER) — splitting it out lets cross-round
+    comparisons separate the lifecycle-build cost from the read path
+    (VERDICT r7 item 7: q_null_engine / q_mergetree_source rank top-5
+    on fixture build, not on scan/shuffle work)."""
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
+    t1 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    return time.perf_counter() - t0, t1 - t0
 
 
 def main() -> None:
@@ -66,20 +74,41 @@ def main() -> None:
     wdf.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
         lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
+    # --reps N (default 1, driver-compatible): time each query N times
+    # back-to-back and keep the per-query MINIMUM. Single runs on this
+    # host are hostage to co-tenant noise (r7: q_null_engine 27.3 s in
+    # the artifact vs 6.9 s re-measured) — minima make cross-round
+    # deltas trustworthy. Reps of one query run consecutively, so from
+    # rep 2 the per-corpus memoized artifacts (IVF/k-means codebooks,
+    # dedup cluster labels) are warm: the min reports the steady state,
+    # which is also the production state (those are offline artifacts,
+    # not per-query work).
+    reps = 1
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    builds: dict[str, float] = {}
     for name, q in sorted(all_queries().items()):
-        try:
-            sec = run_query(q.fn, spark, sf_dir)
-            timings[name] = round(sec, 4)
-            total += sec
-            _log(f"{name}: {sec:.3f}s")
-        except Exception:
-            timings[name] = -1.0
-            _log(f"{name}: FAILED\n{traceback.format_exc()}")
-        # Queries that persist() shared intermediates cannot unpersist them
-        # from inside a lazy plan; drop them here so each query is timed
-        # from a clean cache state instead of fighting the previous
-        # query's dead blocks for executor memory.
-        spark.catalog.clearCache()
+        best = best_build = None
+        for _ in range(reps):
+            try:
+                sec, build = run_query(q.fn, spark, sf_dir)
+                if best is None or sec < best:
+                    best, best_build = sec, build
+            except Exception:
+                if best is None:
+                    best = -1.0
+                _log(f"{name}: FAILED\n{traceback.format_exc()}")
+            # Queries that persist() shared intermediates cannot
+            # unpersist them from inside a lazy plan; drop them here so
+            # each query is timed from a clean cache state instead of
+            # fighting the previous query's dead blocks for executor
+            # memory.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
+        if best >= 0:
+            total += best
+            builds[name] = round(best_build, 4)
+            _log(f"{name}: {best:.3f}s (build {best_build:.3f}s)")
 
     # Workload A (reference-shaped; BASELINE.md): 50k rows ≈ 10k keys × 5
     # versions through the SparkMergeTree write path, then a range scan over
@@ -103,6 +132,10 @@ def main() -> None:
     meta: dict[str, object] = {
         "cpus": spark.sparkContext.defaultParallelism,
         "scratch_root": scratch_root(),
+        "reps": reps,
+        # fn-call seconds (fixture/lifecycle build; ~0 for lazy plans) —
+        # subtract from the query's total for the pure read-path time
+        "build_sec": builds,
     }
     try:
         from bench_workload_a import methodology
