@@ -4012,3 +4012,138 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dau", "wau",
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: windowFunnel + transition dwell times
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours
+
+
+@declared_query(
+    "q_window_funnel",
+    defer=True,
+    oracle=f"""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                   FROM events
+                   WHERE event_type IN ('view', 'click', 'purchase')),
+        l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        l2 AS (SELECT DISTINCT v.user_id FROM e v JOIN e c USING (user_id)
+               WHERE v.event_type = 'view' AND c.event_type = 'click'
+                 AND c.t > v.t AND c.t - v.t <= {FUNNEL_WINDOW_US}),
+        l3 AS (SELECT DISTINCT v.user_id FROM e v
+               JOIN e c ON v.user_id = c.user_id
+               JOIN e p ON p.user_id = v.user_id
+               WHERE v.event_type = 'view' AND c.event_type = 'click'
+                 AND p.event_type = 'purchase'
+                 AND c.t > v.t AND p.t > c.t
+                 AND p.t - v.t <= {FUNNEL_WINDOW_US}),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT user_id,
+               CASE WHEN user_id IN (SELECT user_id FROM l3) THEN 3
+                    WHEN user_id IN (SELECT user_id FROM l2) THEN 2
+                    WHEN user_id IN (SELECT user_id FROM l1) THEN 1
+                    ELSE 0 END AS funnel_level
+        FROM u
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(window)(ts, cond1, cond2, cond3)``: per
+    user, the deepest funnel prefix view -> click -> purchase completed
+    with STRICTLY increasing timestamps and the whole chain inside a
+    6-hour window of its first event — the conversion-depth aggregate
+    every product dashboard runs (q_events_funnel is the unwindowed
+    step-count variant; this is the real windowed CH semantics).
+
+    ONE shuffle on user_id, then a per-user sorted fold (exactly CH's
+    aggregate-state algorithm): events sorted by (t, step DESC) — ties
+    process deeper steps first, so an equal-timestamp pair can never
+    chain — and a 3-slot state of chain-START timestamps where a step-k
+    event extends the best (latest-start) level-(k-1) chain iff
+    t - start <= window. Greedy max-start is exact: a chain's future
+    extensions depend only on its start, and starts are monotone over
+    the scan. State is 3 longs per user regardless of corpus size; the
+    oracle cross-proves with the independent EXISTS-join formulation.
+    """
+    neg = -(2 ** 63)
+    e = (load(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin("view", "click", "purchase"))
+         .select("user_id",
+                 F.unix_micros("ts").alias("t"),
+                 F.when(F.col("event_type") == "view", 1)
+                 .when(F.col("event_type") == "click", 2)
+                 .otherwise(3).alias("step")))
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(
+            F.struct("t", (3 - F.col("step")).alias("o"), "step")))
+        .alias("evs"))
+    fold = F.expr(f"""
+        aggregate(
+            evs,
+            named_struct('l1', CAST(NULL AS BIGINT),
+                         'l2', CAST(NULL AS BIGINT),
+                         'l3', CAST(NULL AS BIGINT)),
+            (acc, e) -> named_struct(
+                'l1', IF(e.step = 1,
+                         greatest(coalesce(acc.l1, {neg}L), e.t), acc.l1),
+                'l2', IF(e.step = 2 AND acc.l1 IS NOT NULL
+                         AND e.t - acc.l1 <= {FUNNEL_WINDOW_US},
+                         greatest(coalesce(acc.l2, {neg}L), acc.l1),
+                         acc.l2),
+                'l3', IF(e.step = 3 AND acc.l2 IS NOT NULL
+                         AND e.t - acc.l2 <= {FUNNEL_WINDOW_US},
+                         greatest(coalesce(acc.l3, {neg}L), acc.l2),
+                         acc.l3)))
+    """)
+    return per_user.select(
+        "user_id",
+        F.when(fold.getField("l3").isNotNull(), 3)
+        .when(fold.getField("l2").isNotNull(), 2)
+        .when(fold.getField("l1").isNotNull(), 1)
+        .otherwise(0).alias("funnel_level"))
+
+
+@declared_query(
+    "q_path_dwell",
+    defer=True,
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t,
+                   lag(event_type) OVER w AS prev_type,
+                   lag(epoch_us(ts)) OVER w AS prev_t
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT prev_type, event_type AS next_type,
+               count(*) AS n,
+               round(avg(t - prev_t) / 1000000.0, 3) AS avg_dwell_sec
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+)
+def q_path_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition dwell times: for every (prev event -> next event) pair
+    in each user's timeline, the transition count and mean dwell — the
+    edge weights of a time-annotated Sankey / user-journey graph
+    (q_path_flow gives the topology; this adds the latency dimension).
+
+    One shuffle on user_id feeds the lag window; the (prev, next) rollup
+    reuses the partial+final agg path with a 25-key result (|types|²) —
+    no per-pair self-join, no corpus-global ordering. Ties inside a
+    user's timeline break on the unique event_id in BOTH engines, so the
+    lag pairing is deterministic.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.unix_micros("ts").alias("t"))
+    seq = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+        (F.col("t") - F.lag("t").over(w)).alias("dwell_us"))
+    return (seq.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", "next_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("dwell_us") / 1_000_000.0, 3)
+                 .alias("avg_dwell_sec")))

@@ -962,3 +962,126 @@ def q_media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= AUDIO_FP_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: PCA projection audit (covariance -> eigh -> broadcast project)
+# ---------------------------------------------------------------------------
+
+_PCA_COMPS_DIR = None  # set lazily (fixed_scratch_dir import kept local)
+
+
+def _pca_comps_dir() -> str:
+    global _PCA_COMPS_DIR
+    if _PCA_COMPS_DIR is None:
+        from clickhouse_mergetree_spark.scratch import fixed_scratch_dir
+        _PCA_COMPS_DIR = fixed_scratch_dir("q_embed_pca_comps")
+    return _PCA_COMPS_DIR
+
+
+def _pca_oracle_sql() -> str:
+    return f"""
+        WITH comp AS (
+            SELECT CAST(pc AS INTEGER) AS pc, comp, mean
+            FROM read_parquet('{_pca_comps_dir()}/*.parquet')
+        ),
+        p AS (
+            SELECT e.label, c.pc,
+                   list_sum(list_transform(
+                       range(1, len(e.embedding) + 1),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - c.mean[i])
+                            * c.comp[i])) AS proj
+            FROM embeddings e CROSS JOIN comp c
+        )
+        SELECT label, pc, count(*) AS n,
+               round(avg(proj), 6) AS mean_proj,
+               round(stddev_samp(proj), 6) AS sd_proj
+        FROM p GROUP BY label, pc
+    """
+
+
+@declared_query("q_embed_pca", defer=True, oracle=_pca_oracle_sql())
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection audit over the embedding corpus: top-2 principal
+    components of the embedding covariance, every vector projected onto
+    them, per-(label, pc) projection mean/spread — the embedding-drift /
+    cluster-separation report (and the whitening prep q_embed_covariance
+    stops short of).
+
+    Scale split, same contract as the IVF codebooks: the MODEL BUILD
+    (covariance) is the d²-state distributed reduce from
+    q_embed_covariance — pairs generated row-locally, one (i, j)-keyed
+    agg, collected as d(d+1)/2 + d bounded rows (model metadata, not
+    data) — and the eigendecomposition is O(d³) driver numpy on the d×d
+    matrix. The PROJECTION is the distributed part: components enter the
+    plan as literal arrays and each row's two dot products fold inside
+    codegen — zero shuffle before the (label, pc)-keyed agg. Components
+    get a deterministic sign (largest-|coordinate| positive) and persist
+    as a side table; DuckDB independently recomputes every projection
+    and both statistics from them, so the iterative part is verified the
+    same way the k-means family is.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    # --- model build: distributed covariance, driver-side eigh --------
+    # same row-local pair generation as q_embed_covariance (1-based i<=j,
+    # diagonal included)
+    pairs = emb.select(F.explode(F.expr("""
+        flatten(transform(embedding, (x, i) ->
+            transform(slice(embedding, i + 1, size(embedding) - i),
+                      (y, j) -> struct(i + 1 AS i, i + j + 1 AS j,
+                                       CAST(x AS DOUBLE)
+                                       * CAST(y AS DOUBLE) AS p))))
+    """)).alias("t")).select("t.i", "t.j", "t.p")
+    s_rows = (pairs.groupBy("i", "j")
+              .agg(F.sum("p").alias("s"), F.count("*").alias("n"))
+              .collect())
+    mu_rows = (emb.select(F.posexplode("embedding").alias("i0", "e"))
+               .groupBy("i0").agg(F.avg(F.col("e").cast("double"))
+                                  .alias("m")).collect())
+    d = len(mu_rows)
+    mu = np.zeros(d)
+    for r in mu_rows:
+        mu[r["i0"]] = r["m"]
+    cov = np.zeros((d, d))
+    for r in s_rows:
+        c = r["s"] / r["n"] - mu[r["i"] - 1] * mu[r["j"] - 1]
+        cov[r["i"] - 1, r["j"] - 1] = c
+        cov[r["j"] - 1, r["i"] - 1] = c
+    vals, vecs = np.linalg.eigh(cov)          # ascending eigenvalues
+    comps = []
+    for k in range(2):
+        v = vecs[:, d - 1 - k]
+        sign_ix = int(np.argmax(np.abs(v)))   # deterministic sign
+        if v[sign_ix] < 0:
+            v = -v
+        comps.append((k + 1, float(vals[d - 1 - k]),
+                      [float(x) for x in v], [float(x) for x in mu]))
+    from clickhouse_mergetree_spark.tables import values_df
+    cdf = values_df(spark, comps,
+                    [("pc", "int"), ("eigval", "double"),
+                     ("comp", "array<double>"), ("mean", "array<double>")])
+    cdf.coalesce(1).write.mode("overwrite").parquet(_pca_comps_dir())
+
+    # --- distributed projection: literal components, row-local fold ---
+    def _proj(comp: list[float], mean: list[float]):
+        clit = F.array(*[F.lit(x) for x in comp])
+        mlit = F.array(*[F.lit(x) for x in mean])
+        centered = F.zip_with("embedding", mlit,
+                              lambda x, m: x.cast("double") - m)
+        return F.aggregate(F.zip_with(centered, clit, lambda x, c: x * c),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    projected = emb.select(
+        "label",
+        F.explode(F.array(*[
+            F.struct(F.lit(pc).alias("pc"),
+                     _proj(comp, mean).alias("proj"))
+            for pc, _ev, comp, mean in comps
+        ])).alias("t"),
+    ).select("label", "t.pc", "t.proj")
+    return (projected.groupBy("label", "pc")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("proj"), 6).alias("mean_proj"),
+                 F.round(F.stddev_samp("proj"), 6).alias("sd_proj")))

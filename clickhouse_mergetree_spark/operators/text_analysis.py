@@ -1612,3 +1612,59 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("langs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: tokenizer fertility audit
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_token_fertility",
+    defer=True,
+    oracle=f"""
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE}')))
+                 AS BIGINT) AS bpe_tokens,
+               round(CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE}')))
+                          AS DOUBLE)
+                     / sum(len(string_split(text, ' '))), 6) AS fertility,
+               round(CAST(sum(length(text)) AS DOUBLE)
+                     / sum(len(regexp_extract_all(text, '{_TOKEN_RE}'))), 6)
+                 AS bytes_per_token
+        FROM documents
+        GROUP BY source, lang
+    """,
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (source, language): BPE-ish tokens
+    per whitespace word ("fertility") and bytes per token — the standard
+    tokenizer-efficiency report that decides how many TEXT bytes a token
+    budget actually buys per corpus slice (high-fertility slices burn
+    budget; the GPT/Llama papers all tabulate this before mixing).
+
+    Row-local regex counting (same _TOKEN_RE both engines, pinned by
+    q_text_tokens) feeding ONE partial+final agg on the bounded
+    (source, lang) key — corpus-linear scan work, |sources|·|langs|
+    reduce state, no shuffle wider than the group key at any corpus
+    size. Ratios divide the SUMS (corpus-level fertility), not averages
+    of per-doc ratios, so short docs don't skew the budget estimate.
+    """
+    d = load(spark, sf_dir, "documents")
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)"))
+    per = d.select(
+        "source", "lang",
+        F.size(F.split("text", " ")).alias("ws"),
+        bpe.alias("bpe"),
+        F.length("text").alias("chars"))
+    return (per.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws").alias("ws_tokens"),
+                 F.sum("bpe").alias("bpe_tokens"),
+                 F.round(F.sum("bpe").cast("double") / F.sum("ws"), 6)
+                 .alias("fertility"),
+                 F.round(F.sum("chars").cast("double") / F.sum("bpe"), 6)
+                 .alias("bytes_per_token")))

@@ -22,16 +22,25 @@ class DeclaredQuery:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL, or None → driver does a rows-only check
     doc: str = ""
+    # defer=True: a brand-new query yields its first gate slot to any
+    # OLDER never-checked query (sort key 0.5 vs 0 — see sort_round).
+    # Use for additions made while a backlog of never-checked queries is
+    # queued for the next gate window (VERDICT r7 item 1: a new query
+    # must never steal a slot from the backlog it was added alongside).
+    # Expires on the first driver row: once checked, staleness rules.
+    defer: bool = False
 
 
 REGISTRY: dict[str, DeclaredQuery] = {}
 
 
-def declared_query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def declared_query(name: str, oracle: str | None = None,
+                   defer: bool = False) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate declared query {name!r}")
-        REGISTRY[name] = DeclaredQuery(name, fn, oracle, (fn.__doc__ or "").strip())
+        REGISTRY[name] = DeclaredQuery(
+            name, fn, oracle, (fn.__doc__ or "").strip(), defer)
         return fn
     return deco
 
@@ -140,7 +149,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         reg_key[name] = (rank, seq.get(mod, 0))
         seq[mod] = seq.get(mod, 0) + 1
 
-    def sort_round(n: str) -> int:
+    def sort_round(n: str) -> float:
         r = last_ok.get(n, 0)
         # A query that HAS an oracle but whose driver ledger only shows
         # rows-only OKs gained its oracle after its last gate slot; its
@@ -149,6 +158,10 @@ def all_queries() -> dict[str, DeclaredQuery]:
         # oracles landed in r5 and any future oracle upgrade).
         if r > 0 and REGISTRY[n].oracle is not None and n not in last_hash:
             return 0
+        # deferred newcomers queue BEHIND the existing never-checked
+        # backlog (0 < 0.5) but still ahead of green keepers (r8 rule)
+        if r == 0 and REGISTRY[n].defer and n not in last_ok:
+            return 0.5
         return r
 
     ordered_names = sorted(

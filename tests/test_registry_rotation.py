@@ -103,6 +103,30 @@ def test_oracle_upgraded_queries_reenter_the_window():
     assert not out, f"oracle-upgraded queries outside gate window: {out}"
 
 
+def test_deferred_newcomers_queue_behind_the_backlog():
+    """defer=True (r8 rule): a brand-new query sorts AFTER every older
+    never-checked query — it can never steal a gate slot from the
+    backlog it was added alongside — but still ahead of green keepers.
+    Expires once the query has any driver row."""
+    lo, lh = _last_ok_round()
+    queries = all_queries()
+    names = list(queries)
+    seen = set(lo)
+    first_keeper = next(
+        (i for i, n in enumerate(names) if lo.get(n, 0) > 0
+         and not (queries[n].oracle is not None and n not in lh)),
+        len(names))
+    for i, n in enumerate(names):
+        if queries[n].defer and n not in seen:
+            older_after = [
+                o for o in names[i + 1:]
+                if o not in seen and not queries[o].defer]
+            assert not older_after, (
+                f"deferred {n} sorted before never-checked {older_after}")
+            assert i < first_keeper, (
+                f"deferred {n} sorted after a green keeper")
+
+
 def test_rotation_handles_missing_artifacts(monkeypatch):
     # In a tree with no CORRECTNESS files (round 1), everything is rank 0
     # and the order degrades to registration order — no crash, no reorder.
