@@ -383,6 +383,8 @@ _REFUSE = [
     (r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", "ASOF JOIN at the string level "
                                        "(ch_sql routes it as the union+"
                                        "window as-of plan)"),
+    (r"(?i)\bWITH\s+FILL\b", "ORDER BY ... WITH FILL at the string level "
+                             "(ch_sql routes it as an axis anti-join)"),
 ]
 
 
@@ -494,6 +496,8 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
         return _run_limit_by(spark, *lb)
     if re.search(r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", s):
         return _run_asof_join(spark, s)
+    if re.search(r"(?i)\bWITH\s+FILL\b", s):
+        return _run_with_fill(spark, s)
     return spark.sql(translate_select(s))
 
 
@@ -725,6 +729,69 @@ def _run_asof_join(spark, s: str):
         rest = re.sub(rf"(?i)\b{re.escape(al)}\.([A-Za-z_]\w*)",
                       lambda mm: ren.get(mm.group(1), mm.group(1)), rest)
     return ch_sql(spark, rest)
+
+
+_WITH_FILL = re.compile(
+    r"(?is)\bORDER\s+BY\s+([A-Za-z_]\w*)(\s+DESC|\s+ASC)?\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?\s*$")
+
+
+def _run_with_fill(spark, s: str):
+    """``ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]`` routed as the
+    q_with_fill plan: run the base query, generate the integer axis, and
+    UNION the axis points the result is missing, with the other columns
+    at their ClickHouse defaults (0 for numerics, '' for strings, NULL
+    otherwise). FROM/TO default to the result's min/max (one bounded
+    1-row aggregate); TO is exclusive, matching ClickHouse. The axis is
+    a metadata-sized range, the anti-join keys on the fill column, and
+    the fill never rescans the base relation — the 100 TB cost is the
+    base query itself. Supported shape: a single ASC integer fill column
+    (refuses otherwise rather than mistranslating)."""
+    from pyspark.sql import functions as F
+
+    m = _WITH_FILL.search(s)
+    if not m or (m.group(2) or "").strip().upper() == "DESC":
+        raise ValueError(
+            "unsupported WITH FILL shape — need a final "
+            "'ORDER BY <column> [ASC] WITH FILL [FROM i] [TO i] [STEP i]' "
+            "on a single integer column")
+    prefix = s[: m.start()]
+    if prefix.count("(") != prefix.count(")") or prefix.count("'") % 2:
+        raise ValueError("WITH FILL inside a subquery is not routable")
+    col, _dir, lo, hi, step = (m.group(1), m.group(2), m.group(3),
+                               m.group(4), m.group(5))
+    base_df = spark.sql(translate_select(prefix))
+    if col not in base_df.columns:
+        raise ValueError(f"WITH FILL column {col!r} not in the result "
+                         f"columns {base_df.columns}")
+    step_n = int(step) if step else 1
+    if lo is None or hi is None:
+        row = base_df.agg(F.min(col).alias("lo"),
+                          F.max(col).alias("hi")).first()
+        lo_n = int(lo) if lo is not None else int(row["lo"])
+        # derived TO is inclusive of the observed max (CH derives the
+        # axis from the data the same way); explicit TO is exclusive
+        hi_n = int(hi) if hi is not None else int(row["hi"]) + 1
+    else:
+        lo_n, hi_n = int(lo), int(hi)
+    fill_t = dict(base_df.dtypes)[col]
+    axis = (spark.range(lo_n, hi_n, step_n)
+            .select(F.col("id").cast(fill_t).alias(col)))
+    defaults = []
+    for name, t in base_df.dtypes:
+        if name == col:
+            continue
+        if t in ("string",):
+            d = F.lit("")
+        elif t.startswith(("int", "bigint", "smallint", "tinyint",
+                           "double", "float", "decimal")):
+            d = F.lit(0)
+        else:
+            d = F.lit(None)
+        defaults.append(d.cast(t).alias(name))
+    missing = axis.join(base_df.select(col), col, "left_anti") \
+        .select(F.col(col), *defaults).select(*base_df.columns)
+    return base_df.unionByName(missing).orderBy(F.col(col).asc())
 
 
 class ClickHouseSession:

@@ -444,6 +444,54 @@ def test_asof_inner_join_strict_end_to_end(spark, duck, asof_views):
     assert got == exp
 
 
+def test_with_fill_end_to_end(spark, duck, views):
+    got = [(r["user_id"], r["n"]) for r in ch_sql(spark, """
+        SELECT user_id, count() AS n FROM events
+        WHERE user_id < 20 GROUP BY user_id
+        ORDER BY user_id WITH FILL FROM 0 TO 25
+    """).collect()]
+    exp = [(r[0], r[1]) for r in duck.execute("""
+        WITH base AS (
+            SELECT user_id, count(*) AS n FROM events
+            WHERE user_id < 20 GROUP BY user_id
+        )
+        SELECT a.u AS user_id, coalesce(b.n, 0) AS n
+        FROM (SELECT unnest(generate_series(0, 24)) AS u) a
+        LEFT JOIN base b ON b.user_id = a.u
+        UNION ALL
+        SELECT user_id, n FROM base WHERE user_id NOT BETWEEN 0 AND 24
+        ORDER BY user_id
+    """).fetchall()]
+    assert got == exp
+    assert len(got) >= 25  # the axis, plus any out-of-range originals
+
+
+def test_with_fill_derived_bounds_and_step(spark, duck, views):
+    got = [(r["b"], r["n"]) for r in ch_sql(spark, """
+        SELECT intDiv(user_id, 10) * 10 AS b, count() AS n FROM events
+        WHERE modulo(user_id, 10) = 3 GROUP BY b
+        ORDER BY b WITH FILL STEP 10
+    """).collect()]
+    # derived bounds: every multiple of 10 between observed min and max
+    bs = [b for b, _ in got]
+    assert bs == sorted(bs)
+    assert bs == list(range(bs[0], bs[-1] + 1, 10))
+    nz = {b: n for b, n in got if n != 0}
+    exp = {r[0]: r[1] for r in duck.execute("""
+        SELECT (user_id // 10) * 10 AS b, count(*) AS n FROM events
+        WHERE user_id % 10 = 3 GROUP BY b
+    """).fetchall()}
+    assert nz == exp
+
+
+def test_with_fill_refuses_unsupported_shapes():
+    with pytest.raises(ValueError, match="no 1:1|WITH FILL"):
+        translate_select("SELECT x FROM t ORDER BY x WITH FILL")
+    from clickhouse_mergetree_spark.chsql import _run_with_fill
+    with pytest.raises(ValueError, match="unsupported WITH FILL"):
+        _run_with_fill(None, "SELECT x FROM t ORDER BY x DESC WITH FILL")
+
+
 def test_asof_join_plan_has_no_range_join(spark, asof_views):
     df = ch_sql(spark, """
         SELECT c.event_id, p.pval
