@@ -366,8 +366,10 @@ def _execute_insert(table: SparkMergeTree, cols: str | None,
                     body: str) -> int:
     """``INSERT INTO t [(cols)] VALUES ... | SELECT ...`` — the ingest
     half of the migration surface. VALUES runs as a Spark literal
-    relation; SELECT runs verbatim through ``spark.sql`` (against
-    whatever views the session has registered). Column mapping follows
+    relation; SELECT runs through the CH dialect front end (``ch_sql``:
+    translation + the structural routes, against whatever views the
+    session has registered) — a runbook's ``INSERT INTO t SELECT
+    countIf(...) ...`` keeps its dialect. Column mapping follows
     ClickHouse: an explicit column list binds by NAME (omitted columns
     fill from their declared DEFAULTs, else are refused), no list binds
     by POSITION against the full schema. Every bound column casts to
@@ -386,7 +388,8 @@ def _execute_insert(table: SparkMergeTree, cols: str | None,
         src = table.spark.sql(
             f"SELECT * FROM ({body}) AS v({', '.join(names)})")
     else:
-        src = table.spark.sql(body)
+        from clickhouse_mergetree_spark.chsql import ch_sql
+        src = ch_sql(table.spark, body)
         if len(src.columns) != len(names):
             raise ValueError(
                 f"INSERT SELECT produces {len(src.columns)} columns, "

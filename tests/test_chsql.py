@@ -610,5 +610,24 @@ def test_clickhouse_session_routes_all_dialect_constructs(spark, tmp_path):
     assert asof[("b", 30)] == 50.0        # trade@5
     assert asof[("c", 15)] is None        # sym never traded
 
+    # INSERT INTO ... SELECT keeps the CH dialect (countIf + LIMIT BY
+    # route) — the MV-backfill statement every migration runbook has
+    sess.execute("""
+        CREATE TABLE summary (
+            sym String,
+            ts UInt64,
+            n_hot UInt64
+        ) ENGINE = MergeTree() ORDER BY (sym, ts)
+    """)
+    sess.execute("""
+        INSERT INTO summary
+        SELECT sym, max(ts) AS ts, countIf(px > 5) AS n_hot
+        FROM quotes GROUP BY sym
+    """)
+    summ = {r["sym"]: r["n_hot"] for r in sess.execute(
+        "SELECT sym, n_hot FROM summary").collect()}
+    assert summ == {"a": 0, "b": 1, "c": 1}
+
+    sess.execute("DROP TABLE summary")
     sess.execute("DROP TABLE quotes")
     sess.execute("DROP TABLE trades")
