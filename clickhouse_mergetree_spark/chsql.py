@@ -818,6 +818,7 @@ class ClickHouseSession:
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
         self.tables: dict[str, object] = {}
+        self.matviews: dict[str, tuple] = {}  # mv name -> (view, src name)
 
     def _refresh_view(self, name: str) -> None:
         self.tables[name].query_all().createOrReplaceTempView(name)
@@ -838,6 +839,30 @@ class ClickHouseSession:
                 self.spark, os.path.join(self.base_dir, name), s)
             self._refresh_view(name)
             return self.tables[name]
+        m = _re.match(r"(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+"
+                      r"(?:[\w`]+\.)?([\w`]+)", s)
+        if m:
+            from clickhouse_mergetree_spark.engine.ddl import (
+                create_materialized_view_from_ddl)
+
+            name = m.group(1).strip("`")
+            sm = _re.search(r"(?is)\bAS\s+SELECT\b.*?\bFROM\s+"
+                            r"(?:[\w`]+\.)?([\w`]+)", s)
+            if not sm:
+                raise ValueError("CREATE MATERIALIZED VIEW needs "
+                                 "AS SELECT ... FROM <table>")
+            src = sm.group(1).strip("`")
+            if src not in self.tables:
+                raise ValueError(f"unknown MV source table {src!r}")
+            view = create_materialized_view_from_ddl(
+                self.spark, self.tables[src],
+                os.path.join(self.base_dir, name), s)
+            # the MV's target IS a table (ClickHouse semantics): readable,
+            # DROPpable by name; remember the binding so DROP detaches it
+            self.tables[name] = view.target
+            self.matviews[name] = (view, src)
+            self._refresh_view(name)
+            return view
         m = _re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
                       r"(?:[\w`]+\.)?([\w`]+)$", s)
         if m:
@@ -847,6 +872,9 @@ class ClickHouseSession:
                 if _re.search(r"(?i)IF\s+EXISTS", s):
                     return None
                 raise ValueError(f"unknown table {name!r}")
+            mv = self.matviews.pop(name, None)
+            if mv is not None and mv[1] in self.tables:
+                self.tables[mv[1]].detach_view(mv[0])
             t.close()
             self.spark.catalog.dropTempView(name)
             return None
@@ -860,7 +888,10 @@ class ClickHouseSession:
                 raise ValueError(f"unknown table {name!r} (created tables: "
                                  f"{sorted(self.tables)})")
             out = execute_ddl(self.tables[name], s)
-            self._refresh_view(name)
+            # a mutation refreshes every session view: an INSERT into an
+            # MV's source changes the MV target's content too
+            for n in self.tables:
+                self._refresh_view(n)
             return out
         if _re.match(r"(?is)^(SELECT|WITH)\b", s):
             return ch_sql(self.spark, self._route_table_reads(s))

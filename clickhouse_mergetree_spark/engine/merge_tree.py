@@ -468,6 +468,14 @@ class SparkMergeTree:
                 view.on_batch(existing)
         self._views.append(view)
 
+    def detach_view(self, view) -> None:
+        """Unbind a MaterializedView attached with attach_view (the DROP
+        TABLE mv path): later inserts stop flowing into its target. A
+        view not currently attached is a no-op — DROP is idempotent."""
+        with self._lock:
+            if view in self._views:
+                self._views.remove(view)
+
     def _notify_views(self, df: DataFrame) -> None:
         for v in self._views:
             v.on_batch(df)

@@ -631,3 +631,39 @@ def test_clickhouse_session_routes_all_dialect_constructs(spark, tmp_path):
     sess.execute("DROP TABLE summary")
     sess.execute("DROP TABLE quotes")
     sess.execute("DROP TABLE trades")
+
+
+def test_clickhouse_session_materialized_view(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW routes through the session: the MV is a
+    readable/DROPpable table, SELECTs observe rollups from inserts that
+    happened AFTER the create (trigger semantics), POPULATE backfills,
+    and DROP TABLE mv detaches it (later inserts stop flowing)."""
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+
+    sess = ClickHouseSession(spark, str(tmp_path))
+    sess.execute("""
+        CREATE TABLE hits (
+            site String,
+            ts UInt64,
+            n UInt64
+        ) ENGINE = MergeTree() ORDER BY (site, ts)
+    """)
+    sess.execute("INSERT INTO hits VALUES ('a', 1, 10), ('b', 2, 20)")
+    sess.execute("""
+        CREATE MATERIALIZED VIEW hits_daily
+        ENGINE = SummingMergeTree() ORDER BY (site)
+        POPULATE
+        AS SELECT site, sum(n) AS total FROM hits GROUP BY site
+    """)
+    # POPULATE saw the pre-create rows; the next insert flows via trigger
+    sess.execute("INSERT INTO hits VALUES ('a', 3, 5)")
+    rolled = {r["site"]: r["total"] for r in sess.execute(
+        "SELECT site, total FROM hits_daily").collect()}
+    assert rolled == {"a": 15, "b": 20}
+    # DROP detaches: later inserts no longer reach the (dropped) target
+    sess.execute("DROP TABLE hits_daily")
+    sess.execute("INSERT INTO hits VALUES ('c', 4, 7)")
+    got = {r["site"] for r in sess.execute(
+        "SELECT site FROM hits").collect()}
+    assert got == {"a", "b", "c"}
+    sess.execute("DROP TABLE hits")
