@@ -2807,3 +2807,66 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(pts, ignorenulls=True).over(w)
         .alias("next_purchase_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: retention() combinator
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_agg_retention",
+    defer=True,
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     AS c1,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS c2,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS c3
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(sum(c1) AS BIGINT) AS r1,
+               CAST(sum(c1 * c2) AS BIGINT) AS r2,
+               CAST(sum(c1 * c3) AS BIGINT) AS r3,
+               round(CAST(sum(c1 * c2) AS DOUBLE)
+                     / NULLIF(sum(c1), 0), 6) AS ratio2,
+               round(CAST(sum(c1 * c3) AS DOUBLE)
+                     / NULLIF(sum(c1), 0), 6) AS ratio3
+        FROM per_user
+    """,
+)
+def q_agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(cond1, ..., condN)``: per user, an array of
+    flags where cond1 GATES the rest (slot k = cond1 AND condK) — summed
+    across users into the funnel-retention counters r1..rN and their
+    conversion ratios. The canonical CH marketing query
+    (q_events_retention is the day-cohort variant; this is the literal
+    combinator semantics).
+
+    One partial+final agg per user (max-of-flag == EXISTS, no distinct
+    blowup), then a second 1-row reduce over the |users| flag rows —
+    both shuffles carry 3 ints per user, nothing corpus-width. The gate
+    multiplies flags instead of re-scanning per condition, exactly how
+    the CH aggregate state is laid out.
+    """
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1)
+              .otherwise(0)).alias("c1"),
+        F.max(F.when(F.col("event_type") == "click", 1)
+              .otherwise(0)).alias("c2"),
+        F.max(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).alias("c3"),
+    )
+    return per_user.agg(
+        F.sum("c1").alias("r1"),
+        F.sum(F.col("c1") * F.col("c2")).alias("r2"),
+        F.sum(F.col("c1") * F.col("c3")).alias("r3"),
+        F.round(F.sum(F.col("c1") * F.col("c2")).cast("double")
+                / F.nullif(F.sum("c1"), F.lit(0)), 6).alias("ratio2"),
+        F.round(F.sum(F.col("c1") * F.col("c3")).cast("double")
+                / F.nullif(F.sum("c1"), F.lit(0)), 6).alias("ratio3"),
+    )
