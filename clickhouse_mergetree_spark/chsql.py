@@ -731,6 +731,60 @@ def _run_asof_join(spark, s: str):
     return ch_sql(spark, rest)
 
 
+def rewrite_dict_calls(s: str, dicts: dict[str, str]) -> str:
+    """``dictGet('d', 'attr', key)`` / ``dictGetOrDefault(..., def)`` /
+    ``dictHas('d', key)`` -> correlated scalar subqueries / IN-subqueries
+    over the dictionary's registered view. Catalyst decorrelates an
+    equality-correlated scalar subquery into a left outer join and
+    broadcasts the dictionary side when small — exactly the
+    dictionaries.py lookup shape, with zero per-row Python. ``dicts``
+    maps dictionary name -> its PRIMARY KEY column. Unique keys are the
+    dictionary contract; a duplicated key fails loudly at run time
+    (Spark's scalar-subquery cardinality check), never silently picks."""
+    pat = "dictgetordefault|dictget|dicthas"
+    pos = 0
+    while True:
+        hit = _find_call(s, pat, pos)
+        if hit is None:
+            return s
+        name_start, open_idx = hit
+        close_idx = _match_paren(s, open_idx)
+        fn = s[name_start:open_idx].strip().lower()
+        args = _split_args(s[open_idx + 1: close_idx])
+        dm = re.fullmatch(r"'(\w+)'", args[0]) if args else None
+        if not dm or dm.group(1) not in dicts:
+            raise ValueError(
+                f"{fn}: first argument must be a literal registered "
+                f"dictionary name (have: {sorted(dicts)})")
+        dname = dm.group(1)
+        key_col = dicts[dname]
+        if fn == "dicthas":
+            if len(args) != 2:
+                raise ValueError("dictHas takes (dict, key)")
+            repl = (f"(({args[1]}) IN "
+                    f"(SELECT {key_col} FROM {dname}))")
+        else:
+            am = re.fullmatch(r"'(\w+)'", args[1]) if len(args) > 1 else None
+            if not am:
+                raise ValueError(
+                    f"{fn}: attribute must be a literal column name")
+            attr = am.group(1)
+            if fn == "dictget":
+                if len(args) != 3:
+                    raise ValueError("dictGet takes (dict, attr, key)")
+                repl = (f"(SELECT {attr} FROM {dname} "
+                        f"WHERE {dname}.{key_col} = ({args[2]}))")
+            else:
+                if len(args) != 4:
+                    raise ValueError(
+                        "dictGetOrDefault takes (dict, attr, key, default)")
+                repl = (f"coalesce((SELECT {attr} FROM {dname} "
+                        f"WHERE {dname}.{key_col} = ({args[2]})), "
+                        f"{args[3]})")
+        s = s[:name_start] + repl + s[close_idx + 1:]
+        pos = name_start + len(repl)
+
+
 _WITH_FILL = re.compile(
     r"(?is)\bORDER\s+BY\s+([A-Za-z_]\w*)(\s+DESC|\s+ASC)?\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?\s*$")
@@ -819,6 +873,8 @@ class ClickHouseSession:
         os.makedirs(base_dir, exist_ok=True)
         self.tables: dict[str, object] = {}
         self.matviews: dict[str, tuple] = {}  # mv name -> (view, src name)
+        # dict name -> (PRIMARY KEY column, source relation name)
+        self.dictionaries: dict[str, tuple[str, str]] = {}
 
     def _refresh_view(self, name: str) -> None:
         self.tables[name].query_all().createOrReplaceTempView(name)
@@ -863,6 +919,36 @@ class ClickHouseSession:
             self.matviews[name] = (view, src)
             self._refresh_view(name)
             return view
+        m = _re.match(r"(?is)^CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                      r"(?:[\w`]+\.)?([\w`]+)", s)
+        if m:
+            name = m.group(1).strip("`")
+            km = _re.search(r"(?is)\bPRIMARY\s+KEY\s+([\w`]+)", s)
+            sm = _re.search(r"(?is)\bSOURCE\s*\(\s*\w+\s*\("
+                            r"[^)]*?TABLE\s+'([\w.]+)'", s)
+            if not km or not sm:
+                raise ValueError(
+                    "CREATE DICTIONARY needs PRIMARY KEY <col> and "
+                    "SOURCE(...(TABLE '<table>'...))")
+            src = sm.group(1)
+            if src in self.tables:
+                self.tables[src].query_all().createOrReplaceTempView(name)
+            elif self.spark.catalog.tableExists(src):
+                self.spark.table(src).createOrReplaceTempView(name)
+            else:
+                raise ValueError(f"unknown dictionary source {src!r}")
+            self.dictionaries[name] = (km.group(1).strip("`"), src)
+            return None
+        m = _re.match(r"(?is)^DROP\s+DICTIONARY\s+(?:IF\s+EXISTS\s+)?"
+                      r"(?:[\w`]+\.)?([\w`]+)$", s)
+        if m:
+            name = m.group(1).strip("`")
+            if self.dictionaries.pop(name, None) is None:
+                if not _re.search(r"(?i)IF\s+EXISTS", s):
+                    raise ValueError(f"unknown dictionary {name!r}")
+                return None
+            self.spark.catalog.dropTempView(name)
+            return None
         m = _re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
                       r"(?:[\w`]+\.)?([\w`]+)$", s)
         if m:
@@ -889,12 +975,23 @@ class ClickHouseSession:
                                  f"{sorted(self.tables)})")
             out = execute_ddl(self.tables[name], s)
             # a mutation refreshes every session view: an INSERT into an
-            # MV's source changes the MV target's content too
+            # MV's source changes the MV target's content too, and a
+            # dictionary sourced from a session table re-snapshots (the
+            # in-session stand-in for ClickHouse's LIFETIME reload)
             for n in self.tables:
                 self._refresh_view(n)
+            for dname, (_k, src) in self.dictionaries.items():
+                if src in self.tables:
+                    self.tables[src].query_all() \
+                        .createOrReplaceTempView(dname)
             return out
         if _re.match(r"(?is)^(SELECT|WITH)\b", s):
-            return ch_sql(self.spark, self._route_table_reads(s))
+            s = self._route_table_reads(s)
+            # unconditional: a dictGet over an unknown/dropped dictionary
+            # must refuse by name, not leak to Spark as an unknown fn
+            s = rewrite_dict_calls(
+                s, {n: k for n, (k, _src) in self.dictionaries.items()})
+            return ch_sql(self.spark, s)
         raise ValueError(f"unroutable statement: {s[:80]!r}")
 
     def _route_table_reads(self, s: str) -> str:

@@ -633,6 +633,65 @@ def test_clickhouse_session_routes_all_dialect_constructs(spark, tmp_path):
     sess.execute("DROP TABLE trades")
 
 
+def test_clickhouse_session_dictionary(spark, tmp_path):
+    """CREATE DICTIONARY + dictGet/dictGetOrDefault/dictHas in session
+    SELECTs: lookups become correlated scalar subqueries Catalyst
+    decorrelates into (broadcastable) joins; misses are NULL for dictGet
+    and the default for dictGetOrDefault; a source-table INSERT
+    re-snapshots the dictionary (the in-session LIFETIME reload)."""
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+
+    sess = ClickHouseSession(spark, str(tmp_path))
+    sess.execute("""
+        CREATE TABLE countries (
+            code String,
+            ts UInt64,
+            cname String
+        ) ENGINE = MergeTree() ORDER BY (code, ts)
+    """)
+    sess.execute("INSERT INTO countries VALUES "
+                 "('us', 1, 'United States'), ('de', 1, 'Germany')")
+    sess.execute("""
+        CREATE DICTIONARY country_dict (code String, cname String)
+        PRIMARY KEY code
+        SOURCE(CLICKHOUSE(TABLE 'countries'))
+        LAYOUT(FLAT()) LIFETIME(300)
+    """)
+    sess.execute("""
+        CREATE TABLE visits (
+            vid UInt64,
+            ts UInt64,
+            country String
+        ) ENGINE = MergeTree() ORDER BY (vid, ts)
+    """)
+    sess.execute("INSERT INTO visits VALUES "
+                 "(1, 1, 'us'), (2, 1, 'de'), (3, 1, 'fr')")
+    rows = {r["vid"]: (r["nm"], r["nm_d"], r["known"])
+            for r in sess.execute("""
+        SELECT vid,
+               dictGet('country_dict', 'cname', country) AS nm,
+               dictGetOrDefault('country_dict', 'cname', country, '?') AS nm_d,
+               dictHas('country_dict', country) AS known
+        FROM visits
+    """).collect()}
+    assert rows[1] == ("United States", "United States", True)
+    assert rows[2] == ("Germany", "Germany", True)
+    assert rows[3] == (None, "?", False)
+
+    # source insert -> dictionary re-snapshot
+    sess.execute("INSERT INTO countries VALUES ('fr', 1, 'France')")
+    got = sess.execute(
+        "SELECT dictGet('country_dict', 'cname', 'fr') AS nm").collect()
+    assert got[0]["nm"] == "France"
+
+    sess.execute("DROP DICTIONARY country_dict")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="registered dictionary"):
+        sess.execute("SELECT dictGet('country_dict', 'cname', 'us') AS x")
+    sess.execute("DROP TABLE visits")
+    sess.execute("DROP TABLE countries")
+
+
 def test_clickhouse_session_materialized_view(spark, tmp_path):
     """CREATE MATERIALIZED VIEW routes through the session: the MV is a
     readable/DROPpable table, SELECTs observe rollups from inserts that
