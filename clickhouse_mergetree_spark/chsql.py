@@ -535,22 +535,65 @@ def _split_top(s: str, sep_re: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
-def _order_items(order_text: str, *, invert: bool = False) -> list:
-    """``a DESC, b`` -> [Column sort items]; dialect-translated exprs."""
-    from pyspark.sql import functions as F
-
-    items = []
+def _order_pairs(order_text: str) -> list[tuple[str, bool]]:
+    """``a DESC, b`` -> [(translated_expr, is_desc)]."""
+    pairs = []
     for part in _split_top(order_text, r","):
         if re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\b", part):
             raise ValueError(
                 "NULLS FIRST/LAST inside a routed ORDER BY is not "
                 "supported — rewrite without it")
         m = re.match(r"(?is)^(.*?)(?:\s+(ASC|DESC))?$", part.strip())
-        expr, direction = m.group(1).strip(), (m.group(2) or "ASC").upper()
-        col = F.expr(_translate_expr(expr))
-        desc = (direction == "DESC") != invert
-        items.append(col.desc() if desc else col.asc())
-    return items
+        pairs.append((_translate_expr(m.group(1).strip()),
+                      (m.group(2) or "ASC").upper() == "DESC"))
+    return pairs
+
+
+def _order_items(order_text: str) -> list:
+    """``a DESC, b`` -> [Column sort items]; dialect-translated exprs."""
+    from pyspark.sql import functions as F
+
+    return [F.expr(e).desc() if d else F.expr(e).asc()
+            for e, d in _order_pairs(order_text)]
+
+
+def _extend_select(sql: str, exprs: list[str]) -> tuple[str, list[str]]:
+    """Append ``exprs`` to the OUTER select list under generated aliases
+    (for ORDER BY / LIMIT BY expressions that reference source columns
+    the query doesn't project — legal in ClickHouse). Refuses under
+    top-level DISTINCT, where extending the list would change the
+    result (ClickHouse refuses the same shape)."""
+    if re.match(r"(?is)^\s*SELECT\s+DISTINCT\b", sql):
+        raise ValueError(
+            "ORDER BY on a non-projected column cannot combine with "
+            "DISTINCT (extending the select list would change it)")
+    m = re.match(r"(?is)^\s*SELECT\s+", sql)
+    if not m:
+        raise ValueError("cannot extend a non-SELECT query")
+    # first top-level FROM ends the select list
+    depth, quote, from_idx = 0, None, None
+    i = m.end()
+    while i < len(sql):
+        ch = sql[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch == "'":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and sql[i:i + 4].upper() == "FROM" and \
+                re.match(r"(?is)\bFROM\b", sql[i:i + 5]):
+            from_idx = i
+            break
+        i += 1
+    if from_idx is None:
+        raise ValueError("cannot locate the outer FROM clause")
+    aliases = [f"__ch_ob{k}" for k in range(len(exprs))]
+    extra = "".join(f", {e} AS {a}" for e, a in zip(exprs, aliases))
+    return sql[:from_idx] + extra + " " + sql[from_idx:], aliases
 
 
 def _parse_limit_by(s: str):
@@ -593,20 +636,56 @@ def _run_limit_by(spark, base, order_text, n, by_text, outer):
     the BY exprs themselves when none — same unspecified-order contract
     as ClickHouse), keep rank <= n, re-apply the outer ORDER BY/LIMIT.
     One shuffle on the BY key; the window's rank-limit prunes inside
-    each partition, so group size never exceeds memory at 100 TB."""
+    each partition, so group size never exceeds memory at 100 TB.
+
+    ORDER BY / BY expressions may reference source columns the query
+    does not project (legal in ClickHouse): on an unresolved-column
+    analysis error the base select list is extended with the offending
+    expressions under generated aliases, which are dropped again after
+    ranking and ordering."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
 
-    base_df = spark.sql(translate_select(base))
-    by_cols = [F.expr(_translate_expr(b)) for b in _split_top(by_text, r",")]
-    order_cols = (_order_items(order_text) if order_text
-                  else [c.asc() for c in by_cols])
-    w = Window.partitionBy(*by_cols).orderBy(*order_cols)
-    rn = "__ch_limit_by_rn"
-    out = (base_df.withColumn(rn, F.row_number().over(w))
-           .filter(F.col(rn) <= n).drop(rn))
-    if order_text:
-        out = out.orderBy(*_order_items(order_text))
+    base_sql = translate_select(base)
+    by_exprs = [_translate_expr(b) for b in _split_top(by_text, r",")]
+    pairs = (_order_pairs(order_text) if order_text
+             else [(b, False) for b in by_exprs])
+    extra: list[str] = []
+
+    def build(base_df, by_list, order_list):
+        w = Window.partitionBy(
+            *[F.expr(b) for b in by_list]).orderBy(
+            *[F.expr(e).desc() if d else F.expr(e).asc()
+              for e, d in order_list])
+        rn = "__ch_limit_by_rn"
+        out = (base_df.withColumn(rn, F.row_number().over(w))
+               .filter(F.col(rn) <= n).drop(rn))
+        if order_text:
+            out = out.orderBy(
+                *[F.expr(e).desc() if d else F.expr(e).asc()
+                  for e, d in order_list])
+        out.schema  # force analysis so unresolved columns surface HERE
+        return out
+
+    base_df = spark.sql(base_sql)
+    try:
+        out = build(base_df, by_exprs, pairs)
+    except AnalysisException:
+        # extend the projection with every ORDER BY/BY expression, rank
+        # against the aliases, then drop them (projection after sort
+        # keeps the order)
+        exprs = [e for e, _d in pairs] + by_exprs
+        ext_sql, aliases = _extend_select(base_sql, exprs)
+        o_alias = aliases[: len(pairs)]
+        b_alias = aliases[len(pairs):]
+        ext_df = spark.sql(ext_sql)
+        out = build(ext_df,
+                    b_alias,
+                    [(a, d) for a, (_e, d) in zip(o_alias, pairs)])
+        extra = aliases
+    if extra:
+        out = out.drop(*extra)
     if outer is not None:
         out = out.limit(outer)
     return out
