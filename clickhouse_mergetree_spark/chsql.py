@@ -169,6 +169,19 @@ _RENAMES = {
     "replaceregexpall": "regexp_replace",
     "tounixtimestamp": "unix_timestamp",
     "fromunixtimestamp": "from_unixtime",
+    "toquarter": "quarter",
+    "todayofyear": "dayofyear",
+    "todate32": "to_date",
+    "arraymin": "array_min",
+    "arraymax": "array_max",
+    "arrayslice": "slice",
+    "arraypushback": "array_append",
+    "arraypushfront": "array_prepend",
+    "arrayintersect": "array_intersect",
+    "leftpad": "lpad",
+    "rightpad": "rpad",
+    "concatwithseparator": "concat_ws",
+    "substringutf8": "substring",
     "stddevpop": "stddev_pop",
     "stddevsamp": "stddev_samp",
     "varpop": "var_pop",
@@ -340,6 +353,51 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
             f"transform({args[1]}, {args[0]})"
         return (f"aggregate({arr}, CAST(0 AS DOUBLE), "
                 f"(acc, x) -> acc + x)")
+    if low == "arrayavg":
+        arr = args[0] if len(args) == 1 else \
+            f"transform({args[1]}, {args[0]})"
+        return (f"(aggregate({arr}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + x) / size({arr}))")
+    if low == "arrayenumerate":
+        return f"sequence(1, size({args[0]}))"
+    if low == "arraypopback":
+        return f"slice({args[0]}, 1, size({args[0]}) - 1)"
+    if low == "arraypopfront":
+        return f"slice({args[0]}, 2, size({args[0]}) - 1)"
+    if low == "hasall":
+        return f"forall({args[1]}, x -> array_contains({args[0]}, x))"
+    if low == "hasany":
+        return f"exists({args[1]}, x -> array_contains({args[0]}, x))"
+    if low == "splitbystring":
+        m = re.fullmatch(r"'(.*)'", args[0], re.S)
+        if not m:
+            raise ValueError("splitByString: only literal separators "
+                             "translate (Spark split takes a regex)")
+        esc = re.escape(m.group(1)).replace("\\", "\\\\").replace("'", "''")
+        return f"split({args[1]}, '{esc}')"
+    if low == "splitbywhitespace":
+        return f"split(trim({args[0]}), '\\\\s+')"
+    if low in ("bitand", "bitor", "bitxor",
+               "bitshiftleft", "bitshiftright"):
+        op = {"bitand": "&", "bitor": "|", "bitxor": "^",
+              "bitshiftleft": "<<", "bitshiftright": ">>"}[low]
+        return f"({args[0]} {op} {args[1]})"
+    if low == "bitnot":
+        return f"(~{args[0]})"
+    if low in ("toyyyymm", "toyyyymmdd"):
+        fmt = "yyyyMM" if low == "toyyyymm" else "yyyyMMdd"
+        return f"CAST(date_format({args[0]}, '{fmt}') AS INT)"
+    if low in _ADD_UNITS:
+        unit, sign = _ADD_UNITS[low]
+        n = args[1] if sign > 0 else f"-({args[1]})"
+        return f"timestampadd({unit}, {n}, {args[0]})"
+    if low in ("dateadd", "datesub"):
+        m = re.fullmatch(r"'?(\w+)'?", args[0])
+        if not m or len(args) != 3:
+            raise ValueError(f"{name}: needs (unit, n, date) with a "
+                             "literal unit")
+        n = args[1] if low == "dateadd" else f"-({args[1]})"
+        return f"timestampadd({m.group(1).upper()}, {n}, {args[2]})"
     if low in _RENAMES:
         tgt = _RENAMES[low]
         if tgt == "":
@@ -347,6 +405,15 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
         if tgt is not None:
             return f"{tgt}({', '.join(args)})"
     raise AssertionError(f"_fn_dispatch missed {name}")  # pragma: no cover
+
+
+# addDays(d, n) family -> timestampadd(UNIT, ±n, d)
+_ADD_UNITS = {
+    f"{pre}{u}s": (u.upper(), 1 if pre == "add" else -1)
+    for u in ("second", "minute", "hour", "day", "week", "month",
+              "quarter", "year")
+    for pre in ("add", "subtract")
+}
 
 
 _DISPATCH_RE = "|".join(
@@ -360,7 +427,13 @@ _DISPATCH_RE = "|".join(
            "arraycount", "arrayfirst", "arraysum",
            "isnull", "isnotnull", "datediff", "formatdatetime",
            "jsonextractstring", "jsonextractint", "jsonextractfloat",
-           "jsonextractraw"},
+           "jsonextractraw",
+           "arrayavg", "arrayenumerate", "arraypopback", "arraypopfront",
+           "hasall", "hasany", "splitbystring", "splitbywhitespace",
+           "bitand", "bitor", "bitxor", "bitnot",
+           "bitshiftleft", "bitshiftright",
+           "toyyyymm", "toyyyymmdd", "dateadd", "datesub"}
+        | set(_ADD_UNITS),
         key=len, reverse=True,
     )
 )
@@ -431,7 +504,7 @@ def _translate_expr(s: str) -> str:
     s = _rewrite_calls(s, _DISPATCH_RE, _fn_dispatch)
     # zero-arg renames (no parens to match)
     s = re.sub(r"(?i)\bcount\(\s*\)", "count(*)", s)
-    s = re.sub(r"(?i)\bnow\(\)", "current_timestamp()", s)
+    s = re.sub(r"(?i)\bnow64?\(\)", "current_timestamp()", s)
     s = re.sub(r"(?i)\btoday\(\)", "current_date()", s)
     s = re.sub(r"(?i)\byesterday\(\)", "date_sub(current_date(), 1)", s)
     return s

@@ -27,7 +27,10 @@ CASES = [
      "SELECT CASE WHEN a > 1 THEN 'x' WHEN a > 0 THEN 'y' "
      "ELSE 'z' END FROM t"),
     ("SELECT toStartOfDay(ts), toYYYYMM(ts) FROM events",
-     None),  # toYYYYMM untranslated (passes through; Spark has no such fn)
+     "SELECT date_trunc('day', ts), "
+     "CAST(date_format(ts, 'yyyyMM') AS INT) FROM events"),
+    ("SELECT toQuarterOfYear(ts) FROM events",
+     None),  # unknown fn passes through untouched (Spark errors loudly)
     ("SELECT toStartOfMonth(ts) FROM events",
      "SELECT date_trunc('month', ts) FROM events"),
     ("SELECT toUInt32(value), toString(user_id) FROM events",
@@ -68,7 +71,7 @@ def test_translate_rules(src, expected):
     if expected is not None:
         assert got == expected, got
     else:
-        assert "toYYYYMM(ts)" in got  # untouched passthrough
+        assert "toQuarterOfYear(ts)" in got  # untouched passthrough
 
 
 def test_prewhere_and_where_conjoin():
@@ -317,6 +320,12 @@ def test_every_rename_translation_parses_in_spark(spark):
         "stddevpop": "x", "stddevsamp": "x", "varpop": "x",
         "varsamp": "x", "covarpop": "x, x", "covarsamp": "x, x",
         "corr": "x, x", "assumenotnull": "s",
+        "toquarter": "ts_c", "todayofyear": "ts_c", "todate32": "ts_c",
+        "arraymin": "arr", "arraymax": "arr", "arrayslice": "arr, 1, 1",
+        "arraypushback": "arr, 3", "arraypushfront": "arr, 3",
+        "arrayintersect": "arr, arr",
+        "leftpad": "s, 5, ' '", "rightpad": "s, 5, ' '",
+        "concatwithseparator": "'-', s, s", "substringutf8": "s, 1, 2",
     }
     missing = set(chsql._RENAMES) - set(arg_for)
     assert not missing, f"add probe args for {missing}"
@@ -331,6 +340,48 @@ def test_every_rename_translation_parses_in_spark(spark):
         spark.sql(chsql.translate_select(
             f"SELECT {low}(i) AS r FROM chsql_parse_probe")).schema
     spark.catalog.dropTempView("chsql_parse_probe")
+
+
+def test_round8_dispatch_batch(spark):
+    """Date arithmetic, bit ops, array ops, split variants, YYYYMM keys:
+    each new dispatch must analyze AND evaluate correctly."""
+    from clickhouse_mergetree_spark.chsql import ch_sql, translate_select
+
+    got = translate_select(
+        "SELECT addDays(t, 3) AS a, subtractHours(t, 2) AS b, "
+        "dateAdd(QUARTER, 1, t) AS c, dateSub('day', 7, t) AS d, "
+        "bitAnd(i, 6) AS e, bitShiftLeft(i, 2) AS f, bitNot(i) AS g, "
+        "toYYYYMM(t) AS h, arrayAvg(xs) AS i2, arrayEnumerate(xs) AS j, "
+        "arrayPopBack(xs) AS k, hasAll(xs, needles) AS l, "
+        "splitByString('::', s) AS m, splitByWhitespace(s) AS n2 "
+        "FROM t")
+    assert "timestampadd(DAY, 3, t)" in got
+    assert "timestampadd(HOUR, -(2), t)" in got
+    assert "timestampadd(QUARTER, 1, t)" in got
+    assert "timestampadd(DAY, -(7), t)" in got
+    assert "(i & 6)" in got and "(i << 2)" in got and "(~i)" in got
+    assert "CAST(date_format(t, 'yyyyMM') AS INT)" in got
+    assert "sequence(1, size(xs))" in got
+    assert "slice(xs, 1, size(xs) - 1)" in got
+    assert "forall(needles, x -> array_contains(xs, x))" in got
+    row = ch_sql(spark, """
+        SELECT addDays(CAST('2024-01-30 00:00:00' AS TIMESTAMP), 3) AS a,
+               toYYYYMM(CAST('2024-03-05' AS DATE)) AS ym,
+               bitXor(12, 10) AS bx,
+               arrayAvg(array(1, 2, 3, 6)) AS av,
+               arrayPopFront(array(7, 8, 9)) AS pf,
+               hasAny(array(1, 2), array(5, 2)) AS ha,
+               splitByString('::', 'a::b::c') AS sp,
+               leftPad('7', 3, '0') AS lp
+    """).collect()[0]
+    assert str(row["a"]).startswith("2024-02-02")
+    assert row["ym"] == 202403
+    assert row["bx"] == 6
+    assert row["av"] == 3.0
+    assert list(row["pf"]) == [8, 9]
+    assert row["ha"] is True
+    assert list(row["sp"]) == ["a", "b", "c"]
+    assert row["lp"] == "007"
 
 
 def test_arraystringconcat_optional_separator():
