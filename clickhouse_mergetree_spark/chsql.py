@@ -571,6 +571,8 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
         return _run_asof_join(spark, s)
     if re.search(r"(?i)\bWITH\s+FILL\b", s):
         return _run_with_fill(spark, s)
+    if _find_call(s, r"topkweighted|topk") is not None:
+        return _run_topk(spark, s)
     return spark.sql(translate_select(s))
 
 
@@ -935,6 +937,86 @@ def rewrite_dict_calls(s: str, dicts: dict[str, str]) -> str:
                         f"{args[3]})")
         s = s[:name_start] + repl + s[close_idx + 1:]
         pos = name_start + len(repl)
+
+
+_TOPK_SHAPE = re.compile(
+    r"(?is)^\s*SELECT\s+(.*?)\s+FROM\s+([A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(.*?))?\s*$")
+
+
+def _run_topk(spark, s: str):
+    """``SELECT [keys,] topK(n)(x) AS a FROM t [WHERE ...] [GROUP BY
+    keys]`` routed as the q_topk plan: per-(keys, x) count aggregate,
+    rank window per keys (count DESC, value ASC — a pinned determinstic
+    tie-break where ClickHouse's sketch is approximate), keep rank <= n,
+    collect per group in rank order. Two narrow shuffles (the count agg
+    and the |keys|-row collect) — never a per-group sort of raw rows.
+    topKWeighted(n)(x, w) sums w instead of counting. Exact by
+    construction (CH's topK is an approximate space-saving sketch; the
+    exact answer is a valid refinement). Constrained shape: one topK,
+    other select items must be GROUP BY keys — anything else refuses."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    m = _TOPK_SHAPE.match(s)
+    if not m:
+        raise ValueError(
+            "unsupported topK query shape — need SELECT [keys,] "
+            "topK(n)(x) [AS alias] FROM <table> [WHERE ...] "
+            "[GROUP BY keys]")
+    sel, table, where, group = m.groups()
+    keys = [g.strip() for g in _split_top(group, r",")] if group else []
+    if any(not re.fullmatch(r"[\w`]+", k) for k in keys):
+        raise ValueError("routed topK supports plain column GROUP BY "
+                         f"keys only (got {keys})")
+    topk_item = None
+    for item in _split_top(sel, r","):
+        if _find_call(item, r"topkweighted|topk") is not None:
+            if topk_item is not None:
+                raise ValueError("only ONE topK per routed query")
+            topk_item = item
+        elif item.strip().strip("`") not in [k.strip("`") for k in keys]:
+            raise ValueError(
+                f"non-key select item {item!r} cannot combine with the "
+                "routed topK (keys only)")
+    im = re.match(
+        r"(?is)^(topkweighted|topk)\s*\((\d+)\)\s*\((.*)\)"
+        r"(?:\s+AS\s+([\w`]+))?$", topk_item.strip())
+    if not im:
+        raise ValueError(f"unsupported topK item {topk_item!r}")
+    fn, n, inner, alias = (im.group(1).lower(), int(im.group(2)),
+                           im.group(3), im.group(4))
+    alias = (alias or "topk").strip("`")
+    inner_args = _split_top(inner, r",")
+    val = _translate_expr(inner_args[0])
+    if fn == "topkweighted":
+        if len(inner_args) != 2:
+            raise ValueError("topKWeighted(n)(x, w) needs two arguments")
+        weight = f"sum({_translate_expr(inner_args[1])})"
+    else:
+        weight = "count(*)"
+    key_exprs = [_translate_expr(k) for k in keys]
+    base = (f"SELECT {', '.join([*key_exprs, f'{val} AS __val'])}, "
+            f"{weight} AS __cnt FROM {table}")
+    if where:
+        base = (f"SELECT {', '.join([*key_exprs, f'{val} AS __val'])}, "
+                f"{weight} AS __cnt FROM {table} "
+                f"WHERE {_translate_expr(where)}")
+    gb = ", ".join([*key_exprs, "__val"])
+    counts = spark.sql(f"{base} GROUP BY {gb}")
+    w = (Window.partitionBy(*[F.expr(k) for k in key_exprs])
+         if key_exprs else Window.partitionBy())
+    w = w.orderBy(F.col("__cnt").desc(), F.col("__val").asc())
+    ranked = (counts.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= n))
+    agged = ranked.groupBy(*[F.expr(k) for k in key_exprs]).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__rn", "__val"))),
+            lambda t: t.getField("__val")).alias(alias))
+    if keys:
+        out_keys = [k.strip("`").split(".")[-1] for k in keys]
+        return agged.toDF(*out_keys, alias)
+    return agged
 
 
 _WITH_FILL = re.compile(

@@ -543,6 +543,49 @@ def test_with_fill_refuses_unsupported_shapes():
         _run_with_fill(None, "SELECT x FROM t ORDER BY x DESC WITH FILL")
 
 
+def test_topk_route_end_to_end(spark, duck, views):
+    got = {r["user_id"]: list(r["top_types"]) for r in ch_sql(spark, """
+        SELECT user_id, topK(2)(event_type) AS top_types
+        FROM events WHERE user_id < 10 GROUP BY user_id
+    """).collect()}
+    exp = {}
+    for uid, et in duck.execute("""
+        SELECT user_id, event_type FROM (
+            SELECT user_id, event_type, count(*) AS c, row_number() OVER (
+                PARTITION BY user_id ORDER BY count(*) DESC, event_type
+            ) AS rn FROM events WHERE user_id < 10
+            GROUP BY user_id, event_type
+        ) WHERE rn <= 2 ORDER BY user_id, rn
+    """).fetchall():
+        exp.setdefault(uid, []).append(et)
+    assert got == exp
+
+
+def test_topk_route_global_and_weighted(spark, duck, views):
+    got = ch_sql(spark, "SELECT topK(3)(event_type) FROM events") \
+        .collect()[0]["topk"]
+    exp = [r[0] for r in duck.execute("""
+        SELECT event_type FROM events GROUP BY event_type
+        ORDER BY count(*) DESC, event_type LIMIT 3
+    """).fetchall()]
+    assert list(got) == exp
+    gotw = ch_sql(spark, """
+        SELECT topKWeighted(2)(event_type, value) AS tw FROM events
+    """).collect()[0]["tw"]
+    expw = [r[0] for r in duck.execute("""
+        SELECT event_type FROM events GROUP BY event_type
+        ORDER BY sum(value) DESC, event_type LIMIT 2
+    """).fetchall()]
+    assert list(gotw) == expw
+
+
+def test_topk_route_refuses_mixed_aggregates(spark, views):
+    with pytest.raises(ValueError, match="non-key select item"):
+        ch_sql(spark, "SELECT user_id, count() AS n, "
+                      "topK(2)(event_type) AS t "
+                      "FROM events GROUP BY user_id")
+
+
 def test_asof_join_plan_has_no_range_join(spark, asof_views):
     df = ch_sql(spark, """
         SELECT c.event_id, p.pval
