@@ -1122,6 +1122,40 @@ class ClickHouseSession:
 
         s = sql.strip().rstrip(";").strip()
         m = _re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                      r"(?:[\w`]+\.)?([\w`]+)\s+ENGINE\s*=\s*MergeTree\s*"
+                      r"(?:\(\s*\))?\s*ORDER\s+BY\s+(\([^)]*\)|[\w`]+)\s+"
+                      r"AS\s+(SELECT\b.*|WITH\b.*)$", s)
+        if m:
+            # CTAS: schema derives from the (dialect) SELECT, the ORDER
+            # BY names the engine keys, rows land through the ordinary
+            # insert path (dedup per the engine contract, like any other
+            # MergeTree insert)
+            from clickhouse_mergetree_spark.engine.merge_tree import (
+                MergeTreeConfig, SparkMergeTree)
+
+            name = m.group(1).strip("`")
+            order_cols = [c.strip().strip("`")
+                          for c in m.group(2).strip("()").split(",")
+                          if c.strip()]
+            df = ch_sql(self.spark, m.group(3))
+            missing = [c for c in order_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"CTAS ORDER BY columns {missing} absent from the "
+                    f"SELECT output {df.columns}")
+            table = SparkMergeTree(
+                self.spark, os.path.join(self.base_dir, name),
+                schema=df.schema,
+                config=MergeTreeConfig(
+                    key_col=order_cols[0],
+                    ts_col=order_cols[1] if len(order_cols) > 1
+                    else order_cols[0]))
+            table.insert_batch(df)
+            table.flush()
+            self.tables[name] = table
+            self._refresh_view(name)
+            return table
+        m = _re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
                       r"(?:[\w`]+\.)?([\w`]+)", s)
         if m:
             name = m.group(1).strip("`")
@@ -1129,6 +1163,32 @@ class ClickHouseSession:
                 self.spark, os.path.join(self.base_dir, name), s)
             self._refresh_view(name)
             return self.tables[name]
+        m = _re.match(r"(?is)^RENAME\s+TABLE\s+(?:[\w`]+\.)?([\w`]+)\s+"
+                      r"TO\s+(?:[\w`]+\.)?([\w`]+)$", s)
+        if m:
+            old, new = (m.group(1).strip("`"), m.group(2).strip("`"))
+            if old not in self.tables:
+                raise ValueError(f"unknown table {old!r}")
+            if new in self.tables:
+                raise ValueError(f"table {new!r} already exists")
+            self.tables[new] = self.tables.pop(old)
+            if old in self.matviews:
+                self.matviews[new] = self.matviews.pop(old)
+            self.spark.catalog.dropTempView(old)
+            self._refresh_view(new)
+            return None
+        m = _re.match(r"(?is)^EXISTS\s+(?:TABLE\s+)?"
+                      r"(?:[\w`]+\.)?([\w`]+)$", s)
+        if m:
+            hit = int(m.group(1).strip("`") in self.tables)
+            return self.spark.sql(f"SELECT {hit} AS result")
+        if _re.match(r"(?is)^SHOW\s+TABLES$", s):
+            rows = ", ".join(f"('{n}')" for n in sorted(self.tables))
+            if not rows:
+                return self.spark.sql(
+                    "SELECT CAST(NULL AS STRING) AS name WHERE false")
+            return self.spark.sql(
+                f"SELECT * FROM (VALUES {rows}) AS t(name)")
         m = _re.match(r"(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+"
                       r"(?:[\w`]+\.)?([\w`]+)", s)
         if m:

@@ -727,6 +727,47 @@ def test_clickhouse_session_routes_all_dialect_constructs(spark, tmp_path):
     sess.execute("DROP TABLE trades")
 
 
+def test_clickhouse_session_ctas_rename_exists_show(spark, tmp_path):
+    """CTAS derives the schema from a dialect SELECT; RENAME/EXISTS/SHOW
+    complete the catalog statements a runbook drives."""
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+
+    sess = ClickHouseSession(spark, str(tmp_path))
+    sess.execute("""
+        CREATE TABLE raw (
+            k String,
+            ts UInt64,
+            v Float64
+        ) ENGINE = MergeTree() ORDER BY (k, ts)
+    """)
+    sess.execute("INSERT INTO raw VALUES "
+                 "('a', 1, 2.0), ('a', 2, 4.0), ('b', 1, 10.0)")
+    sess.execute("""
+        CREATE TABLE agg ENGINE = MergeTree() ORDER BY (k)
+        AS SELECT k, countIf(v > 3) AS n_big, round(sum(v), 4) AS sv
+        FROM raw GROUP BY k
+    """)
+    rows = {r["k"]: (r["n_big"], r["sv"]) for r in sess.execute(
+        "SELECT k, n_big, sv FROM agg").collect()}
+    assert rows == {"a": (1, 6.0), "b": (1, 10.0)}
+    # the CTAS table is a REAL engine table: ALTER + OPTIMIZE work
+    sess.execute("ALTER TABLE agg ADD COLUMN tag String DEFAULT 'x'")
+    sess.execute("OPTIMIZE TABLE agg FINAL")
+    assert {r["tag"] for r in sess.execute(
+        "SELECT tag FROM agg").collect()} == {"x"}
+
+    assert sess.execute("EXISTS TABLE agg").collect()[0]["result"] == 1
+    assert sess.execute("EXISTS nope").collect()[0]["result"] == 0
+    assert {r["name"] for r in sess.execute("SHOW TABLES").collect()} \
+        == {"raw", "agg"}
+    sess.execute("RENAME TABLE agg TO rollup")
+    assert sess.execute("EXISTS TABLE agg").collect()[0]["result"] == 0
+    assert sess.execute(
+        "SELECT count() AS n FROM rollup").collect()[0]["n"] == 2
+    sess.execute("DROP TABLE rollup")
+    sess.execute("DROP TABLE raw")
+
+
 def test_clickhouse_session_dictionary(spark, tmp_path):
     """CREATE DICTIONARY + dictGet/dictGetOrDefault/dictHas in session
     SELECTs: lookups become correlated scalar subqueries Catalyst
