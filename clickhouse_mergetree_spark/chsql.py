@@ -912,29 +912,34 @@ def rewrite_dict_calls(s: str, dicts: dict[str, str]) -> str:
                 f"dictionary name (have: {sorted(dicts)})")
         dname = dm.group(1)
         key_col = dicts[dname]
+        # the dictionary side projects ONLY collision-proof aliases, so
+        # an outer column sharing the dictionary key/attr NAME cannot be
+        # captured by the inner scope (a silently-wrong bind: the
+        # correlation would compare the dictionary to itself and match
+        # every row — caught by the runbook example, pinned in tests)
         if fn == "dicthas":
             if len(args) != 2:
                 raise ValueError("dictHas takes (dict, key)")
-            repl = (f"(({args[1]}) IN "
-                    f"(SELECT {key_col} FROM {dname}))")
+            repl = (f"(({args[1]}) IN (SELECT {key_col} AS __ch_dk "
+                    f"FROM {dname}))")
         else:
             am = re.fullmatch(r"'(\w+)'", args[1]) if len(args) > 1 else None
             if not am:
                 raise ValueError(
                     f"{fn}: attribute must be a literal column name")
             attr = am.group(1)
+            lookup = (f"(SELECT __ch_da FROM (SELECT {key_col} AS __ch_dk, "
+                      f"{attr} AS __ch_da FROM {dname}) "
+                      f"WHERE __ch_dk = ({{key}}))")
             if fn == "dictget":
                 if len(args) != 3:
                     raise ValueError("dictGet takes (dict, attr, key)")
-                repl = (f"(SELECT {attr} FROM {dname} "
-                        f"WHERE {dname}.{key_col} = ({args[2]}))")
+                repl = lookup.format(key=args[2])
             else:
                 if len(args) != 4:
                     raise ValueError(
                         "dictGetOrDefault takes (dict, attr, key, default)")
-                repl = (f"coalesce((SELECT {attr} FROM {dname} "
-                        f"WHERE {dname}.{key_col} = ({args[2]})), "
-                        f"{args[3]})")
+                repl = f"coalesce({lookup.format(key=args[2])}, {args[3]})"
         s = s[:name_start] + repl + s[close_idx + 1:]
         pos = name_start + len(repl)
 

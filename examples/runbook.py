@@ -87,6 +87,16 @@ QUERIES = {
         "SELECT sym, vol FROM volume_mv",
 }
 
+EPILOGUE = """
+CREATE TABLE daily ENGINE = MergeTree() ORDER BY (sym)
+AS SELECT sym, countIf(px > 200) AS n_big, round(sum(qty), 2) AS vol
+FROM trades GROUP BY sym;
+
+RENAME TABLE daily TO daily_rollup;
+
+SHOW TABLES;
+"""
+
 
 def main() -> None:
     spark = get_spark("runbook-demo", cpus=4)
@@ -100,6 +110,13 @@ def main() -> None:
             print(f"\n=== {title} ===\n    {q}")
             for row in sess.execute(q).collect():
                 print("   ", tuple(row))
+        print("\n=== CTAS + RENAME + SHOW TABLES ===")
+        out = None
+        for stmt in EPILOGUE.split(";"):
+            if stmt.strip():
+                out = sess.execute(stmt)
+        for row in out.collect():
+            print("   ", tuple(row))
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

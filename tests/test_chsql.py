@@ -819,6 +819,23 @@ def test_clickhouse_session_dictionary(spark, tmp_path):
         "SELECT dictGet('country_dict', 'cname', 'fr') AS nm").collect()
     assert got[0]["nm"] == "France"
 
+    # regression: probe column NAME == dictionary key column name — the
+    # correlated reference must bind to the OUTER scope, not capture the
+    # dictionary's own column (which would match every row)
+    sess.execute("""
+        CREATE TABLE collide (
+            code String,
+            ts UInt64,
+            n UInt64
+        ) ENGINE = MergeTree() ORDER BY (code, ts)
+    """)
+    sess.execute("INSERT INTO collide VALUES ('us', 1, 1), ('zz', 1, 2)")
+    crows = {r["code"]: r["nm"] for r in sess.execute(
+        "SELECT code, dictGetOrDefault('country_dict', 'cname', code, '?')"
+        " AS nm FROM collide").collect()}
+    assert crows == {"us": "United States", "zz": "?"}
+    sess.execute("DROP TABLE collide")
+
     sess.execute("DROP DICTIONARY country_dict")
     import pytest as _pytest
     with _pytest.raises(ValueError, match="registered dictionary"):
