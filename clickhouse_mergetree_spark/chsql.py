@@ -1284,6 +1284,16 @@ class ClickHouseSession:
                     self.tables[src].query_all() \
                         .createOrReplaceTempView(dname)
             return out
+        m = _re.match(r"(?is)^EXPLAIN\s+(?:PLAN\s+)?(SELECT\b.*|WITH\b.*)$",
+                      s)
+        if m:
+            # migration debugging: the routed query's PHYSICAL Spark plan
+            # as a 1-column relation (ClickHouse EXPLAIN shape)
+            df = self.execute(m.group(1))
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.rstrip().split("\n")],
+                "explain string")
         if _re.match(r"(?is)^(SELECT|WITH)\b", s):
             s = self._route_table_reads(s)
             # unconditional: a dictGet over an unknown/dropped dictionary

@@ -768,6 +768,19 @@ def test_clickhouse_session_ctas_rename_exists_show(spark, tmp_path):
     sess.execute("DROP TABLE raw")
 
 
+def test_clickhouse_session_explain(spark, tmp_path):
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+
+    sess = ClickHouseSession(spark, str(tmp_path))
+    sess.execute("CREATE TABLE e1 (k String, ts UInt64, v Float64) "
+                 "ENGINE = MergeTree() ORDER BY (k, ts)")
+    sess.execute("INSERT INTO e1 VALUES ('a', 1, 2.0)")
+    lines = [r["explain"] for r in sess.execute(
+        "EXPLAIN SELECT k, count() AS n FROM e1 GROUP BY k").collect()]
+    assert any("HashAggregate" in ln for ln in lines), lines[:5]
+    sess.execute("DROP TABLE e1")
+
+
 def test_clickhouse_session_dictionary(spark, tmp_path):
     """CREATE DICTIONARY + dictGet/dictGetOrDefault/dictHas in session
     SELECTs: lookups become correlated scalar subqueries Catalyst
