@@ -564,11 +564,14 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     Catalyst sees plain Spark SQL and optimizes it like any hand-written
     query."""
     s = sql.strip().rstrip(";").strip()
+    # ASOF first: it flattens the two-table namespace and rewrites the
+    # a./b. qualifiers across the WHOLE remaining statement, so a LIMIT
+    # BY / WITH FILL tail re-enters ch_sql with resolvable names
+    if re.search(r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", s):
+        return _run_asof_join(spark, s)
     lb = _parse_limit_by(s)
     if lb is not None:
         return _run_limit_by(spark, *lb)
-    if re.search(r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", s):
-        return _run_asof_join(spark, s)
     if re.search(r"(?i)\bWITH\s+FILL\b", s):
         return _run_with_fill(spark, s)
     if _find_call(s, r"topkweighted|topk") is not None:
@@ -722,7 +725,6 @@ def _run_limit_by(spark, base, order_text, n, by_text, outer):
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
-    base_sql = translate_select(base)
     by_exprs = [_translate_expr(b) for b in _split_top(by_text, r",")]
     pairs = (_order_pairs(order_text) if order_text
              else [(b, False) for b in by_exprs])
@@ -743,15 +745,19 @@ def _run_limit_by(spark, base, order_text, n, by_text, outer):
         out.schema  # force analysis so unresolved columns surface HERE
         return out
 
-    base_df = spark.sql(base_sql)
+    # the base may itself hold another routed construct (ASOF JOIN,
+    # WITH TOTALS, WITH FILL) — recurse through ch_sql, not the bare
+    # translator
+    base_df = ch_sql(spark, base)
     try:
         out = build(base_df, by_exprs, pairs)
     except AnalysisException:
         # extend the projection with every ORDER BY/BY expression, rank
         # against the aliases, then drop them (projection after sort
-        # keeps the order)
+        # keeps the order). String surgery needs a plain translatable
+        # base; a non-translatable one fails loudly here.
         exprs = [e for e, _d in pairs] + by_exprs
-        ext_sql, aliases = _extend_select(base_sql, exprs)
+        ext_sql, aliases = _extend_select(translate_select(base), exprs)
         o_alias = aliases[: len(pairs)]
         b_alias = aliases[len(pairs):]
         ext_df = spark.sql(ext_sql)
@@ -1053,7 +1059,7 @@ def _run_with_fill(spark, s: str):
         raise ValueError("WITH FILL inside a subquery is not routable")
     col, _dir, lo, hi, step = (m.group(1), m.group(2), m.group(3),
                                m.group(4), m.group(5))
-    base_df = spark.sql(translate_select(prefix))
+    base_df = ch_sql(spark, prefix)  # base may hold other routed shapes
     if col not in base_df.columns:
         raise ValueError(f"WITH FILL column {col!r} not in the result "
                          f"columns {base_df.columns}")

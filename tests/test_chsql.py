@@ -543,6 +543,45 @@ def test_with_fill_refuses_unsupported_shapes():
         _run_with_fill(None, "SELECT x FROM t ORDER BY x DESC WITH FILL")
 
 
+def test_composed_routes_limit_by_over_totals(spark, duck, views):
+    # WITH TOTALS inside a LIMIT BY query: both routes compose
+    got = sorted((tuple(r) for r in ch_sql(spark, """
+        SELECT event_type, count() AS n FROM events
+        GROUP BY event_type WITH TOTALS
+        ORDER BY n DESC, event_type LIMIT 1 BY modulo(n, 2)
+    """).collect()), key=repr)
+    exp = sorted((tuple(r) for r in duck.execute("""
+        SELECT event_type, n FROM (
+            SELECT event_type, n, row_number() OVER (
+                PARTITION BY n % 2 ORDER BY n DESC, event_type) AS rn
+            FROM (SELECT event_type, count(*) AS n FROM events
+                  GROUP BY GROUPING SETS ((event_type), ()))
+        ) WHERE rn <= 1
+    """).fetchall()), key=repr)
+    assert got == exp
+
+
+def test_composed_routes_asof_then_limit_by(spark, duck, asof_views):
+    # ASOF JOIN inside a LIMIT BY query: the LIMIT BY route recurses
+    # into ch_sql, which routes the ASOF plan
+    got = sorted(tuple(r) for r in ch_sql(spark, """
+        SELECT c.event_id, c.user_id, p.pval
+        FROM asof_clicks c ASOF JOIN asof_purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY p.pval DESC, c.event_id LIMIT 1 BY c.user_id
+    """).collect())
+    exp = sorted(tuple(r) for r in duck.execute("""
+        SELECT event_id, user_id, pval FROM (
+            SELECT c.event_id, c.user_id, p.pval, row_number() OVER (
+                PARTITION BY c.user_id ORDER BY p.pval DESC, c.event_id
+            ) AS rn
+            FROM asof_clicks c ASOF JOIN asof_purch p
+            ON c.user_id = p.user_id AND c.ts >= p.ts
+        ) WHERE rn <= 1
+    """).fetchall())
+    assert got == exp
+
+
 def test_topk_route_end_to_end(spark, duck, views):
     got = {r["user_id"]: list(r["top_types"]) for r in ch_sql(spark, """
         SELECT user_id, topK(2)(event_type) AS top_types
