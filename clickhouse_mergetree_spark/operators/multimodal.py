@@ -586,15 +586,19 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM embeddings)
         ), s AS (
             SELECT a.i AS i, b.i AS j,
-                   sum(a.ei * b.ei) AS s_ij, count(*) AS n
+                   sum(CAST(a.ei * b.ei AS DECIMAL(38,18))) AS sd,
+                   count(*) AS n
             FROM ex a JOIN ex b USING (vec_id)
             WHERE a.i <= b.i
             GROUP BY a.i, b.i
         ), mu AS (
-            SELECT i, avg(ei) AS m FROM ex GROUP BY i
+            SELECT i,
+                   CAST(sum(CAST(ei AS DECIMAL(38,18))) AS DOUBLE)
+                     / count(*) AS m
+            FROM ex GROUP BY i
         )
         SELECT s.i, s.j,
-               round(s.s_ij / s.n - ma.m * mb.m, 6) AS cov
+               round(CAST(s.sd AS DOUBLE) / s.n - ma.m * mb.m, 6) AS cov
         FROM s JOIN mu ma ON s.i = ma.i JOIN mu mb ON s.j = mb.i
     """,
 )
@@ -614,26 +618,38 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     μ comes from the same pass's diagonal-friendly per-i sums. At 100 TB
     the reduce state is d² doubles per partition — node-memory no matter
     the corpus size.
+
+    Determinism: the per-cell products are summed as DECIMAL(38,18) —
+    the repo convention for parallel sums whose 6-dp rounding sits near a
+    half-way boundary (same as E112/E187). A plain double sum's
+    accumulation order depends on partitioning: local[32] vs local[8] vs
+    DuckDB's serial sum drift by ~1 ulp, and round-8's driver run caught
+    cell (43,55) sitting 2.5e-11 below the round(…,6) boundary, flipping
+    0.000598↔0.000599. Decimal sums are exact and associative on both
+    engines; the double division/round then operates on identical inputs.
     """
     emb = load(spark, sf_dir, "embeddings")
-    # 1-based (i, j, e_i*e_j) triples, generated inside the row
+    # 1-based (i, j, e_i*e_j) triples, generated inside the row;
+    # the product is rounded once to DECIMAL(38,18) so the sum is exact
     pairs = emb.select(F.explode(F.expr("""
         flatten(transform(embedding, (x, i) ->
             transform(slice(embedding, i + 1, size(embedding) - i),
                       (y, j) -> struct(i + 1 AS i, i + j + 1 AS j,
-                                       CAST(x AS DOUBLE)
-                                       * CAST(y AS DOUBLE) AS p))))
+                                       CAST(CAST(x AS DOUBLE)
+                                            * CAST(y AS DOUBLE)
+                                            AS DECIMAL(38,18)) AS p))))
     """)).alias("t")).select("t.i", "t.j", "t.p")
-    s = pairs.groupBy("i", "j").agg(F.sum("p").alias("s_ij"),
+    s = pairs.groupBy("i", "j").agg(F.sum("p").alias("sd"),
                                     F.count("*").alias("n"))
     mu = (emb.select(F.posexplode("embedding").alias("i0", "ei"))
           .groupBy((F.col("i0") + 1).alias("i"))
-          .agg(F.avg(F.col("ei").cast("double")).alias("m")))
+          .agg((F.sum(F.col("ei").cast("double").cast("decimal(38,18)"))
+                .cast("double") / F.count("*")).alias("m")))
     ma = mu.select(F.col("i"), F.col("m").alias("m_i"))
     mb = mu.select(F.col("i").alias("j"), F.col("m").alias("m_j"))
     return (s.join(F.broadcast(ma), "i").join(F.broadcast(mb), "j")
             .select("i", "j",
-                    F.round(F.col("s_ij") / F.col("n")
+                    F.round(F.col("sd").cast("double") / F.col("n")
                             - F.col("m_i") * F.col("m_j"), 6)
                     .alias("cov")))
 

@@ -225,3 +225,28 @@ def test_audio_fp_banded_pairs_equal_brute_force(spark, sf_dir):
             if d <= AUDIO_FP_MAX_HAMMING:
                 brute[(a["doc_id"], b["doc_id"])] = d
     assert got == brute and len(got) > 0
+
+
+def test_covariance_partition_order_invariant(spark, sf_dir):
+    """VERDICT r8: a plain double sum made q_embed_covariance's 6-dp
+    rounding flip with partitioning (cell (43,55) at sf0.01 sits 2.5e-11
+    below the round boundary). The DECIMAL(38,18) product sums must make
+    the result identical across shuffle-partition counts."""
+    from clickhouse_mergetree_spark.operators.multimodal import (
+        q_embed_covariance,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows = sorted(
+                (r["i"], r["j"], r["cov"])
+                for r in q_embed_covariance(spark, sf_dir).collect()
+            )
+            results.append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
