@@ -7,11 +7,13 @@ user's notebooks and dashboards hold ClickHouse SQL. ``create_table_from_ddl``
 covers the SELECT side for the dialect subset that translates 1:1 onto
 Spark SQL — function renames, ClickHouse's parameterized-aggregate syntax,
 ``-If`` combinators, ``multiIf``, PREWHERE, and the FORMAT/SETTINGS
-statement suffixes. Everything else (WITH TOTALS, LIMIT BY, SAMPLE,
-ARRAY JOIN clauses, FINAL) has a dedicated operator in operators/ — the
-translator REFUSES loudly rather than mistranslating, listing the
-construct, so a runbook migration surfaces every non-1:1 query instead of
-silently changing its meaning.
+statement suffixes. Constructs with no 1:1 string form (LIMIT BY,
+ASOF JOIN, ARRAY JOIN clauses, WITH FILL, topK) are routed by ``ch_sql``
+as DataFrame plans built from their dedicated operators; SAMPLE and
+FINAL need the engine table, so ``ClickHouseSession`` routes them. The
+bare string translator REFUSES these loudly rather than mistranslating,
+listing the construct and its route, so a runbook migration surfaces
+every non-1:1 query instead of silently changing its meaning.
 
 Translation is token-aware (quote- and paren-safe), not a SQL parser:
 each rule rewrites one well-delimited construct, the subset is exactly
@@ -361,9 +363,26 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
     if low == "arrayenumerate":
         return f"sequence(1, size({args[0]}))"
     if low == "arraypopback":
-        return f"slice({args[0]}, 1, size({args[0]}) - 1)"
+        # greatest(..., 0): slice's length arg may not be negative in
+        # Spark — an empty input must yield [], as in ClickHouse
+        return f"slice({args[0]}, 1, greatest(size({args[0]}) - 1, 0))"
     if low == "arraypopfront":
-        return f"slice({args[0]}, 2, size({args[0]}) - 1)"
+        return f"slice({args[0]}, 2, greatest(size({args[0]}) - 1, 0))"
+    if low == "range":
+        # ClickHouse range: end-EXCLUSIVE, empty when end <= start.
+        # Spark sequence is end-inclusive and reverses when end < start,
+        # so guard explicitly.
+        if len(args) == 1:
+            a, b, st = "0", args[0], None
+        elif len(args) == 2:
+            a, b, st = args[0], args[1], None
+        elif len(args) == 3:
+            a, b, st = args[0], args[1], args[2]
+        else:
+            raise ValueError("range takes 1-3 arguments")
+        seq = (f"sequence({a}, ({b}) - 1)" if st is None
+               else f"sequence({a}, ({b}) - 1, {st})")
+        return (f"IF(({b}) <= ({a}), array(), {seq})")
     if low == "hasall":
         return f"forall({args[1]}, x -> array_contains({args[0]}, x))"
     if low == "hasany":
@@ -423,6 +442,7 @@ _DISPATCH_RE = "|".join(
         | {"uniqexact", "median", "arraystringconcat"}
         | set(_LAMBDA_ARRAY)
         | {"multiif", "if", "intdiv", "modulo", "arrayjoin", "empty",
+           "range",
            "notempty", "splitbychar", "match",
            "arraycount", "arrayfirst", "arraysum",
            "isnull", "isnotnull", "datediff", "formatdatetime",
@@ -449,8 +469,8 @@ _REFUSE = [
     (r"(?i)\bSAMPLE\s+[\d.]", "SAMPLE clause at the string level "
                               "(ClickHouseSession routes it through the "
                               "engine's SAMPLE BY read)"),
-    (r"(?i)\bARRAY\s+JOIN\b", "ARRAY JOIN clause (use arrayJoin(col) in the "
-                              "SELECT list, or q_array_join)"),
+    (r"(?i)\bARRAY\s+JOIN\b", "ARRAY JOIN clause at the string level "
+                              "(ch_sql routes it as the explode plan)"),
     (r"(?i)\bFINAL\b", "FINAL at the string level (ClickHouseSession "
                        "routes it — engine reads always collapse)"),
     (r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", "ASOF JOIN at the string level "
@@ -569,6 +589,9 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     # BY / WITH FILL tail re-enters ch_sql with resolvable names
     if re.search(r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", s):
         return _run_asof_join(spark, s)
+    aj = _find_top(s, _ARRAY_JOIN_RE)
+    if aj is not None:
+        return _run_array_join(spark, s, aj)
     lb = _parse_limit_by(s)
     if lb is not None:
         return _run_limit_by(spark, *lb)
@@ -1033,6 +1056,116 @@ def _run_topk(spark, s: str):
 _WITH_FILL = re.compile(
     r"(?is)\bORDER\s+BY\s+([A-Za-z_]\w*)(\s+DESC|\s+ASC)?\s+WITH\s+FILL"
     r"(?:\s+FROM\s+(-?\d+))?(?:\s+TO\s+(-?\d+))?(?:\s+STEP\s+(\d+))?\s*$")
+
+
+_ARRAY_JOIN_RE = re.compile(r"(?is)\b(LEFT\s+)?ARRAY\s+JOIN\b")
+# clause keywords that end the ARRAY JOIN item list at depth 0
+_AJ_END_RE = re.compile(
+    r"(?is)\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|"
+    r"UNION|SETTINGS|FORMAT)\b")
+_AJ_SEQ = [0]  # session-lifetime view-name counter
+
+
+def _find_top(s: str, pat: re.Pattern):
+    """First match of ``pat`` at paren depth 0 and outside quotes
+    (same balanced-prefix test the other routes use)."""
+    for m in pat.finditer(s):
+        prefix = s[: m.start()]
+        if prefix.count("(") == prefix.count(")") and \
+                prefix.count("'") % 2 == 0:
+            return m
+    return None
+
+
+def _run_array_join(spark, s: str, m: re.Match):
+    """``FROM rel [LEFT] ARRAY JOIN item[, item...]`` routed as the
+    q_array_join / q_array_join_left plan (E57/E160): build the unnested
+    relation with ``posexplode``/``posexplode_outer`` (a row-local
+    Generate — zero shuffles, fan-out map-side only), register it as a
+    view, and re-enter ch_sql with the clause replaced by the view — so
+    the rest of the statement (WHERE on the element, GROUP BY, LIMIT BY,
+    another routed construct) composes unchanged.
+
+    ClickHouse item semantics: a bare column (``ARRAY JOIN arr``)
+    REPLACES that column with its element; ``expr AS a`` keeps the
+    source column and adds the element as ``a``. Multiple items are
+    zipped in lockstep (the first array drives the row count; the
+    others are indexed per position, NULL past their end — ClickHouse
+    instead errors on unequal sizes, the one documented deviation).
+    LEFT keeps empty/NULL-array rows with a NULL element, matching the
+    repo's pinned q_array_join_left contract.
+    """
+    from pyspark.sql import functions as F
+
+    left = bool(m.group(1))
+    # the owning FROM: the last top-level FROM before the clause
+    from_m = None
+    for fm in re.finditer(r"(?is)\bFROM\b", s[: m.start()]):
+        prefix = s[: fm.start()]
+        if prefix.count("(") == prefix.count(")") and \
+                prefix.count("'") % 2 == 0:
+            from_m = fm
+    if from_m is None:
+        raise ValueError("ARRAY JOIN without a top-level FROM clause")
+    rel = s[from_m.end(): m.start()].strip()
+    if rel.startswith("("):
+        close = _match_paren(rel, 0)
+        inner, alias_txt = rel[1: close], rel[close + 1:].strip()
+        am = re.match(r"(?is)^(?:AS\s+)?([\w`]+)$", alias_txt) \
+            if alias_txt else None
+        if alias_txt and not am:
+            raise ValueError(
+                f"unsupported relation shape before ARRAY JOIN: {rel!r}")
+        base = ch_sql(spark, inner)  # subquery may hold routed shapes
+        alias = am.group(1).strip("`") if am else None
+    else:
+        rm = re.match(r"(?is)^([\w`.]+)(?:\s+(?:AS\s+)?([\w`]+))?$", rel)
+        if not rm:
+            raise ValueError(
+                "unsupported relation shape before ARRAY JOIN (a JOIN "
+                f"between FROM and ARRAY JOIN is not routable): {rel!r}")
+        base = spark.table(rm.group(1).strip("`"))
+        alias = (rm.group(2) or rm.group(1)).strip("`")
+    tail = s[m.end():]
+    em = _find_top(tail, _AJ_END_RE)
+    items_txt = tail[: em.start()] if em else tail
+    rest = tail[em.start():] if em else ""
+    items = []  # (translated expr, element name, replaces_source_col)
+    for it in _split_top(items_txt, r","):
+        am = re.match(r"(?is)^(.*?)\s+AS\s+([\w`]+)\s*$", it)
+        if am:
+            items.append((_translate_expr(am.group(1).strip()),
+                          am.group(2).strip("`"), False))
+        elif re.match(r"(?is)^[\w`]+$", it):
+            items.append((it.strip("`"), it.strip("`"), True))
+        else:
+            raise ValueError(
+                f"ARRAY JOIN item needs an AS alias unless it is a bare "
+                f"column: {it!r}")
+    if not items:
+        raise ValueError("ARRAY JOIN with an empty item list")
+    if alias:
+        base = base.alias(alias)  # items may qualify exprs, e.g. t.ps
+    pos = "__ch_aj_pos"
+    gen = F.posexplode_outer if left else F.posexplode
+    df = base.select(
+        "*", gen(F.expr(items[0][0])).alias(pos, "__ch_aj_e0"))
+    for k, (expr, _name, _rep) in enumerate(items[1:], start=1):
+        df = df.withColumn(
+            f"__ch_aj_e{k}",
+            F.element_at(F.expr(expr), F.col(pos) + F.lit(1)))
+    replaced = {expr: f"__ch_aj_e{k}"
+                for k, (expr, _name, rep) in enumerate(items) if rep}
+    out = [F.col(replaced[c]).alias(c) if c in replaced else F.col(c)
+           for c in base.columns]
+    out += [F.col(f"__ch_aj_e{k}").alias(name)
+            for k, (_expr, name, rep) in enumerate(items) if not rep]
+    _AJ_SEQ[0] += 1
+    view = f"__ch_array_join_{_AJ_SEQ[0]}"
+    df.select(*out).createOrReplaceTempView(view)
+    as_clause = f" AS {alias}" if alias else ""
+    return ch_sql(
+        spark, s[: from_m.start()] + f"FROM {view}{as_clause} " + rest)
 
 
 def _run_with_fill(spark, s: str):

@@ -362,7 +362,7 @@ def test_round8_dispatch_batch(spark):
     assert "(i & 6)" in got and "(i << 2)" in got and "(~i)" in got
     assert "CAST(date_format(t, 'yyyyMM') AS INT)" in got
     assert "sequence(1, size(xs))" in got
-    assert "slice(xs, 1, size(xs) - 1)" in got
+    assert "slice(xs, 1, greatest(size(xs) - 1, 0))" in got
     assert "forall(needles, x -> array_contains(xs, x))" in got
     row = ch_sql(spark, """
         SELECT addDays(CAST('2024-01-30 00:00:00' AS TIMESTAMP), 3) AS a,
@@ -930,3 +930,117 @@ def test_clickhouse_session_materialized_view(spark, tmp_path):
         "SELECT site FROM hits").collect()}
     assert got == {"a", "b", "c"}
     sess.execute("DROP TABLE hits")
+
+
+# ---------------------------------------------------------------------------
+# ARRAY JOIN clause route (round 9 — the last dialect construct)
+# ---------------------------------------------------------------------------
+
+
+def test_array_join_alias_end_to_end(spark, duck, views):
+    # expr item with AS alias: source column kept, element added
+    got = sorted(tuple(r) for r in ch_sql(spark, """
+        SELECT o_orderkey, tag
+        FROM orders ARRAY JOIN splitByChar('-', o_orderpriority) AS tag
+        WHERE o_orderkey <= 100
+    """).collect())
+    exp = sorted(tuple(r) for r in duck.execute("""
+        SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS tag
+        FROM orders WHERE o_orderkey <= 100
+    """).fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_array_join_bare_column_replaces(spark, views):
+    # bare-column item: the element REPLACES the array column (CH rule)
+    spark.sql("""
+        SELECT 1 AS id, array('a', 'b') AS tags
+        UNION ALL SELECT 2, array('c')
+        UNION ALL SELECT 3, array()
+    """).createOrReplaceTempView("aj_probe")
+    got = sorted(tuple(r) for r in ch_sql(
+        spark, "SELECT id, tags FROM aj_probe ARRAY JOIN tags").collect())
+    assert got == [(1, "a"), (1, "b"), (2, "c")]  # id=3 dropped
+    left = sorted((r["id"], r["tags"]) for r in ch_sql(
+        spark,
+        "SELECT id, tags FROM aj_probe LEFT ARRAY JOIN tags").collect())
+    assert left == [(1, "a"), (1, "b"), (2, "c"), (3, None)]
+
+
+def test_array_join_multi_items_zip(spark, views):
+    # multiple items zip in lockstep, never cross-product
+    spark.sql("""
+        SELECT 1 AS id, array(10, 20) AS a, array('x', 'y') AS b
+    """).createOrReplaceTempView("aj_zip_probe")
+    got = sorted(tuple(r) for r in ch_sql(spark, """
+        SELECT id, a, b FROM aj_zip_probe ARRAY JOIN a, b
+    """).collect())
+    assert got == [(1, 10, "x"), (1, 20, "y")]
+
+
+def test_array_join_composes_with_group_by_and_limit_by(spark, duck, views):
+    # the route re-enters ch_sql: GROUP BY + dialect fns + LIMIT BY all
+    # apply to the unnested relation
+    got = sorted(tuple(r) for r in ch_sql(spark, """
+        SELECT tag, count() AS n
+        FROM orders ARRAY JOIN splitByChar('-', o_orderpriority) AS tag
+        GROUP BY tag ORDER BY n DESC, tag LIMIT 2 BY modulo(n, 2)
+    """).collect())
+    exp = sorted(tuple(r) for r in duck.execute("""
+        SELECT tag, n FROM (
+            SELECT tag, n, row_number() OVER (
+                PARTITION BY n % 2 ORDER BY n DESC, tag) AS rn
+            FROM (SELECT tag, count(*) AS n
+                  FROM (SELECT unnest(string_split(o_orderpriority, '-'))
+                            AS tag FROM orders)
+                  GROUP BY tag)
+        ) WHERE rn <= 2
+    """).fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_array_join_subquery_relation(spark, duck, views):
+    got = sorted(tuple(r) for r in ch_sql(spark, """
+        SELECT k, e FROM (
+            SELECT o_orderkey AS k, splitByChar('-', o_orderpriority) AS ps
+            FROM orders WHERE o_orderkey <= 40
+        ) t ARRAY JOIN t.ps AS e
+    """).collect())
+    exp = sorted(tuple(r) for r in duck.execute("""
+        SELECT o_orderkey AS k,
+               unnest(string_split(o_orderpriority, '-')) AS e
+        FROM orders WHERE o_orderkey <= 40
+    """).fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_array_join_refuses_unroutable_shapes(spark, views):
+    with pytest.raises(ValueError, match="relation shape"):
+        ch_sql(spark, """
+            SELECT 1 FROM orders o JOIN lineitem l ON o.o_orderkey =
+            l.l_orderkey ARRAY JOIN splitByChar('-', o_orderpriority) AS t
+        """)
+    with pytest.raises(ValueError, match="AS alias"):
+        ch_sql(spark,
+               "SELECT 1 FROM orders ARRAY JOIN arrayConcat(a, b)")
+    # the string-level translator still refuses loudly
+    with pytest.raises(ValueError, match="no 1:1 Spark translation"):
+        translate_select("SELECT x FROM t ARRAY JOIN xs AS x")
+
+
+def test_arraypop_empty_and_range(spark):
+    # ADVICE r8: arrayPopBack/Front on [] must return [], not throw;
+    # range() is end-exclusive and empty on end <= start (CH semantics)
+    row = ch_sql(spark, """
+        SELECT arrayPopBack(CAST(array() AS ARRAY<INT>)) AS pb,
+               arrayPopFront(CAST(array() AS ARRAY<INT>)) AS pf,
+               arrayPopBack(array(1, 2, 3)) AS pb3,
+               arrayPopFront(array(1, 2, 3)) AS pf3,
+               range(4) AS r1, range(2, 5) AS r2,
+               range(1, 8, 3) AS r3, range(0) AS r0, range(5, 2) AS rneg
+    """).first()
+    assert row["pb"] == [] and row["pf"] == []
+    assert row["pb3"] == [1, 2] and row["pf3"] == [2, 3]
+    assert row["r1"] == [0, 1, 2, 3] and row["r2"] == [2, 3, 4]
+    assert row["r3"] == [1, 4, 7]
+    assert row["r0"] == [] and row["rneg"] == []

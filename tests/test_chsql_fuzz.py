@@ -174,3 +174,51 @@ def test_fuzz_asof_join(spark, duckv, views, seed):
         ON c.user_id = p.user_id AND {probe_t} >= p.t2
     """
     compare(got, duckv, exp_sql)
+
+
+AJ_ITEMS = [
+    # (ch item, duckdb element expr, element alias)
+    ("splitByChar('-', o_orderpriority) AS tag",
+     "unnest(string_split(o_orderpriority, '-'))", "tag"),
+    ("splitByString('E', o_orderstatus) AS part",
+     "unnest(string_split(o_orderstatus, 'E'))", "part"),
+    ("arrayMap(x -> x * 2, range(modulo(o_orderkey, 4))) AS dbl",
+     "unnest(list_transform(range(0, CAST(o_orderkey % 4 AS INTEGER)), "
+     "x -> x * 2))", "dbl"),
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_array_join(spark, duckv, views, seed):
+    """ARRAY JOIN route × WHERE/GROUP BY tails. LEFT variants are pinned
+    against an explicit join-back oracle in test_chsql.py; here the
+    plain form is fuzzed against DuckDB's unnest (which drops empties,
+    matching plain ARRAY JOIN)."""
+    rng = random.Random(8200 + seed)
+    item_ch, item_dk, alias = rng.choice(AJ_ITEMS)
+    kmax = rng.randrange(60, 400)
+    shape = rng.choice(["plain", "group"])
+    if shape == "plain":
+        got = ch_sql(spark, f"""
+            SELECT o_orderkey, {alias}
+            FROM orders ARRAY JOIN {item_ch}
+            WHERE o_orderkey <= {kmax}
+        """)
+        exp_sql = f"""
+            SELECT o_orderkey, {item_dk} AS {alias}
+            FROM orders WHERE o_orderkey <= {kmax}
+        """
+    else:
+        got = ch_sql(spark, f"""
+            SELECT {alias}, count() AS n, round(sum(o_totalprice), 4) AS s
+            FROM orders ARRAY JOIN {item_ch}
+            WHERE o_orderkey <= {kmax}
+            GROUP BY {alias}
+        """)
+        exp_sql = f"""
+            SELECT {alias}, count(*) AS n, round(sum(o_totalprice), 4) AS s
+            FROM (SELECT o_totalprice, {item_dk} AS {alias}
+                  FROM orders WHERE o_orderkey <= {kmax})
+            GROUP BY {alias}
+        """
+    compare(got, duckv, exp_sql)
