@@ -321,15 +321,60 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared_query("q_agg_approx_distinct")  # rows-only: HLL estimates differ across engines
+APPROX_DISTINCT_RSD = 0.02
+APPROX_DISTINCT_BOUND = 0.10  # 5 sigma of the configured rsd
+
+
+def _approx_distinct_dir() -> str:
+    from clickhouse_mergetree_spark.scratch import fixed_scratch_dir
+
+    return fixed_scratch_dir("q_approx_distinct_est")
+
+
+@declared_query(
+    "q_agg_approx_distinct",
+    oracle=f"""
+        WITH est AS (
+            SELECT l_returnflag,
+                   CAST(approx_parts AS BIGINT) AS approx_parts
+            FROM read_parquet('{{_approx_distinct_dir}}/*.parquet')
+        ), ex AS (
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS exact_parts,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT ex.l_returnflag, est.approx_parts, ex.n_rows,
+               (abs(est.approx_parts - ex.exact_parts)
+                <= greatest(3, {APPROX_DISTINCT_BOUND} * ex.exact_parts))
+                 AS within_envelope
+        FROM est JOIN ex USING (l_returnflag)
+    """.replace("{_approx_distinct_dir}", _approx_distinct_dir()),
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E9: approx_count_distinct (HyperLogLog++) — the scale path for distinct
-    counts (no expand, mergeable sketches). Rows-only check: estimate is
-    engine-specific by construction."""
-    return load(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    """E9: approx_count_distinct (HyperLogLog++) — the scale path for
+    distinct counts (no expand, mergeable sketches). Sketch estimates
+    are engine-specific, so no oracle can hash-match the raw value;
+    instead (r9, VERDICT r8 item 3) the estimates PERSIST as a side
+    table and the oracle turns the driver check into an inequality
+    relation: DuckDB computes the EXACT distinct counts itself and
+    asserts the persisted estimate lands inside the published envelope
+    (rsd={APPROX_DISTINCT_RSD} -> 5-sigma bound {APPROX_DISTINCT_BOUND}).
+    The Spark side returns within_envelope=true as its CLAIM; a sketch
+    outside the envelope makes the oracle emit false and the value hash
+    break. Group keys and n_rows stay independently computed on both
+    engines."""
+    li = load(spark, sf_dir, "lineitem")
+    est = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct(
+            "l_partkey", APPROX_DISTINCT_RSD).alias("approx_parts"),
         F.count("*").alias("n_rows"),
     )
+    est.select("l_returnflag", "approx_parts").coalesce(1) \
+        .write.mode("overwrite").parquet(_approx_distinct_dir())
+    return est.select(
+        "l_returnflag", "approx_parts", "n_rows",
+        F.lit(True).alias("within_envelope"))
 
 
 @declared_query(
@@ -745,17 +790,68 @@ def q_window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared_query("q_agg_approx_percentile")  # rows-only: sketch is engine-specific
+APPROX_PCTL_RANK_TOL = 0.02  # rank tolerance (accuracy=10000 -> 1e-4;
+# 200x slack still rejects a sketch answering min/max/garbage)
+
+
+def _approx_pctl_dir() -> str:
+    from clickhouse_mergetree_spark.scratch import fixed_scratch_dir
+
+    return fixed_scratch_dir("q_approx_pctl_est")
+
+
+@declared_query(
+    "q_agg_approx_percentile",
+    oracle=f"""
+        WITH est AS (
+            SELECT l_returnflag,
+                   CAST(quantile_level AS DOUBLE) AS quantile_level,
+                   CAST(qty_quantile AS DOUBLE) AS qty_quantile,
+                   CAST(median_price AS DOUBLE) AS median_price
+            FROM read_parquet('{{_approx_pctl_dir}}/*.parquet')
+        ), chk AS (
+            SELECT e.l_returnflag, e.quantile_level, e.qty_quantile,
+                   e.median_price,
+                   count(*) AS n,
+                   count(*) FILTER (l.l_quantity <= e.qty_quantile) AS q_le,
+                   count(*) FILTER (l.l_quantity <  e.qty_quantile) AS q_lt,
+                   count(*) FILTER (l.l_extendedprice <= e.median_price)
+                     AS p_le,
+                   count(*) FILTER (l.l_extendedprice <  e.median_price)
+                     AS p_lt
+            FROM est e JOIN lineitem l USING (l_returnflag)
+            GROUP BY e.l_returnflag, e.quantile_level, e.qty_quantile,
+                     e.median_price
+        )
+        SELECT l_returnflag, quantile_level, qty_quantile, median_price,
+               n AS n_rows,
+               (q_le >= (quantile_level - {APPROX_PCTL_RANK_TOL}) * n AND
+                q_lt <= (quantile_level + {APPROX_PCTL_RANK_TOL}) * n)
+                 AS qty_within,
+               (p_le >= (0.5 - {APPROX_PCTL_RANK_TOL}) * n AND
+                p_lt <= (0.5 + {APPROX_PCTL_RANK_TOL}) * n) AS med_within
+        FROM chk
+    """.replace("{_approx_pctl_dir}", _approx_pctl_dir()),
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9+ scale path for percentiles: approx_percentile — a mergeable
-    sketch built with partial aggregation, no per-group sort. This is what
-    replaces q_agg_percentile's exact inverse-distribution aggregates at
-    100 TB (same trade as HLL vs countDistinct). Rows-only check: the
-    estimate is engine-specific by construction.
+    sketch built with partial aggregation, no per-group sort. This is
+    what replaces q_agg_percentile's exact inverse-distribution
+    aggregates at 100 TB (same trade as HLL vs countDistinct).
 
-    The quantile array is exploded to one scalar row per (flag, level) so
-    downstream consumers (and the driver's canonicalizer) never see an
-    array-typed cell."""
+    Sketch values are engine-specific, so (r9, VERDICT r8 item 3) the
+    per-(flag, level) estimates PERSIST as a side table and the oracle
+    is an inequality relation: DuckDB re-ranks every persisted estimate
+    against the raw column and asserts its rank sits within
+    ±{APPROX_PCTL_RANK_TOL} of the requested level (the sketch's
+    documented rank-error contract, with slack). Spark returns the
+    claims as literal true; a mis-ranked estimate flips the oracle's
+    boolean and fails the value hash. n_rows is computed independently
+    on both engines.
+
+    The quantile array is exploded to one scalar row per (flag, level)
+    so downstream consumers (and the driver's canonicalizer) never see
+    an array-typed cell."""
     l = load(spark, sf_dir, "lineitem")
     levels = [0.25, 0.5, 0.9]
     g = l.groupBy("l_returnflag").agg(
@@ -764,7 +860,7 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("median_price"),
         F.count("*").alias("n_rows"),
     )
-    return (
+    est = (
         g.select(
             "l_returnflag",
             "median_price",
@@ -773,10 +869,22 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "quantile_level",
-            F.element_at(F.array(*[F.lit(x) for x in levels]), F.col("qpos") + 1),
+            F.element_at(F.array(*[F.lit(x) for x in levels]),
+                         F.col("qpos") + 1),
         )
         .drop("qpos")
     )
+    est.select("l_returnflag", "quantile_level", "qty_quantile",
+               "median_price").coalesce(1) \
+        .write.mode("overwrite").parquet(_approx_pctl_dir())
+    return est.select(
+        "l_returnflag",
+        F.col("quantile_level").cast("double").alias("quantile_level"),
+        F.col("qty_quantile").cast("double").alias("qty_quantile"),
+        F.col("median_price").cast("double").alias("median_price"),
+        "n_rows",
+        F.lit(True).alias("qty_within"),
+        F.lit(True).alias("med_within"))
 
 
 @declared_query(
@@ -2222,9 +2330,36 @@ def q_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared_query("q_uniq_state_merge")  # rows-only: HLL estimates are
-# engine-specific by construction; tests/test_sketch_tolerance.py bounds
-# the estimate against the exact distinct count in-session
+UNIQ_STATE_BOUND = 0.025  # lgK=14 -> rse ~0.81%; 3-sigma bound
+
+
+def _uniq_state_dir() -> str:
+    from clickhouse_mergetree_spark.scratch import fixed_scratch_dir
+
+    return fixed_scratch_dir("q_uniq_state_est")
+
+
+@declared_query(
+    "q_uniq_state_merge",
+    oracle=f"""
+        WITH est AS (
+            SELECT event_type,
+                   CAST(approx_users AS BIGINT) AS approx_users
+            FROM read_parquet('{{_uniq_state_dir}}/*.parquet')
+        ), ex AS (
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_users,
+                   count(*) AS n_rows,
+                   count(DISTINCT date_trunc('day', ts)) AS n_days
+            FROM events GROUP BY event_type
+        )
+        SELECT ex.event_type, est.approx_users, ex.n_rows, ex.n_days,
+               (abs(est.approx_users - ex.exact_users)
+                <= greatest(1, {UNIQ_STATE_BOUND} * ex.exact_users))
+                 AS within_envelope
+        FROM est JOIN ex USING (event_type)
+    """.replace("{_uniq_state_dir}", _uniq_state_dir()),
+)
 def q_uniq_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``uniqState`` / ``uniqMerge`` (the AggregatingMergeTree
     sketch-state pattern): per-(event_type, day) Datasketches-HLL states
@@ -2241,6 +2376,14 @@ def q_uniq_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's aggregating mode for sum/min/max states
     (q_aggregating_merge); HLL completes it for distincts, where no
     exact partial is mergeable at fixed size.
+
+    Driver contract (r9, VERDICT r8 item 3): the merged estimates
+    PERSIST as a side table and the oracle asserts — as literal
+    arithmetic over its OWN exact distinct counts — that each estimate
+    sits inside the lgK=14 envelope (rse ~0.81%, 3-sigma bound
+    {UNIQ_STATE_BOUND}). Spark claims within_envelope=true; a drifting
+    sketch flips the oracle boolean and fails the hash. n_rows and
+    n_days stay independently computed on both engines.
     """
     ev = load(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("day", "ts").alias("day"), "user_id")
@@ -2257,7 +2400,11 @@ def q_uniq_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_rows").alias("n_rows"),
              F.count("*").alias("n_days"))
     )
-    return merged.select("event_type", "approx_users", "n_rows", "n_days")
+    merged.select("event_type", "approx_users").coalesce(1) \
+        .write.mode("overwrite").parquet(_uniq_state_dir())
+    return merged.select(
+        "event_type", "approx_users", "n_rows", "n_days",
+        F.lit(True).alias("within_envelope"))
 
 
 @declared_query(

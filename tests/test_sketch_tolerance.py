@@ -1,11 +1,12 @@
-"""Tolerance tests for the two rows-only sketch aggregates.
+"""Tolerance tests for the sketch aggregates.
 
-q_agg_approx_distinct / q_agg_approx_percentile are the only queries
-without a DuckDB value-hash oracle (sketch internals differ across
-engines BY DESIGN). These tests bound them against the exact answers
-computed in the same session, so "rows-only" still carries a hard
-accuracy contract: HLL++ at rsd=0.02 and percentile_approx at
-accuracy=10000 must land inside their documented error envelopes.
+Sketch internals differ across engines BY DESIGN, so the driver oracle
+for q_agg_approx_distinct / q_agg_approx_percentile / q_uniq_state_merge
+is an inequality relation (r9): the estimates persist as a side table
+and DuckDB asserts them inside the published envelope against its own
+exact answers. These tests bound the same estimates in-session (HLL++
+at rsd=0.02, percentile_approx at accuracy=10000, HLL lgK=14) and pin
+that the envelope oracle actually REJECTS poisoned estimates.
 """
 
 from __future__ import annotations
@@ -78,3 +79,45 @@ def test_uniq_state_merge_within_hll_error(spark, sf_dir):
         e = exact[r["event_type"]]
         assert abs(r["approx_users"] - e) <= max(1, 0.025 * e), (
             r["event_type"], r["approx_users"], e)
+
+
+def test_envelope_oracle_rejects_poisoned_estimates(spark, sf_dir, duck):
+    """r9: the sketch queries' driver contract is an inequality relation
+    — DuckDB recomputes the exact answers and checks the PERSISTED
+    estimates against the published envelope. A garbage estimate must
+    flip the oracle's boolean (which breaks the driver's value hash)."""
+    import pandas as pd
+
+    from clickhouse_mergetree_spark.operators.relational import (
+        _approx_distinct_dir, _uniq_state_dir,
+    )
+    from clickhouse_mergetree_spark.registry import all_queries
+
+    qs = all_queries()
+    # honest run first: oracle says every group is inside the envelope
+    qs["q_agg_approx_distinct"].fn(spark, sf_dir).collect()
+    ok = duck.execute(qs["q_agg_approx_distinct"].oracle).fetchdf()
+    assert ok["within_envelope"].all() and len(ok) > 0
+    qs["q_uniq_state_merge"].fn(spark, sf_dir).collect()
+    ok2 = duck.execute(qs["q_uniq_state_merge"].oracle).fetchdf()
+    assert ok2["within_envelope"].all() and len(ok2) > 0
+
+    # poison the persisted estimates: every boolean must flip
+    try:
+        spark.createDataFrame(
+            pd.DataFrame({"l_returnflag": ok["l_returnflag"],
+                          "approx_parts": [10 ** 9] * len(ok)})
+        ).coalesce(1).write.mode("overwrite") \
+            .parquet(_approx_distinct_dir())
+        bad = duck.execute(qs["q_agg_approx_distinct"].oracle).fetchdf()
+        assert not bad["within_envelope"].any()
+        spark.createDataFrame(
+            pd.DataFrame({"event_type": ok2["event_type"],
+                          "approx_users": [1] * len(ok2)})
+        ).coalesce(1).write.mode("overwrite").parquet(_uniq_state_dir())
+        bad2 = duck.execute(qs["q_uniq_state_merge"].oracle).fetchdf()
+        assert not bad2["within_envelope"].any()
+    finally:
+        # restore honest side tables for any later consumer in-session
+        qs["q_agg_approx_distinct"].fn(spark, sf_dir).collect()
+        qs["q_uniq_state_merge"].fn(spark, sf_dir).collect()
