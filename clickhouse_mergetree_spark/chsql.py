@@ -481,18 +481,83 @@ _REFUSE = [
 ]
 
 
+def _scan_profile(s: str) -> tuple[list[int], list[bool]]:
+    """Per-index (paren depth, inside-string-literal) profile."""
+    depth = [0] * (len(s) + 1)
+    inq = [False] * (len(s) + 1)
+    d, quote = 0, None
+    for i, ch in enumerate(s):
+        depth[i] = d
+        inq[i] = quote is not None
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch == "'":
+            quote = ch
+        elif ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+    depth[len(s)] = d
+    return depth, inq
+
+
+def _rewrite_with_totals(s: str) -> str:
+    """GROUP BY <keys> WITH TOTALS -> GROUP BY GROUPING SETS ((<keys>), ())
+    — exact: the per-group rows plus ONE grand-total row in the same
+    shuffle (Expand + one hash aggregate). Spark marks the totals row
+    with NULL group keys where ClickHouse renders default values; the
+    grouping() function distinguishes a totals NULL from a data NULL.
+
+    Scanner-based (ADVICE r8): each WITH TOTALS token is located outside
+    string literals and paired with the nearest GROUP BY at the SAME
+    paren depth inside the same scope — a plain regex rewrote matching
+    text inside literals and spanned subquery boundaries. WITH TOTALS
+    combined with a same-scope HAVING refuses: ClickHouse's default
+    totals_mode=before_having always emits the totals row computed
+    BEFORE the HAVING filter, which a GROUPING SETS rewrite cannot
+    reproduce (the predicate would filter the totals row too).
+    """
+    tot = re.compile(r"(?is)\bWITH\s+TOTALS\b")
+    gb = re.compile(r"(?is)\bGROUP\s+BY\b")
+    while True:
+        depth, inq = _scan_profile(s)
+        m = next((c for c in tot.finditer(s) if not inq[c.start()]), None)
+        if m is None:
+            return s
+        dlev = depth[m.start()]
+        best = None
+        for g in gb.finditer(s, 0, m.start()):
+            if inq[g.start()] or depth[g.start()] != dlev:
+                continue
+            if min(depth[g.end(): m.start()], default=dlev) < dlev:
+                continue  # different scope: depth dips below between them
+            best = g
+        if best is None:
+            raise ValueError(
+                "WITH TOTALS without a GROUP BY in the same scope")
+        end = next((i for i in range(m.end(), len(s))
+                    if depth[i] < dlev), len(s))
+        for h in re.finditer(r"(?is)\bHAVING\b", s, ):
+            if (m.end() <= h.start() < end and not inq[h.start()]
+                    and depth[h.start()] == dlev):
+                raise ValueError(
+                    "no 1:1 Spark translation for WITH TOTALS combined "
+                    "with HAVING (ClickHouse totals_mode=before_having "
+                    "keeps the totals row computed before the filter; a "
+                    "GROUPING SETS rewrite would drop it) — apply the "
+                    "HAVING in an outer query")
+        keys = s[best.end(): m.start()].strip()
+        if not keys:
+            raise ValueError("WITH TOTALS with an empty GROUP BY key list")
+        s = (s[: best.start()]
+             + f"GROUP BY GROUPING SETS (({keys}), ())" + s[m.end():])
+
+
 def translate_select(sql: str) -> str:
     """ClickHouse-dialect SELECT -> Spark SQL string (see module doc)."""
     s = sql.strip().rstrip(";").strip()
-    # GROUP BY <keys> WITH TOTALS -> GROUP BY GROUPING SETS ((<keys>), ())
-    # — exact: the per-group rows plus ONE grand-total row in the same
-    # shuffle (Expand + one hash aggregate). Spark marks the totals row
-    # with NULL group keys where ClickHouse renders default values; the
-    # grouping() function distinguishes a totals NULL from a data NULL.
-    s = re.sub(
-        r"(?is)\bGROUP\s+BY\s+(.*?)\s+WITH\s+TOTALS\b",
-        lambda m: f"GROUP BY GROUPING SETS (({m.group(1).strip()}), ())",
-        s)
+    s = _rewrite_with_totals(s)
     for pat, what in _REFUSE:
         if re.search(pat, s):
             raise ValueError(f"no 1:1 Spark translation for {what}")
@@ -914,7 +979,28 @@ def _run_asof_join(spark, s: str):
     return ch_sql(spark, rest)
 
 
-def rewrite_dict_calls(s: str, dicts: dict[str, str]) -> str:
+def _dict_type_default(dtype: str) -> str | None:
+    """ClickHouse's implicit attribute default for a missed dictGet key,
+    as a Spark SQL literal: '' for String, 0 for numerics, epoch for
+    date/time, false for booleans. None -> no known default (the lookup
+    stays NULL-on-miss)."""
+    t = dtype.lower()
+    if t == "string":
+        return "''"
+    if t.startswith(("tinyint", "smallint", "int", "bigint",
+                     "float", "double", "decimal")):
+        return f"CAST(0 AS {dtype})"
+    if t == "boolean":
+        return "false"
+    if t == "date":
+        return "DATE '1970-01-01'"
+    if t.startswith("timestamp"):
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    return None
+
+
+def rewrite_dict_calls(s: str, dicts: dict[str, str],
+                       types: dict[str, dict[str, str]] | None = None) -> str:
     """``dictGet('d', 'attr', key)`` / ``dictGetOrDefault(..., def)`` /
     ``dictHas('d', key)`` -> correlated scalar subqueries / IN-subqueries
     over the dictionary's registered view. Catalyst decorrelates an
@@ -923,7 +1009,13 @@ def rewrite_dict_calls(s: str, dicts: dict[str, str]) -> str:
     dictionaries.py lookup shape, with zero per-row Python. ``dicts``
     maps dictionary name -> its PRIMARY KEY column. Unique keys are the
     dictionary contract; a duplicated key fails loudly at run time
-    (Spark's scalar-subquery cardinality check), never silently picks."""
+    (Spark's scalar-subquery cardinality check), never silently picks.
+
+    ``types`` (optional) maps dictionary name -> {attr: Spark dtype}:
+    when given, a missed ``dictGet`` key returns the attribute TYPE's
+    default ('' / 0 / epoch — ClickHouse semantics, ADVICE r8) via
+    coalesce; without it the lookup is NULL-on-miss (the documented
+    bare-translator deviation — it has no schema to consult)."""
     pat = "dictgetordefault|dictget|dicthas"
     pos = 0
     while True:
@@ -964,6 +1056,10 @@ def rewrite_dict_calls(s: str, dicts: dict[str, str]) -> str:
                 if len(args) != 3:
                     raise ValueError("dictGet takes (dict, attr, key)")
                 repl = lookup.format(key=args[2])
+                tdef = _dict_type_default(
+                    (types or {}).get(dname, {}).get(attr, ""))
+                if tdef is not None:
+                    repl = f"coalesce({repl}, {tdef})"
             else:
                 if len(args) != 4:
                     raise ValueError(
@@ -1318,6 +1414,16 @@ class ClickHouseSession:
             self.tables[new] = self.tables.pop(old)
             if old in self.matviews:
                 self.matviews[new] = self.matviews.pop(old)
+            # ADVICE r8: bindings that reference the old name as SOURCE
+            # must follow the rename, or DROP TABLE mv can no longer
+            # detach the view (inserts keep flowing into a closed MV
+            # target) and dictionary re-snapshots go stale
+            for mv_name, (view, src) in list(self.matviews.items()):
+                if src == old:
+                    self.matviews[mv_name] = (view, new)
+            for d_name, (key, src) in list(self.dictionaries.items()):
+                if src == old:
+                    self.dictionaries[d_name] = (key, new)
             self.spark.catalog.dropTempView(old)
             self._refresh_view(new)
             return None
@@ -1436,9 +1542,16 @@ class ClickHouseSession:
         if _re.match(r"(?is)^(SELECT|WITH)\b", s):
             s = self._route_table_reads(s)
             # unconditional: a dictGet over an unknown/dropped dictionary
-            # must refuse by name, not leak to Spark as an unknown fn
+            # must refuse by name, not leak to Spark as an unknown fn.
+            # Attribute types come from the registered dictionary views,
+            # so a missed key yields the TYPE default (CH semantics)
+            types = {
+                n: dict(self.spark.table(n).dtypes)
+                for n in self.dictionaries
+            }
             s = rewrite_dict_calls(
-                s, {n: k for n, (k, _src) in self.dictionaries.items()})
+                s, {n: k for n, (k, _src) in self.dictionaries.items()},
+                types)
             return ch_sql(self.spark, s)
         raise ValueError(f"unroutable statement: {s[:80]!r}")
 

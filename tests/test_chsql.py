@@ -823,9 +823,11 @@ def test_clickhouse_session_explain(spark, tmp_path):
 def test_clickhouse_session_dictionary(spark, tmp_path):
     """CREATE DICTIONARY + dictGet/dictGetOrDefault/dictHas in session
     SELECTs: lookups become correlated scalar subqueries Catalyst
-    decorrelates into (broadcastable) joins; misses are NULL for dictGet
-    and the default for dictGetOrDefault; a source-table INSERT
-    re-snapshots the dictionary (the in-session LIFETIME reload)."""
+    decorrelates into (broadcastable) joins; a dictGet miss returns the
+    attribute TYPE's default ('' for String — ClickHouse semantics,
+    ADVICE r8) and dictGetOrDefault the explicit default; a source-table
+    INSERT re-snapshots the dictionary (the in-session LIFETIME
+    reload)."""
     from clickhouse_mergetree_spark.chsql import ClickHouseSession
 
     sess = ClickHouseSession(spark, str(tmp_path))
@@ -863,7 +865,7 @@ def test_clickhouse_session_dictionary(spark, tmp_path):
     """).collect()}
     assert rows[1] == ("United States", "United States", True)
     assert rows[2] == ("Germany", "Germany", True)
-    assert rows[3] == (None, "?", False)
+    assert rows[3] == ("", "?", False)  # miss -> String type default
 
     # source insert -> dictionary re-snapshot
     sess.execute("INSERT INTO countries VALUES ('fr', 1, 'France')")
@@ -1044,3 +1046,98 @@ def test_arraypop_empty_and_range(spark):
     assert row["r1"] == [0, 1, 2, 3] and row["r2"] == [2, 3, 4]
     assert row["r3"] == [1, 4, 7]
     assert row["r0"] == [] and row["rneg"] == []
+
+
+def test_with_totals_scanner_is_quote_and_scope_aware(spark, duck, views):
+    # ADVICE r8: literal text must not be rewritten
+    got = translate_select(
+        "SELECT 'GROUP BY x WITH TOTALS' AS note, event_type, count() "
+        "FROM events GROUP BY event_type, note WITH TOTALS")
+    assert "'GROUP BY x WITH TOTALS'" in got
+    assert "GROUPING SETS ((event_type, note), ())" in got
+    # two GROUP BYs at different depths: the inner subquery's GROUP BY
+    # must not be captured by the outer WITH TOTALS
+    got2 = translate_select("""
+        SELECT g, count() FROM (
+            SELECT user_id % 3 AS g, count(*) AS c FROM events
+            GROUP BY user_id % 3
+        ) GROUP BY g WITH TOTALS
+    """)
+    assert "GROUP BY user_id % 3" in got2
+    assert "GROUP BY GROUPING SETS ((g), ())" in got2
+    # subquery-level WITH TOTALS rewrites at its own depth
+    got3 = translate_select("""
+        SELECT max(n) FROM (
+            SELECT event_type, count() AS n FROM events
+            GROUP BY event_type WITH TOTALS
+        )
+    """)
+    assert "GROUP BY GROUPING SETS ((event_type), ())" in got3
+
+
+def test_with_totals_refuses_having(spark):
+    # ADVICE r8: totals_mode=before_having cannot be reproduced by a
+    # GROUPING SETS rewrite — refuse rather than silently diverge
+    with pytest.raises(ValueError, match="WITH TOTALS combined with "
+                                         "HAVING"):
+        translate_select(
+            "SELECT event_type, sum(value) AS s FROM events "
+            "GROUP BY event_type WITH TOTALS HAVING sum(value) < 10")
+    # HAVING in an OUTER query around a TOTALS subquery is fine
+    got = translate_select("""
+        SELECT g, sum(n) FROM (
+            SELECT event_type AS g, count() AS n FROM events
+            GROUP BY event_type WITH TOTALS
+        ) GROUP BY g HAVING sum(n) > 0
+    """)
+    assert "GROUPING SETS ((event_type), ())" in got
+
+
+def test_rename_table_rebinds_matview_and_dictionary_sources(spark, tmp_path):
+    """ADVICE r8: RENAME TABLE must rewrite the SOURCE binding of every
+    matview/dictionary referencing the old name — else DROP TABLE mv
+    can't detach the view and dictionary re-snapshots go stale."""
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+
+    sess = ClickHouseSession(spark, str(tmp_path))
+    sess.execute("CREATE TABLE src9 (k String, ts UInt64, v UInt64) "
+                 "ENGINE = MergeTree() ORDER BY (k, ts)")
+    sess.execute("INSERT INTO src9 VALUES ('a', 1, 10)")
+    sess.execute("CREATE MATERIALIZED VIEW mv9 "
+                 "ENGINE = SummingMergeTree() ORDER BY (k, ts) "
+                 "AS SELECT k, ts, sum(v) AS v FROM src9 GROUP BY k, ts")
+    sess.execute("CREATE DICTIONARY dict9 (k String, v UInt64) "
+                 "PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'src9')) "
+                 "LAYOUT(FLAT()) LIFETIME(300)")
+    sess.execute("RENAME TABLE src9 TO src9r")
+    assert sess.matviews["mv9"][1] == "src9r"
+    assert sess.dictionaries["dict9"][1] == "src9r"
+    # dictionary re-snapshot after a mutation on the RENAMED source
+    sess.execute("INSERT INTO src9r VALUES ('b', 1, 20)")
+    got = sess.execute(
+        "SELECT dictGet('dict9', 'v', 'b') AS v").collect()[0]["v"]
+    assert got == 20
+    # DROP of the MV detaches it from the renamed source: later inserts
+    # must not flow into the dropped MV (no exception, clean detach)
+    sess.execute("DROP TABLE mv9")
+    sess.execute("INSERT INTO src9r VALUES ('c', 1, 30)")
+    sess.execute("DROP DICTIONARY dict9")
+    sess.execute("DROP TABLE src9r")
+
+
+def test_dictget_miss_numeric_default(spark, tmp_path):
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+
+    sess = ClickHouseSession(spark, str(tmp_path))
+    sess.execute("CREATE TABLE nsrc (k String, ts UInt64, v UInt64) "
+                 "ENGINE = MergeTree() ORDER BY (k, ts)")
+    sess.execute("INSERT INTO nsrc VALUES ('a', 1, 10)")
+    sess.execute("CREATE DICTIONARY ndict (k String, v UInt64) "
+                 "PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'nsrc')) "
+                 "LAYOUT(FLAT()) LIFETIME(300)")
+    row = sess.execute(
+        "SELECT dictGet('ndict', 'v', 'zz') AS miss, "
+        "dictGet('ndict', 'v', 'a') AS hit").collect()[0]
+    assert row["miss"] == 0 and row["hit"] == 10  # numeric type default
+    sess.execute("DROP DICTIONARY ndict")
+    sess.execute("DROP TABLE nsrc")
