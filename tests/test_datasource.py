@@ -300,3 +300,39 @@ def test_stream_write_batch_ledger_is_idempotent(spark):
     _publish_part(out, staging, [staged_msg()], batch_id=7)  # replay
     n_parts = len([d for d in os.listdir(out) if d.startswith("part_")])
     assert n_parts == 1  # no second part
+
+
+def test_batch_fast_path_matches_datasource(spark, table):
+    """r9: mergetree_batch_scan (JVM parquet data plane) must return the
+    same rows as the Python DataSource plane and prune the same parts."""
+    from clickhouse_mergetree_spark.sources import mergetree_batch_scan
+    from clickhouse_mergetree_spark.sources.mergetree_source import (
+        _load_parts, _part_files, _prune_parts)
+
+    lo, hi = "key_0100", "key_0199"
+    fast = (mergetree_batch_scan(spark, table.base_path, lo, hi)
+            .filter(F.col("key").between(lo, hi))
+            .orderBy("key", "timestamp"))
+    via_ds = (_scan(spark, table)
+              .filter(F.col("key").between(lo, hi))
+              .orderBy("key", "timestamp"))
+    assert fast.collect() == via_ds.collect()
+
+    # part pruning happened on the file list itself (the scan's input),
+    # not just inside the parquet reader
+    parts = _load_parts(table.base_path)
+    all_files = [f for p in parts for f in _part_files(p["path"])]
+    kept = [f for p in _prune_parts(parts, "key_2500", "key_2600")
+            for f in _part_files(p["path"])]
+    assert 0 < len(kept) < len(all_files)
+
+    # the plan is the JVM parquet scan, not a Python data source
+    plan = (mergetree_batch_scan(spark, table.base_path, lo, hi)
+            .filter(F.col("key") >= lo)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Scan parquet" in plan and "PushedFilters" in plan
+
+    # fully-pruned range: empty result, schema preserved
+    empty = mergetree_batch_scan(spark, table.base_path, "zzz", "zzzz")
+    assert empty.count() == 0
+    assert empty.columns == via_ds.columns
