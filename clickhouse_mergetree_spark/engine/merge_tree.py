@@ -120,6 +120,15 @@ class MergeTreeConfig:
     # granule analog: rows per parquet file within a part; row-group stats
     # inside each file replace the sparse index (reference src/granule.h:10)
     rows_per_file: int = 512 * 1024
+    # parquet row-group target (uncompressed buffer bytes) for part
+    # writes — the WITHIN-file granule: files are key-sorted, so smaller
+    # row groups give the scanner tight min/max strides to skip, like
+    # ClickHouse's index_granularity marks. The parquet default (128 MB)
+    # makes a whole 512k-row file ONE row group, so a selective read
+    # decodes the entire file; 4 MB ≈ tens of k rows per group (r9
+    # measured a 1.4x narrow-range-scan win at 2M rows/part, growing
+    # with part size). None = leave the parquet default.
+    part_block_bytes: int | None = 4 * 1024 * 1024
     key_col: str = "key"
     ts_col: str = "timestamp"
     # Table-engine semantics for rows sharing the (key, ts) sorting key
@@ -710,6 +719,11 @@ class SparkMergeTree:
             # the same ride-the-rewrite contract as every ALTER here.
             writer = writer.option("compression",
                                    self.config.part_compression)
+        if self.config.part_block_bytes:
+            # within-file granule: key-sorted rows + small row groups =
+            # tight min/max strides for the scanner to skip (R9)
+            writer = writer.option("parquet.block.size",
+                                   str(self.config.part_block_bytes))
         writer.parquet(path)
         stats = obs.get
         for i, c in enumerate(constraints):
