@@ -285,7 +285,12 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
             raise ValueError(
                 "splitByChar: only single-character literal separators "
                 f"translate ({sep!r} given)")
-        return f"split({args[1]}, '{re.escape(m.group(1))}')"
+        # Spark split takes a REGEX and its string literals eat single
+        # backslashes, so a metachar separator ('.', '|', ...) needs
+        # re.escape AND backslash doubling — without it '.' split on
+        # every character (caught by the r9 runbook ARRAY JOIN demo)
+        esc = re.escape(m.group(1)).replace("\\", "\\\\").replace("'", "''")
+        return f"split({args[1]}, '{esc}')"
     if low == "match":
         return f"({args[0]} RLIKE {args[1]})"
     if low == "isnull":

@@ -3,8 +3,8 @@ realistic dashboard runbook top-to-bottom, every statement in ClickHouse
 SQL, unchanged: DDL (tables, a SummingMergeTree materialized view, a
 dictionary), dialect INSERT ... SELECT backfills, and the SELECT
 constructs with no 1:1 Spark string form (FINAL, SAMPLE, LIMIT n BY,
-WITH TOTALS, ASOF JOIN, WITH FILL, dictGet) — each routed to the engine
-read or DataFrame plan that owns its semantics.
+WITH TOTALS, ASOF JOIN, ARRAY JOIN, WITH FILL, dictGet) — each routed to
+the engine read or DataFrame plan that owns its semantics.
 
 Run: python examples/runbook.py     (writes under a temp dir, cleans up)
 """
@@ -74,6 +74,10 @@ QUERIES = {
         "SELECT sym, px FROM trades ORDER BY px DESC LIMIT 1 BY sym",
     "SAMPLE 0.5 (deterministic entity sample)":
         "SELECT sym, count() AS n FROM trades SAMPLE 0.5 GROUP BY sym",
+    "ARRAY JOIN (per-symbol tag expansion)":
+        "SELECT sym, tag, count() AS n FROM trades "
+        "ARRAY JOIN splitByChar('.', concat(sym, '.EQ')) AS tag "
+        "GROUP BY sym, tag",
     "ASOF JOIN (trade as-of each quote)":
         "SELECT q.sym, q.ts, t.px FROM quotes q ASOF LEFT JOIN trades t "
         "ON q.sym = t.sym AND q.ts >= t.ts",

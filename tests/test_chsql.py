@@ -1141,3 +1141,16 @@ def test_dictget_miss_numeric_default(spark, tmp_path):
     assert row["miss"] == 0 and row["hit"] == 10  # numeric type default
     sess.execute("DROP DICTIONARY ndict")
     sess.execute("DROP TABLE nsrc")
+
+
+def test_splitbychar_metachar_separators(spark):
+    # '.' and '|' are regex metachars: the translation must escape them
+    # through Spark's backslash-eating string literals (r9 runbook bug)
+    row = ch_sql(spark, """
+        SELECT splitByChar('.', 'a.b.c') AS dots,
+               splitByChar('|', 'x|y') AS pipes,
+               splitByChar(',', 'p,q') AS commas
+    """).first()
+    assert row["dots"] == ["a", "b", "c"]
+    assert row["pipes"] == ["x", "y"]
+    assert row["commas"] == ["p", "q"]
