@@ -522,6 +522,15 @@ def _rewrite_with_totals(s: str) -> str:
     totals_mode=before_having always emits the totals row computed
     BEFORE the HAVING filter, which a GROUPING SETS rewrite cannot
     reproduce (the predicate would filter the totals row too).
+
+    Documented deviation (found by the r9 route-x-state fuzz, seed 16):
+    over an EMPTY input, Spark's GROUPING SETS yields no rows at all,
+    where ClickHouse still emits its zero-aggregate totals block (and
+    DuckDB the standard's one grand-total row). Reproducing the
+    empty-set totals row at the string level would need select-list
+    surgery (NULL-ing the key expressions into a HAVING count(*)=0
+    union branch); pinned as a deviation instead —
+    tests/test_chsql.py::test_with_totals_empty_input_deviation.
     """
     tot = re.compile(r"(?is)\bWITH\s+TOTALS\b")
     gb = re.compile(r"(?is)\bGROUP\s+BY\b")

@@ -1154,3 +1154,15 @@ def test_splitbychar_metachar_separators(spark):
     assert row["dots"] == ["a", "b", "c"]
     assert row["pipes"] == ["x", "y"]
     assert row["commas"] == ["p", "q"]
+
+
+def test_with_totals_empty_input_deviation(spark):
+    """Pinned deviation (r9 route-x-state fuzz, seed 16): Spark's
+    GROUPING SETS yields NO rows over an empty input, where ClickHouse
+    still emits a zero-aggregate totals block. The route documents this
+    rather than reproducing it (string-level select-list surgery)."""
+    spark.sql("SELECT 'a' AS k, 1 AS v WHERE false") \
+        .createOrReplaceTempView("totals_empty_probe")
+    got = ch_sql(spark, "SELECT k, count() AS n FROM totals_empty_probe "
+                        "GROUP BY k WITH TOTALS").collect()
+    assert got == []  # no data rows AND no totals row on empty input

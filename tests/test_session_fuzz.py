@@ -234,7 +234,11 @@ def test_session_route_fuzz(spark, seed):
         exp = {}
         for k, _ts in rows:
             exp[k] = exp.get(k, 0) + 1
-        exp[None] = len(rows)
+        if rows:
+            # over an EMPTY input Spark's GROUPING SETS yields no rows
+            # at all — the pinned WITH TOTALS deviation (sweep seed 16;
+            # see _rewrite_with_totals and the companion unit test)
+            exp[None] = len(rows)
         assert got == exp
 
     def probe_array_join() -> None:
