@@ -23,6 +23,13 @@ running an unknown function). Catalyst sees plain Spark SQL, so the
 translated query optimizes exactly like a hand-written one: pushdown,
 pruning, join reordering, whole-stage codegen — translation happens once
 on a string, never per row.
+
+Documented deviations (ClickHouse aggregates return DEFAULT values over
+empty sets): sumIf over zero matching rows is coalesced to 0 (CH-exact);
+avgIf (CH: nan) and minIf/maxIf (CH: type default) stay NULL when no row
+matches — emulating a nan/zero there surprises more than it helps. WITH
+TOTALS over an empty input yields no rows (Spark GROUPING SETS), where
+ClickHouse emits a zero-aggregate totals block.
 """
 
 from __future__ import annotations
@@ -256,7 +263,18 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
     if low in _IF_COMBINATORS and low != "countif":
         agg = _IF_COMBINATORS[low]
         *vals, cond = args
-        return f"{agg}(if({cond}, {', '.join(vals)}, NULL))"
+        inner = f"{agg}(if({cond}, {', '.join(vals)}, NULL))"
+        if low == "sumif":
+            # ClickHouse aggregate functions return DEFAULT values over
+            # empty sets: sumIf with zero matching rows in a group is 0,
+            # where sum(if(..., NULL)) is NULL (found by the r9 dialect
+            # fuzz, seeds 22/50 — a migrated dashboard would silently
+            # show NULLs). avgIf (CH: nan) / minIf / maxIf (CH: type
+            # default) stay NULL-on-empty-match: the documented
+            # deviation (module doc), since emulating a nan/zero there
+            # surprises more than it helps.
+            return f"coalesce({inner}, 0)"
+        return inner
     if low == "multiif":
         if len(args) < 3 or len(args) % 2 == 0:
             raise ValueError(

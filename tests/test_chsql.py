@@ -18,7 +18,9 @@ CASES = [
     ("SELECT countIf(value > 5) FROM events",
      "SELECT count_if(value > 5) FROM events"),
     ("SELECT sumIf(value, event_type = 'click') FROM events",
-     "SELECT sum(if(event_type = 'click', value, NULL)) FROM events"),
+     # coalesce: ClickHouse sumIf over zero matching rows is 0, not NULL
+     "SELECT coalesce(sum(if(event_type = 'click', value, NULL)), 0) "
+     "FROM events"),
     ("SELECT quantile(0.9)(value) FROM events",
      "SELECT percentile(value, 0.9) FROM events"),
     ("SELECT quantiles(0.5, 0.9)(value) FROM events",
@@ -50,8 +52,8 @@ CASES = [
      "SELECT instr(props, 'k') FROM events"),
     # nested dialect calls translate bottom-up
     ("SELECT sumIf(toFloat64(value), toYear(ts) = 2024) FROM events",
-     "SELECT sum(if(year(ts) = 2024, CAST(value AS double), NULL)) "
-     "FROM events"),
+     "SELECT coalesce(sum(if(year(ts) = 2024, CAST(value AS double), "
+     "NULL)), 0) FROM events"),
     # PREWHERE merges into WHERE
     ("SELECT count() FROM events PREWHERE user_id < 5",
      "SELECT count(*) FROM events WHERE user_id < 5"),
@@ -402,7 +404,7 @@ def test_with_totals_end_to_end(spark, duck, views):
            """).collect()}
     exp = {(r[0],): (r[1], round(r[2], 4)) for r in duck.execute("""
         SELECT event_type, count(*) AS n,
-               sum(value) FILTER (value > 10) AS s
+               coalesce(sum(value) FILTER (value > 10), 0) AS s
         FROM events GROUP BY GROUPING SETS ((event_type), ())
     """).fetchall()}
     assert got == exp
@@ -1166,3 +1168,15 @@ def test_with_totals_empty_input_deviation(spark):
     got = ch_sql(spark, "SELECT k, count() AS n FROM totals_empty_probe "
                         "GROUP BY k WITH TOTALS").collect()
     assert got == []  # no data rows AND no totals row on empty input
+
+
+def test_sumif_empty_match_returns_zero(spark):
+    """r9 dialect-fuzz find (seeds 22/50): ClickHouse sumIf over zero
+    matching rows in a group returns 0 (CH aggregates yield defaults
+    over empty sets), where a bare sum(if(..., NULL)) is NULL."""
+    spark.sql("SELECT 'g1' AS g, 5 AS v UNION ALL SELECT 'g2', 50") \
+        .createOrReplaceTempView("sumif_probe")
+    rows = {r["g"]: r["s"] for r in ch_sql(spark, """
+        SELECT g, sumIf(v, v > 10) AS s FROM sumif_probe GROUP BY g
+    """).collect()}
+    assert rows == {"g1": 0, "g2": 50}  # g1 has no matches -> 0, not NULL
