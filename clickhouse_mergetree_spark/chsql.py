@@ -1292,8 +1292,15 @@ def _run_array_join(spark, s: str, m: re.Match):
     view = f"__ch_array_join_{_AJ_SEQ[0]}"
     df.select(*out).createOrReplaceTempView(view)
     as_clause = f" AS {alias}" if alias else ""
-    return ch_sql(
-        spark, s[: from_m.start()] + f"FROM {view}{as_clause} " + rest)
+    try:
+        return ch_sql(
+            spark, s[: from_m.start()] + f"FROM {view}{as_clause} " + rest)
+    finally:
+        # spark.sql analyzes eagerly, so the returned plan holds the
+        # resolved relation — dropping the staging view immediately
+        # keeps a long-lived session's catalog from growing one entry
+        # per routed ARRAY JOIN
+        spark.catalog.dropTempView(view)
 
 
 def _run_with_fill(spark, s: str):

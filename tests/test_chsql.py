@@ -1180,3 +1180,20 @@ def test_sumif_empty_match_returns_zero(spark):
         SELECT g, sumIf(v, v > 10) AS s FROM sumif_probe GROUP BY g
     """).collect()}
     assert rows == {"g1": 0, "g2": 50}  # g1 has no matches -> 0, not NULL
+
+
+def test_array_join_staging_view_is_dropped(spark, duck, views):
+    """r9: the route's staging view must not accumulate in the catalog
+    (one per routed statement in a long-lived session); the returned
+    plan is already analyzed so collect() works after the drop."""
+    before = {t.name for t in spark.catalog.listTables()
+              if t.name.startswith("__ch_array_join_")}
+    df = ch_sql(spark, """
+        SELECT o_orderkey, tag
+        FROM orders ARRAY JOIN splitByChar('-', o_orderpriority) AS tag
+        WHERE o_orderkey <= 40
+    """)
+    after = {t.name for t in spark.catalog.listTables()
+             if t.name.startswith("__ch_array_join_")}
+    assert after == before  # no staging view survived the call
+    assert df.count() > 0   # and the plan still executes
