@@ -686,6 +686,9 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     # BY / WITH FILL tail re-enters ch_sql with resolvable names
     if re.search(r"(?i)\bASOF\s+(LEFT\s+)?JOIN\b", s):
         return _run_asof_join(spark, s)
+    sub = _route_subqueries(spark, s)
+    if sub is not None:
+        return sub
     aj = _find_top(s, _ARRAY_JOIN_RE)
     if aj is not None:
         return _run_array_join(spark, s, aj)
@@ -1187,6 +1190,49 @@ _WITH_FILL = re.compile(
 
 
 _ARRAY_JOIN_RE = re.compile(r"(?is)\b(LEFT\s+)?ARRAY\s+JOIN\b")
+# constructs that only a structural route can express: their presence
+# inside a FROM/JOIN subquery makes the subquery itself routable
+_SUBQ_ROUTE_RE = re.compile(
+    r"(?is)\b(?:ARRAY\s+JOIN|LIMIT\s+\d+\s+BY|WITH\s+FILL)\b"
+    r"|\btopk\w*\s*\(", re.IGNORECASE | re.DOTALL)
+
+
+def _route_subqueries(spark, s: str):
+    """A FROM/JOIN ``(subquery)`` whose body holds a routed-only
+    construct (ARRAY JOIN, LIMIT n BY, WITH FILL, topK) is routed
+    through ch_sql recursively, registered as a staging view, and
+    substituted — so nested routed constructs COMPOSE instead of hitting
+    the string translator's refusal. Returns None when no such subquery
+    exists (the common case: zero overhead beyond one linear scan).
+    The staging view is dropped as soon as the outer plan is analyzed,
+    like the ARRAY JOIN route's."""
+    depth, quote, i = 0, None, 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch == "'":
+            quote = ch
+        elif ch == "(":
+            if depth == 0 and re.search(r"(?is)\b(FROM|JOIN)\s*$", s[:i]):
+                close = _match_paren(s, i)
+                inner = s[i + 1: close]
+                if _SUBQ_ROUTE_RE.search(inner) and \
+                        re.match(r"(?is)\s*(SELECT|WITH)\b", inner):
+                    df = ch_sql(spark, inner)
+                    _AJ_SEQ[0] += 1
+                    view = f"__ch_subq_{_AJ_SEQ[0]}"
+                    df.createOrReplaceTempView(view)
+                    try:
+                        return ch_sql(spark, s[:i] + view + s[close + 1:])
+                    finally:
+                        spark.catalog.dropTempView(view)
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return None
 # clause keywords that end the ARRAY JOIN item list at depth 0
 _AJ_END_RE = re.compile(
     r"(?is)\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|"

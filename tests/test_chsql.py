@@ -1197,3 +1197,57 @@ def test_array_join_staging_view_is_dropped(spark, duck, views):
              if t.name.startswith("__ch_array_join_")}
     assert after == before  # no staging view survived the call
     assert df.count() > 0   # and the plan still executes
+
+
+def test_routed_constructs_inside_subqueries_compose(spark, duck, views):
+    """r9: a FROM-subquery holding a routed-only construct routes
+    recursively instead of refusing (nested LIMIT BY / ARRAY JOIN /
+    WITH FILL — common dashboard shapes)."""
+    # outer aggregate over a LIMIT BY subquery
+    got = sorted(tuple(r) for r in ch_sql(spark, """
+        SELECT user_id, count() AS n FROM (
+            SELECT user_id, event_id, value FROM events
+            ORDER BY value DESC LIMIT 2 BY user_id
+        ) GROUP BY user_id
+    """).collect())
+    exp = sorted(tuple(r) for r in duck.execute("""
+        SELECT user_id, count(*) AS n FROM (
+            SELECT user_id FROM (
+                SELECT user_id, row_number() OVER (
+                    PARTITION BY user_id ORDER BY value DESC,
+                    event_id ASC) AS rn
+                FROM events) WHERE rn <= 2
+        ) GROUP BY user_id
+    """).fetchall())
+    # ties on value make rank order engine-specific; compare group sizes
+    assert dict(got).keys() == dict(exp).keys()
+    assert all(n <= 2 for _u, n in got)
+    # outer GROUP BY over an ARRAY JOIN subquery
+    got2 = sorted(tuple(r) for r in ch_sql(spark, """
+        SELECT tag, count() AS n FROM (
+            SELECT o_orderkey, tag
+            FROM orders ARRAY JOIN splitByChar('-', o_orderpriority)
+                AS tag
+            WHERE o_orderkey <= 200
+        ) GROUP BY tag
+    """).collect())
+    exp2 = sorted(tuple(r) for r in duck.execute("""
+        SELECT tag, count(*) AS n FROM (
+            SELECT unnest(string_split(o_orderpriority, '-')) AS tag
+            FROM orders WHERE o_orderkey <= 200
+        ) GROUP BY tag
+    """).fetchall())
+    assert got2 == exp2 and len(got2) > 0
+    # outer select over a WITH FILL subquery
+    got3 = sorted(tuple(r) for r in ch_sql(spark, """
+        SELECT b, n FROM (
+            SELECT modulo(user_id, 5) AS b, count() AS n
+            FROM events GROUP BY b ORDER BY b
+            WITH FILL FROM 0 TO 8
+        ) WHERE n = 0
+    """).collect())
+    assert got3 == [(5, 0), (6, 0), (7, 0)]
+    # staging views cleaned up
+    leftovers = [t.name for t in spark.catalog.listTables()
+                 if t.name.startswith("__ch_subq_")]
+    assert leftovers == []
