@@ -262,8 +262,22 @@ def test_session_route_fuzz(spark, seed):
         exp = [(t, counts.get(t, 0)) for t in range(lo, hi + 1)]
         assert got == exp
 
+    def probe_subq_limit_by() -> None:
+        # routed construct INSIDE a FROM-subquery (the r9 subquery
+        # pre-pass) over the live table: outer agg of a LIMIT 2 BY
+        got = sorted((r["k"], r["n"]) for r in sess.execute(
+            f"SELECT k, count() AS n FROM ("
+            f"SELECT k, ts FROM {name} ORDER BY ts LIMIT 2 BY k"
+            f") GROUP BY k").collect())
+        per_k: dict[str, int] = {}
+        for k, _ts in rows:
+            per_k[k] = per_k.get(k, 0) + 1
+        exp = sorted((k, min(n, 2)) for k, n in per_k.items())
+        assert got == exp
+
     probes = [probe_final, probe_sample, probe_limit_by,
-              probe_with_totals, probe_array_join, probe_with_fill]
+              probe_with_totals, probe_array_join, probe_with_fill,
+              probe_subq_limit_by]
     insert(dup=False)
     for _step in range(rng.randrange(12, 18)):
         op = rng.choice(["insert", "insert", "dup_insert", "lw_delete",
