@@ -554,20 +554,33 @@ def _rewrite_with_totals(s: str) -> str:
     gb = re.compile(r"(?is)\bGROUP\s+BY\b")
     while True:
         depth, inq = _scan_profile(s)
-        m = next((c for c in tot.finditer(s) if not inq[c.start()]), None)
+        m = best = None
+        for cand in tot.finditer(s):
+            if inq[cand.start()]:
+                continue
+            dlev = depth[cand.start()]
+            g_best = None
+            for g in gb.finditer(s, 0, cand.start()):
+                if inq[g.start()] or depth[g.start()] != dlev:
+                    continue
+                if min(depth[g.end(): cand.start()], default=dlev) < dlev:
+                    continue  # different scope: depth dips below between
+                g_best = g
+            if g_best is None:
+                # a CTE named `totals` matches the same token sequence
+                # (`WITH totals AS (...)` — ADVICE r9): a match with no
+                # same-scope GROUP BY before it that is immediately
+                # followed by AS( is a definition, not the modifier —
+                # leave it for Spark as an ordinary identifier
+                if re.match(r"(?is)^AS\s*\(", s[cand.end():].lstrip()):
+                    continue
+                raise ValueError(
+                    "WITH TOTALS without a GROUP BY in the same scope")
+            m, best = cand, g_best
+            break
         if m is None:
             return s
         dlev = depth[m.start()]
-        best = None
-        for g in gb.finditer(s, 0, m.start()):
-            if inq[g.start()] or depth[g.start()] != dlev:
-                continue
-            if min(depth[g.end(): m.start()], default=dlev) < dlev:
-                continue  # different scope: depth dips below between them
-            best = g
-        if best is None:
-            raise ValueError(
-                "WITH TOTALS without a GROUP BY in the same scope")
         end = next((i for i in range(m.end(), len(s))
                     if depth[i] < dlev), len(s))
         for h in re.finditer(r"(?is)\bHAVING\b", s, ):
@@ -1022,8 +1035,11 @@ def _dict_type_default(dtype: str) -> str | None:
     t = dtype.lower()
     if t == "string":
         return "''"
-    if t.startswith(("tinyint", "smallint", "int", "bigint",
-                     "float", "double", "decimal")):
+    # exact-word numeric match: a bare startswith("int") also matched
+    # Spark "interval ..." dtypes, producing CAST(0 AS INTERVAL ...)
+    # (ADVICE r9)
+    if re.match(r"^(tinyint|smallint|int|bigint|float|double|decimal)"
+                r"(\(|$)", t):
         return f"CAST(0 AS {dtype})"
     if t == "boolean":
         return "false"
@@ -1050,7 +1066,15 @@ def rewrite_dict_calls(s: str, dicts: dict[str, str],
     when given, a missed ``dictGet`` key returns the attribute TYPE's
     default ('' / 0 / epoch — ClickHouse semantics, ADVICE r8) via
     coalesce; without it the lookup is NULL-on-miss (the documented
-    bare-translator deviation — it has no schema to consult)."""
+    bare-translator deviation — it has no schema to consult).
+
+    Documented deviation (ADVICE r9): the coalesce cannot distinguish a
+    MISSED key from an existing key whose Nullable attribute stores
+    NULL — both map to the type default, where ClickHouse ``dictGet``
+    over a ``Nullable(T)`` attribute returns the stored NULL. Dictionary
+    attributes are conventionally non-Nullable (CH itself requires
+    ``dictGetOrNull`` for that shape); callers with Nullable attributes
+    should omit ``types`` for the NULL-on-miss behavior instead."""
     pat = "dictgetordefault|dictget|dicthas"
     pos = 0
     while True:
@@ -1311,7 +1335,22 @@ def _run_array_join(spark, s: str, m: re.Match):
             items.append((_translate_expr(am.group(1).strip()),
                           am.group(2).strip("`"), False))
         elif re.match(r"(?is)^[\w`]+$", it):
-            items.append((it.strip("`"), it.strip("`"), True))
+            # a bare item REPLACES that source column: resolve it against
+            # base.columns the way Spark resolves identifiers — case-
+            # insensitively, exact match preferred — and canonicalize to
+            # the actual column name so the replacement projection finds
+            # it (ADVICE r9: `ARRAY JOIN TAGS` over a column named `tags`
+            # silently returned the un-exploded array). An item matching
+            # no base column refuses loudly, as ClickHouse would.
+            bare = it.strip("`")
+            hits = ([c for c in base.columns if c == bare]
+                    or [c for c in base.columns
+                        if c.lower() == bare.lower()])
+            if not hits:
+                raise ValueError(
+                    f"ARRAY JOIN column {bare!r} not found in the source "
+                    f"relation (columns: {base.columns})")
+            items.append((hits[0], hits[0], True))
         else:
             raise ValueError(
                 f"ARRAY JOIN item needs an AS alias unless it is a bare "
@@ -1325,9 +1364,13 @@ def _run_array_join(spark, s: str, m: re.Match):
     df = base.select(
         "*", gen(F.expr(items[0][0])).alias(pos, "__ch_aj_e0"))
     for k, (expr, _name, _rep) in enumerate(items[1:], start=1):
+        # try_element_at, not element_at: this session runs ANSI mode,
+        # where element_at past a shorter array's end throws
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT — try_element_at delivers
+        # the documented NULL-past-end lockstep semantics (ADVICE r9)
         df = df.withColumn(
             f"__ch_aj_e{k}",
-            F.element_at(F.expr(expr), F.col(pos) + F.lit(1)))
+            F.try_element_at(F.expr(expr), F.col(pos) + F.lit(1)))
     replaced = {expr: f"__ch_aj_e{k}"
                 for k, (expr, _name, rep) in enumerate(items) if rep}
     out = [F.col(replaced[c]).alias(c) if c in replaced else F.col(c)

@@ -598,7 +598,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM ex GROUP BY i
         )
         SELECT s.i, s.j,
-               round(CAST(s.sd AS DOUBLE) / s.n - ma.m * mb.m, 6) AS cov
+               round(CAST(s.sd AS DOUBLE) / s.n - ma.m * mb.m, 6) + 0.0
+                 AS cov
         FROM s JOIN mu ma ON s.i = ma.i JOIN mu mb ON s.j = mb.i
     """,
 )
@@ -627,6 +628,14 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell (43,55) sitting 2.5e-11 below the round(…,6) boundary, flipping
     0.000598↔0.000599. Decimal sums are exact and associative on both
     engines; the double division/round then operates on identical inputs.
+
+    Signed zero (r10, the last red driver cell of r9): a tiny-negative
+    covariance rounds to ``0.0`` on Spark (BigDecimal HALF_UP has no
+    negative zero) but ``-0.0`` on DuckDB (IEEE round preserves the
+    sign), and the driver's hash distinguishes them (cell (6,10) at
+    sf0.01). Both sides append ``+ 0.0`` after the round (IEEE
+    ``-0.0 + 0.0 = +0.0``) — the repo convention for any rounded float
+    output that can sit near zero.
     """
     emb = load(spark, sf_dir, "embeddings")
     # 1-based (i, j, e_i*e_j) triples, generated inside the row;
@@ -647,10 +656,17 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double") / F.count("*")).alias("m")))
     ma = mu.select(F.col("i"), F.col("m").alias("m_i"))
     mb = mu.select(F.col("i").alias("j"), F.col("m").alias("m_j"))
+    # `+ 0.0` on BOTH engines (IEEE: -0.0 + 0.0 = +0.0) — the repo's
+    # signed-zero convention for rounded float outputs: Spark's round
+    # goes through Java BigDecimal HALF_UP (no negative zero) while
+    # DuckDB's preserves the IEEE sign, and the driver's value hash is
+    # sign-sensitive (the r9 single-cell fail: cell (6,10) rounded to
+    # 0.0 on Spark, -0.0 on DuckDB).
     return (s.join(F.broadcast(ma), "i").join(F.broadcast(mb), "j")
             .select("i", "j",
-                    F.round(F.col("sd").cast("double") / F.col("n")
-                            - F.col("m_i") * F.col("m_j"), 6)
+                    (F.round(F.col("sd").cast("double") / F.col("n")
+                             - F.col("m_i") * F.col("m_j"), 6)
+                     + F.lit(0.0))
                     .alias("cov")))
 
 

@@ -44,8 +44,15 @@ def _norm_cell(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "NaN")
-        # collapse -0.0 / 0.0 and normalize float repr
-        return ("f", round(v + 0.0, 9))
+        # Round-10 strictness (VERDICT r9 items 1b/3): the driver's value
+        # hash is EXACT — it distinguishes -0.0 from 0.0 (the r9
+        # q_embed_covariance fail: Spark's BigDecimal HALF_UP round emits
+        # 0.0 where DuckDB's round preserves IEEE -0.0) and any sub-9dp
+        # repr drift (the old `round(v + 0.0, 9)` masked both classes,
+        # which is why 268/268 self-sweeps could not see the one red
+        # driver cell). Full repr preserves the sign of zero and every
+        # mantissa bit, making self-pass a strict superset of driver-pass.
+        return ("f", repr(v))
     if isinstance(v, decimal.Decimal):
         # distinct tag: a Decimal reaching the comparison is already a
         # type divergence from Spark's float/int and must not pass

@@ -1251,3 +1251,71 @@ def test_routed_constructs_inside_subqueries_compose(spark, duck, views):
     leftovers = [t.name for t in spark.catalog.listTables()
                  if t.name.startswith("__ch_subq_")]
     assert leftovers == []
+
+
+# ---------------------------------------------------------------------------
+# Round-10 ADVICE fixes: ARRAY JOIN case/length edges, CTE named totals,
+# dictGet type-default anchoring
+# ---------------------------------------------------------------------------
+
+
+def test_array_join_bare_column_case_insensitive(spark, views):
+    # ADVICE r9: Spark resolves identifiers case-insensitively; a
+    # differently-cased bare item must still REPLACE the source column
+    # (pre-fix it silently returned the un-exploded array per element)
+    spark.sql("SELECT 1 AS id, array('a', 'b') AS tags") \
+        .createOrReplaceTempView("aj_case_probe")
+    got = sorted(tuple(r) for r in ch_sql(
+        spark,
+        "SELECT id, TAGS FROM aj_case_probe ARRAY JOIN TAGS").collect())
+    assert got == [(1, "a"), (1, "b")]
+    # an item matching no base column refuses loudly (CH rejects it too)
+    with pytest.raises(ValueError, match="not found"):
+        ch_sql(spark, "SELECT id FROM aj_case_probe ARRAY JOIN nope")
+
+
+def test_array_join_multi_items_unequal_lengths(spark, views):
+    # documented deviation: the FIRST array drives the row count, the
+    # others are NULL past their end (CH errors on unequal sizes). Under
+    # ANSI mode a plain element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+    # past a shorter array (ADVICE r9) — try_element_at delivers the
+    # documented semantics.
+    spark.sql(
+        "SELECT 1 AS id, array(10, 20, 30) AS a, array('x') AS b"
+    ).createOrReplaceTempView("aj_unequal_probe")
+    got = sorted(
+        (tuple(r) for r in ch_sql(
+            spark,
+            "SELECT id, a, b FROM aj_unequal_probe ARRAY JOIN a, b"
+        ).collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert got == [(1, 10, "x"), (1, 20, None), (1, 30, None)]
+
+
+def test_with_totals_cte_named_totals_untouched(spark, views):
+    # ADVICE r9: a CTE named `totals` matches the WITH TOTALS token
+    # sequence — the rewriter must leave the definition alone
+    sql = "WITH totals AS (SELECT 1 AS x) SELECT x FROM totals"
+    assert translate_select(sql) == sql
+    assert [tuple(r) for r in ch_sql(spark, sql).collect()] == [(1,)]
+    # ...and still rewrite a genuine modifier later in the statement
+    got = translate_select(
+        "WITH totals AS (SELECT 1 AS x) "
+        "SELECT event_type, count() FROM events "
+        "GROUP BY event_type WITH TOTALS")
+    assert "WITH totals AS (SELECT 1 AS x)" in got
+    assert "GROUPING SETS ((event_type), ())" in got
+
+
+def test_dict_type_default_interval_not_numeric():
+    # ADVICE r9: startswith("int") also matched "interval ..." dtypes,
+    # emitting CAST(0 AS INTERVAL ...)
+    from clickhouse_mergetree_spark.chsql import _dict_type_default
+
+    assert _dict_type_default("interval day") is None
+    assert _dict_type_default("int") == "CAST(0 AS int)"
+    assert _dict_type_default("bigint") == "CAST(0 AS bigint)"
+    assert _dict_type_default("decimal(10,2)") == "CAST(0 AS decimal(10,2))"
+    assert _dict_type_default("double") == "CAST(0 AS double)"
+    assert _dict_type_default("string") == "''"
