@@ -336,7 +336,8 @@ def _approx_distinct_dir() -> str:
     oracle=f"""
         WITH est AS (
             SELECT l_returnflag,
-                   CAST(approx_parts AS BIGINT) AS approx_parts
+                   CAST(approx_parts AS BIGINT) AS approx_parts,
+                   CAST(n_rows AS BIGINT) AS est_n_rows
             FROM read_parquet('{{_approx_distinct_dir}}/*.parquet')
         ), ex AS (
             SELECT l_returnflag,
@@ -345,7 +346,8 @@ def _approx_distinct_dir() -> str:
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT ex.l_returnflag, est.approx_parts, ex.n_rows,
-               (abs(est.approx_parts - ex.exact_parts)
+               (est.est_n_rows = ex.n_rows AND
+                abs(est.approx_parts - ex.exact_parts)
                 <= greatest(3, {APPROX_DISTINCT_BOUND} * ex.exact_parts))
                  AS within_envelope
         FROM est JOIN ex USING (l_returnflag)
@@ -370,7 +372,13 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", APPROX_DISTINCT_RSD).alias("approx_parts"),
         F.count("*").alias("n_rows"),
     )
-    est.select("l_returnflag", "approx_parts").coalesce(1) \
+    # n_rows persists alongside the estimate as a CORPUS MARKER
+    # (ADVICE r9): the side table lives at a fixed machine-wide path, so
+    # a stale write from a run at another scale factor (or a concurrent
+    # run) could otherwise feed the envelope oracle someone else's
+    # numbers silently — the oracle folds est_n_rows = ex.n_rows into
+    # the verdict so a corpus mismatch fails loudly (hash break).
+    est.select("l_returnflag", "approx_parts", "n_rows").coalesce(1) \
         .write.mode("overwrite").parquet(_approx_distinct_dir())
     return est.select(
         "l_returnflag", "approx_parts", "n_rows",
@@ -807,11 +815,12 @@ def _approx_pctl_dir() -> str:
             SELECT l_returnflag,
                    CAST(quantile_level AS DOUBLE) AS quantile_level,
                    CAST(qty_quantile AS DOUBLE) AS qty_quantile,
-                   CAST(median_price AS DOUBLE) AS median_price
+                   CAST(median_price AS DOUBLE) AS median_price,
+                   CAST(n_rows AS BIGINT) AS est_n
             FROM read_parquet('{{_approx_pctl_dir}}/*.parquet')
         ), chk AS (
             SELECT e.l_returnflag, e.quantile_level, e.qty_quantile,
-                   e.median_price,
+                   e.median_price, e.est_n,
                    count(*) AS n,
                    count(*) FILTER (l.l_quantity <= e.qty_quantile) AS q_le,
                    count(*) FILTER (l.l_quantity <  e.qty_quantile) AS q_lt,
@@ -821,14 +830,16 @@ def _approx_pctl_dir() -> str:
                      AS p_lt
             FROM est e JOIN lineitem l USING (l_returnflag)
             GROUP BY e.l_returnflag, e.quantile_level, e.qty_quantile,
-                     e.median_price
+                     e.median_price, e.est_n
         )
         SELECT l_returnflag, quantile_level, qty_quantile, median_price,
                n AS n_rows,
-               (q_le >= (quantile_level - {APPROX_PCTL_RANK_TOL}) * n AND
+               (est_n = n AND
+                q_le >= (quantile_level - {APPROX_PCTL_RANK_TOL}) * n AND
                 q_lt <= (quantile_level + {APPROX_PCTL_RANK_TOL}) * n)
                  AS qty_within,
-               (p_le >= (0.5 - {APPROX_PCTL_RANK_TOL}) * n AND
+               (est_n = n AND
+                p_le >= (0.5 - {APPROX_PCTL_RANK_TOL}) * n AND
                 p_lt <= (0.5 + {APPROX_PCTL_RANK_TOL}) * n) AS med_within
         FROM chk
     """.replace("{_approx_pctl_dir}", _approx_pctl_dir()),
@@ -874,8 +885,12 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("qpos")
     )
+    # n_rows persists as the corpus marker (ADVICE r9): a stale side
+    # table from a run at another SF makes est_n <> n and flips both
+    # verdict booleans — a loud hash break instead of a silent check of
+    # someone else's estimates
     est.select("l_returnflag", "quantile_level", "qty_quantile",
-               "median_price").coalesce(1) \
+               "median_price", "n_rows").coalesce(1) \
         .write.mode("overwrite").parquet(_approx_pctl_dir())
     return est.select(
         "l_returnflag",
@@ -2344,7 +2359,8 @@ def _uniq_state_dir() -> str:
     oracle=f"""
         WITH est AS (
             SELECT event_type,
-                   CAST(approx_users AS BIGINT) AS approx_users
+                   CAST(approx_users AS BIGINT) AS approx_users,
+                   CAST(n_rows AS BIGINT) AS est_n_rows
             FROM read_parquet('{{_uniq_state_dir}}/*.parquet')
         ), ex AS (
             SELECT event_type,
@@ -2354,7 +2370,8 @@ def _uniq_state_dir() -> str:
             FROM events GROUP BY event_type
         )
         SELECT ex.event_type, est.approx_users, ex.n_rows, ex.n_days,
-               (abs(est.approx_users - ex.exact_users)
+               (est.est_n_rows = ex.n_rows AND
+                abs(est.approx_users - ex.exact_users)
                 <= greatest(1, {UNIQ_STATE_BOUND} * ex.exact_users))
                  AS within_envelope
         FROM est JOIN ex USING (event_type)
@@ -2400,7 +2417,10 @@ def q_uniq_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_rows").alias("n_rows"),
              F.count("*").alias("n_days"))
     )
-    merged.select("event_type", "approx_users").coalesce(1) \
+    # n_rows persists as the corpus marker (ADVICE r9) — a stale side
+    # table from another SF flips within_envelope instead of silently
+    # checking the wrong run's estimates
+    merged.select("event_type", "approx_users", "n_rows").coalesce(1) \
         .write.mode("overwrite").parquet(_uniq_state_dir())
     return merged.select(
         "event_type", "approx_users", "n_rows", "n_days",

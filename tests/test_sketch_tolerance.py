@@ -102,22 +102,85 @@ def test_envelope_oracle_rejects_poisoned_estimates(spark, sf_dir, duck):
     ok2 = duck.execute(qs["q_uniq_state_merge"].oracle).fetchdf()
     assert ok2["within_envelope"].all() and len(ok2) > 0
 
-    # poison the persisted estimates: every boolean must flip
+    # poison the persisted estimates (corpus marker kept honest so the
+    # flip is attributable to the ESTIMATE check): every boolean flips
     try:
         spark.createDataFrame(
             pd.DataFrame({"l_returnflag": ok["l_returnflag"],
-                          "approx_parts": [10 ** 9] * len(ok)})
+                          "approx_parts": [10 ** 9] * len(ok),
+                          "n_rows": ok["n_rows"]})
         ).coalesce(1).write.mode("overwrite") \
             .parquet(_approx_distinct_dir())
         bad = duck.execute(qs["q_agg_approx_distinct"].oracle).fetchdf()
         assert not bad["within_envelope"].any()
         spark.createDataFrame(
             pd.DataFrame({"event_type": ok2["event_type"],
-                          "approx_users": [1] * len(ok2)})
+                          "approx_users": [1] * len(ok2),
+                          "n_rows": ok2["n_rows"]})
         ).coalesce(1).write.mode("overwrite").parquet(_uniq_state_dir())
         bad2 = duck.execute(qs["q_uniq_state_merge"].oracle).fetchdf()
         assert not bad2["within_envelope"].any()
     finally:
         # restore honest side tables for any later consumer in-session
         qs["q_agg_approx_distinct"].fn(spark, sf_dir).collect()
+        qs["q_uniq_state_merge"].fn(spark, sf_dir).collect()
+
+
+def test_envelope_oracle_rejects_stale_corpus(spark, sf_dir, duck):
+    """ADVICE r9: the side tables live at a fixed machine-wide path, so
+    a stale write left by a run at a different scale factor could feed
+    the oracle someone else's estimates. The persisted n_rows corpus
+    marker must flip the verdict when it disagrees with the oracle's own
+    count — even when the estimate itself happens to sit in-envelope."""
+    import pandas as pd
+
+    from clickhouse_mergetree_spark.operators.relational import (
+        _approx_distinct_dir, _approx_pctl_dir, _uniq_state_dir,
+    )
+
+    qs = all_queries()
+    ok = None
+    try:
+        # honest estimates, WRONG corpus marker (as a different-SF run
+        # would leave behind): every verdict must flip
+        qs["q_agg_approx_distinct"].fn(spark, sf_dir).collect()
+        ok = duck.execute(qs["q_agg_approx_distinct"].oracle).fetchdf()
+        assert ok["within_envelope"].all()
+        spark.createDataFrame(
+            pd.DataFrame({"l_returnflag": ok["l_returnflag"],
+                          "approx_parts": ok["approx_parts"],
+                          "n_rows": ok["n_rows"] * 10})
+        ).coalesce(1).write.mode("overwrite") \
+            .parquet(_approx_distinct_dir())
+        stale = duck.execute(qs["q_agg_approx_distinct"].oracle).fetchdf()
+        assert not stale["within_envelope"].any()
+
+        qs["q_agg_approx_percentile"].fn(spark, sf_dir).collect()
+        okp = duck.execute(qs["q_agg_approx_percentile"].oracle).fetchdf()
+        assert okp["qty_within"].all() and okp["med_within"].all()
+        spark.createDataFrame(
+            pd.DataFrame({"l_returnflag": okp["l_returnflag"],
+                          "quantile_level": okp["quantile_level"],
+                          "qty_quantile": okp["qty_quantile"],
+                          "median_price": okp["median_price"],
+                          "n_rows": okp["n_rows"] * 10})
+        ).coalesce(1).write.mode("overwrite").parquet(_approx_pctl_dir())
+        stalep = duck.execute(
+            qs["q_agg_approx_percentile"].oracle).fetchdf()
+        assert not stalep["qty_within"].any()
+        assert not stalep["med_within"].any()
+
+        qs["q_uniq_state_merge"].fn(spark, sf_dir).collect()
+        oku = duck.execute(qs["q_uniq_state_merge"].oracle).fetchdf()
+        assert oku["within_envelope"].all()
+        spark.createDataFrame(
+            pd.DataFrame({"event_type": oku["event_type"],
+                          "approx_users": oku["approx_users"],
+                          "n_rows": oku["n_rows"] * 10})
+        ).coalesce(1).write.mode("overwrite").parquet(_uniq_state_dir())
+        staleu = duck.execute(qs["q_uniq_state_merge"].oracle).fetchdf()
+        assert not staleu["within_envelope"].any()
+    finally:
+        qs["q_agg_approx_distinct"].fn(spark, sf_dir).collect()
+        qs["q_agg_approx_percentile"].fn(spark, sf_dir).collect()
         qs["q_uniq_state_merge"].fn(spark, sf_dir).collect()
