@@ -25,11 +25,13 @@ pruning, join reordering, whole-stage codegen — translation happens once
 on a string, never per row.
 
 Documented deviations (ClickHouse aggregates return DEFAULT values over
-empty sets): sumIf over zero matching rows is coalesced to 0 (CH-exact);
-avgIf (CH: nan) and minIf/maxIf (CH: type default) stay NULL when no row
-matches — emulating a nan/zero there surprises more than it helps. WITH
-TOTALS over an empty input yields no rows (Spark GROUPING SETS), where
-ClickHouse emits a zero-aggregate totals block.
+empty sets): sumIf over zero matching rows is coalesced to 0 and avgIf
+to nan (both CH-exact, r9/r10); minIf/maxIf (CH: the value type's
+default — 0 / '' / epoch) stay NULL when no row matches — the
+string-level translator has no schema to type the default, and a
+wrong-typed coalesce would error or corrupt. WITH TOTALS over an empty
+input yields no rows (Spark GROUPING SETS), where ClickHouse emits a
+zero-aggregate totals block.
 """
 
 from __future__ import annotations
@@ -269,11 +271,17 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
             # empty sets: sumIf with zero matching rows in a group is 0,
             # where sum(if(..., NULL)) is NULL (found by the r9 dialect
             # fuzz, seeds 22/50 — a migrated dashboard would silently
-            # show NULLs). avgIf (CH: nan) / minIf / maxIf (CH: type
-            # default) stay NULL-on-empty-match: the documented
-            # deviation (module doc), since emulating a nan/zero there
-            # surprises more than it helps.
+            # show NULLs).
             return f"coalesce({inner}, 0)"
+        if low == "avgif":
+            # CH 24.x: avgIf over zero matching rows is nan (0/0), not
+            # NULL — emulable type-agnostically since avg always returns
+            # double (r10, VERDICT r9 item 6). minIf/maxIf (CH: the
+            # value type's default — 0 / '' / epoch) stay NULL-on-empty:
+            # the string-level translator has no schema to type the
+            # default, and a wrong-typed coalesce would error or corrupt
+            # (documented deviation, module doc).
+            return f"coalesce({inner}, CAST('NaN' AS DOUBLE))"
         return inner
     if low == "multiif":
         if len(args) < 3 or len(args) % 2 == 0:

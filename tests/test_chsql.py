@@ -1319,3 +1319,27 @@ def test_dict_type_default_interval_not_numeric():
     assert _dict_type_default("decimal(10,2)") == "CAST(0 AS decimal(10,2))"
     assert _dict_type_default("double") == "CAST(0 AS double)"
     assert _dict_type_default("string") == "''"
+
+
+def test_if_combinator_empty_match_family(spark):
+    """r10 (VERDICT r9 item 6): CH 24.x empty-match behavior per -If
+    family — countIf/sumIf return 0, avgIf returns nan (0/0, emulated
+    via a typed coalesce since avg is always double), minIf/maxIf
+    return the value type's default in CH but stay NULL here (the
+    documented deviation: no schema at the string level)."""
+    import math
+
+    spark.sql("SELECT 'g1' AS g, 5 AS v UNION ALL SELECT 'g2', 50") \
+        .createOrReplaceTempView("ifagg_probe")
+    rows = {r["g"]: r for r in ch_sql(spark, """
+        SELECT g, countIf(v > 10) AS c, sumIf(v, v > 10) AS s,
+               avgIf(v, v > 10) AS a, minIf(v, v > 10) AS mn,
+               maxIf(v, v > 10) AS mx
+        FROM ifagg_probe GROUP BY g
+    """).collect()}
+    g1, g2 = rows["g1"], rows["g2"]
+    assert g1["c"] == 0 and g1["s"] == 0          # CH-exact defaults
+    assert math.isnan(g1["a"])                     # CH-exact: 0/0 = nan
+    assert g1["mn"] is None and g1["mx"] is None   # documented deviation
+    assert (g2["c"], g2["s"], g2["a"], g2["mn"], g2["mx"]) == (
+        1, 50, 50.0, 50, 50)
