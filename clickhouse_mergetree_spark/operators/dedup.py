@@ -895,3 +895,55 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
              novel.alias("n_novel"),
              F.round(novel / F.count("*"), 6).alias("novelty"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: E201 — normalized-key exact dedup (casefold / punctuation /
+# whitespace canonicalization before hashing)
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_dedup_normalized",
+    oracle=r"""
+        WITH norm AS (
+            SELECT doc_id, source,
+                   sha256(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g'))) AS norm_hash
+            FROM documents
+        )
+        SELECT norm_hash, min(doc_id) AS keeper_doc,
+               count(*) AS n_copies,
+               count(DISTINCT source) AS n_sources
+        FROM norm GROUP BY norm_hash
+    """,
+    defer=True,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E201: normalized-key exact dedup — the C4/CCNet/RefinedWeb first
+    pass where the dedup key is the CANONICALIZED text (casefold, strip
+    punctuation, collapse whitespace, trim), so trivially-reformatted
+    copies (case changes, punctuation drift, double spaces) collapse
+    where raw sha2 (q_dedup_content) treats them as distinct documents.
+
+    The normalization is pure JVM string expressions (lower +
+    regexp_replace), so the whole key derivation runs inside whole-stage
+    codegen with no Python; the character classes are deliberately
+    ASCII-explicit ('[^a-z0-9 ]', ' +') so Java regex and DuckDB RE2
+    evaluate them identically. Same scale shape as exact dedup: one
+    partial+final hash aggregate on a 256-bit uniform key — map-side
+    combine removes most duplicates before the single exchange, linear
+    at any corpus size. n_sources rides along because cross-source
+    duplication is what mixture reweighting needs to know about.
+    """
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    return (
+        d.select("doc_id", "source", F.sha2(norm, 256).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_doc"),
+             F.count("*").alias("n_copies"),
+             F.countDistinct("source").alias("n_sources"))
+    )

@@ -3037,3 +3037,113 @@ def q_agg_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("c1") * F.col("c3")).cast("double")
                 / F.nullif(F.sum("c1"), F.lit(0)), 6).alias("ratio3"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 10: E199 topK frequency aggregate, E200 tolerance as-of join
+# --------------------------------------------------------------------------
+
+TOPK_K = 3
+
+
+@declared_query(
+    "q_agg_topk",
+    oracle=f"""
+        SELECT o_orderstatus, rnk, o_orderpriority, cnt FROM (
+            SELECT o_orderstatus, o_orderpriority, cnt,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY cnt DESC, o_orderpriority)
+                     AS rnk
+            FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+                  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        ) WHERE rnk <= {TOPK_K}
+    """,
+    defer=True,
+)
+def q_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E199: ClickHouse ``topK(k)(x)`` — the k most frequent values per
+    group. CH's implementation is an approximate space-saving sketch;
+    this is the EXACT two-phase formulation (the one a migrating user
+    should adopt unless cardinality forces the sketch): partial+final
+    count on (group, value), then a per-group rank window keeping the
+    top k, ties broken by value for determinism (CH's sketch order is
+    engine-specific, so exact-with-tiebreak is also the only
+    hash-verifiable contract).
+
+    Scale shape: the first agg's key space is |groups| x |distinct
+    values| — for categorical columns (the topK use case) that is tiny
+    regardless of corpus size, and map-side combine collapses the fact
+    rows before the one exchange. The rank window then runs over that
+    bounded aggregate, never the corpus. Result is exploded to scalar
+    rows (group, rank, value, count) rather than CH's array cell, which
+    the driver's canonicalizer cannot hash.
+    """
+    o = load(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count("*").alias("cnt")))
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOPK_K)
+            .select("o_orderstatus", "rnk", "o_orderpriority", "cnt"))
+
+
+ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@declared_query(
+    "q_join_asof_tolerance",
+    oracle=f"""
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN ts_us - m_ts <= {ASOF_TOLERANCE_US}
+                    THEN m_val END AS recent_purchase_value
+        FROM (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS m_val,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN epoch_us(ts) END IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS m_ts
+            FROM events
+        )
+    """,
+    defer=True,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E200: as-of join with a TOLERANCE — the latest strictly-earlier
+    purchase by the same user, but only if it happened within the last
+    hour; older matches return NULL (pandas ``merge_asof(tolerance=...)``
+    / QuestDB ``ASOF JOIN TOLERANCE`` semantics — the form used for
+    feature freshness windows, where a stale feature is worse than none).
+
+    Same scale shape as q_join_asof (one shuffle on user_id, a linear
+    preceding-rows frame within each partition — no range join): the
+    frame carries BOTH the candidate value and its timestamp, and the
+    tolerance is a row-local post-filter on the matched timestamp. At
+    100 TB this stays a single sort-shuffle; the tolerance adds zero
+    data movement.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase",
+               F.col("value")).alias("pval"),
+        F.when(F.col("event_type") == "purchase",
+               F.unix_micros("ts")).alias("pts"),
+    )
+    w = (W.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    return ev.select(
+        "event_id", "user_id", "ts_us",
+        F.when(
+            F.col("ts_us") - F.last("pts", ignorenulls=True).over(w)
+            <= F.lit(ASOF_TOLERANCE_US),
+            F.last("pval", ignorenulls=True).over(w),
+        ).alias("recent_purchase_value"),
+    )

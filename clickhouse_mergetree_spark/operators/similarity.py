@@ -1398,3 +1398,142 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dist"), "vec_id")
         .limit(OUTLIER_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: E203 — SemDeDup (embedding-cluster near-dedup, Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 16      # cluster count (shares the q_embed_cluster codebook)
+# Cosine threshold calibrated to the synthetic corpus: its max pairwise
+# cosine is ~0.51 (no true duplicates were planted), so the production
+# 0.95+ would mark nothing and verify nothing — 0.35 sits above the
+# 99.9th percentile, exercising both verdict branches on real pairs.
+SEMDEDUP_TAU = 0.35
+_SEMDEDUP_CENTS_DIR = fixed_scratch_dir("q_semdedup_cents")
+
+
+def _semdedup_oracle_sql() -> str:
+    # identical fold order to the Spark side (dim-by-dim, index order) so
+    # every d2 and cosine is bit-identical — the q_embed_cluster pattern
+    d2 = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+          f"i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])"
+          f" * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])))")
+    dot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+           f"i -> CAST(a.embedding[i] AS DOUBLE)"
+           f" * CAST(b.embedding[i] AS DOUBLE)))")
+    nrm = (f"sqrt(list_sum(list_transform(range(1, {DIM + 1}), "
+           f"i -> CAST({{t}}.embedding[i] AS DOUBLE)"
+           f" * CAST({{t}}.embedding[i] AS DOUBLE))))")
+    na, nb = nrm.replace("{t}", "a"), nrm.replace("{t}", "b")
+    return f"""
+        WITH c AS (
+            SELECT cent_id, cv
+            FROM read_parquet('{_SEMDEDUP_CENTS_DIR}/*.parquet')
+        ),
+        scored AS (
+            SELECT e.vec_id, e.embedding, c.cent_id, {d2} AS d2
+            FROM embeddings e CROSS JOIN c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cent_id
+            FROM (SELECT vec_id, embedding, cent_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cent_id) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        ),
+        dups AS (
+            SELECT b.vec_id, count(*) AS n_earlier_dups
+            FROM assigned a JOIN assigned b
+              ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            WHERE {dot} / ({na} * {nb}) >= {SEMDEDUP_TAU}
+            GROUP BY b.vec_id
+        )
+        SELECT v.vec_id, v.cent_id,
+               coalesce(d.n_earlier_dups, 0) AS n_earlier_dups,
+               d.vec_id IS NOT NULL AS is_dup
+        FROM assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
+    """
+
+
+@declared_query("q_semdedup", oracle=_semdedup_oracle_sql(), defer=True)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E203: SemDeDup — semantic near-dedup over embeddings by
+    clustering-then-within-cluster cosine pruning (Abbas et al. 2023,
+    the LAION/web-scale recipe): k-means the corpus, compare ONLY pairs
+    that share a cluster, and mark a vector duplicate when an
+    earlier-id clustermate sits within cosine >= {SEMDEDUP_TAU}. This is
+    the scale answer to all-pairs semantic dedup: pair count drops from
+    n^2 to sum of cluster-size^2 (~n^2/k for balanced cells), and each
+    cluster's pair generation is an equi-join on cent_id — one shuffle,
+    no cartesian (the plan lint would reject one).
+
+    Assignment is the q_embed_cluster shape: the {SEMDEDUP_K} trained
+    centroids (memoized sampled k-means — the codebook the whole IVF
+    family shares) enter the plan as literals; each row's cell is a
+    row-local argmin, no join. Per-vector norms are computed ONCE
+    before the pair join, so the join evaluates one dot product per
+    pair. At 100 TB, cluster sizes are capped by construction (k grows
+    with n in SemDeDup), keeping every cell's pair block node-local.
+
+    Hash-verified end-to-end via the persisted-codebook pattern: the
+    centroids persist as a side table, and DuckDB independently
+    recomputes every assignment, every within-cluster cosine (identical
+    dim-order folds -> bit-identical doubles), and every verdict. The
+    keep/drop decision rule (drop b iff an a < b in the same cluster
+    has cos >= tau) is the deterministic representative election —
+    min-id keeper per near-dup set, same as the exact-dedup convention.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cents = trained_centroids(emb, sf_dir, nlist=SEMDEDUP_K)
+    cdf = values_df(spark, [(i, c) for i, c in enumerate(cents)],
+                    [("cent_id", "int"), ("cv", "array<double>")])
+    cdf.coalesce(1).write.mode("overwrite").parquet(_SEMDEDUP_CENTS_DIR)
+
+    def _d2_lit(cv: list[float]):
+        clit = F.array(*[F.lit(float(x)) for x in cv])
+        diffs = F.zip_with(
+            "embedding", clit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    cells = F.array(*[
+        F.struct(_d2_lit(cv).alias("d2"), F.lit(i).alias("cent_id"))
+        for i, cv in enumerate(cents)
+    ])
+    norm = F.sqrt(F.aggregate(
+        F.zip_with("embedding", "embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    assigned = emb.select(
+        "vec_id", "embedding",
+        F.array_min(cells).getField("cent_id").alias("cent_id"),
+        norm.alias("nrm"),
+    )
+    a = assigned.select(F.col("vec_id").alias("a_id"),
+                        F.col("embedding").alias("a_emb"),
+                        F.col("cent_id"), F.col("nrm").alias("a_nrm"))
+    b = assigned.select(F.col("vec_id").alias("b_id"),
+                        F.col("embedding").alias("b_emb"),
+                        F.col("cent_id"), F.col("nrm").alias("b_nrm"))
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    dups = (
+        a.join(b, "cent_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(dot / (F.col("a_nrm") * F.col("b_nrm"))
+                >= F.lit(SEMDEDUP_TAU))
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_earlier_dups"))
+    )
+    return (
+        assigned.select("vec_id", "cent_id")
+        .join(dups, "vec_id", "left")
+        .select("vec_id", "cent_id",
+                F.coalesce("n_earlier_dups", F.lit(0))
+                .alias("n_earlier_dups"),
+                F.col("n_earlier_dups").isNotNull().alias("is_dup"))
+    )

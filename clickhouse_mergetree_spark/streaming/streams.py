@@ -701,3 +701,78 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", F.col("rnk").cast("int").alias("rnk"),
                 "event_type", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: E202 — stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+
+@declared_query(
+    "q_stream_enrich",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type,
+                   CASE WHEN event_type IN ('purchase', 'signup')
+                        THEN 'conversion' ELSE 'engagement' END AS category,
+                   CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.1 END
+                     AS weight
+            FROM (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT strftime(time_bucket(INTERVAL 6 HOUR, e.ts),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               d.category, count(*) AS n,
+               CAST(sum(CAST(e.value * d.weight AS DECIMAL(18,4)))
+                    AS DOUBLE) AS weighted_value
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY 1, 2
+    """,
+    defer=True,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E202: stream-STATIC enrichment join — the most common production
+    streaming shape (Kafka fact stream joined to a slowly-changing
+    dimension snapshot): each micro-batch of events is enriched against
+    a static category/weight dimension, then windowed-aggregated by the
+    ENRICHED key. Complements q_stream_join (stream-stream): here the
+    dimension is a bounded batch DataFrame, so Spark plans a broadcast
+    hash join INSIDE every micro-batch — no watermark, no join state
+    store, no state cleanup problem, which is exactly why stream-static
+    is preferred whenever one side is a dimension.
+
+    The dimension derives from the batch events table (distinct
+    event_types → category + weight), mirroring a dimension snapshot
+    load; at scale it stays broadcast-sized by construction (dimension
+    cardinality, not corpus size). The stream side shuffles once for the
+    windowed agg — same floor as q_stream_tumbling. The oracle replays
+    the identical join+agg as pure batch SQL, proving stream/batch
+    equivalence for the enrichment plan. Weighted sums accumulate as
+    DECIMAL(18,4) on both engines (repo determinism convention).
+    """
+    from clickhouse_mergetree_spark.tables import load
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = (
+        load(spark, sf_dir, "events")
+        .select("event_type").distinct()
+        .select(
+            "event_type",
+            F.when(F.col("event_type").isin("purchase", "signup"),
+                   "conversion").otherwise("engagement").alias("category"),
+            F.when(F.col("event_type") == "purchase",
+                   F.lit(1.0)).otherwise(F.lit(0.1)).alias("weight"),
+        )
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "category")
+        .agg(F.count("*").alias("n"),
+             F.sum((F.col("value") * F.col("weight"))
+                   .cast(T.DecimalType(18, 4)))
+             .cast("double").alias("weighted_value"))
+    )
+    return run_to_memory(agg, "complete").select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "category", "n", "weighted_value",
+    )

@@ -29,3 +29,31 @@ def test_cluster_representative_is_member_and_best(spark, sf_dir):
         best = min(ms, key=lambda m: (-m["n_chars"], m["doc_id"]))
         assert (r["rep_doc_id"], r["rep_n_chars"]) == (
             best["doc_id"], best["n_chars"])
+
+
+def test_dedup_normalized_collapses_reformatted_copies(spark, tmp_path):
+    """r10 (E201): casefold/punctuation/whitespace variants of the same
+    text must share a normalization key; genuinely different texts must
+    not. Exercised on a synthetic corpus so the collapse is forced (the
+    sf corpora contain few true reformat-variants)."""
+    import pandas as pd
+
+    from clickhouse_mergetree_spark.operators.dedup import (
+        q_dedup_normalized)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["Hello,  World!", "hello world", "HELLO   WORLD.",
+                 "goodbye world"],
+        "lang": ["en"] * 4,
+        "source": ["a", "b", "a", "a"],
+        "n_chars": [14, 11, 14, 13],
+    })
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(f"{d}/documents.parquet")
+    rows = q_dedup_normalized(spark, d).collect()
+    assert len(rows) == 2  # {hello world} x3 + {goodbye world} x1
+    big = next(r for r in rows if r["n_copies"] == 3)
+    assert big["keeper_doc"] == 1 and big["n_sources"] == 2
+    small = next(r for r in rows if r["n_copies"] == 1)
+    assert small["keeper_doc"] == 4 and small["n_sources"] == 1
