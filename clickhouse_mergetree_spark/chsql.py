@@ -298,6 +298,18 @@ def _fn_dispatch(name: str, args: list[str]) -> str:
         return f"({args[0]} DIV {args[1]})"
     if low == "modulo":
         return f"({args[0]} % {args[1]})"
+    if low == "numbers":
+        # CH table function: numbers(N) -> 0..N-1, numbers(off, cnt) ->
+        # off..off+cnt-1; Spark's range() TVF is end-exclusive and names
+        # the column id, so wrap in a renaming subquery (legal anywhere a
+        # table reference is - the only position CH allows numbers() in)
+        if len(args) == 1:
+            return f"(SELECT id AS number FROM range({args[0]}))"
+        if len(args) == 2:
+            return (f"(SELECT id AS number FROM range({args[0]}, "
+                    f"({args[0]}) + ({args[1]})))")
+        raise ValueError(
+            f"numbers() takes 1 or 2 arguments, got {len(args)}")
     if low == "arrayjoin":
         return f"explode({args[0]})"
     if low == "empty":
@@ -473,7 +485,7 @@ _DISPATCH_RE = "|".join(
         | {"uniqexact", "median", "arraystringconcat"}
         | set(_LAMBDA_ARRAY)
         | {"multiif", "if", "intdiv", "modulo", "arrayjoin", "empty",
-           "range",
+           "range", "numbers",
            "notempty", "splitbychar", "match",
            "arraycount", "arrayfirst", "arraysum",
            "isnull", "isnotnull", "datediff", "formatdatetime",

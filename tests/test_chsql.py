@@ -1343,3 +1343,34 @@ def test_if_combinator_empty_match_family(spark):
     assert g1["mn"] is None and g1["mx"] is None   # documented deviation
     assert (g2["c"], g2["s"], g2["a"], g2["mn"], g2["mx"]) == (
         1, 50, 50.0, 50, 50)
+
+
+def test_numbers_table_function(spark):
+    # CH numbers(N) / numbers(offset, count) -> Spark range() subquery
+    got = sorted(r["number"] for r in ch_sql(
+        spark, "SELECT number FROM numbers(3)").collect())
+    assert got == [0, 1, 2]
+    got2 = sorted(r["number"] for r in ch_sql(
+        spark, "SELECT number FROM numbers(5, 3)").collect())
+    assert got2 == [5, 6, 7]
+    # composes with expressions and WHERE
+    got3 = sorted(tuple(r) for r in ch_sql(spark, """
+        SELECT number, number * number AS sq FROM numbers(10)
+        WHERE modulo(number, 2) = 0
+    """).collect())
+    assert got3 == [(0, 0), (2, 4), (4, 16), (6, 36), (8, 64)]
+
+
+def test_select_except_and_group_by_all_passthrough(spark):
+    # CH `SELECT * EXCEPT (col)` and `GROUP BY ALL` are Spark-4-native:
+    # pin the passthroughs so a translator regression can't break them
+    spark.sql("SELECT 1 AS a, 2 AS b, 3 AS c").createOrReplaceTempView(
+        "except_probe")
+    row = ch_sql(spark, "SELECT * EXCEPT (b) FROM except_probe").first()
+    assert row.asDict() == {"a": 1, "c": 3}
+    rows = sorted(tuple(r) for r in ch_sql(spark, """
+        SELECT event_type, count() AS n FROM
+        (SELECT 'a' AS event_type UNION ALL SELECT 'a' UNION ALL
+         SELECT 'b') GROUP BY ALL
+    """).collect())
+    assert rows == [("a", 2), ("b", 1)]
