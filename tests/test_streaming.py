@@ -148,3 +148,59 @@ def test_watermark_withholds_trailing_windows(spark, sf_dir):
     )
     n_emitted, n_all = emitted.count(), all_windows.count()
     assert 0 < n_emitted < n_all
+
+
+def test_watermark_drops_late_rows_across_micro_batches(spark, tmp_path):
+    """r10: the declared streaming queries replay the corpus in ONE data
+    micro-batch (deterministic results, the driver contract), which means
+    the watermark never advances MID-replay — so this test proves the
+    cross-batch semantics separately: with maxFilesPerTrigger=1 each file
+    is its own micro-batch, the watermark advances between batches, the
+    expired window's state is evicted, and a genuinely-late row arriving
+    in a later batch is dropped instead of resurrecting the window."""
+    import datetime
+    import os
+
+    from clickhouse_mergetree_spark.streaming.streams import run_to_memory
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "k string, ts timestamp"
+
+    def write_one(name: str, rows, mtime: int) -> None:
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, name + ".parquet")
+        os.rename(os.path.join(d, part), dst)
+        # file-source pickup order is oldest-mtime-first: pin it
+        os.utime(dst, (mtime, mtime))
+
+    def ts(h: int, m: int = 0) -> datetime.datetime:
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    # Empirically-pinned Spark semantics (probed on 4.1): a late row is
+    # dropped only once its window was EVICTED in a PRIOR batch — if the
+    # watermark first passes the window's end in the same batch the late
+    # row arrives, the row still merges before eviction. So the late
+    # arrival is staged TWO batches after its window's data:
+    # batch 0: rows at 10:00 and 12:00 (wm 0 during the batch)
+    write_one("b1", [("a", ts(10)), ("a", ts(12))], 1_700_000_000)
+    # batch 1: wm = 11:30 -> window [10,11) emits (n=1) and is evicted
+    write_one("b2", [("a", ts(14))], 1_700_000_100)
+    # batch 2: wm = 13:30 -> the 10:05 row's window is long gone: the
+    # row is dropped (numRowsDroppedByWatermark=1 in the probe) and
+    # [12,13) emits; the 15:00 row keeps its own window open
+    write_one("b3", [("a", ts(10, 5)), ("a", ts(15))], 1_700_000_200)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = (stream.withWatermark("ts", "30 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n")))
+    out = run_to_memory(agg, "append")
+    got = {r["w"]["start"].hour: r["n"] for r in out.collect()}
+    # [10,11): 1 — would read 2 if the late 10:05 row leaked back in;
+    # [12,13): 1; [14,15) and [15,16) unemitted (past the final wm)
+    assert got == {10: 1, 12: 1}
