@@ -39,7 +39,8 @@ N_FAKE_FEATURES = 8
                round(sqrt(list_sum(list_transform(embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 9) AS l2_norm,
                round(list_sum(list_transform(embedding,
-                     x -> CAST(x AS DOUBLE))) / len(embedding), 9) AS mean_val
+                     x -> CAST(x AS DOUBLE))) / len(embedding), 9) + 0.0
+                 AS mean_val
         FROM embeddings
     """,
 )
@@ -57,7 +58,8 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label",
         F.size("embedding").alias("dims"),
         F.round(F.sqrt(sq_sum), 9).alias("l2_norm"),
-        F.round(val_sum / F.size("embedding"), 9).alias("mean_val"),
+        (F.round(val_sum / F.size("embedding"), 9)
+         + F.lit(0.0)).alias("mean_val"),
     )
 
 
@@ -82,7 +84,7 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM mm
         )
         SELECT vec_id, label,
-               round(vmin, 9) AS v_min,
+               round(vmin, 9) + 0.0 AS v_min,
                round((vmax - vmin) / 255.0, 9) AS scale,
                CAST(list_sum(codes) AS BIGINT) AS code_sum,
                list_min(codes) AS code_min,
@@ -117,7 +119,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.withColumn("codes", codes)
     return d.select(
         "vec_id", "label",
-        F.round("vmin", 9).alias("v_min"),
+        (F.round("vmin", 9) + F.lit(0.0)).alias("v_min"),
         F.round((F.col("vmax") - F.col("vmin")) / 255.0, 9).alias("scale"),
         F.aggregate("codes", F.lit(0).cast("bigint"),
                     lambda acc, x: acc + x).alias("code_sum"),
@@ -1026,7 +1028,7 @@ def _pca_oracle_sql() -> str:
             FROM embeddings e CROSS JOIN comp c
         )
         SELECT label, pc, count(*) AS n,
-               round(avg(proj), 6) AS mean_proj,
+               round(avg(proj), 6) + 0.0 AS mean_proj,
                round(stddev_samp(proj), 6) AS sd_proj
         FROM p GROUP BY label, pc
     """
@@ -1115,5 +1117,6 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", "t.pc", "t.proj")
     return (projected.groupBy("label", "pc")
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg("proj"), 6).alias("mean_proj"),
+                 (F.round(F.avg("proj"), 6)
+                  + F.lit(0.0)).alias("mean_proj"),
                  F.round(F.stddev_samp("proj"), 6).alias("sd_proj")))

@@ -2271,9 +2271,9 @@ def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n,
                round(stddev_pop(value), 6) AS sd_pop,
                round(var_pop(value), 6) AS var_p,
-               round(covar_pop(value, CAST(user_id AS DOUBLE)), 6)
+               round(covar_pop(value, CAST(user_id AS DOUBLE)), 6) + 0.0
                    AS covar_p,
-               round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+               round(corr(value, CAST(user_id AS DOUBLE)), 6) + 0.0 AS corr_vu
         FROM events GROUP BY event_type
     """,
 )
@@ -2299,8 +2299,10 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.stddev_pop("value"), 6).alias("sd_pop"),
             F.round(F.var_pop("value"), 6).alias("var_p"),
-            F.round(F.covar_pop(F.col("value"), u), 6).alias("covar_p"),
-            F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+            (F.round(F.covar_pop(F.col("value"), u), 6)
+             + F.lit(0.0)).alias("covar_p"),
+            (F.round(F.corr(F.col("value"), u), 6)
+             + F.lit(0.0)).alias("corr_vu"),
         )
     )
 
@@ -2601,9 +2603,9 @@ def q_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_linreg",
     oracle="""
         SELECT event_type, count(*) AS n,
-               round(regr_slope(value, CAST(user_id AS DOUBLE)), 6)
+               round(regr_slope(value, CAST(user_id AS DOUBLE)), 6) + 0.0
                    AS slope,
-               round(regr_intercept(value, CAST(user_id AS DOUBLE)), 6)
+               round(regr_intercept(value, CAST(user_id AS DOUBLE)), 6) + 0.0
                    AS intercept,
                round(regr_r2(value, CAST(user_id AS DOUBLE)), 6) AS r2
         FROM events
@@ -2627,8 +2629,9 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.regr_slope(F.col("value"), u), 6).alias("slope"),
-            F.round(F.regr_intercept(F.col("value"), u), 6)
+            (F.round(F.regr_slope(F.col("value"), u), 6)
+             + F.lit(0.0)).alias("slope"),
+            (F.round(F.regr_intercept(F.col("value"), u), 6) + F.lit(0.0))
             .alias("intercept"),
             F.round(F.regr_r2(F.col("value"), u), 6).alias("r2"),
         )
@@ -2649,7 +2652,7 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, n,
                round((s2 / n) - pow(s1 / n, 2), 6) AS m2,
                round((s3 - 3 * (s1 / n) * s2 + 2 * n * pow(s1 / n, 3))
-                     / n / pow((s2 / n) - pow(s1 / n, 2), 1.5), 6)
+                     / n / pow((s2 / n) - pow(s1 / n, 2), 1.5), 6) + 0.0
                    AS skew_pop,
                round((s4 - 4 * (s1 / n) * s3 + 6 * pow(s1 / n, 2) * s2
                       - 3 * n * pow(s1 / n, 4))
@@ -2685,7 +2688,7 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type", "n",
         F.round(m2, 6).alias("m2"),
-        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_pop"),
+        (F.round(m3 / F.pow(m2, 1.5), 6) + F.lit(0.0)).alias("skew_pop"),
         F.round(m4 / (m2 * m2), 6).alias("kurt_pop"),
     )
 
@@ -2747,7 +2750,7 @@ def q_array_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events WHERE event_type = 'view'
         )
         SELECT c.pos, c.click_value, v.view_value,
-               round(c.click_value - v.view_value, 6) AS qq_diff
+               round(c.click_value - v.view_value, 6) + 0.0 AS qq_diff
         FROM c JOIN v USING (pos)
     """,
 )
@@ -2781,7 +2784,8 @@ def q_join_paste(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, v = side("click", "click_value"), side("view", "view_value")
     return c.join(v, "pos").select(
         "pos", "click_value", "view_value",
-        F.round(F.col("click_value") - F.col("view_value"), 6).alias("qq_diff"),
+        (F.round(F.col("click_value") - F.col("view_value"), 6)
+         + F.lit(0.0)).alias("qq_diff"),
     )
 
 

@@ -70,7 +70,7 @@ _EXACT_TOPK_SQL = f"""
         FROM embeddings e, q
         WHERE e.vec_id <> {QUERY_VEC_ID}
     )
-    SELECT vec_id, round(cos_raw, 9) AS cosine
+    SELECT vec_id, round(cos_raw, 9) + 0.0 AS cosine
     FROM scored ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
 """
 
@@ -100,7 +100,7 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", F.round("cos_raw", 9).alias("cosine"))
+        .select("vec_id", (F.round("cos_raw", 9) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -176,7 +176,7 @@ def sim_search_lsh_on(
     return (
         candidates.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(top_k)
-        .select("vec_id", "bucket", F.round("cos_raw", 9).alias("cosine"))
+        .select("vec_id", "bucket", (F.round("cos_raw", 9) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -228,7 +228,7 @@ def _lsh_oracle_sql() -> str:
             WHERE b.vec_id <> {QUERY_VEC_ID}
               AND bit_count(xor(b.bucket, q.qbucket)) <= {LSH_PROBE_RADIUS}
         )
-        SELECT vec_id, bucket, round(cos_raw, 9) AS cosine
+        SELECT vec_id, bucket, round(cos_raw, 9) + 0.0 AS cosine
         FROM cand ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
     """
 
@@ -309,7 +309,7 @@ def q_sim_search_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(TOP_K)
-        .select("vec_id", F.round("cos_raw", 9).alias("cosine"))
+        .select("vec_id", (F.round("cos_raw", 9) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -470,7 +470,7 @@ def _ivf_oracle_sql(assign_glob: str, probes_glob: str,
                    {qdot} / (c.nrm * q.qnrm) AS cos_raw
             FROM cand c, q
         )
-        SELECT vec_id, cent_id, round(cos_raw, 9) AS cosine
+        SELECT vec_id, cent_id, round(cos_raw, 9) + 0.0 AS cosine
         FROM scored ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
     """
 
@@ -643,7 +643,7 @@ def _ivf_score_topk(candidates: DataFrame, qv: np.ndarray, qnrm: float,
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(top_k)
-        .select("vec_id", "cent_id", F.round("cos_raw", 9).alias("cosine"))
+        .select("vec_id", "cent_id", (F.round("cos_raw", 9) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -737,7 +737,7 @@ COS_AUDIT_BLOCKS = 25
                    AS cos_raw
             FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
         )
-        SELECT id_a, id_b, round(cos_raw, 9) AS cosine
+        SELECT id_a, id_b, round(cos_raw, 9) + 0.0 AS cosine
         FROM pairs ORDER BY cos_raw DESC, id_a, id_b LIMIT {PAIR_TOP_K}
     """,
 )
@@ -773,7 +773,7 @@ def q_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.orderBy(F.col("cos_raw").desc(), "id_a", "id_b")
         .limit(PAIR_TOP_K)
-        .select("id_a", "id_b", F.round("cos_raw", 9).alias("cosine"))
+        .select("id_a", "id_b", (F.round("cos_raw", 9) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -796,7 +796,7 @@ def _cosine_lsh_oracle_sql() -> str:
             FROM b a JOIN b b2
               ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
         )
-        SELECT id_a, id_b, bucket, round(cos_raw, 9) AS cosine
+        SELECT id_a, id_b, bucket, round(cos_raw, 9) + 0.0 AS cosine
         FROM pairs ORDER BY cos_raw DESC, id_a, id_b LIMIT {PAIR_TOP_K}
     """
 
@@ -847,7 +847,7 @@ def q_near_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.orderBy(F.col("cos_raw").desc(), "id_a", "id_b")
         .limit(PAIR_TOP_K)
         .select("id_a", "id_b", F.col("ba").alias("bucket"),
-                F.round("cos_raw", 9).alias("cosine"))
+                (F.round("cos_raw", 9) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -967,7 +967,7 @@ def sim_search_pq_on(emb: DataFrame, query_vec_id: int = QUERY_VEC_ID,
     return (
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(top_k)
-        .select("vec_id", F.round("cos_raw", 9).alias("cosine"))
+        .select("vec_id", (F.round("cos_raw", 9) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -993,7 +993,7 @@ def _pq_oracle_sql() -> str:
                        AS cos_raw
             FROM embeddings e JOIN short USING (vec_id), q
         )
-        SELECT vec_id, round(cos_raw, 9) AS cosine
+        SELECT vec_id, round(cos_raw, 9) + 0.0 AS cosine
         FROM scored ORDER BY cos_raw DESC, vec_id LIMIT {TOP_K}
     """
 
@@ -1059,7 +1059,7 @@ def _knn_join_oracle_sql() -> str:
                                       ORDER BY cos_raw DESC, vec_id) AS rnk
             FROM scored
         )
-        SELECT q_id, rnk, vec_id, round(cos_raw, 9) AS cosine
+        SELECT q_id, rnk, vec_id, round(cos_raw, 9) + 0.0 AS cosine
         FROM ranked WHERE rnk <= {KNN_K}
     """
 
@@ -1105,7 +1105,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KNN_K)
         .select("q_id", "rnk", "vec_id",
-                F.round("cos_raw", 9).alias("cosine"))
+                (F.round("cos_raw", 9) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -1247,7 +1247,7 @@ def _knn_ivf_oracle_sql() -> str:
                                       ORDER BY cos_raw DESC, vec_id) AS rnk
             FROM scored
         )
-        SELECT q_id, rnk, vec_id, round(cos_raw, 9) AS cosine
+        SELECT q_id, rnk, vec_id, round(cos_raw, 9) + 0.0 AS cosine
         FROM ranked WHERE rnk <= {KNN_K}
     """
 
@@ -1327,7 +1327,7 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KNN_K)
         .select("q_id", "rnk", "vec_id",
-                F.round("cos_raw", 9).alias("cosine"))
+                (F.round("cos_raw", 9) + F.lit(0.0)).alias("cosine"))
     )
 
 

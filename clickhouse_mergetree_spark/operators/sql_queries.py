@@ -1061,10 +1061,12 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(revenue AS DOUBLE) AS revenue, n_orders,
                round(CAST(revenue AS DOUBLE)
                      / lag(CAST(revenue AS DOUBLE))
-                         OVER (ORDER BY quarter) - 1, 6) AS qoq_growth,
+                         OVER (ORDER BY quarter) - 1, 6) + 0.0
+                 AS qoq_growth,
                round(CAST(revenue AS DOUBLE)
                      / lag(CAST(revenue AS DOUBLE), 4)
-                         OVER (ORDER BY quarter) - 1, 6) AS yoy_growth
+                         OVER (ORDER BY quarter) - 1, 6) + 0.0
+                 AS yoy_growth
         FROM q
     """,
 )
@@ -1092,5 +1094,7 @@ def q_sql_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         F.date_format("quarter", "yyyy-MM").alias("quarter"),
         rev.alias("revenue"), "n_orders",
-        F.round(rev / F.lag(rev).over(w) - 1, 6).alias("qoq_growth"),
-        F.round(rev / F.lag(rev, 4).over(w) - 1, 6).alias("yoy_growth"))
+        (F.round(rev / F.lag(rev).over(w) - 1, 6)
+         + F.lit(0.0)).alias("qoq_growth"),
+        (F.round(rev / F.lag(rev, 4).over(w) - 1, 6)
+         + F.lit(0.0)).alias("yoy_growth"))

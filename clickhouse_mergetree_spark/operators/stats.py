@@ -41,7 +41,8 @@ from clickhouse_mergetree_spark.tables import load
         SELECT m.event_type,
                m.n,
                round((m.mean - ctrl.mean0)
-                     / sqrt(m.var / m.n + ctrl.var0 / ctrl.n0), 6) AS welch_t,
+                     / sqrt(m.var / m.n + ctrl.var0 / ctrl.n0), 6) + 0.0
+                 AS welch_t,
                round(pow(m.var / m.n + ctrl.var0 / ctrl.n0, 2)
                      / (pow(m.var / m.n, 2) / (m.n - 1)
                         + pow(ctrl.var0 / ctrl.n0, 2) / (ctrl.n0 - 1)),
@@ -49,7 +50,7 @@ from clickhouse_mergetree_spark.tables import load
                round((m.mean - ctrl.mean0)
                      / (sqrt(((m.n - 1) * m.var + (ctrl.n0 - 1) * ctrl.var0)
                              / (m.n + ctrl.n0 - 2))
-                        * sqrt(1.0 / m.n + 1.0 / ctrl.n0)), 6) AS student_t
+                        * sqrt(1.0 / m.n + 1.0 / ctrl.n0)), 6) + 0.0 AS student_t
         FROM m CROSS JOIN ctrl
         WHERE m.event_type <> 'view'
     """,
@@ -90,7 +91,8 @@ def q_stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n",
-            F.round((F.col("mean") - F.col("mean0")) / F.sqrt(se2), 6)
+            (F.round((F.col("mean") - F.col("mean0")) / F.sqrt(se2), 6)
+             + F.lit(0.0))
             .alias("welch_t"),
             F.round(
                 F.pow(se2, 2)
@@ -98,11 +100,11 @@ def q_stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + F.pow(F.col("var0") / F.col("n0"), 2) / (F.col("n0") - 1)),
                 6,
             ).alias("welch_df"),
-            F.round(
+            (F.round(
                 (F.col("mean") - F.col("mean0"))
                 / (F.sqrt(pooled) * F.sqrt(1.0 / F.col("n") + 1.0 / F.col("n0"))),
                 6,
-            ).alias("student_t"),
+            ) + F.lit(0.0)).alias("student_t"),
         )
     )
 
@@ -136,7 +138,7 @@ def q_stat_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0), 6) AS u2,
                round(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
                      / sqrt(n1 * n2 / 12.0
-                            * ((n + 1) - tcorr / (n * (n - 1.0)))), 6) AS z
+                            * ((n + 1) - tcorr / (n * (n - 1.0)))), 6) + 0.0 AS z
         FROM agg CROSS JOIN ties
     """,
 )
@@ -184,7 +186,8 @@ def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.round(u1, 6).alias("u1"),
         F.round(F.col("n1") * F.col("n2") - u1, 6).alias("u2"),
-        F.round((u1 - F.col("n1") * F.col("n2") / 2.0) / sigma, 6).alias("z"),
+        (F.round((u1 - F.col("n1") * F.col("n2") / 2.0) / sigma, 6)
+         + F.lit(0.0)).alias("z"),
     )
 
 
@@ -215,7 +218,7 @@ def q_stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT round(chi.chi2, 6) AS chi2,
                round(sqrt(chi.chi2 / (tot.n * (least(tot.r, tot.c) - 1))), 6)
                  AS cramers_v,
-               round((hx.h - hxy.h) / hx.h, 6) AS theils_u
+               round((hx.h - hxy.h) / hx.h, 6) + 0.0 AS theils_u
         FROM chi CROSS JOIN tot CROSS JOIN hx CROSS JOIN hxy
     """,
 )
@@ -270,7 +273,8 @@ def q_stat_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 6
             ).alias("cramers_v"),
-            F.round((F.col("hx") - F.col("hxy")) / F.col("hx"), 6).alias("theils_u"),
+            (F.round((F.col("hx") - F.col("hxy")) / F.col("hx"), 6)
+             + F.lit(0.0)).alias("theils_u"),
         )
     )
 

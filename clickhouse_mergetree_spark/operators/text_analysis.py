@@ -462,7 +462,7 @@ PMI_TOP_N = 200
         SELECT bc.bigram, bc.c_ab,
                round(ln((CAST(bc.c_ab AS DOUBLE) / n_b)
                         / ((CAST(a.c AS DOUBLE) / n_u)
-                           * (CAST(b.c AS DOUBLE) / n_u))), 6) AS pmi
+                           * (CAST(b.c AS DOUBLE) / n_u))), 6) + 0.0 AS pmi
         FROM bc, nb, nu
         JOIN uc a ON a.token = string_split(bc.bigram, ' ')[1]
         JOIN uc b ON b.token = string_split(bc.bigram, ' ')[2]
@@ -501,7 +501,8 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_tok = F.split(F.col("bigram"), " ")[1]
     pmi = F.round(F.log(
         (F.col("c_ab") / F.col("n_b"))
-        / ((F.col("a_c") / F.col("n_u")) * (F.col("b_c") / F.col("n_u")))), 6)
+        / ((F.col("a_c") / F.col("n_u")) * (F.col("b_c") / F.col("n_u")))),
+        6) + F.lit(0.0)
     return (
         bc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
         .join(F.broadcast(uc.select(F.col("token").alias("a_t"),
@@ -776,12 +777,12 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_distinct,
                round(log2(CAST(sum(c) AS DOUBLE))
                      - sum(c * log2(CAST(c AS DOUBLE)))
-                       / CAST(sum(c) AS DOUBLE), 9) AS entropy,
+                       / CAST(sum(c) AS DOUBLE), 9) + 0.0 AS entropy,
                CASE WHEN count(*) > 1 THEN
                    round((log2(CAST(sum(c) AS DOUBLE))
                           - sum(c * log2(CAST(c AS DOUBLE)))
                             / CAST(sum(c) AS DOUBLE))
-                         / log2(CAST(count(*) AS DOUBLE)), 9)
+                         / log2(CAST(count(*) AS DOUBLE)), 9) + 0.0
                ELSE 0.0 END AS norm_entropy
         FROM tc GROUP BY doc_id
     """,
@@ -811,9 +812,10 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.col("s") / F.col("n_tokens").cast("double"))
     return agg.select(
         "doc_id", "n_tokens", "n_distinct",
-        F.round(h, 9).alias("entropy"),
+        (F.round(h, 9) + F.lit(0.0)).alias("entropy"),
         F.when(F.col("n_distinct") > 1,
-               F.round(h / F.log2(F.col("n_distinct").cast("double")), 9))
+               F.round(h / F.log2(F.col("n_distinct").cast("double")), 9)
+               + F.lit(0.0))
         .otherwise(F.lit(0.0)).alias("norm_entropy"),
     )
 
@@ -1138,7 +1140,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
         c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
         SELECT doc_id, count(*) AS n_bigrams,
-               round(avg(-ln(CAST(c12 AS DOUBLE) / c1)), 6) AS surprisal
+               round(avg(-ln(CAST(c12 AS DOUBLE) / c1)), 6) + 0.0 AS surprisal
         FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
         GROUP BY doc_id
     """,
@@ -1176,8 +1178,9 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(-F.log(F.col("c12").cast("double")
-                                 / F.col("c1"))), 6).alias("surprisal"))
+            (F.round(F.avg(-F.log(F.col("c12").cast("double")
+                                  / F.col("c1"))), 6)
+             + F.lit(0.0)).alias("surprisal"))
     )
 
 
@@ -1517,8 +1520,8 @@ ZIPF_TOP_N = 200
             FROM top
         )
         SELECT CAST(c AS BIGINT) AS n_ranks,
-               round((mxy - mx * my) / (mxx - mx * mx), 6) AS zipf_slope,
-               round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6)
+               round((mxy - mx * my) / (mxx - mx * mx), 6) + 0.0 AS zipf_slope,
+               round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) + 0.0
                  AS zipf_intercept
         FROM m
     """,
@@ -1554,8 +1557,8 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("mxx") - F.col("mx") * F.col("mx"))
     return m.select(
         F.col("c").alias("n_ranks"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round(F.col("my") - slope * F.col("mx"), 6)
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(F.col("my") - slope * F.col("mx"), 6) + F.lit(0.0))
         .alias("zipf_intercept"))
 
 
