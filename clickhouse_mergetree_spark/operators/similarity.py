@@ -1537,3 +1537,96 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_earlier_dups"),
                 F.col("n_earlier_dups").isNotNull().alias("is_dup"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: E204 — hard-negative mining for embedding-model training
+# ---------------------------------------------------------------------------
+
+HARDNEG_N_QUERIES = 8   # vec_id 0..7 anchor the mining batch
+HARDNEG_K = 5
+
+
+def _hard_negatives_oracle_sql() -> str:
+    self_dot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+                f"i -> CAST(embedding[i] AS DOUBLE)"
+                f" * CAST(embedding[i] AS DOUBLE)))")
+    qdot = (f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST(c.embedding[i] AS DOUBLE)"
+            f" * CAST(q.qv[i] AS DOUBLE)))")
+    return f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding, sqrt({self_dot}) AS nrm
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv,
+                     nrm AS qnrm
+              FROM b WHERE vec_id < {HARDNEG_N_QUERIES}),
+        c AS (SELECT vec_id, label, embedding, nrm FROM b
+              WHERE vec_id >= {HARDNEG_N_QUERIES}),
+        scored AS (
+            SELECT q.q_id, q.q_label, c.vec_id, c.label,
+                   {qdot} / (c.nrm * q.qnrm) AS cos_raw
+            FROM c, q
+            WHERE c.label <> q.q_label
+        ),
+        ranked AS (
+            SELECT q_id, q_label, vec_id, label, cos_raw,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos_raw DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT q_id, q_label, rnk, vec_id, label AS neg_label,
+               round(cos_raw, 9) + 0.0 AS cosine
+        FROM ranked WHERE rnk <= {HARDNEG_K}
+    """
+
+
+@declared_query("q_hard_negatives", oracle=_hard_negatives_oracle_sql(),
+                defer=True)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E204: hard-negative mining — for each anchor in a bounded batch,
+    the top-{HARDNEG_K} most-similar corpus vectors with a DIFFERENT
+    label. This is the contrastive-training data step (SimCSE/DPR/E5
+    style): easy negatives are random and teach nothing; the negatives
+    that matter are the ones the current embedding space ranks closest
+    while being semantically wrong, i.e. highest cosine across the
+    label boundary.
+
+    Plan shape = q_knn_join's serving shape with the label-inequality
+    pushed INTO the scored-pair generation (the filter rides the
+    broadcast nested loop, so cross-label pairs are never materialized
+    downstream): anchor batch broadcast, corpus side never shuffles,
+    per-anchor top-k is one rank window over q_id. At scale the miner
+    runs per training shard with the per-partition pre-top-k cap (the
+    blas pattern) bounding window input at |parts|*|Q|*k.
+
+    Hash-verified exactly like the knn family: sequential dot folds,
+    vec_id tie-breaks, 9-dp rounded cosines with the signed-zero
+    normalization (a hard negative CAN sit at cosine ~ -0.0).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label", "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"))
+    q = base.filter(F.col("vec_id") < HARDNEG_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qnrm"))
+    c = base.filter(F.col("vec_id") >= HARDNEG_N_QUERIES)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select("q_id", "q_label", "vec_id", "label",
+                (_dot("embedding", "qv") / (F.col("nrm") * F.col("qnrm")))
+                .alias("cos_raw"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARDNEG_K)
+        .select("q_id", "q_label", "rnk", "vec_id",
+                F.col("label").alias("neg_label"),
+                (F.round("cos_raw", 9) + F.lit(0.0)).alias("cosine"))
+    )

@@ -1671,3 +1671,67 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("fertility"),
                  F.round(F.sum("chars").cast("double") / F.sum("bpe"), 6)
                  .alias("bytes_per_token")))
+
+
+# ---------------------------------------------------------------------------
+# Round 10: E205 — length-bucketed batching audit (padding-waste report)
+# ---------------------------------------------------------------------------
+
+BUCKET_MIN = 16  # floor bucket capacity (tokens)
+
+
+@declared_query(
+    "q_length_buckets",
+    oracle=f"""
+        WITH t AS (
+            SELECT source,
+                   len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tok
+            FROM documents
+        ), b AS (
+            SELECT source, n_tok,
+                   CAST(greatest({BUCKET_MIN},
+                        power(2, ceil(log2(greatest(n_tok, 1)))))
+                        AS BIGINT) AS bucket_cap
+            FROM t
+        )
+        SELECT source, bucket_cap,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+               round(1.0 - CAST(sum(n_tok) AS DOUBLE)
+                         / (count(*) * bucket_cap), 6) AS padding_frac
+        FROM b GROUP BY source, bucket_cap
+    """,
+    defer=True,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E205: length-bucketed batching audit — documents assigned to
+    power-of-two token-capacity buckets (floor {BUCKET_MIN}), reporting
+    per-(source, bucket) document counts, token mass, and the padding
+    fraction a fixed-capacity batcher would waste. This is the dynamic-
+    batching design report for trainer dataloaders: bucketing by length
+    is what keeps padding waste low WITHOUT the global sort that
+    q_token_pack's contiguous packing needs, and the padding_frac column
+    is the quantity you trade off when choosing bucket granularity.
+
+    Row-local tokenize (the shared BPE-ish regex, pinned by E23) +
+    row-local bucket arithmetic inside codegen, then ONE partial+final
+    agg on (source, bucket) — a bounded key space (|sources| x
+    O(log max_len) buckets), so the shuffle carries aggregates, never
+    documents. Scan throughput at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)"))
+    cap = F.greatest(
+        F.lit(BUCKET_MIN),
+        F.pow(F.lit(2.0),
+              F.ceil(F.log2(F.greatest(n_tok, F.lit(1)).cast("double"))))
+    ).cast("bigint")
+    return (
+        d.select("source", n_tok.alias("n_tok"), cap.alias("bucket_cap"))
+        .groupBy("source", "bucket_cap")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("sum_tokens"),
+             F.round(F.lit(1.0) - F.sum("n_tok").cast("double")
+                     / (F.count("*") * F.col("bucket_cap")), 6)
+             .alias("padding_frac"))
+    )
