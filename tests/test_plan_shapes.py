@@ -28,8 +28,10 @@ from clickhouse_mergetree_spark.registry import all_queries
 NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_sim_search_pq",
                   "q_text_tfidf", "q_text_bigram_pmi", "q_source_mix",
                   # broadcast side is the bounded query batch (8 rows) —
-                  # O(|C|·|Q|) scored pairs IS exact batch k-NN
-                  "q_knn_join",
+                  # O(|C|·|Q|) scored pairs IS exact batch k-NN; the
+                  # hard-negative miner is the same serving shape with a
+                  # label-inequality predicate riding the scored pairs
+                  "q_knn_join", "q_hard_negatives",
                   # broadcast side is the CLUSTER_K=16 centroid table —
                   # the O(n·k) assignment scan IS k-means assignment
                   "q_embed_cluster",
