@@ -3151,3 +3151,60 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("pval", ignorenulls=True).over(w),
         ).alias("recent_purchase_value"),
     )
+
+
+@declared_query(
+    "q_counter_rate",
+    oracle="""
+        SELECT user_id, event_id,
+               CASE WHEN ts_us > prev_ts
+                    THEN round((CASE WHEN value >= prev_v
+                                     THEN value - prev_v
+                                     ELSE value END)
+                               / ((ts_us - prev_ts) / 1e6), 6) + 0.0
+               END AS rate_per_s
+        FROM (
+            SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                   lag(value) OVER w AS prev_v,
+                   lag(epoch_us(ts)) OVER w AS prev_ts
+            FROM events
+            WHERE user_id < 5 AND value IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id)
+        )
+        WHERE prev_v IS NOT NULL
+    """,
+    defer=True,
+)
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E209: ClickHouse ``nonNegativeDerivative`` (Prometheus ``rate()``):
+    the per-second derivative of a per-entity counter series, treating a
+    value DROP as a counter reset (the post-reset value IS the increase)
+    rather than a negative rate — the monitoring idiom for ingest/QPS
+    counters that restart from zero. user_id < 5 bounds the emitted rows
+    (q_ema's reporting convention); the computation shape is corpus-wide.
+
+    One lag window inside a single user_id sort-shuffle; the reset CASE
+    and the division are row-local, so at 100 TB this is exactly the
+    q_running_diff plan with one extra codegen expression. Tie-breaking
+    the order on event_id and guarding dt > 0 keeps the division
+    deterministic on both engines (same-timestamp pairs emit NULL, as CH
+    does when x does not advance).
+    """
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = (load(spark, sf_dir, "events")
+          .filter((F.col("user_id") < 5) & F.col("value").isNotNull())
+          .select("user_id", "event_id", "value",
+                  F.unix_micros("ts").alias("ts_us")))
+    lagged = ev.select(
+        "user_id", "event_id", "value", "ts_us",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag("ts_us").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_v").isNotNull())
+    delta = F.when(F.col("value") >= F.col("prev_v"),
+                   F.col("value") - F.col("prev_v")).otherwise(F.col("value"))
+    rate = F.when(
+        F.col("ts_us") > F.col("prev_ts"),
+        F.round(delta / ((F.col("ts_us") - F.col("prev_ts")) / F.lit(1e6)), 6)
+        + F.lit(0.0))
+    return lagged.select("user_id", "event_id", rate.alias("rate_per_s"))

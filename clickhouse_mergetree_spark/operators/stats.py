@@ -585,3 +585,209 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.x").alias("sel_ts_us"),
                 F.col("b.y").alias("sel_value"))
     )
+
+
+@declared_query(
+    "q_stat_rankcorr",
+    oracle="""
+        WITH r AS (
+            SELECT event_type,
+                   rank() OVER (PARTITION BY event_type ORDER BY value)
+                     + (count(*) OVER (PARTITION BY event_type, value) - 1)
+                       / 2.0 AS rx,
+                   rank() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts))
+                     + (count(*) OVER (PARTITION BY event_type,
+                                       epoch_us(ts)) - 1) / 2.0 AS ry
+            FROM events
+            WHERE value IS NOT NULL
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(rx) AS sx, sum(ry) AS sy,
+                   sum(rx * rx) AS sx2, sum(ry * ry) AS sy2,
+                   sum(rx * ry) AS sxy
+            FROM r GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN (n * sx2 - sx * sx) * (n * sy2 - sy * sy) > 0
+                    THEN round((n * sxy - sx * sy)
+                               / sqrt((n * sx2 - sx * sx)
+                                      * (n * sy2 - sy * sy)), 6) + 0.0
+               END AS rho
+        FROM s
+    """,
+    defer=True,
+)
+def q_stat_rankcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E206: ClickHouse ``rankCorr(x, y)`` — Spearman rank correlation,
+    here between event value and event time per event_type (the "is this
+    metric drifting over time" monitor, robust to outliers where Pearson
+    is not). Average ranks for ties (the textbook Spearman contract):
+    min-rank + (ties-1)/2 via two windows.
+
+    Determinism: ranks are exact multiples of 0.5 and every moment sum
+    stays far below 2^53, so the partial aggregation is order-exact; the
+    closing rho formula then runs the identical IEEE operation sequence
+    on both engines. Scale shape: two sort-windows inside the SAME
+    event_type shuffle partition (one exchange total), then a bounded
+    |event_types|-key agg with map-side combine carrying 6 doubles of
+    state — the same fixed-moment-state pattern as the t-test family
+    above, linear in the corpus with no second shuffle.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "value",
+                  F.unix_micros("ts").alias("ts_us")))
+    tie_x = Window.partitionBy("event_type", "value")
+    tie_y = Window.partitionBy("event_type", "ts_us")
+    rx = (F.rank().over(Window.partitionBy("event_type").orderBy("value"))
+          + (F.count("*").over(tie_x) - 1) / 2.0)
+    ry = (F.rank().over(Window.partitionBy("event_type").orderBy("ts_us"))
+          + (F.count("*").over(tie_y) - 1) / 2.0)
+    ranked = ev.select("event_type", rx.alias("rx"), ry.alias("ry"))
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sx2"),
+        F.sum(F.col("ry") * F.col("ry")).alias("sy2"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sx2, sy2, sxy = F.col("sx2"), F.col("sy2"), F.col("sxy")
+    den2 = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+    rho = F.when(
+        den2 > 0,
+        F.round((n * sxy - sx * sy) / F.sqrt(den2), 6) + F.lit(0.0))
+    return s.select("event_type", n.cast("bigint").alias("n"),
+                    rho.alias("rho"))
+
+
+@declared_query(
+    "q_bounding_ratio",
+    oracle="""
+        SELECT event_type,
+               CASE WHEN lt > ft
+                    THEN round((lv - fv) / ((lt - ft) / 1e6), 6) + 0.0
+               END AS slope_per_s
+        FROM (
+            SELECT event_type,
+                   first_value(value) OVER w AS fv,
+                   last_value(value) OVER w AS lv,
+                   first_value(epoch_us(ts)) OVER w AS ft,
+                   last_value(epoch_us(ts)) OVER w AS lt,
+                   row_number() OVER w AS rn
+            FROM events
+            WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        )
+        WHERE rn = 1
+    """,
+    defer=True,
+)
+def q_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E207: ClickHouse ``boundingRatio(x, y)`` — the slope between the
+    chronologically first and last points of each group's (time, value)
+    series, i.e. the net rate of change over the observed span (CH uses
+    it as a cheap trend probe before anything heavier). Tie-break on
+    event_id makes "first"/"last" deterministic on both engines.
+
+    Scale shape: ONE sort-window per event_type partition (the same
+    single exchange the rank/asof family uses) with an unbounded frame
+    that Spark evaluates as a running min/max — no second pass; the
+    row_number()=1 filter collapses each group to one row before
+    anything leaves the partition. CH holds 4 doubles of state per
+    group; this holds the same 4 values per row until the filter, and
+    at 100 TB the cost is the one sort-shuffle on the group key.
+    """
+    w = (Window.partitionBy("event_type")
+         .orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_type", "event_id", "value",
+                  F.unix_micros("ts").alias("ts_us")))
+    snap = ev.select(
+        "event_type",
+        F.first("value").over(w).alias("fv"),
+        F.last("value").over(w).alias("lv"),
+        F.first("ts_us").over(w).alias("ft"),
+        F.last("ts_us").over(w).alias("lt"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+        ).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    slope = F.when(
+        F.col("lt") > F.col("ft"),
+        F.round((F.col("lv") - F.col("fv"))
+                / ((F.col("lt") - F.col("ft")) / F.lit(1e6)), 6)
+        + F.lit(0.0))
+    return snap.select("event_type", slope.alias("slope_per_s"))
+
+
+@declared_query(
+    "q_interval_length_sum",
+    oracle="""
+        WITH iv AS (
+            SELECT event_type, event_id,
+                   epoch_us(ts) AS s,
+                   epoch_us(ts)
+                     + CAST(floor(value * 1e6) AS BIGINT) AS e
+            FROM events
+            WHERE value IS NOT NULL AND value > 0
+        ),
+        sweep AS (
+            SELECT event_type, s, e,
+                   max(e) OVER (PARTITION BY event_type
+                                ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+            FROM iv
+        )
+        SELECT event_type,
+               count(*) AS n_intervals,
+               CAST(sum(greatest(e, coalesce(prev_max, s))
+                        - greatest(s, coalesce(prev_max, s)))
+                    AS BIGINT) AS covered_us
+        FROM sweep
+        GROUP BY event_type
+    """,
+    defer=True,
+)
+def q_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E208: ClickHouse ``intervalLengthSum(start, end)`` — the total
+    length of the UNION of each group's [start, end) intervals, overlaps
+    counted once (CH's session-coverage / machine-uptime aggregate).
+    Intervals here are [ts, ts + value seconds) per event_type.
+
+    Classic sweep-line as one window: sort intervals by start inside the
+    group partition, carry the running max end over the PRECEDING frame,
+    and each interval contributes only the part past that high-water
+    mark — `max(0, e - max(s, prev_max))` — summed per group. All
+    arithmetic is int64 microseconds (the float duration is floored to
+    µs ONCE, identically on both engines), so the result is exact and
+    order-independent. Scale shape: one sort-shuffle on the group key,
+    a linear frame scan, then a bounded-key agg — the same single
+    exchange every window query in this family pays, vs the quadratic
+    interval-overlap self-join this operator exists to replace.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+          .select("event_type", "event_id",
+                  F.unix_micros("ts").alias("s"),
+                  (F.unix_micros("ts")
+                   + F.floor(F.col("value") * 1e6).cast("bigint")).alias("e")))
+    w = (Window.partitionBy("event_type")
+         .orderBy("s", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    sweep = ev.withColumn("prev_max", F.max("e").over(w))
+    base = F.greatest(F.col("s"), F.coalesce(F.col("prev_max"), F.col("s")))
+    contrib = F.greatest(F.col("e"),
+                         F.coalesce(F.col("prev_max"), F.col("s"))) - base
+    return (sweep.groupBy("event_type")
+            .agg(F.count("*").alias("n_intervals"),
+                 F.sum(contrib).alias("covered_us")))

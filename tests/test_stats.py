@@ -190,3 +190,77 @@ def test_lttb_matches_python_reference(spark, sf_dir):
             assert got[(uid, b)] == (x, y), (uid, b)
             n_checked += 1
     assert n_checked == len(got) and n_checked > 0
+
+
+def _events_frame(rows):
+    """rows: (event_id, epoch_s, user_id, event_type, value)."""
+    import pandas as pd
+
+    return pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+        "value": [r[4] for r in rows],
+        "props": [""] * len(rows),
+    })
+
+
+def test_rankcorr_hand_cases(spark, tmp_path):
+    """'click' x=[1,2,2,3] over t=1..4: tie-averaged ranks give
+    rho = 4.5/sqrt(4.5*5) = 0.948683; 'view' strictly decreasing → -1."""
+    rows = ([(i, i + 1, 1, "click", v)
+             for i, v in enumerate([1.0, 2.0, 2.0, 3.0])]
+            + [(10 + i, i + 1, 1, "view", v)
+               for i, v in enumerate([9.0, 7.0, 5.0, 3.0])])
+    _events_frame(rows).to_parquet(tmp_path / "events.parquet")
+    from clickhouse_mergetree_spark.operators.stats import q_stat_rankcorr
+
+    got = {r["event_type"]: (r["n"], r["rho"])
+           for r in q_stat_rankcorr(spark, str(tmp_path)).collect()}
+    assert got["click"] == (4, 0.948683)
+    assert got["view"] == (4, -1.0)
+
+
+def test_bounding_ratio_hand_case(spark, tmp_path):
+    """First point (t=0, v=10), last (t=10, v=20): slope 1.0/s; the
+    middle spike must not matter; a single-point group emits NULL."""
+    rows = [(0, 100, 1, "click", 10.0), (1, 105, 1, "click", 99.0),
+            (2, 110, 1, "click", 20.0), (3, 50, 2, "view", 7.0)]
+    _events_frame(rows).to_parquet(tmp_path / "events.parquet")
+    from clickhouse_mergetree_spark.operators.stats import q_bounding_ratio
+
+    got = {r["event_type"]: r["slope_per_s"]
+           for r in q_bounding_ratio(spark, str(tmp_path)).collect()}
+    assert got["click"] == 1.0
+    assert got["view"] is None
+
+
+def test_interval_length_sum_union_semantics(spark, tmp_path):
+    """[0,10)+[5,15) overlap → 15s once; [20,25) disjoint → 20s total;
+    a fully-contained interval adds nothing."""
+    rows = [(0, 1000, 1, "click", 10.0),   # [1000, 1010)
+            (1, 1005, 1, "click", 10.0),   # [1005, 1015) → +5
+            (2, 1006, 1, "click", 1.0),    # contained → +0
+            (3, 1020, 1, "click", 5.0)]    # [1020, 1025) → +5
+    _events_frame(rows).to_parquet(tmp_path / "events.parquet")
+    from clickhouse_mergetree_spark.operators.stats import (
+        q_interval_length_sum,
+    )
+
+    row = q_interval_length_sum(spark, str(tmp_path)).collect()[0]
+    assert row["n_intervals"] == 4
+    assert row["covered_us"] == 20_000_000
+
+
+def test_counter_rate_reset_semantics(spark, tmp_path):
+    """10→30 over 10s = 2.0/s; a drop to 5 is a reset: rate 5/10 = 0.5,
+    never negative (the nonNegativeDerivative contract)."""
+    rows = [(0, 0, 1, "click", 10.0), (1, 10, 1, "click", 30.0),
+            (2, 20, 1, "click", 5.0)]
+    _events_frame(rows).to_parquet(tmp_path / "events.parquet")
+    from clickhouse_mergetree_spark.operators.relational import q_counter_rate
+
+    got = {r["event_id"]: r["rate_per_s"]
+           for r in q_counter_rate(spark, str(tmp_path)).collect()}
+    assert got == {1: 2.0, 2: 0.5}
