@@ -1120,3 +1120,98 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(F.avg("proj"), 6)
                   + F.lit(0.0)).alias("mean_proj"),
                  F.round(F.stddev_samp("proj"), 6).alias("sd_proj")))
+
+
+@declared_query(
+    "q_embed_drift",
+    oracle="""
+        WITH ex AS (
+            SELECT label, CAST(i AS INTEGER) AS d,
+                   CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+            FROM (SELECT label, embedding,
+                         unnest(generate_series(1, len(embedding))) AS i
+                  FROM embeddings)
+        ),
+        cl AS (
+            SELECT label, d,
+                   CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+                     / count(*) AS c
+            FROM ex GROUP BY label, d
+        ),
+        g AS (
+            SELECT d,
+                   CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+                     / count(*) AS gm
+            FROM ex GROUP BY d
+        ),
+        t AS (
+            SELECT label, cl.d, c * gm AS xy, c * c AS xx, gm * gm AS yy
+            FROM cl JOIN g USING (d)
+        ),
+        s AS (
+            SELECT label,
+                   list_reduce(list(xy ORDER BY d), (a, b) -> a + b) AS sxy,
+                   list_reduce(list(xx ORDER BY d), (a, b) -> a + b) AS sxx,
+                   list_reduce(list(yy ORDER BY d), (a, b) -> a + b) AS syy
+            FROM t GROUP BY label
+        ),
+        nv AS (SELECT label, count(*) AS n_vecs FROM embeddings
+               GROUP BY label)
+        SELECT s.label, nv.n_vecs,
+               CASE WHEN sxx * syy > 0
+                    THEN round(sxy / sqrt(sxx * syy), 6) + 0.0
+               END AS cos_to_global
+        FROM s JOIN nv ON s.label = nv.label
+    """,
+    defer=True,
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E212: embedding-distribution drift audit — the cosine between each
+    label cohort's centroid and the global corpus centroid, the standard
+    "did this slice's embedding distribution move" monitor (data-mixture
+    shift, encoder regressions, per-source contamination all show up
+    here first).
+
+    Centroids are per-dimension means whose cross-row sums accumulate as
+    DECIMAL(38,18) (the covariance/PCA convention — exact and
+    associative, so local[32] and DuckDB's serial sum agree bit-for-bit
+    before the divide). The closing cosine folds its 64 per-dimension
+    terms in SORTED dimension order on both engines (array_sort →
+    aggregate vs list(ORDER BY) → list_reduce), making the double
+    summation order-deterministic — the E210 discipline. Scale shape:
+    one exploded (label, dim)-keyed partial+final agg (bounded keys:
+    |labels|×64), a 64-row broadcast join, then per-label folds over 64
+    terms — corpus-linear with fixed-size reduce state.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("d0", "v0")
+    ).select("label", (F.col("d0") + 1).alias("d"),
+             F.col("v0").cast("double").alias("v"))
+    dec = F.col("v").cast("decimal(38,18)")
+    cl = (ex.groupBy("label", "d")
+          .agg((F.sum(dec).cast("double") / F.count("*")).alias("c")))
+    g = (ex.groupBy("d")
+         .agg((F.sum(dec).cast("double") / F.count("*")).alias("gm")))
+    t = (cl.join(F.broadcast(g), "d")
+         .select("label", "d",
+                 (F.col("c") * F.col("gm")).alias("xy"),
+                 (F.col("c") * F.col("c")).alias("xx"),
+                 (F.col("gm") * F.col("gm")).alias("yy")))
+
+    def fold(col: str):
+        return F.aggregate(
+            F.transform(F.array_sort(F.collect_list(F.struct("d", col))),
+                        lambda s: s[col]),
+            F.lit(0.0), lambda a, x: a + x)
+
+    s = t.groupBy("label").agg(fold("xy").alias("sxy"),
+                               fold("xx").alias("sxx"),
+                               fold("yy").alias("syy"))
+    nv = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    cos = F.when(
+        F.col("sxx") * F.col("syy") > 0,
+        F.round(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 6)
+        + F.lit(0.0))
+    return (s.join(nv, "label")
+            .select("label", "n_vecs", cos.alias("cos_to_global")))

@@ -1735,3 +1735,164 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.count("*") * F.col("bucket_cap")), 6)
              .alias("padding_frac"))
     )
+
+
+# DSIR hashed-feature space: 64 buckets via a portable first/last-char
+# polynomial — evaluable identically in Spark SQL and DuckDB (no engine
+# hash function is shared between the two). Diffusion is adequate for
+# importance estimation; the real pipeline swaps in any keyed hash.
+DSIR_BUCKETS = 64
+_DSIR_BUCKET_SQL = ("(31 * length(tok) + 7 * ascii(substr(tok, 1, 1))"
+                    " + ascii(substr(tok, length(tok), 1))) % 64")
+
+
+@declared_query(
+    "q_dsir_weights",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket
+            FROM (SELECT doc_id, lang,
+                         unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS tok
+                  FROM documents)
+        ),
+        db AS (
+            SELECT doc_id, bucket, count(*) AS n_db
+            FROM b GROUP BY doc_id, bucket
+        ),
+        stats AS (
+            SELECT bucket,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ct_b,
+                   count(*) AS cr_b
+            FROM b GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(sum(ct_b) AS BIGINT) AS ct,
+                   CAST(sum(cr_b) AS BIGINT) AS cr
+            FROM stats
+        ),
+        terms AS (
+            SELECT db.doc_id, db.bucket, db.n_db,
+                   db.n_db * (ln((stats.ct_b + 1.0) / (tot.ct + 64.0))
+                              - ln((stats.cr_b + 1.0) / (tot.cr + 64.0)))
+                     AS term
+            FROM db JOIN stats USING (bucket), tot
+        )
+        SELECT doc_id,
+               CAST(sum(n_db) AS BIGINT) AS n_tokens,
+               round(list_reduce(list(term ORDER BY bucket),
+                                 (a, b) -> a + b), 6) + 0.0 AS dsir_logw
+        FROM terms
+        GROUP BY doc_id
+    """,
+    defer=True,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E210: DSIR importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by log p_target(x) − log p_raw(x) under hashed unigram
+    bag-of-words models — here target = the English subset, raw = the
+    whole corpus — the weight used to resample web-scale data toward a
+    quality distribution. Laplace-smoothed bucket probabilities over a
+    64-bucket portable feature hash.
+
+    Scale shape: the two feature models are ONE bounded 64-key agg over
+    the exploded tokens (map-side combine carries ≤64 counters per
+    partition); per-doc bucket counts shuffle once on doc_id; the model
+    join is a 64-row broadcast. The per-doc score folds its ≤64 terms in
+    SORTED bucket order (array_sort → aggregate on Spark, list(ORDER BY)
+    → list_reduce in the oracle) so the double summation is
+    order-deterministic on both engines — the same discipline as the
+    covariance/PCA family. Corpus-linear, no corpus-sized second pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"))
+    bucket = ((31 * F.length("tok")
+               + 7 * F.ascii(F.col("tok").substr(F.lit(1), F.lit(1)))
+               + F.ascii(F.col("tok").substr(F.length("tok"), F.lit(1))))
+              % DSIR_BUCKETS)
+    b = toks.select("doc_id", "lang", bucket.alias("bucket"))
+    db = b.groupBy("doc_id", "bucket").agg(F.count("*").alias("n_db"))
+    stats = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct_b"),
+        F.count("*").alias("cr_b"))
+    tot = stats.agg(F.sum("ct_b").alias("ct"), F.sum("cr_b").alias("cr"))
+    terms = (db.join(F.broadcast(stats), "bucket")
+             .crossJoin(F.broadcast(tot))
+             .select("doc_id", "bucket", "n_db",
+                     (F.col("n_db")
+                      * (F.log((F.col("ct_b") + 1.0)
+                               / (F.col("ct") + float(DSIR_BUCKETS)))
+                         - F.log((F.col("cr_b") + 1.0)
+                                 / (F.col("cr") + float(DSIR_BUCKETS)))))
+                     .alias("term")))
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            lambda s: s["term"]),
+        F.lit(0.0), lambda a, x: a + x)
+    return (terms.groupBy("doc_id")
+            .agg(F.sum("n_db").alias("n_tokens"),
+                 (F.round(folded, 6) + F.lit(0.0)).alias("dsir_logw")))
+
+
+@declared_query(
+    "q_text_readability",
+    oracle="""
+        SELECT doc_id, n_words, n_sentences,
+               round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 3) + 0.0
+                 AS flesch_ease,
+               round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59, 3)
+                 + 0.0 AS fk_grade
+        FROM (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                     AS n_sentences,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                     AS n_syll
+            FROM documents
+        )
+        WHERE n_words > 0
+    """,
+    defer=True,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E211: Flesch reading ease + Flesch-Kincaid grade level — the
+    classic readability screens used as cheap curriculum/quality signals
+    (syllables approximated as vowel-group runs, the standard
+    dictionary-free estimator; sentences as terminal-punctuation runs,
+    floored at 1 so headline-like fragments stay defined).
+
+    Pure row-local regex counting — identical patterns evaluate under
+    Java regex and DuckDB RE2 because the classes are ASCII-explicit
+    (the E201 discipline) — then a closed-form in doubles with the same
+    operation order on both engines. Zero shuffles, embarrassingly
+    parallel, scan-throughput at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .alias("n_words"),
+        F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+        .alias("n_sentences"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .alias("n_syll"),
+    ).filter(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syll").cast("double") / F.col("n_words")
+    return counted.select(
+        "doc_id", "n_words", "n_sentences",
+        (F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 3)
+         + F.lit(0.0)).alias("flesch_ease"),
+        (F.round(0.39 * wps + 11.8 * spw - 15.59, 3)
+         + F.lit(0.0)).alias("fk_grade"),
+    )

@@ -125,3 +125,70 @@ def test_embed_cluster_partitioning(spark, sf_dir):
     assert sum(r["n_vecs"] for r in rows) == n_total
     assert all(r["mean_d2"] >= 0 for r in rows)
     assert all(r["n_labels"] >= 1 for r in rows)
+
+
+def test_readability_hand_case(spark, tmp_path):
+    """'The cat sat. The dog ran!': 6 words, 2 sentences, 6 vowel-group
+    syllables → FRE 119.19, FKGL -2.62 (negative: exercises the
+    signed-zero normalization path)."""
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": [1], "text": ["The cat sat. The dog ran!"],
+        "lang": ["en"], "source": ["src0"], "n_chars": [25],
+    }).to_parquet(tmp_path / "documents.parquet")
+    from clickhouse_mergetree_spark.operators.text_analysis import (
+        q_text_readability,
+    )
+
+    row = q_text_readability(spark, str(tmp_path)).collect()[0]
+    assert (row["n_words"], row["n_sentences"]) == (6, 2)
+    assert row["flesch_ease"] == 119.19
+    assert row["fk_grade"] == -2.62
+
+
+def test_dsir_weights_hand_case(spark, tmp_path):
+    """Two docs, disjoint single-token vocabularies: the all-target
+    token scores ln((ct_b+1)/(ct+64) / ((cr_b+1)/(cr+64))) per
+    occurrence; the non-target token scores the complementary ratio."""
+    import math
+
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["aa aa", "bb bb"],
+        "lang": ["en", "de"],
+        "source": ["src0", "src1"],
+        "n_chars": [5, 5],
+    }).to_parquet(tmp_path / "documents.parquet")
+    from clickhouse_mergetree_spark.operators.text_analysis import (
+        q_dsir_weights,
+    )
+
+    got = {r["doc_id"]: (r["n_tokens"], r["dsir_logw"])
+           for r in q_dsir_weights(spark, str(tmp_path)).collect()}
+    # ct=2 (the two 'aa'), cr=4; 'aa' bucket: ct_b=2, cr_b=2;
+    # 'bb' bucket: ct_b=0, cr_b=2
+    w1 = 2 * math.log((3 / 66) / (3 / 68))
+    w2 = 2 * math.log((1 / 66) / (3 / 68))
+    assert got[1] == (2, round(w1, 6))
+    assert got[2] == (2, round(w2, 6))
+    assert got[1][1] > 0 > got[2][1]
+
+
+def test_embed_drift_hand_case(spark, tmp_path):
+    """Two orthogonal label cohorts: each centroid sits at 45° to the
+    global centroid → cos 0.707107 for both."""
+    import pandas as pd
+
+    pd.DataFrame({
+        "vec_id": [1, 2, 3, 4],
+        "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]],
+        "label": [0, 0, 1, 1],
+    }).to_parquet(tmp_path / "embeddings.parquet")
+    from clickhouse_mergetree_spark.operators.multimodal import q_embed_drift
+
+    got = {r["label"]: (r["n_vecs"], r["cos_to_global"])
+           for r in q_embed_drift(spark, str(tmp_path)).collect()}
+    assert got == {0: (2, 0.707107), 1: (2, 0.707107)}
