@@ -1575,6 +1575,33 @@ class ClickHouseSession:
             self.spark.catalog.dropTempView(old)
             self._refresh_view(new)
             return None
+        m = _re.match(r"(?is)^EXCHANGE\s+TABLES\s+(?:[\w`]+\.)?([\w`]+)\s+"
+                      r"AND\s+(?:[\w`]+\.)?([\w`]+)$", s)
+        if m:
+            # ClickHouse EXCHANGE TABLES a AND b: both names swap their
+            # objects in ONE registry commit (no window where either name
+            # is missing — the property RENAME via a temp name lacks).
+            # MV/dictionary source bindings follow the OBJECT, matching
+            # the RENAME route's bookkeeping: a view stays attached to
+            # the physical table it was created on, so DROP TABLE can
+            # still detach it under the table's post-exchange name.
+            a, b = (m.group(1).strip("`"), m.group(2).strip("`"))
+            for n in (a, b):
+                if n not in self.tables:
+                    raise ValueError(f"unknown table {n!r}")
+            if a == b:
+                raise ValueError("EXCHANGE TABLES needs two distinct tables")
+            self.tables[a], self.tables[b] = self.tables[b], self.tables[a]
+            swap = {a: b, b: a}
+            for mv_name, (view, src) in list(self.matviews.items()):
+                if src in swap:
+                    self.matviews[mv_name] = (view, swap[src])
+            for d_name, (key, src) in list(self.dictionaries.items()):
+                if src in swap:
+                    self.dictionaries[d_name] = (key, swap[src])
+            self._refresh_view(a)
+            self._refresh_view(b)
+            return None
         m = _re.match(r"(?is)^EXISTS\s+(?:TABLE\s+)?"
                       r"(?:[\w`]+\.)?([\w`]+)$", s)
         if m:

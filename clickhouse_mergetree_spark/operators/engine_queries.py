@@ -4149,3 +4149,120 @@ def q_path_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.round(F.avg("dwell_us") / 1_000_000.0, 3)
                  .alias("avg_dwell_sec")))
+
+
+_EXCHANGE_DDL = """
+    CREATE TABLE {name} (
+        key        UInt64,
+        ts_us      Int64,
+        event_id   Nullable(Int64),
+        event_type String,
+        value      Nullable(Float64)
+    ) ENGINE = MergeTree()
+    ORDER BY (key, ts_us)
+"""
+
+
+@declared_query(
+    "q_exchange_tables",
+    oracle=f"""
+        WITH kv AS ({_dedup_first_sql(_KV_SQL)})
+        SELECT 'events_live' AS tbl, key, ts_us, event_id, event_type,
+               value
+        FROM kv WHERE key <= {RANGE_END}
+        UNION ALL
+        SELECT 'events_staged', key, ts_us, event_id, event_type, value
+        FROM kv WHERE key > {RANGE_END}
+    """,
+    defer=True,
+)
+def q_exchange_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``EXCHANGE TABLES a AND b`` end-to-end (extension —
+    the atomic blue/green swap): staging is loaded and validated, then
+    swaps identities with the live table in ONE registry commit — no
+    window where either name is missing, which is exactly what a RENAME
+    chain through a temp name cannot give. The post-swap read goes
+    through the session's SELECT router under the PUBLIC names, so the
+    hash proves both names now serve the other table's rows.
+
+    Metadata-only at any scale: the swap moves two registry pointers
+    (ClickHouse swaps two StorageIDs); zero part files are touched —
+    asserted via object identity across the exchange.
+    """
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+    from clickhouse_mergetree_spark.scratch import scratch_dir
+
+    sess = ClickHouseSession(spark, scratch_dir("q_exchange_"))
+    sess.execute(_EXCHANGE_DDL.format(name="events_live"))
+    sess.execute(_EXCHANGE_DDL.format(name="events_staged"))
+    kv = _dedup_first(_kv(spark, sf_dir)).persist()
+    # live serves the old (large-key) half; staging loads the new cut
+    sess.tables["events_live"].insert_batch(
+        kv.filter(F.col("key") > RANGE_END), row_count=1)
+    sess.tables["events_live"].flush()
+    sess.tables["events_staged"].insert_batch(
+        kv.filter(F.col("key") <= RANGE_END), row_count=1)
+    sess.tables["events_staged"].flush()
+    live_obj = sess.tables["events_live"]
+    staged_obj = sess.tables["events_staged"]
+    sess.execute("EXCHANGE TABLES events_live AND events_staged")
+    # pointer swap, not a copy: the OBJECTS traded names, parts untouched
+    assert sess.tables["events_live"] is staged_obj
+    assert sess.tables["events_staged"] is live_obj
+    cols = ["key", "ts_us", "event_id", "event_type", "value"]
+    live = sess.execute("SELECT * FROM events_live")
+    staged = sess.execute("SELECT * FROM events_staged")
+    return (live.select(F.lit("events_live").alias("tbl"), *cols)
+            .unionAll(staged.select(F.lit("events_staged").alias("tbl"),
+                                    *cols)))
+
+
+@declared_query(
+    "q_system_tables",
+    oracle=f"""
+        WITH kv AS ({_dedup_first_sql(_KV_SQL)})
+        SELECT 'events_big' AS name, 'MergeTree' AS engine,
+               3 AS active_parts,
+               (SELECT count(*) FROM kv WHERE key <= {RANGE_END})
+                 AS total_rows
+        UNION ALL
+        SELECT 'events_small', 'MergeTree', 1,
+               (SELECT count(*) FROM kv WHERE key > {RANGE_END})
+    """,
+    defer=True,
+)
+def q_system_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.tables`` introspection end-to-end (the companion of
+    E59's system.parts and E111's system.columns): one row per table the
+    session knows — name, engine, live part count, total rows — straight
+    from each table's in-memory manifest, metadata-only at any table
+    size (no part file opens; CH reads the same numbers from
+    StorageMergeTree's data-parts vector).
+
+    The fixture makes every ledger cell deterministic: events_big takes
+    three event_id-banded inserts (3 parts), events_small one insert
+    (1 part), so the oracle recomputes part counts as literals and row
+    counts relationally — a hash match proves the manifest's table-level
+    stats agree with the data's truth.
+    """
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+    from clickhouse_mergetree_spark.scratch import scratch_dir
+
+    sess = ClickHouseSession(spark, scratch_dir("q_systables_"))
+    sess.execute(_EXCHANGE_DDL.format(name="events_big"))
+    sess.execute(_EXCHANGE_DDL.format(name="events_small"))
+    kv = _dedup_first(_kv(spark, sf_dir)).persist()
+    big = sess.tables["events_big"]
+    for i in range(3):
+        big.insert_batch(kv.filter((F.col("key") <= RANGE_END)
+                                   & (F.pmod("event_id", F.lit(3)) == i)),
+                         row_count=1)
+        big.flush()
+    small = sess.tables["events_small"]
+    small.insert_batch(kv.filter(F.col("key") > RANGE_END), row_count=1)
+    small.flush()
+    rows = [(name, "MergeTree", t.part_count(), t.total_rows())
+            for name, t in sorted(sess.tables.items())]
+    return spark.createDataFrame(
+        rows, "name string, engine string, active_parts int, "
+              "total_rows long")

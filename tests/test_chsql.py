@@ -1374,3 +1374,34 @@ def test_select_except_and_group_by_all_passthrough(spark):
          SELECT 'b') GROUP BY ALL
     """).collect())
     assert rows == [("a", 2), ("b", 1)]
+
+
+def test_exchange_tables_swaps_atomically(spark, tmp_path):
+    """EXCHANGE TABLES swaps the two objects under their public names in
+    one commit; SELECTs via the router observe the swap; self-exchange
+    and unknown names refuse loudly."""
+    import pytest
+
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+
+    sess = ClickHouseSession(spark, str(tmp_path))
+    for name, val in (("blue", 1.0), ("green", 2.0)):
+        sess.execute(f"""
+            CREATE TABLE {name} (
+                k String, ts UInt64, score Float64
+            ) ENGINE = MergeTree() ORDER BY (k, ts)
+        """)
+        sess.execute(f"INSERT INTO {name} VALUES ('x', 1, {val})")
+    blue_obj = sess.tables["blue"]
+    sess.execute("EXCHANGE TABLES blue AND green")
+    assert sess.tables["green"] is blue_obj  # pointer swap, no copy
+    got = {n: sess.execute(f"SELECT max(score) AS s FROM {n}")
+           .collect()[0]["s"] for n in ("blue", "green")}
+    assert got == {"blue": 2.0, "green": 1.0}
+    with pytest.raises(ValueError, match="distinct"):
+        sess.execute("EXCHANGE TABLES blue AND blue")
+    with pytest.raises(ValueError, match="unknown table"):
+        sess.execute("EXCHANGE TABLES blue AND nope")
+    # DROP under the post-exchange name closes the exchanged object
+    sess.execute("DROP TABLE green")
+    assert "green" not in sess.tables and "blue" in sess.tables
