@@ -699,6 +699,119 @@ def _rewrite_parameterized(s: str) -> str:
         pos = name_start + len(repl)
 
 
+_STAR_MOD_GATE = re.compile(
+    r"(?is)\bAPPLY\s*\(|\*\s*REPLACE\s*\(|\bCOLUMNS\s*\(\s*'")
+
+
+def _rewrite_star_modifiers(spark: SparkSession, s: str) -> str:
+    """Expand ClickHouse star modifiers — ``* [EXCEPT(..)] [REPLACE(..)]
+    [APPLY(f)...]`` and ``COLUMNS('re') [APPLY(f)...]`` — into explicit
+    column lists (CH expands them the same way during analysis;
+    ``* EXCEPT`` alone is native Spark 4 syntax and passes through).
+    Expansion needs the FROM relation's schema, so only a single named
+    table/view at the top level is supported; anything else refuses
+    loudly. APPLY chains compose left-to-right (CH order) and alias as
+    ``f2_f1_col``. The rewritten list stays in CH dialect — the normal
+    translate pipeline still maps function names afterward."""
+    if not _STAR_MOD_GATE.search(s):
+        return s
+    if not re.match(r"(?is)^SELECT\s", s):
+        raise ValueError(
+            "star modifiers (APPLY / * REPLACE / COLUMNS) are only "
+            "supported in a top-level SELECT, not inside WITH/CTE text")
+    body = s[len("SELECT"):]
+    distinct = ""
+    dm = re.match(r"(?is)^\s*DISTINCT\b", body)
+    if dm:
+        distinct, body = " DISTINCT", body[dm.end():]
+    parts = _split_top(body, r"(?i)\bFROM\b")
+    if len(parts) < 2:
+        raise ValueError("star modifiers need a FROM clause to expand")
+    select_list, remainder = parts[0], " FROM ".join(parts[1:])
+
+    def base_columns() -> list[str]:
+        m = re.match(r"\s*([`\w.]+)", remainder)
+        if not m or remainder.lstrip().startswith("("):
+            raise ValueError(
+                "star-modifier expansion needs a single named table in "
+                "FROM (subqueries/joins: expand the columns by hand)")
+        if len(_split_top(remainder, r"(?i)\bJOIN\b")) > 1:
+            raise ValueError(
+                "star-modifier expansion over a JOIN is not supported — "
+                "list the columns explicitly")
+        name = m.group(1).strip("`").split(".")[-1]
+        return spark.table(name).columns
+
+    def resolve(cols: list[str], item: str) -> str:
+        bare = item.strip().strip("`")
+        hits = [c for c in cols if c == bare] or [
+            c for c in cols if c.lower() == bare.lower()]
+        if not hits:
+            raise ValueError(f"unknown column {bare!r} in star modifier "
+                             f"(columns: {cols})")
+        return hits[0]
+
+    out_items = []
+    for item in _split_top(select_list, r","):
+        m = re.match(r"(?is)^(\*|COLUMNS\s*\(\s*'([^']*)'\s*\))\s*(.*)$",
+                     item)
+        if not m or (m.group(1) == "*" and not m.group(3)):
+            out_items.append(item)
+            continue
+        mods, rest = [], m.group(3)
+        while rest:
+            km = re.match(r"(?is)^(EXCEPT|REPLACE|APPLY)\s*\(", rest)
+            if not km:
+                break
+            close = _match_paren(rest, km.end() - 1)
+            mods.append((km.group(1).upper(),
+                         rest[km.end(): close].strip()))
+            rest = rest[close + 1:].lstrip()
+        if rest:
+            raise ValueError(f"unparsable star-modifier tail {rest!r}")
+        if m.group(1) == "*" and all(k == "EXCEPT" for k, _ in mods):
+            out_items.append(item)  # native Spark `* EXCEPT (...)`
+            continue
+        cols = base_columns()
+        if m.group(2) is not None:  # COLUMNS('re'): RE2-search semantics
+            pat = re.compile(m.group(2))
+            cols = [c for c in cols if pat.search(c)]
+            if not cols:
+                raise ValueError(
+                    f"COLUMNS('{m.group(2)}') matched no columns")
+        replaced: dict[str, str] = {}
+        applies: list[str] = []
+        for kind, inner in mods:
+            if kind == "EXCEPT":
+                drop = {resolve(cols, c) for c in _split_top(inner, r",")}
+                cols = [c for c in cols if c not in drop]
+            elif kind == "REPLACE":
+                for spec in _split_top(inner, r","):
+                    rm = re.match(r"(?is)^(.*)\s+AS\s+([`\w]+)\s*$", spec)
+                    if not rm:
+                        raise ValueError(
+                            f"REPLACE item {spec!r} is not 'expr AS col'")
+                    replaced[resolve(cols, rm.group(2))] = rm.group(1).strip()
+            else:  # APPLY
+                if not re.match(r"(?is)^[\w]+$", inner):
+                    raise ValueError(
+                        f"APPLY({inner!r}): only a bare function name is "
+                        "supported")
+                applies.append(inner)
+        for c in cols:
+            expr = replaced.get(c, f"`{c}`")
+            if applies:
+                for f in applies:
+                    expr = f"{f}({expr})"
+                alias = "_".join([*reversed(applies), c])
+                out_items.append(f"{expr} AS `{alias}`")
+            elif c in replaced:
+                out_items.append(f"{expr} AS `{c}`")
+            else:
+                out_items.append(f"`{c}`")
+    return f"SELECT{distinct} " + ", ".join(out_items) + " FROM " + remainder
+
+
 def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run a ClickHouse-dialect SELECT against the session's registered
     views. Two constructs have no Spark SQL *string* form and are routed
@@ -714,6 +827,9 @@ def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
     Catalyst sees plain Spark SQL and optimizes it like any hand-written
     query."""
     s = sql.strip().rstrip(";").strip()
+    # star modifiers first: the expansion leaves plain CH dialect for
+    # every later route to see (no other route understands APPLY etc.)
+    s = _rewrite_star_modifiers(spark, s)
     # ASOF first: it flattens the two-table namespace and rewrites the
     # a./b. qualifiers across the WHOLE remaining statement, so a LIMIT
     # BY / WITH FILL tail re-enters ch_sql with resolvable names

@@ -1098,3 +1098,47 @@ def q_sql_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.lit(0.0)).alias("qoq_growth"),
         (F.round(rev / F.lag(rev, 4).over(w) - 1, 6)
          + F.lit(0.0)).alias("yoy_growth"))
+
+
+@declared_query(
+    "q_ch_dialect_modifiers",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_l_quantity,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_l_extendedprice
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    defer=True,
+)
+def q_ch_dialect_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E215: ClickHouse SELECT-list star modifiers end-to-end —
+    ``COLUMNS('re')`` with chained ``REPLACE`` + ``APPLY``, plus
+    ``GROUP BY ALL`` / ``ORDER BY ALL`` (native Spark 4 syntax the
+    dialect passes through; ``* EXCEPT`` likewise). The translator
+    expands the matcher against the FROM relation's schema exactly as
+    CH's analyzer does, leaves plain dialect for the normal pipeline,
+    and refuses loudly on joins/subqueries/unknown columns
+    (tests/test_chsql.py pins the grammar).
+
+    The REPLACE floors price to whole cents as int64 BEFORE the sum, so
+    both aggregates are exact integers at any parallelism (quantities
+    are integral doubles) — the statement is the wide-table audit idiom
+    ("sum every metric column matching this pattern") that star
+    modifiers exist for, and it stays one partial+final agg with
+    map-side combine; the expansion itself is schema-time work.
+    """
+    register_views(spark, sf_dir)
+    from clickhouse_mergetree_spark.chsql import ch_sql
+
+    return ch_sql(spark, """
+        SELECT l_returnflag, l_linestatus,
+               COLUMNS('^l_(quantity|extendedprice)$')
+                 REPLACE(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                         AS l_extendedprice)
+                 APPLY(sum)
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+    """)

@@ -1405,3 +1405,36 @@ def test_exchange_tables_swaps_atomically(spark, tmp_path):
     # DROP under the post-exchange name closes the exchanged object
     sess.execute("DROP TABLE green")
     assert "green" not in sess.tables and "blue" in sess.tables
+
+
+def test_star_modifier_expansion(spark):
+    """* EXCEPT/REPLACE/APPLY and COLUMNS('re') expand against the FROM
+    schema; bare * EXCEPT passes through natively; refusals are loud."""
+    import pytest
+
+    from clickhouse_mergetree_spark.chsql import ch_sql
+
+    spark.createDataFrame(
+        [(1, "a", 2.0, 3.0), (2, "b", 3.0, 4.0)],
+        "id long, s string, v double, w double",
+    ).createOrReplaceTempView("star_t")
+    got = ch_sql(spark, "SELECT * EXCEPT (s, id) APPLY(sum) APPLY(round)"
+                        " FROM star_t")
+    assert got.columns == ["round_sum_v", "round_sum_w"]
+    assert got.collect()[0][:] == (5.0, 7.0)
+    rep = ch_sql(spark, "SELECT * REPLACE(v * 2 AS v) FROM star_t")
+    assert rep.columns == ["id", "s", "v", "w"]
+    assert {r["v"] for r in rep.collect()} == {4.0, 6.0}
+    cols = ch_sql(spark, "SELECT s, COLUMNS('^[vw]') APPLY(sum) "
+                         "FROM star_t GROUP BY ALL ORDER BY ALL")
+    assert cols.columns == ["s", "sum_v", "sum_w"]
+    native = ch_sql(spark, "SELECT * EXCEPT (s) FROM star_t")
+    assert native.columns == ["id", "v", "w"]
+    for bad, msg in [
+        ("SELECT * APPLY(sum) FROM (SELECT 1 AS x)", "single named table"),
+        ("SELECT * REPLACE(v AS zz) FROM star_t", "unknown column"),
+        ("SELECT COLUMNS('zzz') FROM star_t", "matched no columns"),
+        ("SELECT * APPLY(a b) FROM star_t", "bare function name"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            ch_sql(spark, bad)
