@@ -4266,3 +4266,58 @@ def q_system_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "name string, engine string, active_parts int, "
               "total_rows long")
+
+
+@declared_query(
+    "q_backup_restore",
+    oracle=_dedup_first_sql(_KV_SQL, f"key <= {RANGE_END}"),
+    defer=True,
+)
+def q_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``BACKUP TABLE`` / ``RESTORE`` end-to-end via the FREEZE machinery
+    (ClickHouse 22.8's BACKUP is FREEZE + a manifest, and the manual
+    restore flow is cp-into-detached + ATTACH — both reproduced here):
+    freeze the whole table (hardlinks, zero copy), destroy data with a
+    physical ``ALTER DELETE`` rewrite, then restore the backup and read.
+    The (key, ts) dedup read collapses the restored/live duplicates, so
+    a hash match against the ORIGINAL content proves the frozen bytes
+    survived a mutation that rewrote the live parts — the actual
+    disaster-recovery contract, not just "files exist".
+
+    O(files) metadata work at any scale on both sides of the round trip:
+    freeze links inodes (merges create new dirs, so later rewrites
+    cannot touch frozen bytes), restore re-links them back under fresh
+    part ids. The only data-sized work is the deliberate delete rewrite
+    in the middle.
+    """
+    from pyspark.sql import types as T
+
+    from clickhouse_mergetree_spark.engine import (MergeTreeConfig,
+                                                   SparkMergeTree)
+    from clickhouse_mergetree_spark.scratch import scratch_dir
+
+    schema = T.StructType([
+        T.StructField("key", T.LongType(), False),
+        T.StructField("ts_us", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=100,
+                          key_col="key", ts_col="ts_us")
+    table = SparkMergeTree(spark, scratch_dir("q_backup_"),
+                           schema=schema, config=cfg)
+    kv = _dedup_first(_kv(spark, sf_dir).filter(F.col("key") <= RANGE_END))
+    table.insert_batch(kv, row_count=1)
+    table.flush()
+    n_before = table.total_rows()
+    snap = table.freeze_partition(backup_name="pre_incident")
+    assert snap["parts_frozen"] >= 1 and snap["files"] >= 1
+    # the incident: a physical rewrite drops every 'click' row
+    table.delete_where(F.col("event_type") == "click")
+    assert table.total_rows() < n_before
+    restored = table.restore_frozen("pre_incident")
+    assert restored["parts_restored"] == snap["parts_frozen"]
+    # dedup read collapses live/restored duplicates back to the original
+    return table.query_all().select(
+        "key", "ts_us", "event_id", "event_type", "value")

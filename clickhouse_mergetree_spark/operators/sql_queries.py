@@ -1142,3 +1142,42 @@ def q_ch_dialect_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@declared_query(
+    "q_grouping_id",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+               count(*) AS n,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    defer=True,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E219: ``GROUPING()`` indicator flags over ROLLUP (ClickHouse
+    ``GROUPING`` in 23.x, ANSI T431) — the bit that tells subtotal rows
+    apart from data rows whose key column happens to be NULL, without
+    which any rollup over a nullable dimension is ambiguous. E10's
+    rollup/cube rows carry the aggregates; this carries the provenance
+    flags a reporting layer keys on.
+
+    Plan-wise it is FREE: Spark's Expand operator already materializes
+    the grouping-set id for every output row; GROUPING() just projects
+    one of its bits — same single partial+final agg as plain rollup, no
+    extra pass at any scale. sum(l_quantity) stays exact (integral
+    doubles, magnitude ≪ 2^53), so the whole relation hash-verifies.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               count(*) AS n,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """)

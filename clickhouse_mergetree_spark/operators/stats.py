@@ -791,3 +791,80 @@ def q_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sweep.groupBy("event_type")
             .agg(F.count("*").alias("n_intervals"),
                  F.sum(contrib).alias("covered_us")))
+
+
+@declared_query(
+    "q_stat_anova",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS s,
+                   CAST(sum(CAST(value * value AS DECIMAL(38,18)))
+                        AS DOUBLE) AS s2
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS n_all,
+                   CAST(count(*) AS BIGINT) AS k,
+                   sum(s) AS s_all
+            FROM g
+        ),
+        parts AS (
+            SELECT (SELECT sum(s * s / n) FROM g)
+                     - s_all * s_all / n_all AS ssb,
+                   (SELECT sum(s2) FROM g)
+                     - (SELECT sum(s * s / n) FROM g) AS ssw,
+                   k, n_all
+            FROM tot
+        )
+        SELECT CAST(k AS INTEGER) AS n_groups, n_all,
+               round(ssb / (k - 1), 6) + 0.0 AS ms_between,
+               round(ssw / (n_all - k), 6) + 0.0 AS ms_within,
+               CASE WHEN ssw > 0
+                    THEN round((ssb / (k - 1)) / (ssw / (n_all - k)), 6)
+                         + 0.0
+               END AS f_stat
+        FROM parts
+    """,
+    defer=True,
+)
+def q_stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E217: one-way ANOVA (ClickHouse ``analysisOfVariance`` /
+    ``anova``, 23.x) — does mean(value) differ across event_type
+    cohorts? F = MS_between / MS_within from the classic sum-of-squares
+    decomposition, the k-cohort generalization of the E161 t-tests.
+
+    Fixed-moment-state shape: per-group (n, Σx, Σx²) with the sums
+    accumulated as DECIMAL(38,18) (exact + associative at any
+    parallelism — the covariance convention, since raw Σx² here is
+    ~1e8-scale where double partial-order drift is real), then a k-row
+    closing formula executed in the same IEEE order on both engines.
+    One bounded-key agg over the corpus; the finish is k rows.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    dec = F.col("value").cast("decimal(38,18)")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,18)"))
+        .cast("double").alias("s2"))
+    tot = g.agg(
+        F.sum("n").alias("n_all"),
+        F.count("*").alias("k"),
+        F.sum("s").alias("s_all"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sq_n"),
+        F.sum("s2").alias("s2_all"))
+    ssb = F.col("sq_n") - F.col("s_all") * F.col("s_all") / F.col("n_all")
+    ssw = F.col("s2_all") - F.col("sq_n")
+    msb = ssb / (F.col("k") - 1)
+    msw = ssw / (F.col("n_all") - F.col("k"))
+    return tot.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("n_all").cast("bigint").alias("n_all"),
+        (F.round(msb, 6) + F.lit(0.0)).alias("ms_between"),
+        (F.round(msw, 6) + F.lit(0.0)).alias("ms_within"),
+        F.when(ssw > 0, F.round(msb / msw, 6) + F.lit(0.0))
+        .alias("f_stat"))

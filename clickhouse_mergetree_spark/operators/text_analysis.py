@@ -1896,3 +1896,66 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(0.39 * wps + 11.8 * spw - 15.59, 3)
          + F.lit(0.0)).alias("fk_grade"),
     )
+
+
+# Data-constrained scaling (Muennighoff et al. 2023): repeating data
+# beyond ~4 epochs returns rapidly diminishing value, so a budget
+# allocator caps per-source repetition there. Budget = 2x corpus tokens.
+EPOCH_BUDGET_MULT = 2
+EPOCH_CAP = 4
+
+
+@declared_query(
+    "q_epoch_schedule",
+    oracle=f"""
+        WITH s AS (
+            SELECT source,
+                   CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE}')))
+                        AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+                       count(*) AS k FROM s)
+        SELECT source, n_tokens,
+               ({EPOCH_BUDGET_MULT} * t) // k AS alloc_tokens,
+               least(({EPOCH_BUDGET_MULT} * t) // k,
+                     {EPOCH_CAP} * n_tokens) AS effective_tokens,
+               round(CAST(least(({EPOCH_BUDGET_MULT} * t) // k,
+                                {EPOCH_CAP} * n_tokens) AS DOUBLE)
+                     / n_tokens, 6) AS epochs
+        FROM s, tot
+        WHERE n_tokens > 0
+    """,
+    defer=True,
+)
+def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E218: epoch-repetition schedule under a token budget (Muennighoff
+    et al. 2023, "Scaling Data-Constrained Language Models"): give every
+    source an equal slice of a 2×-corpus training budget, cap repetition
+    at 4 epochs (the paper's diminishing-returns knee), and report the
+    tokens each source actually contributes — the planning report a
+    data-mixture owner reads before E146's temperature weights pick the
+    sampling distribution.
+
+    All-integer arithmetic end to end (token counts are exact regex
+    sums, the allocator is integer floor-division, the cap is least())
+    — hash-stable at any parallelism with no decimal machinery; the
+    closing epochs ratio divides two exact int64s. One bounded-key agg
+    over the corpus plus a 1-row broadcast of (total, n_sources).
+    """
+    d = load(spark, sf_dir, "documents")
+    s = (d.select("source",
+                  F.size(F.expr(
+                      f"regexp_extract_all(text, '{_TOKEN_RE}', 0)"))
+                  .alias("toks"))
+         .groupBy("source").agg(F.sum("toks").alias("n_tokens")))
+    tot = s.agg(F.sum("n_tokens").alias("t"), F.count("*").alias("k"))
+    alloc = F.expr(f"({EPOCH_BUDGET_MULT} * t) DIV k")
+    eff = F.least(alloc, EPOCH_CAP * F.col("n_tokens"))
+    return (s.crossJoin(F.broadcast(tot))
+            .filter(F.col("n_tokens") > 0)
+            .select("source", "n_tokens",
+                    alloc.alias("alloc_tokens"),
+                    eff.alias("effective_tokens"),
+                    F.round(eff.cast("double") / F.col("n_tokens"), 6)
+                    .alias("epochs")))

@@ -264,3 +264,18 @@ def test_counter_rate_reset_semantics(spark, tmp_path):
     got = {r["event_id"]: r["rate_per_s"]
            for r in q_counter_rate(spark, str(tmp_path)).collect()}
     assert got == {1: 2.0, 2: 0.5}
+
+
+def test_anova_hand_case(spark, tmp_path):
+    """click=[1,2,3], view=[4,5,6]: SSB=13.5, SSW=4 → MSB=13.5, MSW=1,
+    F=13.5."""
+    rows = ([(i, i, 1, "click", v) for i, v in enumerate([1.0, 2.0, 3.0])]
+            + [(10 + i, i, 2, "view", v)
+               for i, v in enumerate([4.0, 5.0, 6.0])])
+    _events_frame(rows).to_parquet(tmp_path / "events.parquet")
+    from clickhouse_mergetree_spark.operators.stats import q_stat_anova
+
+    row = q_stat_anova(spark, str(tmp_path)).collect()[0]
+    assert (row["n_groups"], row["n_all"]) == (2, 6)
+    assert (row["ms_between"], row["ms_within"]) == (13.5, 1.0)
+    assert row["f_stat"] == 13.5

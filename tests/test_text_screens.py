@@ -192,3 +192,27 @@ def test_embed_drift_hand_case(spark, tmp_path):
     got = {r["label"]: (r["n_vecs"], r["cos_to_global"])
            for r in q_embed_drift(spark, str(tmp_path)).collect()}
     assert got == {0: (2, 0.707107), 1: (2, 0.707107)}
+
+
+def test_epoch_schedule_hand_case(spark, tmp_path):
+    """Sources of 10 and 100 tokens under a 2x budget: alloc=110 each;
+    the small source caps at 4 epochs (effective 40), the big one gets
+    1.1 epochs."""
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [" ".join(["tok"] * 10), " ".join(["tok"] * 100)],
+        "lang": ["en", "en"],
+        "source": ["s_small", "s_big"],
+        "n_chars": [10, 100],
+    }).to_parquet(tmp_path / "documents.parquet")
+    from clickhouse_mergetree_spark.operators.text_analysis import (
+        q_epoch_schedule,
+    )
+
+    got = {r["source"]: (r["n_tokens"], r["alloc_tokens"],
+                         r["effective_tokens"], r["epochs"])
+           for r in q_epoch_schedule(spark, str(tmp_path)).collect()}
+    assert got["s_small"] == (10, 110, 40, 4.0)
+    assert got["s_big"] == (100, 110, 110, 1.1)
