@@ -1797,14 +1797,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality distribution. Laplace-smoothed bucket probabilities over a
     64-bucket portable feature hash.
 
-    Scale shape: the two feature models are ONE bounded 64-key agg over
-    the exploded tokens (map-side combine carries ≤64 counters per
-    partition); per-doc bucket counts shuffle once on doc_id; the model
-    join is a 64-row broadcast. The per-doc score folds its ≤64 terms in
-    SORTED bucket order (array_sort → aggregate on Spark, list(ORDER BY)
-    → list_reduce in the oracle) so the double summation is
-    order-deterministic on both engines — the same discipline as the
-    covariance/PCA family. Corpus-linear, no corpus-sized second pass.
+    Scale shape — fit then transform, the k-means/PCA model-build
+    pattern: pass 1 aggregates BOTH feature models in one bounded
+    64-key agg over the tokens (map-side combine carries ≤64 counters
+    per partition, so only 64×P rows shuffle) and collects the 64-row
+    model to the driver; pass 2 re-embeds it as literal maps, so
+    scoring is per-doc bucket counts (one doc_id-keyed shuffle) with a
+    row-local map lookup — ZERO joins in the scoring plan (the naive
+    formulation Catalyst would otherwise run re-scans the corpus three
+    times and nested-loop-joins the totals; the oracle deliberately
+    keeps that independent formulation, cross-proving both). The log
+    stays a Spark expression (Java Math.log), keeping transcendental
+    parity with the oracle unchanged. The per-doc score folds its ≤64
+    terms in SORTED bucket order (array_sort → aggregate on Spark,
+    list(ORDER BY) → list_reduce in the oracle) so the double summation
+    is order-deterministic on both engines — the covariance-family
+    discipline.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select(
@@ -1817,20 +1825,29 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                + F.ascii(F.col("tok").substr(F.length("tok"), F.lit(1))))
               % DSIR_BUCKETS)
     b = toks.select("doc_id", "lang", bucket.alias("bucket"))
-    db = b.groupBy("doc_id", "bucket").agg(F.count("*").alias("n_db"))
-    stats = b.groupBy("bucket").agg(
+    # pass 1 (model build): both models in one 64-key agg, collected —
+    # model-sized (≤64 rows), like the centroid/PCA builds
+    model = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct_b"),
-        F.count("*").alias("cr_b"))
-    tot = stats.agg(F.sum("ct_b").alias("ct"), F.sum("cr_b").alias("cr"))
-    terms = (db.join(F.broadcast(stats), "bucket")
-             .crossJoin(F.broadcast(tot))
-             .select("doc_id", "bucket", "n_db",
-                     (F.col("n_db")
-                      * (F.log((F.col("ct_b") + 1.0)
-                               / (F.col("ct") + float(DSIR_BUCKETS)))
-                         - F.log((F.col("cr_b") + 1.0)
-                                 / (F.col("cr") + float(DSIR_BUCKETS)))))
-                     .alias("term")))
+        F.count("*").alias("cr_b")).collect()
+    ct = sum(r["ct_b"] for r in model)
+    cr = sum(r["cr_b"] for r in model)
+    ct_map = F.create_map(
+        *[x for r in model for x in (F.lit(r["bucket"]),
+                                     F.lit(int(r["ct_b"])))])
+    cr_map = F.create_map(
+        *[x for r in model for x in (F.lit(r["bucket"]),
+                                     F.lit(int(r["cr_b"])))])
+    # pass 2 (scoring): per-doc bucket counts + literal-map lookups
+    db = b.groupBy("doc_id", "bucket").agg(F.count("*").alias("n_db"))
+    ctb = F.element_at(ct_map, F.col("bucket"))
+    crb = F.element_at(cr_map, F.col("bucket"))
+    terms = db.select(
+        "doc_id", "bucket", "n_db",
+        (F.col("n_db")
+         * (F.log((ctb + 1.0) / F.lit(ct + float(DSIR_BUCKETS)))
+            - F.log((crb + 1.0) / F.lit(cr + float(DSIR_BUCKETS)))))
+        .alias("term"))
     folded = F.aggregate(
         F.transform(
             F.array_sort(F.collect_list(F.struct("bucket", "term"))),

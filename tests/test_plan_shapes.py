@@ -49,11 +49,9 @@ NESTED_LOOP_OK = {"q_sim_search", "q_sim_search_ivf", "q_sim_search_pq",
                   "q_stat_association",
                   # 1-row recency anchor broadcast onto the per-user agg
                   "q_events_rfm",
-                  # 1-row corpus-total broadcast onto a bounded grouped
-                  # relation: DSIR's (ct, cr) model totals over ≤64
-                  # bucket rows; the epoch allocator's (t, k) over
-                  # |sources| rows — O(groups·1), never corpus-sized
-                  "q_dsir_weights", "q_epoch_schedule"}
+                  # 1-row corpus-total broadcast onto the |sources|-row
+                  # grouped relation — O(groups·1), never corpus-sized
+                  "q_epoch_schedule"}
 
 _QUERIES = sorted(all_queries())
 
