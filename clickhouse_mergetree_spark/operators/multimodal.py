@@ -1179,9 +1179,12 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms in SORTED dimension order on both engines (array_sort →
     aggregate vs list(ORDER BY) → list_reduce), making the double
     summation order-deterministic — the E210 discipline. Scale shape:
-    one exploded (label, dim)-keyed partial+final agg (bounded keys:
-    |labels|×64), a 64-row broadcast join, then per-label folds over 64
-    terms — corpus-linear with fixed-size reduce state.
+    ONE corpus pass — a (label, dim)-keyed partial+final agg of exact
+    decimal sums (bounded keys: |labels|×64) from which BOTH the label
+    centroids and the global centroid derive (the global per-dim sum is
+    the sum of the label partials, exact by decimal associativity, so
+    it equals the oracle's direct formulation bit-for-bit); then a
+    64-row broadcast join and per-label folds over 64 terms.
     """
     emb = load(spark, sf_dir, "embeddings")
     ex = emb.select(
@@ -1189,10 +1192,16 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", (F.col("d0") + 1).alias("d"),
              F.col("v0").cast("double").alias("v"))
     dec = F.col("v").cast("decimal(38,18)")
-    cl = (ex.groupBy("label", "d")
-          .agg((F.sum(dec).cast("double") / F.count("*")).alias("c")))
-    g = (ex.groupBy("d")
-         .agg((F.sum(dec).cast("double") / F.count("*")).alias("gm")))
+    # one corpus pass: exact per-(label, dim) decimal sums + counts —
+    # persisted (|labels|×64 rows) so the cl and g branches below share
+    # the materialized agg instead of re-running the corpus explode
+    base = (ex.groupBy("label", "d")
+            .agg(F.sum(dec).alias("sd"), F.count("*").alias("nld"))
+            .persist())
+    cl = base.select("label", "d",
+                     (F.col("sd").cast("double") / F.col("nld")).alias("c"))
+    g = (base.groupBy("d")
+         .agg((F.sum("sd").cast("double") / F.sum("nld")).alias("gm")))
     t = (cl.join(F.broadcast(g), "d")
          .select("label", "d",
                  (F.col("c") * F.col("gm")).alias("xy"),

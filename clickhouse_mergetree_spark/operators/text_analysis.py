@@ -1957,20 +1957,27 @@ def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer arithmetic end to end (token counts are exact regex
     sums, the allocator is integer floor-division, the cap is least())
     — hash-stable at any parallelism with no decimal machinery; the
-    closing epochs ratio divides two exact int64s. One bounded-key agg
-    over the corpus plus a 1-row broadcast of (total, n_sources).
+    closing epochs ratio divides two exact int64s. ONE bounded-key agg
+    over the corpus, collected (|sources| rows — report-sized at any
+    corpus size); totals and the allocator then run over the local
+    relation in Spark expressions (NOT driver Python: Spark round is
+    HALF_UP like the oracle's, Python round is banker's), so the naive
+    plan's second corpus pass for the totals branch never happens.
     """
     d = load(spark, sf_dir, "documents")
-    s = (d.select("source",
-                  F.size(F.expr(
-                      f"regexp_extract_all(text, '{_TOKEN_RE}', 0)"))
-                  .alias("toks"))
-         .groupBy("source").agg(F.sum("toks").alias("n_tokens")))
-    tot = s.agg(F.sum("n_tokens").alias("t"), F.count("*").alias("k"))
-    alloc = F.expr(f"({EPOCH_BUDGET_MULT} * t) DIV k")
+    rows = (d.select("source",
+                     F.size(F.expr(
+                         f"regexp_extract_all(text, '{_TOKEN_RE}', 0)"))
+                     .alias("toks"))
+            .groupBy("source").agg(F.sum("toks").alias("n_tokens"))
+            .collect())
+    t = sum(r["n_tokens"] for r in rows)  # exact Python ints
+    k = len(rows)
+    s = values_df(spark, [(r["source"], r["n_tokens"]) for r in rows],
+                  [("source", "string"), ("n_tokens", "bigint")])
+    alloc = F.lit((EPOCH_BUDGET_MULT * t) // k).cast("bigint")
     eff = F.least(alloc, EPOCH_CAP * F.col("n_tokens"))
-    return (s.crossJoin(F.broadcast(tot))
-            .filter(F.col("n_tokens") > 0)
+    return (s.filter(F.col("n_tokens") > 0)
             .select("source", "n_tokens",
                     alloc.alias("alloc_tokens"),
                     eff.alias("effective_tokens"),
