@@ -592,15 +592,16 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH r AS (
             SELECT event_type,
-                   rank() OVER (PARTITION BY event_type ORDER BY value)
-                     + (count(*) OVER (PARTITION BY event_type, value) - 1)
-                       / 2.0 AS rx,
-                   rank() OVER (PARTITION BY event_type
-                                ORDER BY epoch_us(ts))
-                     + (count(*) OVER (PARTITION BY event_type,
-                                       epoch_us(ts)) - 1) / 2.0 AS ry
+                   rank() OVER wx
+                     + (count(*) OVER (wx RANGE BETWEEN CURRENT ROW
+                                       AND CURRENT ROW) - 1) / 2.0 AS rx,
+                   rank() OVER wy
+                     + (count(*) OVER (wy RANGE BETWEEN CURRENT ROW
+                                       AND CURRENT ROW) - 1) / 2.0 AS ry
             FROM events
             WHERE value IS NOT NULL
+            WINDOW wx AS (PARTITION BY event_type ORDER BY value),
+                   wy AS (PARTITION BY event_type ORDER BY epoch_us(ts))
         ),
         s AS (
             SELECT event_type,
@@ -640,12 +641,17 @@ def q_stat_rankcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("value").isNotNull())
           .select("event_type", "value",
                   F.unix_micros("ts").alias("ts_us")))
-    tie_x = Window.partitionBy("event_type", "value")
-    tie_y = Window.partitionBy("event_type", "ts_us")
-    rx = (F.rank().over(Window.partitionBy("event_type").orderBy("value"))
-          + (F.count("*").over(tie_x) - 1) / 2.0)
-    ry = (F.rank().over(Window.partitionBy("event_type").orderBy("ts_us"))
-          + (F.count("*").over(tie_y) - 1) / 2.0)
+    # peer counts ride the SAME sort as the rank (RANGE current-row
+    # frame = the ORDER BY peer group), so each axis costs one sort
+    # instead of a rank sort plus a tie-partition re-sort
+    wx = Window.partitionBy("event_type").orderBy("value")
+    wy = Window.partitionBy("event_type").orderBy("ts_us")
+    peers_x = F.count("*").over(
+        wx.rangeBetween(Window.currentRow, Window.currentRow))
+    peers_y = F.count("*").over(
+        wy.rangeBetween(Window.currentRow, Window.currentRow))
+    rx = F.rank().over(wx) + (peers_x - 1) / 2.0
+    ry = F.rank().over(wy) + (peers_y - 1) / 2.0
     ranked = ev.select("event_type", rx.alias("rx"), ry.alias("ry"))
     s = ranked.groupBy("event_type").agg(
         F.count("*").cast("double").alias("n"),
