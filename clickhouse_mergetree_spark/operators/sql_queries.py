@@ -1181,3 +1181,80 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """)
+
+
+BASKET_MINSUP = 2
+BASKET_TOPN = 100
+
+
+@declared_query(
+    "q_basket_lift",
+    oracle=f"""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        supp AS (SELECT l_partkey, count(*) AS s FROM b GROUP BY l_partkey),
+        pairs AS (
+            SELECT x.l_partkey AS pk_a, y.l_partkey AS pk_b,
+                   count(*) AS pair_n
+            FROM b x JOIN b y USING (l_orderkey)
+            WHERE x.l_partkey < y.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {BASKET_MINSUP}
+        )
+        SELECT pk_a, pk_b, CAST(pair_n AS BIGINT) AS pair_n,
+               round(CAST(pair_n AS DOUBLE) / n_orders, 6) AS support,
+               round(CAST(pair_n AS DOUBLE) / sa.s, 6) AS confidence,
+               round(CAST(pair_n AS DOUBLE) * n_orders / (sa.s * sb.s), 6)
+                 AS lift
+        FROM pairs
+        JOIN supp sa ON pk_a = sa.l_partkey
+        JOIN supp sb ON pk_b = sb.l_partkey, n
+        ORDER BY lift DESC, pk_a, pk_b
+        LIMIT {BASKET_TOPN}
+    """,
+    defer=True,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E220: market-basket association rules — support / confidence /
+    lift for part pairs co-bought in an order (the retail co-occurrence
+    workload; the same shape mines token/document co-occurrence in a
+    training corpus). Top-N by lift with a deterministic (pk_a, pk_b)
+    tie-break.
+
+    Scale shape: the pair generation is a SELF-EQUI-JOIN on the basket
+    key, so the blowup is Σ C(|basket|, 2) with baskets bounded by
+    order size (never all-pairs across the corpus — the same
+    within-group-only discipline as SemDeDup's clusters); pair and
+    support aggregates both get map-side combine; the closing support
+    joins are keyed on the bounded parts catalog. Every ratio divides
+    exact int64 counts (single IEEE ops — order-independent), so the
+    lift ordering and the 6-dp rounding are deterministic on both
+    engines at any parallelism.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = b.select("l_orderkey").distinct().count()  # 1 scalar
+    supp = b.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    x = b.alias("x")
+    y = b.alias("y")
+    pairs = (x.join(y, "l_orderkey")
+             .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+             .groupBy(F.col("x.l_partkey").alias("pk_a"),
+                      F.col("y.l_partkey").alias("pk_b"))
+             .agg(F.count("*").alias("pair_n"))
+             .filter(F.col("pair_n") >= BASKET_MINSUP))
+    sa = supp.select(F.col("l_partkey").alias("pk_a"),
+                     F.col("s").alias("s_a"))
+    sb = supp.select(F.col("l_partkey").alias("pk_b"),
+                     F.col("s").alias("s_b"))
+    pn = F.col("pair_n").cast("double")
+    return (pairs.join(sa, "pk_a").join(sb, "pk_b")
+            .select("pk_a", "pk_b", "pair_n",
+                    F.round(pn / F.lit(float(n_orders)), 6)
+                    .alias("support"),
+                    F.round(pn / F.col("s_a"), 6).alias("confidence"),
+                    F.round(pn * F.lit(float(n_orders))
+                            / (F.col("s_a") * F.col("s_b")), 6)
+                    .alias("lift"))
+            .orderBy(F.col("lift").desc(), "pk_a", "pk_b")
+            .limit(BASKET_TOPN))

@@ -34,3 +34,24 @@ def test_sql_over_events_view(spark, sf_dir, duck):
     want = duck.execute(
         "SELECT count(*), count(DISTINCT user_id) FROM events").fetchone()
     assert (got["n"], got["u"]) == want
+
+
+def test_basket_lift_hand_case(spark, tmp_path):
+    """Baskets {A,B}, {A,B}, {A}: pair (A,B) n=2, support 2/3,
+    confidence 2/3 (against A's 3 baskets), lift 2*3/(3*2) = 1.0."""
+    import pandas as pd
+
+    pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 2, 3, 3],
+        "l_partkey": [10, 20, 10, 20, 10, 10],  # dup (3,10) collapses
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    from clickhouse_mergetree_spark.operators.sql_queries import (
+        q_basket_lift,
+    )
+
+    rows = q_basket_lift(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["pk_a"], r["pk_b"], r["pair_n"]) == (10, 20, 2)
+    assert (r["support"], r["confidence"], r["lift"]) == (
+        0.666667, 0.666667, 1.0)
