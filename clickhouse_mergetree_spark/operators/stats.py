@@ -874,3 +874,64 @@ def q_stat_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(msw, 6) + F.lit(0.0)).alias("ms_within"),
         F.when(ssw > 0, F.round(msb / msw, 6) + F.lit(0.0))
         .alias("f_stat"))
+
+
+@declared_query(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH w AS (
+            SELECT user_id, value,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY epoch_us(ts), event_id)
+                     - epoch_us(ts) AS dt_us
+            FROM events
+            WHERE user_id < 40 AND value IS NOT NULL
+        ),
+        s AS (
+            SELECT user_id,
+                   CAST(sum(CAST(value * dt_us AS DECIMAL(38,6)))
+                        AS DOUBLE) AS vw,
+                   CAST(sum(dt_us) AS BIGINT) AS tw,
+                   count(*) AS n_segments
+            FROM w WHERE dt_us IS NOT NULL AND dt_us > 0
+            GROUP BY user_id
+        )
+        SELECT user_id, CAST(n_segments AS BIGINT) AS n_segments,
+               round(vw / tw, 6) + 0.0 AS tw_avg
+        FROM s
+    """,
+    defer=True,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E221: time-weighted average over irregularly-sampled series
+    (TimescaleDB ``time_weight('LOCF', ...)`` / the TSDB staple CH users
+    build from ``deltaSum``-style windows): each observation holds until
+    the next one, so it contributes value × holding-time; the per-entity
+    mean is Σ v·Δt / Σ Δt — the correct "average sensor reading" where
+    the plain avg over-weights bursts of samples. Zero-length segments
+    (same-timestamp pairs) are excluded on both engines.
+
+    One lead() window inside a single user_id sort-shuffle; v·Δt
+    products are computed in double ONCE (deterministic single IEEE op:
+    exact int64 µs × double) then summed as DECIMAL(38,6) — exact and
+    associative at any parallelism (the covariance convention; a plain
+    double sum's partial order drifts at the 6-dp boundary). The final
+    divide runs on identical inputs on both engines.
+    """
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id"))
+    ev = (load(spark, sf_dir, "events")
+          .filter((F.col("user_id") < 40) & F.col("value").isNotNull())
+          .select("user_id", "event_id", "value",
+                  F.unix_micros("ts").alias("ts_us")))
+    seg = (ev.withColumn("dt_us",
+                         F.lead("ts_us").over(w) - F.col("ts_us"))
+           .filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0)))
+    s = seg.groupBy("user_id").agg(
+        F.sum((F.col("value") * F.col("dt_us")).cast("decimal(38,6)"))
+        .cast("double").alias("vw"),
+        F.sum("dt_us").alias("tw"),
+        F.count("*").alias("n_segments"))
+    return s.select(
+        "user_id", F.col("n_segments").cast("bigint").alias("n_segments"),
+        (F.round(F.col("vw") / F.col("tw"), 6) + F.lit(0.0))
+        .alias("tw_avg"))

@@ -279,3 +279,17 @@ def test_anova_hand_case(spark, tmp_path):
     assert (row["n_groups"], row["n_all"]) == (2, 6)
     assert (row["ms_between"], row["ms_within"]) == (13.5, 1.0)
     assert row["f_stat"] == 13.5
+
+
+def test_time_weighted_avg_hand_case(spark, tmp_path):
+    """v=10 held 10s then v=20 held 30s: (10*10 + 20*30)/40 = 17.5;
+    the last observation (no successor) contributes no segment."""
+    rows = [(0, 0, 1, "click", 10.0), (1, 10, 1, "click", 20.0),
+            (2, 40, 1, "click", 99.0)]
+    _events_frame(rows).to_parquet(tmp_path / "events.parquet")
+    from clickhouse_mergetree_spark.operators.stats import (
+        q_time_weighted_avg,
+    )
+
+    row = q_time_weighted_avg(spark, str(tmp_path)).collect()[0]
+    assert (row["user_id"], row["n_segments"], row["tw_avg"]) == (1, 2, 17.5)
