@@ -595,3 +595,77 @@ def q_fn_multisearch(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.alias("n_hits"),
         F.instr(F.lower("p_type"), "steel").cast("bigint").alias("ci_pos"),
     )
+
+
+# Concave test polygon (a chevron: the notch at (20,10) makes bbox tests
+# wrong for ~a quarter of the box — the case E85's bbox check cannot
+# decide). Closed edge list generated once, embedded as literals in BOTH
+# engines' expressions.
+_POLY = [(0.0, 0.0), (40.0, 0.0), (40.0, 30.0), (20.0, 10.0), (0.0, 30.0)]
+_EDGES = [(x1, y1, x2, y2)
+          for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1])]
+_PX_SQL = "(CAST(c_custkey * 37 % 500 AS DOUBLE) / 10.0)"
+_PY_SQL = "(CAST(c_custkey * 73 % 400 AS DOUBLE) / 10.0)"
+# even-odd ray cast: an edge crosses the +x ray from (px, py) iff it
+# spans py and the intersection sits right of px
+_CROSS = ("(({y1} > py) <> ({y2} > py)) AND "
+          "px < ({x2} - {x1}) * (py - {y1}) / ({y2} - {y1}) + {x1}")
+
+
+def _crossing_pred(x1: float, y1: float, x2: float, y2: float) -> str:
+    return _CROSS.format(x1=x1, y1=y1, x2=x2, y2=y2)
+
+
+@declared_query(
+    "q_fn_point_in_polygon",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey, {_PX_SQL} AS px, {_PY_SQL} AS py
+            FROM customer
+        )
+        SELECT c_custkey, px, py,
+               CAST({" + ".join(
+                   f"CASE WHEN {_crossing_pred(*e)} THEN 1 ELSE 0 END"
+                   for e in _EDGES)} AS BIGINT) AS n_crossings,
+               ({" + ".join(
+                   f"CASE WHEN {_crossing_pred(*e)} THEN 1 ELSE 0 END"
+                   for e in _EDGES)}) % 2 = 1 AS inside
+        FROM pts
+    """,
+    defer=True,
+)
+def q_fn_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E222: ``pointInPolygon`` with the REAL even-odd ray cast over a
+    CONCAVE polygon — the case E85's bounding-box containment cannot
+    decide (the chevron notch is inside the bbox but outside the
+    polygon). Each point counts the polygon edges its +x ray crosses;
+    odd = inside — the textbook algorithm CH runs per point, here
+    unrolled over the 5 literal edges so the whole predicate is one
+    codegen'd branch-free-ish expression per row.
+
+    Zero shuffles, scan throughput at any size: the polygon is a
+    literal (CH loads it as a constant too), points derive from the key
+    as exact decimal tenths, and the crossing test is pure comparisons
+    plus one deterministic division per spanning edge — identical IEEE
+    arithmetic on both engines, no rounding needed anywhere. A polygon
+    with thousands of edges would swap the unrolled sum for the same
+    predicate folded over an edge-array column (E87's HOF pattern);
+    5 literal edges inline better.
+    """
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 500).cast("double") / 10.0).alias("px"),
+        ((F.col("c_custkey") * 73 % 400).cast("double") / 10.0).alias("py"))
+
+    def crossing(x1, y1, x2, y2):
+        spans = (F.lit(y1) > F.col("py")) != (F.lit(y2) > F.col("py"))
+        xint = (F.lit(x2 - x1) * (F.col("py") - F.lit(y1))
+                / F.lit(y2 - y1) + F.lit(x1))
+        return F.when(spans & (F.col("px") < xint), 1).otherwise(0)
+
+    n_cross = sum((crossing(*e) for e in _EDGES), F.lit(0))
+    return pts.select(
+        "c_custkey", "px", "py",
+        n_cross.cast("bigint").alias("n_crossings"),
+        (n_cross % 2 == 1).alias("inside"))
