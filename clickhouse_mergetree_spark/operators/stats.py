@@ -935,3 +935,89 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("n_segments").cast("bigint").alias("n_segments"),
         (F.round(F.col("vw") / F.col("tw"), 6) + F.lit(0.0))
         .alias("tw_avg"))
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@declared_query(
+    "q_corr_matrix",
+    oracle=f"""
+        WITH m AS (
+            SELECT count(*) AS n,
+                   {", ".join(
+                       f"CAST(sum(CAST({c} AS DECIMAL(38,18))) AS DOUBLE)"
+                       f" AS s{i}"
+                       for i, c in enumerate(_CORR_COLS))},
+                   {", ".join(
+                       f"CAST(sum(CAST({a} * {b} AS DECIMAL(38,18)))"
+                       f" AS DOUBLE) AS p{i}_{j}"
+                       for i, a in enumerate(_CORR_COLS)
+                       for j, b in enumerate(_CORR_COLS) if i <= j)}
+            FROM lineitem
+        )
+        SELECT i, j,
+               CASE WHEN (n * pii - si * si) * (n * pjj - sj * sj) > 0
+                    THEN round((n * pij - si * sj)
+                               / sqrt((n * pii - si * si)
+                                      * (n * pjj - sj * sj)), 6) + 0.0
+               END AS corr
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {i} AS i, {j} AS j, n, s{i} AS si, s{j} AS sj,"
+                f" p{i}_{i} AS pii, p{j}_{j} AS pjj, p{i}_{j} AS pij FROM m"
+                for i in range(len(_CORR_COLS))
+                for j in range(len(_CORR_COLS)) if i <= j)}
+        )
+    """,
+    defer=True,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E223: ClickHouse ``corrMatrix`` (24.1) — the pairwise Pearson
+    correlation matrix of N numeric columns in ONE pass: a single
+    partial+final agg carries the N sums and N(N+1)/2 product sums
+    (fixed 15-value state here), then the d²-scale finish unpivots the
+    upper triangle — the multi-column generalization of E121's
+    scalar covariance aggregates, and the input to any feature-redundancy
+    screen.
+
+    Determinism is the covariance convention: products computed once in
+    double, summed as DECIMAL(38,18) (exact + associative at any
+    parallelism), the closing formula running the identical IEEE
+    sequence on both engines; degenerate (zero-variance) pairs emit
+    NULL. Output exploded to scalar (i, j, corr) rows — matrix cells
+    are driver-hashable, array cells are not.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    k = len(_CORR_COLS)
+
+    def dec(e):
+        return e.cast("decimal(38,18)")
+
+    aggs = [F.count("*").cast("double").alias("n")]
+    aggs += [F.sum(dec(F.col(c))).cast("double").alias(f"s{i}")
+             for i, c in enumerate(_CORR_COLS)]
+    aggs += [F.sum(dec(F.col(a) * F.col(b))).cast("double")
+             .alias(f"p{i}_{j}")
+             for i, a in enumerate(_CORR_COLS)
+             for j, b in enumerate(_CORR_COLS) if i <= j]
+    # ONE corpus pass: collect the 15-value moment state (model-sized),
+    # then unpivot the triangle over a literal VALUES relation — a
+    # 10-way union of selects over the agg would re-run the corpus agg
+    # per cell (Catalyst does not dedupe common subplans)
+    mrow = li.agg(*aggs).collect()[0]
+    from clickhouse_mergetree_spark.tables import values_df
+    rows = [(i, j, mrow["n"], mrow[f"s{i}"], mrow[f"s{j}"],
+             mrow[f"p{i}_{i}"], mrow[f"p{j}_{j}"], mrow[f"p{i}_{j}"])
+            for i in range(k) for j in range(i, k)]
+    cells = values_df(spark, rows, [
+        ("i", "int"), ("j", "int"), ("n", "double"),
+        ("si", "double"), ("sj", "double"), ("pii", "double"),
+        ("pjj", "double"), ("pij", "double")])
+    n, si, sj = F.col("n"), F.col("si"), F.col("sj")
+    pii, pjj, pij = F.col("pii"), F.col("pjj"), F.col("pij")
+    den2 = (n * pii - si * si) * (n * pjj - sj * sj)
+    corr = F.when(den2 > 0,
+                  F.round((n * pij - si * sj) / F.sqrt(den2), 6)
+                  + F.lit(0.0))
+    return cells.select("i", "j", corr.alias("corr"))

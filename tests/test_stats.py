@@ -293,3 +293,27 @@ def test_time_weighted_avg_hand_case(spark, tmp_path):
 
     row = q_time_weighted_avg(spark, str(tmp_path)).collect()[0]
     assert (row["user_id"], row["n_segments"], row["tw_avg"]) == (1, 2, 17.5)
+
+
+def test_corr_matrix_hand_case(spark, tmp_path):
+    """Perfectly correlated / anti-correlated / constant columns:
+    corr(q, p)=1 (p = 2q), corr(q, d)=-1 (d = -q), tax constant → NULL
+    against everything, diagonal = 1 for non-degenerate columns."""
+    import pandas as pd
+
+    q = [1.0, 2.0, 3.0, 4.0]
+    pd.DataFrame({
+        "l_quantity": q,
+        "l_extendedprice": [2 * x for x in q],
+        "l_discount": [-x for x in q],
+        "l_tax": [5.0] * 4,
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    from clickhouse_mergetree_spark.operators.stats import q_corr_matrix
+
+    got = {(r["i"], r["j"]): r["corr"]
+           for r in q_corr_matrix(spark, str(tmp_path)).collect()}
+    assert got[(0, 0)] == 1.0 and got[(1, 1)] == 1.0 and got[(2, 2)] == 1.0
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == -1.0 and got[(1, 2)] == -1.0
+    assert got[(0, 3)] is None and got[(3, 3)] is None
+    assert len(got) == 10
