@@ -89,6 +89,12 @@ QUERIES = {
         "countIf(px > 200) AS n_big FROM trades GROUP BY who",
     "materialized view rollup":
         "SELECT sym, vol FROM volume_mv",
+    "star modifiers (wide-table audit)":
+        "SELECT sym, COLUMNS('^(px|qty)$') "
+        "REPLACE(px * qty AS px) APPLY(sum) "
+        "FROM trades GROUP BY ALL ORDER BY ALL",
+    "EXPLAIN (plan eyeball)":
+        "EXPLAIN SELECT sym, sum(qty) FROM trades GROUP BY sym",
 }
 
 EPILOGUE = """
@@ -97,6 +103,14 @@ AS SELECT sym, countIf(px > 200) AS n_big, round(sum(qty), 2) AS vol
 FROM trades GROUP BY sym;
 
 RENAME TABLE daily TO daily_rollup;
+
+CREATE TABLE daily_next ENGINE = MergeTree() ORDER BY (sym)
+AS SELECT sym, countIf(px > 150) AS n_big, round(sum(qty), 2) AS vol
+FROM trades GROUP BY sym;
+
+EXCHANGE TABLES daily_rollup AND daily_next;
+
+DROP TABLE daily_next;
 
 SHOW TABLES;
 """
