@@ -1983,3 +1983,67 @@ def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                     eff.alias("effective_tokens"),
                     F.round(eff.cast("double") / F.col("n_tokens"), 6)
                     .alias("epochs")))
+
+
+@declared_query(
+    "q_text_scripts",
+    oracle=r"""
+        WITH c AS (
+            SELECT doc_id, lang,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS n_latin,
+                   len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))
+                     AS n_cjk,
+                   len(regexp_extract_all(text, '[\x{0400}-\x{04ff}]'))
+                     AS n_cyrillic,
+                   length(regexp_replace(text, '[ \t\r\n]+', '', 'g'))
+                     AS n_chars
+            FROM documents
+        )
+        SELECT doc_id, lang, n_latin, n_cjk, n_cyrillic,
+               CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic
+                    THEN 'latin'
+                    WHEN n_cjk >= n_cyrillic THEN 'cjk'
+                    ELSE 'cyrillic' END AS script,
+               round(CAST(n_latin AS DOUBLE)
+                     / greatest(n_chars, 1), 6) AS latin_ratio
+        FROM c
+    """,
+    defer=True,
+)
+def q_text_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E224: Unicode-script detection — per-document Latin / CJK /
+    Cyrillic character counts, the dominant script, and the Latin
+    ratio. The routing signal upstream of language-ID (E23): script is
+    decidable from raw code points with zero models, so pipelines use it
+    to shard documents to per-script tokenizers/filters before anything
+    heavier runs.
+
+    Row-local regex counting over explicit code-point ranges — the same
+    CLASSES evaluate identically under Java regex (``\\u4e00``) and RE2
+    (``\\x{{4e00}}``); only the escape syntax differs, which is why the
+    oracle is hand-written rather than string-shared (the E201
+    ASCII-explicit discipline, extended to Unicode ranges). Zero
+    shuffles, scan throughput at any corpus size; the dominant-script
+    CASE has a fixed deterministic tie order.
+    """
+    d = load(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id", "lang",
+        F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]', 0)"))
+        .alias("n_latin"),
+        F.size(F.expr(r"regexp_extract_all(text, '[\\u4e00-\\u9fff]', 0)"))
+        .alias("n_cjk"),
+        F.size(F.expr(r"regexp_extract_all(text, '[\\u0400-\\u04ff]', 0)"))
+        .alias("n_cyrillic"),
+        F.length(F.regexp_replace("text", "[ \t\r\n]+", ""))
+        .alias("n_chars"))
+    script = (F.when((F.col("n_latin") >= F.col("n_cjk"))
+                     & (F.col("n_latin") >= F.col("n_cyrillic")), "latin")
+              .when(F.col("n_cjk") >= F.col("n_cyrillic"), "cjk")
+              .otherwise("cyrillic"))
+    return c.select(
+        "doc_id", "lang", "n_latin", "n_cjk", "n_cyrillic",
+        script.alias("script"),
+        F.round(F.col("n_latin").cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1)), 6)
+        .alias("latin_ratio"))

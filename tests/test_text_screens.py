@@ -216,3 +216,27 @@ def test_epoch_schedule_hand_case(spark, tmp_path):
            for r in q_epoch_schedule(spark, str(tmp_path)).collect()}
     assert got["s_small"] == (10, 110, 40, 4.0)
     assert got["s_big"] == (100, 110, 110, 1.1)
+
+
+def test_text_scripts_hand_case(spark, tmp_path):
+    """Mixed-script doc counts each range; a CJK-dominant doc routes to
+    'cjk'; ties go latin-first (fixed order)."""
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["ab 汉", "汉字字 a", "Жb"],
+        "lang": ["en", "zh", "de"],
+        "source": ["s"] * 3,
+        "n_chars": [4, 5, 2],
+    }).to_parquet(tmp_path / "documents.parquet")
+    from clickhouse_mergetree_spark.operators.text_analysis import (
+        q_text_scripts,
+    )
+
+    got = {r["doc_id"]: (r["n_latin"], r["n_cjk"], r["n_cyrillic"],
+                         r["script"]) for r in
+           q_text_scripts(spark, str(tmp_path)).collect()}
+    assert got[1] == (2, 1, 0, "latin")
+    assert got[2] == (1, 3, 0, "cjk")
+    assert got[3] == (1, 0, 1, "latin")  # tie -> latin first
