@@ -202,13 +202,31 @@ def parse_create_table(ddl: str) -> dict:
                                 cm.group(2).strip()))
             continue
         fm = re.match(
-            r"(?is)^([\w`]+)\s+([\w()',\s]+?)"
+            r"(?is)^([\w`]+)\s+([\w()',=\-\s]+?)"
             r"(?:\s+DEFAULT\s+(.+?))?\s*$", item)
         if not fm:
             raise ValueError(f"unparsable column definition {item!r}")
         col = fm.group(1).strip("`")
         nullable = bool(re.search(r"(?i)nullable\(", fm.group(2)))
-        fields.append((col, _map_type(fm.group(2)), nullable))
+        em = re.search(r"(?i)enum(?:8|16)\s*\((.+)\)", fm.group(2))
+        if em:
+            # Enum8/16 -> string + an implicit membership CHECK: the
+            # engine has no dictionary-encoded type, but the Enum
+            # CONTRACT (only these labels are storable) survives as an
+            # insert-time constraint — a bad label is rejected exactly
+            # like CH rejects an unknown Enum value. SHOW CREATE TABLE
+            # re-emits String + the CHECK (documented deviation).
+            labels = re.findall(r"'([^']*)'", em.group(1))
+            if not labels:
+                raise ValueError(f"Enum with no labels in {item!r}")
+            quoted = ", ".join(f"'{label}'" for label in labels)
+            pred = f"`{col}` IN ({quoted})"
+            if nullable:
+                pred = f"`{col}` IS NULL OR {pred}"
+            constraints.append((f"enum_{col}", pred))
+            fields.append((col, "string", nullable))
+        else:
+            fields.append((col, _map_type(fm.group(2)), nullable))
         if fm.group(3):
             defaults[col] = fm.group(3).strip()
 
@@ -405,6 +423,13 @@ def _execute_insert(table: SparkMergeTree, cols: str | None,
             f"INSERT omits columns with no declared DEFAULT: {short}")
     n = src.count()
     table.insert_batch(src, row_count=n)
+    if table.constraints():
+        # CHECK constraints validate during the part write; a statement
+        # INSERT must reject synchronously (ClickHouse rejects the INSERT
+        # itself — and writes a part per INSERT anyway), so force the
+        # flush here rather than let a violating batch sit buffered
+        # until some later flush raises far from its cause.
+        table.flush()
     return n
 
 

@@ -550,3 +550,36 @@ def test_materialize_column_via_sql(ddl_table):
         "parts_rewritten": 0, "rows_rewritten": 0}
     rows = t.query_all().collect()
     assert rows and all(r["boost"] == 2.5 for r in rows)
+
+
+def test_enum_columns_map_to_checked_strings(spark, tmp_path):
+    """Enum8/16 -> string with an implicit membership CHECK: valid
+    labels insert, an unknown label is rejected at insert time (the CH
+    unknown-Enum-value contract), Nullable(Enum8) admits NULL."""
+    import pytest
+
+    from clickhouse_mergetree_spark.engine.ddl import create_table_from_ddl
+    from clickhouse_mergetree_spark.tables import values_df
+
+    t = create_table_from_ddl(spark, str(tmp_path / "enum_t"), """
+        CREATE TABLE et (
+            k UInt64,
+            ts UInt64,
+            state Enum8('new' = 1, 'sent' = 2, 'done' = 3),
+            tag Nullable(Enum16('a' = -1, 'b' = 2))
+        ) ENGINE = MergeTree() ORDER BY (k, ts)
+    """)
+    assert [c["name"] for c in t.constraints()] == ["enum_state", "enum_tag"]
+    cols = [("k", "bigint"), ("ts", "bigint"),
+            ("state", "string"), ("tag", "string")]
+    t.insert_batch(values_df(
+        spark, [(1, 1, "new", "a"), (2, 2, "done", None)], cols),
+        row_count=1)
+    t.flush()
+    assert t.total_rows() == 2
+    with pytest.raises(ValueError, match="enum_state"):
+        t.insert_batch(values_df(
+            spark, [(3, 3, "bogus", "a")], cols), row_count=1)
+        t.flush()
+    assert t.total_rows() == 2  # rejected batch left the table untouched
+    t.close()
