@@ -700,7 +700,14 @@ def _rewrite_parameterized(s: str) -> str:
 
 
 _STAR_MOD_GATE = re.compile(
-    r"(?is)\bAPPLY\s*\(|\*\s*REPLACE\s*\(|\bCOLUMNS\s*\(\s*'")
+    r"(?is)\bAPPLY\s*\(|\*\s*REPLACE\s*\(|\bCOLUMNS\s*\(\s*'"
+    # CH-valid forms Spark's parser rejects: paren-less `* EXCEPT col`
+    # and chained `* EXCEPT(a) EXCEPT(b)` (Spark takes ONE EXCEPT list);
+    # both normalize to a single native `* EXCEPT (...)` below. A single
+    # parenthesized EXCEPT stays out of the gate — it is native Spark 4
+    # and must keep passing through untouched (works inside CTEs too).
+    r"|\*\s*EXCEPT\s*(?!\()"
+    r"|\*\s*EXCEPT\s*\([^()]*\)\s*EXCEPT\b")
 
 
 def _rewrite_star_modifiers(spark: SparkSession, s: str) -> str:
@@ -762,6 +769,13 @@ def _rewrite_star_modifiers(spark: SparkSession, s: str) -> str:
         while rest:
             km = re.match(r"(?is)^(EXCEPT|REPLACE|APPLY)\s*\(", rest)
             if not km:
+                # CH also allows the paren-less single-column form
+                # `* EXCEPT col` — normalize it into the same modifier
+                pm = re.match(r"(?is)^EXCEPT\s+(`?\w+`?)\s*", rest)
+                if pm:
+                    mods.append(("EXCEPT", pm.group(1)))
+                    rest = rest[pm.end():].lstrip()
+                    continue
                 break
             close = _match_paren(rest, km.end() - 1)
             mods.append((km.group(1).upper(),
@@ -770,7 +784,14 @@ def _rewrite_star_modifiers(spark: SparkSession, s: str) -> str:
         if rest:
             raise ValueError(f"unparsable star-modifier tail {rest!r}")
         if m.group(1) == "*" and all(k == "EXCEPT" for k, _ in mods):
-            out_items.append(item)  # native Spark `* EXCEPT (...)`
+            # EXCEPT-only needs no schema: collapse every list (chained
+            # `EXCEPT(a) EXCEPT(b)` and the paren-less form included)
+            # into the ONE parenthesized list Spark's native `* EXCEPT`
+            # accepts — so it still works over joins and subqueries
+            # where base_columns() would refuse.
+            drops = [c.strip() for _, inner in mods
+                     for c in _split_top(inner, r",")]
+            out_items.append("* EXCEPT (" + ", ".join(drops) + ")")
             continue
         cols = base_columns()
         if m.group(2) is not None:  # COLUMNS('re'): RE2-search semantics

@@ -169,6 +169,7 @@ def parse_create_table(ddl: str) -> dict:
     defaults: dict[str, str] = {}
     indexes: list[tuple[str, str, int | None]] = []  # (col, kind, n)
     constraints: list[tuple[str, str]] = []
+    enums: dict[str, dict[str, int]] = {}  # col -> label -> CH value
     ngram_n = None
     for item in _split_top_level(body):
         im = re.match(
@@ -214,11 +215,50 @@ def parse_create_table(ddl: str) -> dict:
             # engine has no dictionary-encoded type, but the Enum
             # CONTRACT (only these labels are storable) survives as an
             # insert-time constraint — a bad label is rejected exactly
-            # like CH rejects an unknown Enum value. SHOW CREATE TABLE
-            # re-emits String + the CHECK (documented deviation).
-            labels = re.findall(r"'([^']*)'", em.group(1))
+            # like CH rejects an unknown Enum value. Documented
+            # deviations: (1) SHOW CREATE TABLE re-emits String + the
+            # CHECK; (2) comparisons and ORDER BY (including when the
+            # Enum column is a MergeTree ORDER BY key) sort LEXICALLY by
+            # label, whereas ClickHouse sorts by the enum's NUMERIC
+            # value — for `('a' = -1, 'b' = 1)` CH orders a < b but a
+            # min()/range over the stored strings here still compares
+            # 'a' < 'b' only by accident of spelling; (3) CAST(col AS
+            # Int8) is unsupported. The declared label→value mapping is
+            # preserved in table_meta["enum_values"] so sort-sensitive
+            # paths (or a future dictionary-encoded read) can translate.
+            # the capture is greedy (Nullable(Enum8(...)) drags extra
+            # trailing parens along) — truncate at the balanced close,
+            # quote-aware so a ')' inside a label doesn't end the scan
+            raw, depth, quote, end = em.group(1), 1, None, None
+            for i, ch in enumerate(raw):
+                if quote:
+                    quote = None if ch == quote else quote
+                elif ch in "'\"":
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            body_enum = raw[:end] if end is not None else raw
+            labels = re.findall(r"'([^']*)'", body_enum)
             if not labels:
                 raise ValueError(f"Enum with no labels in {item!r}")
+            # CH value assignment: explicit `'x' = n` wins; otherwise
+            # auto-increment from the previous value (first label = 1).
+            mapping: dict[str, int] = {}
+            prev = 0
+            for part in _split_top_level(body_enum):
+                pm = re.match(r"(?s)^\s*'([^']*)'\s*(?:=\s*(-?\d+))?\s*$",
+                              part)
+                if not pm:
+                    raise ValueError(f"unparsable Enum item {part!r}")
+                val = int(pm.group(2)) if pm.group(2) else prev + 1
+                mapping[pm.group(1)] = val
+                prev = val
+            enums[col] = mapping
             quoted = ", ".join(f"'{label}'" for label in labels)
             pred = f"`{col}` IN ({quoted})"
             if nullable:
@@ -315,7 +355,8 @@ def parse_create_table(ddl: str) -> dict:
         cfg["ngram_n"] = ngram_n
 
     return {"name": name, "fields": fields, "config_kwargs": cfg,
-            "constraints": constraints, "defaults": defaults, "ttl": ttl}
+            "constraints": constraints, "defaults": defaults, "ttl": ttl,
+            "enums": enums}
 
 
 def create_table_from_ddl(spark: SparkSession, base_path: str,
@@ -345,6 +386,10 @@ def create_table_from_ddl(spark: SparkSession, base_path: str,
     if parsed["defaults"] and table.manifest.table_meta.get(
             "column_defaults") != parsed["defaults"]:
         table.manifest.table_meta["column_defaults"] = parsed["defaults"]
+        dirty = True
+    if parsed["enums"] and table.manifest.table_meta.get(
+            "enum_values") != parsed["enums"]:
+        table.manifest.table_meta["enum_values"] = parsed["enums"]
         dirty = True
     if dirty:
         table.manifest.save()

@@ -625,15 +625,33 @@ class SparkMergeTree:
                  max(1, n_rows // max(1, len(values))))
                 for v in sorted(values, key=str)
             ]
+        # Two-stage commit so the INSERT is all-or-nothing even when the
+        # buffer splits into several partition parts: stage 1 writes every
+        # split's files (each split's CHECK/Enum validation rides its own
+        # write job inside _write_part and rolls back its files on
+        # violation); stage 2 appends ALL metas to the manifest in one
+        # locked save. A violation in ANY split therefore leaves the
+        # manifest untouched and every already-written sibling part dir
+        # deleted — the ClickHouse contract of validating the whole insert
+        # block before any part becomes visible, without a separate
+        # pre-scan over the buffer.
+        metas: list[PartMeta] = []
         part_id = None
-        for partition, pdf, n_est in splits:
-            with self._lock:
-                part_id = self.manifest.allocate_part_id()
-            meta = self._write_part(part_id, pdf, n_est, partition=partition,
-                                    enforce_constraints=True)
-            with self._lock:
+        try:
+            for partition, pdf, n_est in splits:
+                with self._lock:
+                    part_id = self.manifest.allocate_part_id()
+                metas.append(self._write_part(
+                    part_id, pdf, n_est, partition=partition,
+                    enforce_constraints=True))
+        except Exception:
+            for m in metas:
+                self._delete_part_dirs(m)
+            raise
+        with self._lock:
+            for meta in metas:
                 self.manifest.append(meta)
-                self.manifest.save()
+            self.manifest.save()
         return part_id
 
     def _delete_part_dirs(self, p: PartMeta) -> None:

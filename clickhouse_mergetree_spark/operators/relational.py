@@ -3177,12 +3177,18 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     defer=True,
 )
 def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E209: ClickHouse ``nonNegativeDerivative`` (Prometheus ``rate()``):
-    the per-second derivative of a per-entity counter series, treating a
+    """E209: Prometheus ``rate()`` counter-reset semantics: the
+    per-second derivative of a per-entity counter series, treating a
     value DROP as a counter reset (the post-reset value IS the increase)
-    rather than a negative rate — the monitoring idiom for ingest/QPS
-    counters that restart from zero. user_id < 5 bounds the emitted rows
-    (q_ema's reporting convention); the computation shape is corpus-wide.
+    — the monitoring idiom for ingest/QPS counters that restart from
+    zero. NOTE this deliberately differs from ClickHouse's
+    ``nonNegativeDerivative``, which clamps a negative delta to 0
+    instead of taking the new value as the increase; and since the reset
+    branch emits the raw new value, a series that can go NEGATIVE can
+    emit a negative "rate" here (Prometheus counters are nonnegative by
+    contract, so this only matters for misuse on gauge-like inputs).
+    user_id < 5 bounds the emitted rows (q_ema's reporting convention);
+    the computation shape is corpus-wide.
 
     One lag window inside a single user_id sort-shuffle; the reset CASE
     and the division are row-local, so at 100 TB this is exactly the

@@ -1438,3 +1438,30 @@ def test_star_modifier_expansion(spark):
     ]:
         with pytest.raises(ValueError, match=msg):
             ch_sql(spark, bad)
+
+
+def test_star_except_paren_less_and_chained(spark):
+    """ADVICE r10: the CH-valid paren-less `* EXCEPT col` and chained
+    `* EXCEPT(a) EXCEPT(b)` forms both normalize to the ONE
+    parenthesized list Spark's native `* EXCEPT` accepts — including
+    over a subquery, where the schema-based expander would refuse."""
+    from clickhouse_mergetree_spark.chsql import ch_sql
+
+    spark.createDataFrame(
+        [(1, "a", 2.0, 3.0), (2, "b", 3.0, 4.0)],
+        "id long, s string, v double, w double",
+    ).createOrReplaceTempView("star_t2")
+    bare = ch_sql(spark, "SELECT * EXCEPT s FROM star_t2")
+    assert bare.columns == ["id", "v", "w"]
+    chained = ch_sql(spark, "SELECT * EXCEPT(s) EXCEPT(w) FROM star_t2")
+    assert chained.columns == ["id", "v"]
+    mixed = ch_sql(spark, "SELECT * EXCEPT s EXCEPT(w) FROM star_t2")
+    assert mixed.columns == ["id", "v"]
+    # EXCEPT-only collapse needs no schema: subqueries still work
+    sub = ch_sql(spark, "SELECT * EXCEPT v EXCEPT(w) FROM "
+                        "(SELECT * FROM star_t2) q")
+    assert sub.columns == ["id", "s"]
+    # a set-operation EXCEPT after FROM must NOT trip the gate
+    setop = ch_sql(spark, "SELECT * FROM star_t2 EXCEPT "
+                          "SELECT * FROM star_t2 WHERE id = 2")
+    assert [r["id"] for r in setop.collect()] == [1]

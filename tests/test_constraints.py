@@ -91,3 +91,36 @@ def test_drop_constraint_and_reopen(table, spark):
 def test_add_constraint_validates_expression(table):
     with pytest.raises(Exception):
         table.add_constraint("bad", "score >>> 1")
+
+
+def test_partitioned_insert_rejection_is_atomic(spark):
+    """A violation in a LATER partition split must leave the whole insert
+    unapplied: no part from any earlier (clean) split may be visible, no
+    orphan dirs may survive. ClickHouse validates the insert block before
+    any part is committed; the flush commits the manifest only after
+    every split's write job passed its CHECK observation."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="constraint_part_")
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=100,
+                          key_col="key", ts_col="ts_us",
+                          partition_col="key")
+    t = SparkMergeTree(spark, base, schema=SCHEMA, config=cfg)
+    try:
+        t.add_constraint("pos_score", "score > 0")
+        # split for key=1 is clean; split for key=2 (sorted later) violates
+        t.insert_rows([(1, 10, 1.0), (1, 11, 2.0), (2, 20, -1.0)])
+        with pytest.raises(ValueError, match="pos_score"):
+            t.flush()
+        assert t.total_rows() == 0
+        assert t.part_count() == 0
+        dirs = [d for d in os.listdir(base) if d.startswith("part_")]
+        assert dirs == []
+        # the table still works after the rejected insert
+        t.insert_rows([(1, 10, 1.0), (2, 20, 3.0)])
+        t.flush()
+        assert t.total_rows() == 2
+        assert t.part_count() == 2  # one part per partition value
+    finally:
+        t.close()
+        shutil.rmtree(base, ignore_errors=True)

@@ -582,4 +582,29 @@ def test_enum_columns_map_to_checked_strings(spark, tmp_path):
             spark, [(3, 3, "bogus", "a")], cols), row_count=1)
         t.flush()
     assert t.total_rows() == 2  # rejected batch left the table untouched
+    # the declared label→value mapping is preserved for sort-sensitive
+    # consumers (the stored column itself sorts lexically — documented
+    # deviation from CH's numeric enum order)
+    assert t.manifest.table_meta["enum_values"] == {
+        "state": {"new": 1, "sent": 2, "done": 3},
+        "tag": {"a": -1, "b": 2},
+    }
     t.close()
+
+
+def test_enum_auto_increment_values(tmp_path):
+    """CH value assignment without explicit '=': first label is 1, then
+    previous+1; explicit assignments reset the counter."""
+    from clickhouse_mergetree_spark.engine.ddl import parse_create_table
+
+    parsed = parse_create_table("""
+        CREATE TABLE et2 (
+            k UInt64, ts UInt64,
+            a Enum8('x', 'y', 'z'),
+            b Enum16('p' = 5, 'q', 'r' = -2, 's')
+        ) ENGINE = MergeTree() ORDER BY (k, ts)
+    """)
+    assert parsed["enums"] == {
+        "a": {"x": 1, "y": 2, "z": 3},
+        "b": {"p": 5, "q": 6, "r": -2, "s": -1},
+    }
