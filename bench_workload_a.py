@@ -33,9 +33,18 @@ def methodology() -> dict[str, object]:
             "workload_a_bloom_index": BLOOM_INDEX}
 
 
-def run_workload_a(spark: SparkSession) -> dict[str, float]:
+def run_workload_a(spark: SparkSession, scale: int = 1) -> dict[str, float]:
+    """scale=1 is the reference-shaped baseline (50k rows / 10k keys /
+    10 parts). scale=N multiplies rows, keys, and the flush threshold
+    together, so the part COUNT and versions-per-key stay fixed while
+    every part is N× bigger — the scaling-rehearsal shape (the range
+    scan still covers ~10% of the keyspace, bounds computed from
+    NUM_KEYS so they track the scale)."""
     from clickhouse_mergetree_spark.engine import MergeTreeConfig, SparkMergeTree
 
+    num_rows = NUM_ROWS * scale
+    num_keys = NUM_KEYS * scale
+    batch_rows = BATCH_ROWS * scale
     base = scratch_dir("workload_a_")
     # Bloom off: this workload is the like-for-like comparison against the
     # reference's test_performance, which builds no skipping index on its
@@ -43,24 +52,28 @@ def run_workload_a(spark: SparkSession) -> dict[str, float]:
     # 5k-row demo parts, amortized at real part sizes) is measured by the
     # engine feature queries that actually exercise it (q_point_lookup
     # pruning via q_mergetree_engine/source).
-    cfg = MergeTreeConfig(memtable_flush_threshold=BATCH_ROWS, max_parts=4,
+    cfg = MergeTreeConfig(memtable_flush_threshold=batch_rows, max_parts=4,
                           enable_bloom_index=BLOOM_INDEX)
     out: dict[str, float] = {}
     try:
         t = SparkMergeTree(spark, base, config=cfg)
 
-        rows = spark.range(NUM_ROWS).select(
-            F.format_string("key_%05d", (F.col("id") % NUM_KEYS)).alias("key"),
+        # %05d keeps every key the same width up to scale 10 (keys
+        # 0..99999), so lexical range-scan bounds stay order-correct
+        width = max(5, len(str(num_keys - 1)))
+        rows = spark.range(num_rows).select(
+            F.format_string(f"key_%0{width}d",
+                            (F.col("id") % num_keys)).alias("key"),
             F.format_string("value_%d", F.col("id")).alias("value"),
             F.col("id").cast("long").alias("timestamp"),
         )
 
         t0 = time.perf_counter()
-        for b in range(NUM_ROWS // BATCH_ROWS):
+        for b in range(num_rows // batch_rows):
             batch = rows.filter(
-                (F.col("timestamp") >= b * BATCH_ROWS)
-                & (F.col("timestamp") < (b + 1) * BATCH_ROWS))
-            t.insert_batch(batch, row_count=BATCH_ROWS)
+                (F.col("timestamp") >= b * batch_rows)
+                & (F.col("timestamp") < (b + 1) * batch_rows))
+            t.insert_batch(batch, row_count=batch_rows)
         t.flush()
         out["insert_sec"] = time.perf_counter() - t0
         out["parts_after_insert"] = float(t.part_count())
@@ -71,7 +84,9 @@ def run_workload_a(spark: SparkSession) -> dict[str, float]:
         out["parts_after_optimize"] = float(t.part_count())
 
         t2 = time.perf_counter()
-        n = t.query("key_01000", "key_02000").count()
+        lo = f"key_{num_keys // 10:0{width}d}"
+        hi = f"key_{num_keys // 5:0{width}d}"
+        n = t.query(lo, hi).count()
         out["range_scan_sec"] = time.perf_counter() - t2
         out["range_scan_rows"] = float(n)
 

@@ -25,13 +25,18 @@ pruning, join reordering, whole-stage codegen — translation happens once
 on a string, never per row.
 
 Documented deviations (ClickHouse aggregates return DEFAULT values over
-empty sets): sumIf over zero matching rows is coalesced to 0 and avgIf
-to nan (both CH-exact, r9/r10); minIf/maxIf (CH: the value type's
-default — 0 / '' / epoch) stay NULL when no row matches — the
-string-level translator has no schema to type the default, and a
-wrong-typed coalesce would error or corrupt. WITH TOTALS over an empty
-input yields no rows (Spark GROUPING SETS), where ClickHouse emits a
-zero-aggregate totals block.
+empty sets — CH 24.x behavior, verified against the 24.x SQL reference
+"Aggregate Function Combinators: -If" + "uniq" docs; CH only returns
+NULL-on-empty under the -OrNull combinator or when
+`aggregate_functions_null_for_empty` is enabled): countIf/sumIf/uniqIf
+over zero matching rows are 0 and avgIf is nan (all four CH-exact here,
+r9/r10/r11); minIf/maxIf (CH: the value type's default — 0 / '' /
+epoch) stay NULL when no row matches — the string-level translator has
+no schema to type the default, and a wrong-typed coalesce would error
+or corrupt. A migrating user who needs CH's exact minIf/maxIf
+empty-match value can write `coalesce(minIf(...), <typed default>)`
+explicitly. WITH TOTALS over an empty input yields no rows (Spark
+GROUPING SETS), where ClickHouse emits a zero-aggregate totals block.
 """
 
 from __future__ import annotations

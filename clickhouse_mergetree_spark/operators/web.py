@@ -669,3 +669,88 @@ def q_fn_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "px", "py",
         n_cross.cast("bigint").alias("n_crossings"),
         (n_cross % 2 == 1).alias("inside"))
+
+
+# Many-edge polygon for the FOLD variant (E225): a 16-tooth comb — 67
+# edges, strongly concave (the slits carve 16 disjoint notches out of
+# the bbox). Every coordinate is an exact half (integer/2), so decimal
+# literals parse to bit-identical doubles on both engines and the ray
+# cast needs no rounding anywhere.
+def _comb_edges() -> list[tuple[float, float, float, float]]:
+    pts = [(0.0, 0.0), (48.0, 0.0), (48.0, 30.0)]
+    for k in range(16):
+        xr = 46.5 - 3.0 * k
+        xl = xr - 1.5
+        pts += [(xr, 30.0), (xr, 12.0), (xl, 12.0), (xl, 30.0)]
+    return [(x1, y1, x2, y2)
+            for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1])]
+
+
+_COMB = _comb_edges()
+_COMB_SPARK = "array(" + ", ".join(
+    f"named_struct('x1', CAST({x1!r} AS DOUBLE), 'y1', CAST({y1!r} AS DOUBLE), "
+    f"'x2', CAST({x2!r} AS DOUBLE), 'y2', CAST({y2!r} AS DOUBLE))"
+    for x1, y1, x2, y2 in _COMB) + ")"
+_COMB_DUCK = "[" + ", ".join(
+    f"struct_pack(x1 := CAST({x1!r} AS DOUBLE), y1 := CAST({y1!r} AS DOUBLE), "
+    f"x2 := CAST({x2!r} AS DOUBLE), y2 := CAST({y2!r} AS DOUBLE))"
+    for x1, y1, x2, y2 in _COMB) + "]"
+_FOLD_CROSS = ("((e.y1 > py) <> (e.y2 > py)) AND "
+               "px < (e.x2 - e.x1) * (py - e.y1) / (e.y2 - e.y1) + e.x1")
+
+
+@declared_query(
+    "q_point_in_polygon_fold",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey, {_PX_SQL} AS px, {_PY_SQL} AS py
+            FROM customer
+        )
+        SELECT c_custkey, px, py,
+               CAST(list_sum(list_transform({_COMB_DUCK},
+                    e -> CASE WHEN {_FOLD_CROSS} THEN 1 ELSE 0 END))
+                    AS BIGINT) AS n_crossings,
+               list_sum(list_transform({_COMB_DUCK},
+                    e -> CASE WHEN {_FOLD_CROSS} THEN 1 ELSE 0 END))
+                    % 2 = 1 AS inside
+        FROM pts
+    """,
+    defer=True,
+)
+def q_point_in_polygon_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E225: many-edge ``pointInPolygon`` — the scale path E222's
+    docstring promises: instead of unrolling one CASE per edge (fine at
+    5 edges, absurd at 5,000), the polygon is ONE array-of-structs
+    literal and the even-odd crossing count is a single ``aggregate``
+    higher-order function folded over it (E87's HOF pattern). The
+    67-edge comb polygon is strongly concave (16 slits inside the
+    bbox), so bbox or convexity shortcuts would misclassify ~30% of the
+    box — the fold must actually walk the edges.
+
+    Scale shape: still zero shuffles and pure scan throughput. The HOF
+    evaluates JVM-side inside codegen (no Python), the polygon constant
+    is broadcast as part of the plan (exactly how CH ships the constant
+    polygon to every core), and cost is O(rows x edges) row-local work
+    — at a real 5,000-edge polygon the same plan holds, or the edge
+    array moves to a broadcast-joined dimension table with one struct
+    row per edge and a groupBy-parity finish. Coordinates are exact
+    halves so both engines fold bit-identical doubles — no rounding,
+    no signed-zero hazard (counts and booleans out).
+
+    Reference: ClickHouse ``pointInPolygon((x, y), [(x1, y1), ...])``
+    — the reference engine has no geo layer (SURVEY §2.A n/a); CH's
+    grid-index optimization applies above ~1e4 edges, below which it
+    runs this same linear walk per point.
+    """
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 500).cast("double") / 10.0).alias("px"),
+        ((F.col("c_custkey") * 73 % 400).cast("double") / 10.0).alias("py"))
+    n_cross = F.expr(
+        f"aggregate({_COMB_SPARK}, 0L, (acc, e) -> acc + "
+        f"IF({_FOLD_CROSS.replace('<>', '!=')}, 1L, 0L))")
+    return pts.select(
+        "c_custkey", "px", "py",
+        n_cross.alias("n_crossings"),
+        (n_cross % 2 == 1).alias("inside"))

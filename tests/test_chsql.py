@@ -1334,15 +1334,16 @@ def test_if_combinator_empty_match_family(spark):
     rows = {r["g"]: r for r in ch_sql(spark, """
         SELECT g, countIf(v > 10) AS c, sumIf(v, v > 10) AS s,
                avgIf(v, v > 10) AS a, minIf(v, v > 10) AS mn,
-               maxIf(v, v > 10) AS mx
+               maxIf(v, v > 10) AS mx, uniqIf(v, v > 10) AS u
         FROM ifagg_probe GROUP BY g
     """).collect()}
     g1, g2 = rows["g1"], rows["g2"]
     assert g1["c"] == 0 and g1["s"] == 0          # CH-exact defaults
     assert math.isnan(g1["a"])                     # CH-exact: 0/0 = nan
+    assert g1["u"] == 0                            # CH-exact: uniq() = 0
     assert g1["mn"] is None and g1["mx"] is None   # documented deviation
-    assert (g2["c"], g2["s"], g2["a"], g2["mn"], g2["mx"]) == (
-        1, 50, 50.0, 50, 50)
+    assert (g2["c"], g2["s"], g2["a"], g2["mn"], g2["mx"], g2["u"]) == (
+        1, 50, 50.0, 50, 50, 1)
 
 
 def test_numbers_table_function(spark):
