@@ -861,15 +861,27 @@ PQ_ITERS = 5
 PQ_SHORTLIST = 100    # ADC candidates kept for the exact rerank
 
 
+_PQ_MEMO: dict[tuple[str, int, int], np.ndarray] = {}
+
+
 def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
                        iters: int = PQ_ITERS,
-                       sample_cap: int = 4096) -> np.ndarray:
+                       sample_cap: int = 4096,
+                       memo_key: str | None = None) -> np.ndarray:
     """Per-subspace Lloyd's k-means over L2-NORMALIZED vectors from the
     same bounded deterministic sample the IVF trainer uses (codebooks
     model the distribution; training never needs the full corpus).
     Normalizing first makes ADC-L2 rank ≡ cosine rank, so the PQ
     shortlist feeds a cosine rerank without metric mismatch. Returns
-    (m, ks, dim/m) float64, deterministic given the corpus."""
+    (m, ks, dim/m) float64, deterministic given the corpus.
+
+    ``memo_key`` (normally the sf_dir): training is deterministic given
+    the corpus, so memoizing per corpus is semantics-free and mirrors
+    production where the codebook is an offline artifact — the same
+    contract as trained_centroids' _TRAIN_MEMO. Callers on ad-hoc frames
+    (the planted-corpus recall test) pass no key and always retrain."""
+    if memo_key is not None and (memo_key, m, ks) in _PQ_MEMO:
+        return _PQ_MEMO[(memo_key, m, ks)]
     sampled = (
         emb.select("vec_id", "embedding")
         .orderBy(F.xxhash64("vec_id"), "vec_id")
@@ -893,18 +905,22 @@ def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
                 if len(pts):
                     cents[j] = pts.mean(0)
         books.append(cents)
-    return np.stack(books)
+    out = np.stack(books)
+    if memo_key is not None:
+        _PQ_MEMO[(memo_key, m, ks)] = out
+    return out
 
 
 def sim_search_pq_on(emb: DataFrame, query_vec_id: int = QUERY_VEC_ID,
                      top_k: int = TOP_K,
-                     persist_shortlist: str | None = None) -> DataFrame:
+                     persist_shortlist: str | None = None,
+                     memo_key: str | None = None) -> DataFrame:
     """PQ + ADC + exact-rerank core over any (vec_id, embedding) frame
     (the planted-corpus recall test drives this directly).
     ``persist_shortlist``: optional parquet dir the ADC shortlist is
     written to (and re-read from) so an oracle can audit the rerank."""
     spark = emb.sparkSession
-    books = train_pq_codebooks(emb)
+    books = train_pq_codebooks(emb, memo_key=memo_key)
     q = (emb.filter(F.col("vec_id") == query_vec_id)
          .select("embedding").toPandas())
     qv = np.asarray(q["embedding"][0], dtype=np.float64)
@@ -1023,7 +1039,8 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     isotropic noise — PQ's adversarial case; real embedding corpora
     cluster and run a far smaller shortlist."""
     return sim_search_pq_on(load(spark, sf_dir, "embeddings"),
-                            persist_shortlist=_PQ_SHORTLIST_DIR)
+                            persist_shortlist=_PQ_SHORTLIST_DIR,
+                            memo_key=sf_dir)
 
 
 # ---------------------------------------------------------------------------
