@@ -246,15 +246,38 @@ def _prefix_filtered_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1)
         .persist()
     )
+    # Prefix rows carry (n_sh, pos) so the candidate join can apply the
+    # other two canonical PPJoin filters IN the join condition — both
+    # provably lossless for J >= t, so the emitted pair set is identical:
+    #   length filter:     J >= t  =>  min(|A|,|B|) >= t * max(|A|,|B|)
+    #   positional filter: a pair first meeting at prefix positions
+    #     (pa, pb) has overlap <= 1 + min(|A| - pa, |B| - pb), which must
+    #     reach ceil(t/(1+t) * (|A|+|B|)).
+    # Why they matter at scale: prefix filtering alone bounds WHICH
+    # shingles are indexed, but a corpus whose shingle vocabulary
+    # saturates (the sf fixtures' 31-word vocab tops out at 31^3 distinct
+    # 3-shingles, so df grows linearly with corpus size) still emits
+    # ~sum(df^2) bucket pairs. The r11 sf1 scaling rehearsal measured
+    # 20x at 10x data without these; the two extra predicates evaluate
+    # per candidate row BEFORE the distinct+verify shuffle and restore
+    # the survivor set to near-linear (BENCH_SCALING.json).
     prefix = grouped.select(
-        "doc_id",
-        F.explode(F.slice("sset", 1, F.col("plen").cast("int")))
-        .alias("shingle"))
+        "doc_id", "n_sh",
+        F.posexplode(F.slice("sset", 1, F.col("plen").cast("int")))
+        .alias("pos", "shingle"))
+    t = float(JACCARD_THRESHOLD)
+    minov = F.ceil(F.lit(t / (1.0 + t))
+                   * (F.col("a.n_sh") + F.col("b.n_sh")))
+    ubound = 1 + F.least(F.col("a.n_sh") - F.col("a.pos"),
+                         F.col("b.n_sh") - F.col("b.pos"))
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"),
               (F.col("a.shingle") == F.col("b.shingle"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
+              & (F.col("a.doc_id") < F.col("b.doc_id"))
+              & (F.least("a.n_sh", "b.n_sh")
+                 >= F.lit(t) * F.greatest("a.n_sh", "b.n_sh"))
+              & (ubound >= minov))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
