@@ -1492,6 +1492,17 @@ def _run_array_join(spark, s: str, m: re.Match):
     rest = tail[em.start():] if em else ""
     items = []  # (translated expr, element name, replaces_source_col)
     for it in _split_top(items_txt, r","):
+        if it.lstrip().startswith("("):
+            # `ARRAY JOIN (a, b) AS t` — a parenthesized tuple is not an
+            # array on either engine (CH rejects it too: ARRAY JOIN needs
+            # Array arguments, and (a, b) is a Tuple). Refuse here with
+            # the lockstep rewrite instead of letting posexplode die in
+            # analysis with a DATATYPE_MISMATCH on a named_struct.
+            raise ValueError(
+                f"ARRAY JOIN item {it.strip()!r} is a parenthesized tuple "
+                "- not an array (ClickHouse rejects this shape too). For "
+                "lockstep expansion write each array as its own item: "
+                "ARRAY JOIN a AS ea, b AS eb")
         am = re.match(r"(?is)^(.*?)\s+AS\s+([\w`]+)\s*$", it)
         if am:
             items.append((_translate_expr(am.group(1).strip()),

@@ -1027,6 +1027,11 @@ def test_array_join_refuses_unroutable_shapes(spark, views):
     with pytest.raises(ValueError, match="AS alias"):
         ch_sql(spark,
                "SELECT 1 FROM orders ARRAY JOIN arrayConcat(a, b)")
+    # a parenthesized tuple is not an array (CH rejects it too): loud
+    # refusal with the lockstep rewrite, not a posexplode analysis error
+    with pytest.raises(ValueError, match="parenthesized tuple"):
+        ch_sql(spark,
+               "SELECT 1 FROM orders ARRAY JOIN (a, b) AS t")
     # the string-level translator still refuses loudly
     with pytest.raises(ValueError, match="no 1:1 Spark translation"):
         translate_select("SELECT x FROM t ARRAY JOIN xs AS x")
