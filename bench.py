@@ -138,10 +138,14 @@ def main() -> None:
     # DECIMAL(38,18) partial+final agg pays its own codegen/JIT
     # compilation (~1s), which would otherwise land on q_corr_matrix
     # (or whichever decimal-moment query runs first alphabetically).
-    spark.range(100_000).selectExpr(
-        "CAST(id AS DECIMAL(38,18)) AS d").selectExpr(
-        "sum(d * CAST(0.5 AS DECIMAL(38,18))) AS s",
-        "sum(d) AS t").write.format("noop").mode("overwrite").save()
+    try:
+        spark.range(100_000).selectExpr(
+            "CAST(id AS DECIMAL(38,18)) AS d").selectExpr(
+            "sum(d * CAST(0.5 AS DECIMAL(38,18))) AS s",
+            "sum(d) AS t").write.format("noop").mode("overwrite").save()
+    except Exception:
+        _log(f"decimal pre-warm: FAILED (non-fatal)\n"
+             f"{traceback.format_exc()}")
 
     # --reps N (default 1, driver-compatible): time each query N times
     # back-to-back and keep the per-query MINIMUM. Single runs on this

@@ -711,7 +711,12 @@ _STAR_MOD_GATE = re.compile(
     # both normalize to a single native `* EXCEPT (...)` below. A single
     # parenthesized EXCEPT stays out of the gate — it is native Spark 4
     # and must keep passing through untouched (works inside CTEs too).
-    r"|\*\s*EXCEPT\s*(?!\()"
+    # \b stops identifiers that merely START with 'except' (e.g.
+    # `* exceptions`), and the lookahead must swallow the whitespace
+    # ITSELF ((?!\s*\()) — with a bare (?!\() the engine backtracks
+    # `\s*` one step and matches `* EXCEPT (col)` WITH a space, which is
+    # native Spark and must not trip the gate (r11 review find).
+    r"|\*\s*EXCEPT\b(?!\s*\()"
     r"|\*\s*EXCEPT\s*\([^()]*\)\s*EXCEPT\b")
 
 
@@ -1492,17 +1497,24 @@ def _run_array_join(spark, s: str, m: re.Match):
     rest = tail[em.start():] if em else ""
     items = []  # (translated expr, element name, replaces_source_col)
     for it in _split_top(items_txt, r","):
-        if it.lstrip().startswith("("):
-            # `ARRAY JOIN (a, b) AS t` — a parenthesized tuple is not an
-            # array on either engine (CH rejects it too: ARRAY JOIN needs
-            # Array arguments, and (a, b) is a Tuple). Refuse here with
-            # the lockstep rewrite instead of letting posexplode die in
-            # analysis with a DATATYPE_MISMATCH on a named_struct.
-            raise ValueError(
-                f"ARRAY JOIN item {it.strip()!r} is a parenthesized tuple "
-                "- not an array (ClickHouse rejects this shape too). For "
-                "lockstep expansion write each array as its own item: "
-                "ARRAY JOIN a AS ea, b AS eb")
+        stripped = it.lstrip()
+        if stripped.startswith("("):
+            close = _match_paren(stripped, 0)
+            inner = stripped[1:close]
+            if len(_split_top(inner, r",")) > 1:
+                # `ARRAY JOIN (a, b) AS t` — a parenthesized TUPLE is not
+                # an array on either engine (CH rejects it too: ARRAY
+                # JOIN needs Array arguments, and (a, b) is a Tuple).
+                # Refuse with the lockstep rewrite instead of letting
+                # posexplode die in analysis with a DATATYPE_MISMATCH.
+                raise ValueError(
+                    f"ARRAY JOIN item {it.strip()!r} is a parenthesized "
+                    "tuple - not an array (ClickHouse rejects this shape "
+                    "too). For lockstep expansion write each array as its "
+                    "own item: ARRAY JOIN a AS ea, b AS eb")
+            # single-element parens are plain grouping (valid CH):
+            # unwrap and parse the item normally
+            it = inner + stripped[close + 1:]
         am = re.match(r"(?is)^(.*?)\s+AS\s+([\w`]+)\s*$", it)
         if am:
             items.append((_translate_expr(am.group(1).strip()),

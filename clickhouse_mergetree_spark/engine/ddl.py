@@ -209,7 +209,7 @@ def parse_create_table(ddl: str) -> dict:
             raise ValueError(f"unparsable column definition {item!r}")
         col = fm.group(1).strip("`")
         nullable = bool(re.search(r"(?i)nullable\(", fm.group(2)))
-        em = re.search(r"(?i)enum(?:8|16)\s*\((.+)\)", fm.group(2))
+        em = re.search(r"(?i)enum(8|16)\s*\((.+)\)", fm.group(2))
         if em:
             # Enum8/16 -> string + an implicit membership CHECK: the
             # engine has no dictionary-encoded type, but the Enum
@@ -229,7 +229,7 @@ def parse_create_table(ddl: str) -> dict:
             # the capture is greedy (Nullable(Enum8(...)) drags extra
             # trailing parens along) — truncate at the balanced close,
             # quote-aware so a ')' inside a label doesn't end the scan
-            raw, depth, quote, end = em.group(1), 1, None, None
+            raw, depth, quote, end = em.group(2), 1, None, None
             for i, ch in enumerate(raw):
                 if quote:
                     quote = None if ch == quote else quote
@@ -250,14 +250,29 @@ def parse_create_table(ddl: str) -> dict:
             # auto-increment from the previous value (first label = 1).
             mapping: dict[str, int] = {}
             prev = 0
+            lo, hi = ((-128, 127) if em.group(1) == "8"
+                      else (-32768, 32767))
             for part in _split_top_level(body_enum):
                 pm = re.match(r"(?s)^\s*'([^']*)'\s*(?:=\s*(-?\d+))?\s*$",
                               part)
                 if not pm:
                     raise ValueError(f"unparsable Enum item {part!r}")
                 val = int(pm.group(2)) if pm.group(2) else prev + 1
+                # CH rejects both at CREATE: duplicate labels and values
+                # outside the Enum8/Enum16 storage type's range
+                if pm.group(1) in mapping:
+                    raise ValueError(
+                        f"duplicate Enum label {pm.group(1)!r} in {item!r}")
+                if not lo <= val <= hi:
+                    raise ValueError(
+                        f"Enum{em.group(1)} value {val} for label "
+                        f"{pm.group(1)!r} is outside [{lo}, {hi}]")
                 mapping[pm.group(1)] = val
                 prev = val
+            if len(set(mapping.values())) != len(mapping):
+                raise ValueError(
+                    f"duplicate Enum value in {item!r} "
+                    f"(mapping: {mapping})")
             enums[col] = mapping
             quoted = ", ".join(f"'{label}'" for label in labels)
             pred = f"`{col}` IN ({quoted})"

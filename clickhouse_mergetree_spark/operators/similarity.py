@@ -861,7 +861,7 @@ PQ_ITERS = 5
 PQ_SHORTLIST = 100    # ADC candidates kept for the exact rerank
 
 
-_PQ_MEMO: dict[tuple[str, int, int], np.ndarray] = {}
+_PQ_MEMO: dict[tuple[str, int, int, int, int], np.ndarray] = {}
 
 
 def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
@@ -880,8 +880,9 @@ def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
     production where the codebook is an offline artifact — the same
     contract as trained_centroids' _TRAIN_MEMO. Callers on ad-hoc frames
     (the planted-corpus recall test) pass no key and always retrain."""
-    if memo_key is not None and (memo_key, m, ks) in _PQ_MEMO:
-        return _PQ_MEMO[(memo_key, m, ks)]
+    cache_key = (memo_key, m, ks, iters, sample_cap)
+    if memo_key is not None and cache_key in _PQ_MEMO:
+        return _PQ_MEMO[cache_key]
     sampled = (
         emb.select("vec_id", "embedding")
         .orderBy(F.xxhash64("vec_id"), "vec_id")
@@ -907,7 +908,7 @@ def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
         books.append(cents)
     out = np.stack(books)
     if memo_key is not None:
-        _PQ_MEMO[(memo_key, m, ks)] = out
+        _PQ_MEMO[cache_key] = out
     return out
 
 

@@ -1032,6 +1032,14 @@ def test_array_join_refuses_unroutable_shapes(spark, views):
     with pytest.raises(ValueError, match="parenthesized tuple"):
         ch_sql(spark,
                "SELECT 1 FROM orders ARRAY JOIN (a, b) AS t")
+    # ...but single-element parens are plain grouping (valid CH):
+    # unwrapped and routed normally (r11 review find)
+    got = sorted(r["t"] for r in ch_sql(spark, """
+        SELECT t FROM orders
+        ARRAY JOIN (splitByChar('-', o_orderpriority)) AS t
+        WHERE o_orderkey = 1
+    """).collect())
+    assert len(got) == 2  # '1-URGENT'-style priority splits into 2 tokens
     # the string-level translator still refuses loudly
     with pytest.raises(ValueError, match="no 1:1 Spark translation"):
         translate_select("SELECT x FROM t ARRAY JOIN xs AS x")
@@ -1471,3 +1479,16 @@ def test_star_except_paren_less_and_chained(spark):
     setop = ch_sql(spark, "SELECT * FROM star_t2 EXCEPT "
                           "SELECT * FROM star_t2 WHERE id = 2")
     assert [r["id"] for r in setop.collect()] == [1]
+    # r11 review finds: native `* EXCEPT (col)` WITH a space before the
+    # paren must stay out of the gate (backtracking trap) — including
+    # inside a CTE, where the rewriter would refuse loudly...
+    cte = ch_sql(spark, "WITH q AS (SELECT id, s, v FROM star_t2) "
+                        "SELECT * EXCEPT (s) FROM q")
+    assert cte.columns == ["id", "v"]
+    # ...and an identifier merely STARTING with 'except' after a `*`
+    # must not look like a star modifier
+    spark.createDataFrame([(2, 3)], "id long, exceptions long") \
+        .createOrReplaceTempView("star_t3")
+    ident = ch_sql(spark, "WITH q AS (SELECT id, exceptions FROM star_t3)"
+                          " SELECT id * exceptions AS x FROM q")
+    assert [r["x"] for r in ident.collect()] == [6]

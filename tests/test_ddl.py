@@ -608,3 +608,28 @@ def test_enum_auto_increment_values(tmp_path):
         "a": {"x": 1, "y": 2, "z": 3},
         "b": {"p": 5, "q": 6, "r": -2, "s": -1},
     }
+
+
+def test_enum_rejects_duplicates_and_out_of_range(tmp_path):
+    """CH rejects the CREATE for duplicate labels, duplicate values, and
+    values outside the Enum8/16 storage range — so must the parser
+    (r11 review find: these were silently accepted)."""
+    import pytest
+
+    from clickhouse_mergetree_spark.engine.ddl import parse_create_table
+
+    def ddl(col_def: str) -> str:
+        return (f"CREATE TABLE t (k UInt64, ts UInt64, c {col_def}) "
+                "ENGINE = MergeTree() ORDER BY (k, ts)")
+
+    with pytest.raises(ValueError, match="duplicate Enum label"):
+        parse_create_table(ddl("Enum8('a' = 1, 'a' = 2)"))
+    with pytest.raises(ValueError, match="duplicate Enum value"):
+        parse_create_table(ddl("Enum8('a' = 1, 'b' = 1)"))
+    with pytest.raises(ValueError, match=r"outside \[-128, 127\]"):
+        parse_create_table(ddl("Enum8('x' = 300)"))
+    with pytest.raises(ValueError, match=r"outside \[-32768, 32767\]"):
+        parse_create_table(ddl("Enum16('x' = 40000)"))
+    # auto-increment past the range boundary is also rejected
+    with pytest.raises(ValueError, match=r"outside \[-128, 127\]"):
+        parse_create_table(ddl("Enum8('a' = 127, 'b')"))

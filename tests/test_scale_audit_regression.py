@@ -4,11 +4,14 @@ product, row-at-a-time Python, or a shuffle explosion into a
 scale-critical query fails HERE instead of waiting for a judge to
 re-read plans.
 
-Scope: the data-bound queries whose fn() is a lazy plan build (no
-engine-fixture inserts), so the whole sweep is explain-only — no jobs
-run. The full 294-query audit stays in tools/scale_audit.py (it builds
-engine fixtures eagerly and belongs in the per-round artifact, not the
-test gate).
+Scope: the data-bound queries with no engine-fixture inserts — mostly
+lazy plan builds, though a few run bounded model-build jobs inside fn()
+(q_dedup_clusters' CC-labels fixpoint, q_near_dedup's persisted
+candidate table) and some call spark.catalog.clearCache() (their
+documented contract; each test here builds what it needs, so the
+shared-session cache drop is harmless). The full-registry audit stays
+in tools/scale_audit.py (it builds engine fixtures eagerly and belongs
+in the per-round artifact, not the test gate).
 
 Invariants per query:
   - cartesian == 0 and row_python == 0 (absolute — the two 100 TB
