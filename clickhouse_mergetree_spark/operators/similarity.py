@@ -1504,7 +1504,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id keeper per near-dup set, same as the exact-dedup convention.
     """
     emb = load(spark, sf_dir, "embeddings")
-    cents = trained_centroids(emb, sf_dir, nlist=SEMDEDUP_K)
+    # k GROWS with the corpus (the SemDeDup recipe — fixed k makes the
+    # within-cluster pair join quadratic: the r11 sf5 rehearsal measured
+    # 100k vectors / 16 cells = ~625M pairs). k = max(16, isqrt(n/8))
+    # bounds expected cluster size at ~sqrt(8n), so sum(c^2) ~ 8n·k/k =
+    # O(n^1.5) worst-case and ~linear for balanced cells, while leaving
+    # the fixture SFs' outputs bit-identical (n=200 and n=2000 both
+    # floor at 16 — the r10-verified behavior). The centroid literals
+    # stay JVM-fold plan constants at any k, so DuckDB's re-computed
+    # assignment remains bit-identical.
+    from math import isqrt
+
+    n_vecs = emb.count()
+    k = max(SEMDEDUP_K, isqrt(n_vecs // 8))
+    cents = trained_centroids(emb, sf_dir, nlist=k)
     cdf = values_df(spark, [(i, c) for i, c in enumerate(cents)],
                     [("cent_id", "int"), ("cv", "array<double>")])
     cdf.coalesce(1).write.mode("overwrite").parquet(_SEMDEDUP_CENTS_DIR)
@@ -1516,19 +1529,33 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
         return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
-    cells = F.array(*[
-        F.struct(_d2_lit(cv).alias("d2"), F.lit(i).alias("cent_id"))
-        for i, cv in enumerate(cents)
-    ])
     norm = F.sqrt(F.aggregate(
         F.zip_with("embedding", "embedding",
                    lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
-    assigned = emb.select(
-        "vec_id", "embedding",
-        F.array_min(cells).getField("cent_id").alias("cent_id"),
-        norm.alias("nrm"),
-    )
+    if k == SEMDEDUP_K:
+        # fixture scale: plan-literal argmin — sequential JVM folds are
+        # bit-identical with the oracle's list folds, so DuckDB can
+        # re-derive every assignment from the persisted centroids
+        cells = F.array(*[
+            F.struct(_d2_lit(cv).alias("d2"), F.lit(i).alias("cent_id"))
+            for i, cv in enumerate(cents)
+        ])
+        assigned = emb.select(
+            "vec_id", "embedding",
+            F.array_min(cells).getField("cent_id").alias("cent_id"),
+            norm.alias("nrm"),
+        )
+    else:
+        # scaled corpora (no oracle runs here): the literal-fold argmin
+        # grows the PLAN linearly with k (Catalyst analysis + interpreted
+        # HOF lambdas — measured 2.3 s -> 29 s at sf1 going k=16 -> 50),
+        # so assignment switches to the IVF family's Arrow pass: one
+        # numpy d2 matmul + row-wise argmin per batch, same argmin-L2 /
+        # lowest-cent_id tie semantics
+        assigned = assign_cells_arrow(
+            emb.select("vec_id", "embedding", norm.alias("nrm")), cents
+        ).select("vec_id", "embedding", "cent_id", "nrm")
     a = assigned.select(F.col("vec_id").alias("a_id"),
                         F.col("embedding").alias("a_emb"),
                         F.col("cent_id"), F.col("nrm").alias("a_nrm"))
