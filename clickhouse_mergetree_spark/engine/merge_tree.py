@@ -664,6 +664,31 @@ class SparkMergeTree:
     def _write_part(self, part_id: int, df: DataFrame, n_rows: int,
                     partition: str | None = None,
                     enforce_constraints: bool = False) -> PartMeta:
+        """Guard wrapper: a part write that fails for ANY reason — CHECK
+        violation, projection write error, observation/stats failure —
+        must leave no orphan files. The manifest never saw the part, so
+        its dir would be invisible to every reclaim path (detach, merge
+        GC, recovery) and leak disk forever. The part dir and the
+        deterministic projection dirs are deleted before re-raising;
+        rmtree of a never-written path is a no-op (r11 review find: only
+        the CHECK branch rolled back, a post-write failure leaked)."""
+        try:
+            return self._write_part_files(
+                part_id, df, n_rows, partition=partition,
+                enforce_constraints=enforce_constraints)
+        except Exception:
+            shutil.rmtree(os.path.join(self.base_path, f"part_{part_id}"),
+                          ignore_errors=True)
+            for spec in (self.config.projections or []):
+                shutil.rmtree(
+                    os.path.join(self.base_path,
+                                 f"part_{part_id}_proj_{spec.name}"),
+                    ignore_errors=True)
+            raise
+
+    def _write_part_files(self, part_id: int, df: DataFrame, n_rows: int,
+                          partition: str | None = None,
+                          enforce_constraints: bool = False) -> PartMeta:
         """Sorted columnar part write (R12+R18). repartitionByRange makes
         per-file key ranges disjoint; sortWithinPartitions orders rows inside
         each file so parquet row-group min/max stats are tight — together the

@@ -543,17 +543,36 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_score_topk(candidates, qv, qnrm, TOP_K)
 
 
-_TRAIN_MEMO: dict[tuple[str, int], list[list[float]]] = {}
+_TRAIN_MEMO: dict[tuple, list[list[float]]] = {}
+
+
+def _corpus_token(sf_dir: str) -> tuple[int, int]:
+    """Cheap corpus fingerprint folded into the offline-artifact memo
+    keys (_TRAIN_MEMO / _PQ_MEMO): if the data under ``sf_dir`` is
+    regenerated within one process (e.g. a tool that rebuilds
+    scale_data/sfN and re-benches in one session), the stale codebook
+    must not be served (r11 review find). stat of the embeddings
+    parquet path — a directory's mtime changes on every overwrite —
+    costs no data scan. A non-path memo key degrades to (0, 0), i.e.
+    the r11 one-process/one-corpus behavior."""
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def trained_centroids(emb: DataFrame, sf_dir: str,
                       nlist: int = IVF_NLIST) -> list[list[float]]:
-    """Memoized sampled k-means per (sf_dir, nlist). Training is
-    deterministic (hash sample + fixed init), so every IVF-family query
-    over the same corpus derives the IDENTICAL codebook — caching it is
-    semantics-free and mirrors production, where the codebook is an
-    offline artifact shared by all queries, not retrained per query."""
-    key = (sf_dir, nlist)
+    """Memoized sampled k-means per (sf_dir, nlist, corpus fingerprint).
+    Training is deterministic (hash sample + fixed init), so every
+    IVF-family query over the same corpus derives the IDENTICAL
+    codebook — caching it is semantics-free and mirrors production,
+    where the codebook is an offline artifact shared by all queries,
+    not retrained per query."""
+    key = (sf_dir, nlist, *_corpus_token(sf_dir))
     if key not in _TRAIN_MEMO:
         _TRAIN_MEMO[key] = train_ivf_centroids_sampled(emb, nlist=nlist)
     return _TRAIN_MEMO[key]
@@ -861,7 +880,7 @@ PQ_ITERS = 5
 PQ_SHORTLIST = 100    # ADC candidates kept for the exact rerank
 
 
-_PQ_MEMO: dict[tuple[str, int, int, int, int], np.ndarray] = {}
+_PQ_MEMO: dict[tuple, np.ndarray] = {}
 
 
 def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
@@ -879,8 +898,12 @@ def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
     the corpus, so memoizing per corpus is semantics-free and mirrors
     production where the codebook is an offline artifact — the same
     contract as trained_centroids' _TRAIN_MEMO. Callers on ad-hoc frames
-    (the planted-corpus recall test) pass no key and always retrain."""
-    cache_key = (memo_key, m, ks, iters, sample_cap)
+    (the planted-corpus recall test) pass no key and always retrain.
+    The corpus fingerprint (mtime+size of the embeddings parquet) rides
+    in the key so an in-process regeneration of the corpus invalidates
+    the memo — see _corpus_token."""
+    cache_key = (memo_key, m, ks, iters, sample_cap,
+                 *(_corpus_token(memo_key) if memo_key else (0, 0)))
     if memo_key is not None and cache_key in _PQ_MEMO:
         return _PQ_MEMO[cache_key]
     sampled = (
@@ -1431,6 +1454,45 @@ SEMDEDUP_TAU = 0.35
 _SEMDEDUP_CENTS_DIR = fixed_scratch_dir("q_semdedup_cents")
 
 
+def _l2_norm_expr(col: str = "embedding") -> Column:
+    """Sequential-fold L2 norm — the exact fold order the DuckDB oracles
+    re-derive, shared by both SemDeDup assignment paths."""
+    return F.sqrt(F.aggregate(
+        F.zip_with(col, col,
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def assign_cells_literal(emb: DataFrame,
+                         cents: list[list[float]]) -> DataFrame:
+    """Plan-literal argmin-L2 cell assignment over (vec_id, embedding):
+    each centroid enters the plan as an array literal, d2 is a
+    sequential JVM fold (bit-identical with the oracle's list folds, so
+    DuckDB can re-derive every assignment from the persisted
+    centroids), and array_min over struct(d2, cent_id) breaks ties to
+    the lowest cent_id — the same tie rule as assign_cells_arrow's
+    row-wise argmin. Fixture-scale path only: the plan grows linearly
+    with len(cents) (Catalyst analysis + interpreted HOF lambdas), so
+    scaled corpora use the Arrow matmul instead. Returns
+    (vec_id, embedding, cent_id, nrm)."""
+    def _d2_lit(cv: list[float]):
+        clit = F.array(*[F.lit(float(x)) for x in cv])
+        diffs = F.zip_with(
+            "embedding", clit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    cells = F.array(*[
+        F.struct(_d2_lit(cv).alias("d2"), F.lit(i).alias("cent_id"))
+        for i, cv in enumerate(cents)
+    ])
+    return emb.select(
+        "vec_id", "embedding",
+        F.array_min(cells).getField("cent_id").alias("cent_id"),
+        _l2_norm_expr().alias("nrm"),
+    )
+
+
 def _semdedup_oracle_sql() -> str:
     # identical fold order to the Spark side (dim-by-dim, index order) so
     # every d2 and cosine is bit-identical — the q_embed_cluster pattern
@@ -1522,39 +1584,22 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [("cent_id", "int"), ("cv", "array<double>")])
     cdf.coalesce(1).write.mode("overwrite").parquet(_SEMDEDUP_CENTS_DIR)
 
-    def _d2_lit(cv: list[float]):
-        clit = F.array(*[F.lit(float(x)) for x in cv])
-        diffs = F.zip_with(
-            "embedding", clit,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-    norm = F.sqrt(F.aggregate(
-        F.zip_with("embedding", "embedding",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
     if k == SEMDEDUP_K:
         # fixture scale: plan-literal argmin — sequential JVM folds are
         # bit-identical with the oracle's list folds, so DuckDB can
         # re-derive every assignment from the persisted centroids
-        cells = F.array(*[
-            F.struct(_d2_lit(cv).alias("d2"), F.lit(i).alias("cent_id"))
-            for i, cv in enumerate(cents)
-        ])
-        assigned = emb.select(
-            "vec_id", "embedding",
-            F.array_min(cells).getField("cent_id").alias("cent_id"),
-            norm.alias("nrm"),
-        )
+        assigned = assign_cells_literal(emb, cents)
     else:
         # scaled corpora (no oracle runs here): the literal-fold argmin
         # grows the PLAN linearly with k (Catalyst analysis + interpreted
         # HOF lambdas — measured 2.3 s -> 29 s at sf1 going k=16 -> 50),
         # so assignment switches to the IVF family's Arrow pass: one
         # numpy d2 matmul + row-wise argmin per batch, same argmin-L2 /
-        # lowest-cent_id tie semantics
+        # lowest-cent_id tie semantics (branch equality pinned by
+        # tests/test_similarity_recall.py::test_semdedup_arrow_branch*)
         assigned = assign_cells_arrow(
-            emb.select("vec_id", "embedding", norm.alias("nrm")), cents
+            emb.select("vec_id", "embedding", _l2_norm_expr().alias("nrm")),
+            cents,
         ).select("vec_id", "embedding", "cent_id", "nrm")
     a = assigned.select(F.col("vec_id").alias("a_id"),
                         F.col("embedding").alias("a_emb"),

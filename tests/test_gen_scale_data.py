@@ -61,9 +61,11 @@ def test_row_counts_scale_linearly(gen_dir):
                     ("events", 100000), ("documents", 5000),
                     ("embeddings", 2000)):
         assert n(gen_dir, t) == base // 100, t
-    # lineitem: 1..7 lines per order, avg 4 => ~600 +- sampling noise
+    # lineitem: 1..7 lines per order over 1500 orders, avg 4 => ~6000
+    # +- sampling noise (explicit bounds — the r11 form had a
+    # floor-div precedence slip that evaluated the lower bound to 48)
     li = n(gen_dir, "lineitem")
-    assert 0.8 * 6000 // 100 * 4 / 4 <= li <= 1.2 * 6000, li
+    assert 0.8 * 6000 <= li <= 1.2 * 6000, li
 
 
 def test_deterministic_across_runs(gen_dir, tmp_path):

@@ -478,3 +478,29 @@ class TestSortProjections:
             execute_ddl(t, "ALTER TABLE t MATERIALIZE PROJECTION by_value")
             df = t.query_col_range("value", Decimal(3), Decimal(7))
             assert _reads_proj(df, "by_value") and df.count() == 5
+
+
+def test_failed_part_write_leaves_no_orphan_dirs(table, monkeypatch):
+    """A part write that fails AFTER the parquet lands (here: the
+    projection build) must delete the in-flight part dir and any
+    projection dirs before re-raising — the manifest never saw the
+    part, so an orphan would be invisible to every reclaim path
+    (r11 review find: only the CHECK branch rolled back)."""
+    import os
+
+    base = table.base_path
+    n_parts = len(table.manifest.parts)
+    on_disk_before = {d for d in os.listdir(base) if d.startswith("part_")}
+
+    def boom(df, spec):
+        raise RuntimeError("projection build exploded")
+
+    monkeypatch.setattr(type(table), "_apply_projection",
+                        staticmethod(boom))
+    table.insert_rows([(99, 9999, "a", Decimal(1))])
+    with pytest.raises(RuntimeError, match="projection build exploded"):
+        table.flush()
+    # manifest untouched AND no orphan part/projection dirs on disk
+    assert len(table.manifest.parts) == n_parts
+    on_disk_after = {d for d in os.listdir(base) if d.startswith("part_")}
+    assert on_disk_after == on_disk_before

@@ -158,3 +158,100 @@ def test_pq_rerank_scores_are_exact(spark, planted):
     truth = {int(i): round(float(c), 9) for i, c in zip(ids, cos)}
     for r in sim_search_pq_on(df).collect():
         assert abs(truth[r["vec_id"]] - r["cosine"]) < 1e-9
+
+
+def test_semdedup_arrow_branch_matches_literal_fold(spark, tmp_path):
+    """VERDICT r11 item 3: q_semdedup's scaled branch (k > SEMDEDUP_K,
+    Arrow matmul assignment) is the one scale path no oracle executes —
+    the fixture SFs all floor at k=16. Pin branch equality directly: on
+    a corpus big enough that k grows past the floor, the Arrow
+    assignment must equal the plan-literal fold assignment row-for-row
+    (same argmin-L2, ties to the lowest cent_id), and q_semdedup itself
+    must run the scaled branch end-to-end."""
+    from math import isqrt
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_mergetree_spark.operators.similarity import (
+        SEMDEDUP_K,
+        _l2_norm_expr,
+        assign_cells_arrow,
+        assign_cells_literal,
+        q_semdedup,
+        trained_centroids,
+    )
+    from clickhouse_mergetree_spark.tables import load
+
+    n = 2600  # isqrt(2600 / 8) = 18 > SEMDEDUP_K = 16
+    rng = np.random.default_rng(12)
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load(spark, sf_dir, "embeddings")
+
+    k = max(SEMDEDUP_K, isqrt(n // 8))
+    assert k > SEMDEDUP_K
+    cents = trained_centroids(emb, sf_dir, nlist=k)
+    lit = assign_cells_literal(emb, cents).select(
+        "vec_id", F.col("cent_id").alias("lit_cid"),
+        F.col("nrm").alias("lit_nrm"))
+    arr = assign_cells_arrow(
+        emb.select("vec_id", "embedding", _l2_norm_expr().alias("nrm")),
+        cents,
+    ).select("vec_id", F.col("cent_id").alias("arr_cid"),
+             F.col("nrm").alias("arr_nrm"))
+    joined = lit.join(arr, "vec_id")
+    assert joined.count() == n
+    assert joined.filter("lit_cid <> arr_cid").count() == 0
+    # nrm passes through the Arrow kernel untouched — bit-identical
+    assert joined.filter("lit_nrm <> arr_nrm").count() == 0
+
+    # the full query takes the scaled branch end-to-end and stays sane
+    out = q_semdedup(spark, sf_dir)
+    rows = out.count()
+    assert rows == n
+    assert out.filter("is_dup AND n_earlier_dups = 0").count() == 0
+    assert out.filter("NOT is_dup AND n_earlier_dups > 0").count() == 0
+
+
+def test_offline_artifact_memo_invalidates_on_corpus_regen(spark, tmp_path):
+    """ADVICE r11: the offline-artifact memos (_TRAIN_MEMO / _PQ_MEMO)
+    were keyed by sf_dir path + hyperparameters only — regenerating the
+    data under the same path within one process served stale codebooks
+    silently. The corpus fingerprint (mtime+size of the embeddings
+    parquet) now rides in the key."""
+    import os
+    import time
+
+    from clickhouse_mergetree_spark.operators.similarity import (
+        train_pq_codebooks,
+        trained_centroids,
+    )
+    from clickhouse_mergetree_spark.tables import _LOAD_MEMO, load
+
+    sf_dir = str(tmp_path)
+    rng = np.random.default_rng(3)
+
+    def write_corpus(seed_shift: int):
+        vecs = rng.standard_normal((64, DIM)).astype(np.float32)
+        spark.createDataFrame(
+            [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    write_corpus(0)
+    emb = load(spark, sf_dir, "embeddings")
+    c1 = trained_centroids(emb, sf_dir, nlist=8)
+    p1 = train_pq_codebooks(emb, memo_key=sf_dir)
+    time.sleep(0.02)  # ensure the dir mtime ticks
+    write_corpus(1)
+    _LOAD_MEMO.clear()  # the load memo caches the file listing
+    emb2 = load(spark, sf_dir, "embeddings")
+    c2 = trained_centroids(emb2, sf_dir, nlist=8)
+    p2 = train_pq_codebooks(emb2, memo_key=sf_dir)
+    assert c1 != c2, "stale IVF codebook served after corpus regen"
+    assert not np.array_equal(p1, p2), \
+        "stale PQ codebook served after corpus regen"
