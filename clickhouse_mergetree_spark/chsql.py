@@ -720,18 +720,68 @@ _STAR_MOD_GATE = re.compile(
     r"|\*\s*EXCEPT\s*\([^()]*\)\s*EXCEPT\b")
 
 
+def _normalize_except_chain(s: str) -> str:
+    """Schema-free textual rewrite of EXCEPT-only star-modifier chains
+    into the single parenthesized form Spark 4 parses natively:
+    ``* EXCEPT col`` → ``* EXCEPT (col)`` and chained
+    ``* EXCEPT (a) EXCEPT (b) [EXCEPT c]`` → ``* EXCEPT (a, b, c)``.
+    Dropping columns from ``*`` needs no FROM-schema, so this works
+    anywhere in the statement — including inside CTE text, where the
+    full (schema-needing) rewriter refuses (r11 review find). A
+    set-operation ``EXCEPT [ALL|DISTINCT] SELECT`` never follows a bare
+    ``*`` in valid SQL, but the keyword guard stops the chain scan on
+    one anyway."""
+    out, i = [], 0
+    star = re.compile(r"\*\s*EXCEPT\b", re.I)
+    while True:
+        m = star.search(s, i)
+        if not m:
+            out.append(s[i:])
+            return "".join(out)
+        out.append(s[i:m.start() + 1])  # keep the '*'
+        j, cols = m.start() + 1, []
+        while True:
+            km = re.match(r"(?is)^\s*EXCEPT\s*\(", s[j:])
+            if km:
+                open_idx = j + km.end() - 1
+                close = _match_paren(s, open_idx)
+                inner = s[open_idx + 1:close]
+                if "(" in inner:
+                    return s  # unexpected nesting — leave untouched
+                cols += [c.strip() for c in inner.split(",") if c.strip()]
+                j = close + 1
+                continue
+            pm = re.match(r"(?is)^\s*EXCEPT\s+(`[^`]+`|\w+)", s[j:])
+            if pm and pm.group(1).upper() not in (
+                    "SELECT", "ALL", "DISTINCT"):
+                cols.append(pm.group(1))
+                j += pm.end()
+                continue
+            break
+        if cols:
+            out.append(f" EXCEPT ({', '.join(cols)})")
+        else:
+            out.append(s[m.start() + 1:j])
+        i = j
+
+
 def _rewrite_star_modifiers(spark: SparkSession, s: str) -> str:
     """Expand ClickHouse star modifiers — ``* [EXCEPT(..)] [REPLACE(..)]
     [APPLY(f)...]`` and ``COLUMNS('re') [APPLY(f)...]`` — into explicit
     column lists (CH expands them the same way during analysis;
     ``* EXCEPT`` alone is native Spark 4 syntax and passes through).
-    Expansion needs the FROM relation's schema, so only a single named
-    table/view at the top level is supported; anything else refuses
-    loudly. APPLY chains compose left-to-right (CH order) and alias as
-    ``f2_f1_col``. The rewritten list stays in CH dialect — the normal
-    translate pipeline still maps function names afterward."""
+    EXCEPT-only chains (paren-less / chained) normalize textually first
+    — no schema needed, so they work inside CTEs too. Everything else
+    needs the FROM relation's schema, so only a single named table/view
+    at the top level is supported; anything else refuses loudly. APPLY
+    chains compose left-to-right (CH order) and alias as ``f2_f1_col``.
+    The rewritten list stays in CH dialect — the normal translate
+    pipeline still maps function names afterward."""
     if not _STAR_MOD_GATE.search(s):
         return s
+    s = _normalize_except_chain(s)
+    if not _STAR_MOD_GATE.search(s):
+        return s  # EXCEPT-only: now native Spark 4, works in CTEs too
     if not re.match(r"(?is)^SELECT\s", s):
         raise ValueError(
             "star modifiers (APPLY / * REPLACE / COLUMNS) are only "
@@ -914,6 +964,133 @@ def _split_top(s: str, sep_re: str) -> list[str]:
         i += 1
     parts.append(s[last:])
     return [p.strip() for p in parts if p.strip()]
+
+
+# ---------------------------------------------------------------------------
+# Enum read path (E132/E190 follow-through; VERDICT r11 item 5): ClickHouse
+# orders Enum columns by their declared NUMERIC value, while the engine
+# stores Enum as String labels (engine/ddl.py persists the declared
+# label→value map in table_meta["enum_values"]). When the label order
+# diverges from lexical order — e.g. Enum8('low' = 3, 'high' = 1) — a plain
+# ORDER BY / min / max over the stored strings would silently return
+# CH-wrong results. SELECTs routed through ClickHouseSession therefore
+# translate those through the mapping with a CASE projection: row-local at
+# the scan, no join, no shuffle, nothing at scale. Order-sensitive usages
+# the rewrite cannot prove safe (<, >, BETWEEN over the enum; the enum
+# buried inside a compound ORDER BY expression) refuse loudly instead of
+# answering wrong. Lexical-consistent mappings need no rewrite at all.
+# ---------------------------------------------------------------------------
+
+def enum_is_lexical(mapping: dict[str, int]) -> bool:
+    """True when sorting labels as strings equals sorting by declared
+    value — the stored-string ORDER BY is already CH-correct."""
+    labels = list(mapping)
+    return sorted(labels) == sorted(labels, key=lambda l: (mapping[l], l))
+
+
+def enum_value_case(col: str, mapping: dict[str, int]) -> str:
+    """The label→value CASE projection used as a sort / argmin key."""
+    whens = " ".join(f"WHEN '{l}' THEN {v}" for l, v in mapping.items())
+    return f"(CASE `{col}` {whens} END)"
+
+
+_ENUM_ORDER_TERM = re.compile(
+    r"(?is)(?:LIMIT|OFFSET|FETCH|SETTINGS|UNION|INTERSECT|EXCEPT|"
+    r"WINDOW|FORMAT|INTO)\b")
+
+
+def _order_by_spans(s: str) -> list[tuple[int, int]]:
+    """(start, end) spans of every ORDER BY item list in the statement —
+    window-function ORDER BYs included; paren/quote aware."""
+    spans = []
+    for m in re.finditer(r"(?is)\bORDER\s+BY\b", s):
+        i, depth, quote = m.end(), 0, None
+        while i < len(s):
+            ch = s[i]
+            if quote:
+                quote = None if ch == quote else quote
+            elif ch == "'":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif (depth == 0 and ch.isalpha()
+                    and not re.match(r"\w", s[i - 1])
+                    and _ENUM_ORDER_TERM.match(s, i)):
+                break
+            i += 1
+        spans.append((m.end(), i))
+    return spans
+
+
+def rewrite_enum_order(s: str, enum_maps: dict[str, dict[str, int]]) -> str:
+    """Translate order-sensitive reads of non-lexical Enum columns
+    through their declared numeric mapping (module doc above): bare
+    ORDER BY items and min()/max() calls rewrite to the CASE key /
+    min_by/max_by; provably-unsafe shapes refuse loudly."""
+    live = {c: m for c, m in enum_maps.items() if not enum_is_lexical(m)}
+    if not live:
+        return s
+    cmp_re = r"(?:<=|>=|<(?![>=])|(?<!<)>(?!=))"
+    for col, mapping in live.items():
+        col_re = rf"(?:`{col}`|\b{col}\b)"
+        if (re.search(rf"(?is){col_re}\s*{cmp_re}", s)
+                or re.search(rf"(?is){cmp_re}\s*{col_re}", s)
+                or re.search(rf"(?is){col_re}\s+(?:NOT\s+)?BETWEEN\b", s)):
+            raise ValueError(
+                f"Enum column {col!r} has a non-lexical label order "
+                f"{mapping} — range comparisons over the stored labels "
+                f"would not match ClickHouse; compare through "
+                f"{enum_value_case(col, mapping)} explicitly")
+    # ORDER BY items first (on the original text), then the global
+    # min/max rewrite — so injected CASE/min_by text is never rescanned
+    for start, end in reversed(_order_by_spans(s)):
+        clause = s[start:end]
+        if not any(re.search(rf"(?is)(?:`{c}`|\b{c}\b)", clause)
+                   for c in live):
+            continue
+        items = _split_top(clause, r",")
+        new_items = []
+        for item in items:
+            hit = None
+            for col in live:
+                if re.search(rf"(?is)(?:`{col}`|\b{col}\b)",
+                             re.sub(r"'[^']*'", "''", item)):
+                    hit = col
+                    break
+            if hit is None:
+                new_items.append(item)
+                continue
+            case = enum_value_case(hit, live[hit])
+            tail_re = (r"(\s+(?:ASC|DESC))?(\s+NULLS\s+"
+                       r"(?:FIRST|LAST))?\s*$")
+            m = re.match(rf"(?is)^`?{hit}`?{tail_re}", item)
+            if m:
+                new_items.append(case + (m.group(1) or "")
+                                 + (m.group(2) or ""))
+                continue
+            m = re.match(
+                rf"(?is)^(min|max)\s*\(\s*`?{hit}`?\s*\){tail_re}", item)
+            if m:
+                new_items.append(
+                    f"{m.group(1).lower()}_by(`{hit}`, {case})"
+                    + (m.group(2) or "") + (m.group(3) or ""))
+                continue
+            raise ValueError(
+                f"Enum column {hit!r} has a non-lexical label order — "
+                f"ORDER BY item {item!r} is too complex to translate; "
+                f"order by {enum_value_case(hit, live[hit])} explicitly")
+        s = s[:start] + " " + ", ".join(new_items) + " " + s[end:]
+    for col, mapping in live.items():
+        case = enum_value_case(col, mapping)
+        s = re.sub(rf"(?is)\bmin\s*\(\s*`?{col}`?\s*\)",
+                   f"min_by(`{col}`, {case})", s)
+        s = re.sub(rf"(?is)\bmax\s*\(\s*`?{col}`?\s*\)",
+                   f"max_by(`{col}`, {case})", s)
+    return s
 
 
 def _order_pairs(order_text: str) -> list[tuple[str, bool]]:
@@ -1881,6 +2058,7 @@ class ClickHouseSession:
                 "explain string")
         if _re.match(r"(?is)^(SELECT|WITH)\b", s):
             s = self._route_table_reads(s)
+            s = self._rewrite_enum_reads(s)
             # unconditional: a dictGet over an unknown/dropped dictionary
             # must refuse by name, not leak to Spark as an unknown fn.
             # Attribute types come from the registered dictionary views,
@@ -1894,6 +2072,31 @@ class ClickHouseSession:
                 types)
             return ch_sql(self.spark, s)
         raise ValueError(f"unroutable statement: {s[:80]!r}")
+
+    def _rewrite_enum_reads(self, s: str) -> str:
+        """Collect the enum_values mappings of every session table the
+        statement references and route order-sensitive reads through
+        rewrite_enum_order (CH numeric-order semantics — see the module
+        section above it). Same-named enum columns with CONFLICTING
+        mappings across referenced tables refuse loudly — a textual
+        rewrite cannot attribute the bare column to a table."""
+        import re as _re
+
+        maps: dict[str, dict[str, int]] = {}
+        for name, table in self.tables.items():
+            meta = getattr(getattr(table, "manifest", None),
+                           "table_meta", None) or {}
+            enums = meta.get("enum_values") or {}
+            if not enums or not _re.search(rf"(?i)\b{name}\b", s):
+                continue
+            for col, mapping in enums.items():
+                if col in maps and maps[col] != mapping:
+                    raise ValueError(
+                        f"enum column {col!r} is declared with "
+                        f"conflicting label mappings in two referenced "
+                        f"tables — qualify/alias the column by hand")
+                maps[col] = mapping
+        return rewrite_enum_order(s, maps) if maps else s
 
     def _route_table_reads(self, s: str) -> str:
         """Rewrite FROM-clause modifiers that need the engine table:

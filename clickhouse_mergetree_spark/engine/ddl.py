@@ -217,15 +217,16 @@ def parse_create_table(ddl: str) -> dict:
             # insert-time constraint — a bad label is rejected exactly
             # like CH rejects an unknown Enum value. Documented
             # deviations: (1) SHOW CREATE TABLE re-emits String + the
-            # CHECK; (2) comparisons and ORDER BY (including when the
-            # Enum column is a MergeTree ORDER BY key) sort LEXICALLY by
-            # label, whereas ClickHouse sorts by the enum's NUMERIC
-            # value — for `('a' = -1, 'b' = 1)` CH orders a < b but a
-            # min()/range over the stored strings here still compares
-            # 'a' < 'b' only by accident of spelling; (3) CAST(col AS
-            # Int8) is unsupported. The declared label→value mapping is
-            # preserved in table_meta["enum_values"] so sort-sensitive
-            # paths (or a future dictionary-encoded read) can translate.
+            # CHECK; (2) CAST(col AS Int8) is unsupported; (3) the
+            # PHYSICAL part sort (when the Enum is a MergeTree ORDER BY
+            # key) is lexical by label — performance-only (range-scan
+            # pruning tightness), never result order. READ-side CH
+            # numeric-order semantics are honored: SELECTs routed via
+            # ClickHouseSession translate ORDER BY / min / max over a
+            # non-lexical Enum through table_meta["enum_values"] (a
+            # row-local CASE key — chsql.rewrite_enum_order), and refuse
+            # loudly on shapes the rewrite can't prove safe (<, >,
+            # BETWEEN over the labels; compound ORDER BY expressions).
             # the capture is greedy (Nullable(Enum8(...)) drags extra
             # trailing parens along) — truncate at the balanced close,
             # quote-aware so a ')' inside a label doesn't end the scan

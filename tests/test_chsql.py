@@ -1492,3 +1492,77 @@ def test_star_except_paren_less_and_chained(spark):
     ident = ch_sql(spark, "WITH q AS (SELECT id, exceptions FROM star_t3)"
                           " SELECT id * exceptions AS x FROM q")
     assert [r["x"] for r in ident.collect()] == [6]
+    # ADVICE r11: the paren-less and chained EXCEPT-only forms need no
+    # schema either, so they must work after a WITH too — the
+    # normalization is textual, not top-level-SELECT-bound
+    cte_bare = ch_sql(spark, "WITH q AS (SELECT id, s, v FROM star_t2) "
+                             "SELECT * EXCEPT s FROM q")
+    assert cte_bare.columns == ["id", "v"]
+    cte_chain = ch_sql(spark, "WITH q AS (SELECT * FROM star_t2) "
+                              "SELECT * EXCEPT(s) EXCEPT(w) FROM q")
+    assert cte_chain.columns == ["id", "v"]
+    cte_mixed = ch_sql(spark, "WITH q AS (SELECT * FROM star_t2) "
+                              "SELECT * EXCEPT s EXCEPT (w) FROM q "
+                              "WHERE id = 1")
+    assert cte_mixed.columns == ["id", "v"]
+    assert cte_mixed.count() == 1
+    # EXCEPT-only inside the CTE body itself
+    cte_body = ch_sql(spark, "WITH q AS (SELECT * EXCEPT w FROM star_t2)"
+                             " SELECT * EXCEPT s FROM q")
+    assert cte_body.columns == ["id", "v"]
+
+
+def test_enum_non_lexical_order_translates_to_ch_semantics(spark, tmp_path):
+    """VERDICT r11 item 5: Enum columns whose declared label order
+    diverges from lexical order must ORDER BY / min / max by the
+    declared NUMERIC value (ClickHouse semantics), via the persisted
+    table_meta["enum_values"] mapping — and order-sensitive shapes the
+    rewrite can't prove safe must refuse loudly, never answer wrong."""
+    import pytest
+
+    from clickhouse_mergetree_spark.chsql import ClickHouseSession
+
+    sess = ClickHouseSession(spark, str(tmp_path / "enumdb"))
+    # lexical order: high < low < medium; CH numeric order:
+    # high(1) < medium(2) < low(3)
+    sess.execute("""
+        CREATE TABLE prio (
+            id UInt64, ts UInt64,
+            level Enum8('low' = 3, 'medium' = 2, 'high' = 1)
+        ) ENGINE = MergeTree() ORDER BY (id, ts)
+    """)
+    sess.execute("INSERT INTO prio VALUES "
+                 "(1, 1, 'low'), (2, 2, 'high'), (3, 3, 'medium')")
+    got = [r["level"] for r in sess.execute(
+        "SELECT level FROM prio ORDER BY level").collect()]
+    assert got == ["high", "medium", "low"]  # numeric, not lexical
+    got = [r["level"] for r in sess.execute(
+        "SELECT level FROM prio ORDER BY level DESC, id").collect()]
+    assert got == ["low", "medium", "high"]
+    # min/max are the CH numeric extremes, not the string extremes
+    row = sess.execute(
+        "SELECT min(level) AS lo, max(level) AS hi FROM prio").first()
+    assert (row["lo"], row["hi"]) == ("high", "low")
+    # grouped + window ORDER BY both translate
+    row = sess.execute(
+        "SELECT id, level FROM prio ORDER BY level, id LIMIT 1").first()
+    assert row["level"] == "high"
+    # a range comparison over the stored labels cannot match CH — loud
+    with pytest.raises(ValueError, match="non-lexical"):
+        sess.execute("SELECT * FROM prio WHERE level > 'high'")
+    # an enum buried in a compound ORDER BY expression — loud
+    with pytest.raises(ValueError, match="too complex"):
+        sess.execute("SELECT * FROM prio ORDER BY concat(level, 'x')")
+    # a LEXICAL-consistent enum is untouched (no rewrite, no refusal)
+    sess.execute("""
+        CREATE TABLE oks (
+            id UInt64, ts UInt64,
+            st Enum8('a' = 1, 'b' = 2)
+        ) ENGINE = MergeTree() ORDER BY (id, ts)
+    """)
+    sess.execute("INSERT INTO oks VALUES (1, 1, 'b'), (2, 2, 'a')")
+    got = [r["st"] for r in sess.execute(
+        "SELECT st FROM oks ORDER BY st").collect()]
+    assert got == ["a", "b"]
+    assert sess.execute(
+        "SELECT * FROM oks WHERE st > 'a'").count() == 1  # no refusal
