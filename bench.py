@@ -55,6 +55,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
 
+    # Everything from here to the timed loop is setup cost excluded from
+    # the per-query numbers; its wall time is published as
+    # meta.prewarm_sec so artifact consumers can see how much was
+    # excluded (ADVICE r11) instead of reading PERF_NOTES prose.
+    t_prewarm = time.perf_counter()
+
     # Untimed JVM/codegen warm-up on synthetic data (NOT the bench tables —
     # parquet footer/listing caches stay cold). Without this, whichever query
     # sorts first eats ~4s of JIT noise and per-query deltas across rounds
@@ -147,6 +153,9 @@ def main() -> None:
         _log(f"decimal pre-warm: FAILED (non-fatal)\n"
              f"{traceback.format_exc()}")
 
+    prewarm_sec = round(time.perf_counter() - t_prewarm, 4)
+    _log(f"pre-warm total: {prewarm_sec:.3f}s (excluded from query timings)")
+
     # --reps N (default 1, driver-compatible): time each query N times
     # back-to-back and keep the per-query MINIMUM. Single runs on this
     # host are hostage to co-tenant noise (r7: q_null_engine 27.3 s in
@@ -206,6 +215,10 @@ def main() -> None:
         "cpus": spark.sparkContext.defaultParallelism,
         "scratch_root": scratch_root(),
         "reps": reps,
+        # wall seconds spent in the pre-warm blocks above (JIT, Python
+        # worker pool, state store, offline codebooks/CC labels, view
+        # registration) — real setup work excluded from query timings
+        "prewarm_sec": prewarm_sec,
         # fn-call seconds (fixture/lifecycle build; ~0 for lazy plans) —
         # subtract from the query's total for the pure read-path time
         "build_sec": builds,

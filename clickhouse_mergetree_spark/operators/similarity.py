@@ -1454,6 +1454,26 @@ SEMDEDUP_TAU = 0.35
 _SEMDEDUP_CENTS_DIR = fixed_scratch_dir("q_semdedup_cents")
 
 
+def _parquet_num_rows(path: str) -> int | None:
+    """Exact row count from parquet FOOTER metadata, driver-side — no
+    Spark job, no data scan (the num_rows field is mandatory in the
+    format). Handles both a single file and a directory of part files;
+    returns None on anything unexpected so callers can fall back to a
+    distributed count()."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path) if f.endswith(".parquet"))
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _l2_norm_expr(col: str = "embedding") -> Column:
     """Sequential-fold L2 norm — the exact fold order the DuckDB oracles
     re-derive, shared by both SemDeDup assignment paths."""
@@ -1577,7 +1597,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment remains bit-identical.
     from math import isqrt
 
-    n_vecs = emb.count()
+    # k sizing needs only a row COUNT — read it from the parquet footers
+    # on the driver (zero Spark jobs, zero scan; the same place the
+    # engine's manifest stats would come from for an engine table)
+    # instead of an eager count() job per invocation (VERDICT r11 item 6)
+    n_vecs = _parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    if n_vecs is None:
+        n_vecs = emb.count()
     k = max(SEMDEDUP_K, isqrt(n_vecs // 8))
     cents = trained_centroids(emb, sf_dir, nlist=k)
     cdf = values_df(spark, [(i, c) for i, c in enumerate(cents)],

@@ -36,7 +36,7 @@ SHUFFLE_SLACK = 2
 
 # lazy-plan, data-bound, scale-critical: the dedup / similarity / text /
 # stats / relational shapes every 100 TB adjudication has leaned on
-QUERIES = [
+CORE = [
     "q_dedup_content", "q_near_dedup", "q_dedup_ngram_jaccard",
     "q_dedup_ngram_prefix", "q_dedup_simhash", "q_near_dedup_cosine",
     "q_dedup_clusters", "q_dedup_incremental", "q_semdedup",
@@ -48,6 +48,72 @@ QUERIES = [
     "q_corr_matrix", "q_stat_rankcorr", "q_embed_covariance",
     "q_sql_tpch_q1", "q_sql_tpch_q21", "q_point_in_polygon_fold",
 ]
+
+# r12 extension (VERDICT r11 item 6): the REST of the non-engine,
+# non-streaming registry — every relational / sql / dedup / similarity /
+# text / stats / multimodal / udf / dictionary / format / web query not
+# already in CORE. An r12 scan confirmed all 177 build their plan at
+# sf0.01 in <6 s each (~48 s total) with zero CartesianProduct and zero
+# BatchEvalPython, so the absolute invariants now gate the full
+# data-bound surface, not a 31-query sample. Engine-lifecycle and
+# streaming queries stay out (eager fixture builds / micro-batch runs
+# belong in the per-round tools/scale_audit.py artifact).
+EXTENDED = [
+    "q_agg_approx_distinct", "q_agg_approx_percentile", "q_agg_argminmax",
+    "q_agg_cube", "q_agg_deltasum", "q_agg_distinct", "q_agg_foreach",
+    "q_agg_grouparray", "q_agg_histogram", "q_agg_if", "q_agg_linreg",
+    "q_agg_minmax_map", "q_agg_moments", "q_agg_percentile", "q_agg_pivot",
+    "q_agg_retention", "q_agg_rollup", "q_agg_stats", "q_agg_summap",
+    "q_agg_topk", "q_agg_uniq_upto", "q_agg_unpivot", "q_array_join",
+    "q_array_join_left", "q_basket_lift", "q_bitmap_segments",
+    "q_boilerplate_lines", "q_bounding_ratio", "q_bpe_pairs",
+    "q_ch_dialect", "q_ch_dialect_arrays", "q_ch_dialect_modifiers",
+    "q_cluster_representative", "q_counter_rate", "q_curriculum_order",
+    "q_dataset_card", "q_dedup_containment", "q_dedup_normalized",
+    "q_dedup_substring", "q_dict_get", "q_dict_get_default",
+    "q_dict_hierarchy", "q_dict_range", "q_doc_chunks", "q_ema",
+    "q_embed_cluster", "q_embed_drift", "q_embed_mrl", "q_embed_norm",
+    "q_embed_outliers", "q_embed_pca", "q_embed_quantize",
+    "q_epoch_schedule", "q_filter_compound", "q_fn_array",
+    "q_fn_array_advanced", "q_fn_bitops", "q_fn_bits", "q_fn_conditional",
+    "q_fn_date", "q_fn_encode", "q_fn_fuzzy", "q_fn_geo", "q_fn_ip",
+    "q_fn_json", "q_fn_map", "q_fn_math", "q_fn_multisearch",
+    "q_fn_point_in_polygon", "q_fn_string", "q_fn_url", "q_format_orc",
+    "q_format_roundtrip", "q_grouping_id", "q_interval_length_sum",
+    "q_ip_cidr", "q_join_anti", "q_join_any", "q_join_asof",
+    "q_join_asof_forward", "q_join_asof_tolerance", "q_join_outer",
+    "q_join_paste", "q_join_range", "q_join_semi", "q_knn_join_ivf",
+    "q_length_buckets", "q_limit_by", "q_limit_ties", "q_lttb",
+    "q_max_intersections", "q_media_audio_dedup", "q_media_decode",
+    "q_media_features", "q_media_frames", "q_media_phash_dedup",
+    "q_media_resize", "q_mix_temperature", "q_moving_agg",
+    "q_near_dedup_cosine_lsh", "q_ngram_novelty", "q_orders_backlog",
+    "q_pareto_abc", "q_pii_scrub", "q_pipeline_prep", "q_projection",
+    "q_quality_model", "q_quantile_weighted", "q_quantiles_multi",
+    "q_running_diff", "q_sample_deterministic", "q_sample_stratified",
+    "q_scd2_merge", "q_set_ops", "q_set_ops_all", "q_sim_search_blas",
+    "q_sim_search_ivf_partitioned", "q_sim_search_pq", "q_source_mix",
+    "q_sql_grouping_sets", "q_sql_lateral", "q_sql_qoq_growth",
+    "q_sql_recursive", "q_sql_tpch_q10", "q_sql_tpch_q11",
+    "q_sql_tpch_q12", "q_sql_tpch_q13", "q_sql_tpch_q14",
+    "q_sql_tpch_q15", "q_sql_tpch_q16", "q_sql_tpch_q17",
+    "q_sql_tpch_q18", "q_sql_tpch_q19", "q_sql_tpch_q2",
+    "q_sql_tpch_q20", "q_sql_tpch_q22", "q_sql_tpch_q3", "q_sql_tpch_q4",
+    "q_sql_tpch_q5", "q_sql_tpch_q6", "q_sql_tpch_q7", "q_sql_tpch_q8",
+    "q_sql_tpch_q9", "q_stat_anova", "q_stat_association", "q_stat_ks",
+    "q_stat_mannwhitney", "q_stat_ttest", "q_text_bigram_pmi",
+    "q_text_entropy", "q_text_fingerprint", "q_text_perplexity",
+    "q_text_quality", "q_text_readability", "q_text_repetition",
+    "q_text_scripts", "q_text_tokens", "q_text_zipf",
+    "q_time_weighted_avg", "q_token_fertility", "q_topk",
+    "q_topk_weighted", "q_udaf_weighted", "q_udf_grouped", "q_udf_scalar",
+    "q_udtf_sentences", "q_uniq_state_merge", "q_url_dedup",
+    "q_window_dist", "q_window_frame", "q_window_ntile", "q_window_range",
+    "q_window_sessionize", "q_window_tumbling", "q_with_fill",
+    "q_with_fill_interpolate", "q_with_totals",
+]
+
+QUERIES = CORE + EXTENDED
 
 PATTERNS = {
     "shuffles": r"\bExchange hashpartitioning|\bExchange rangepartitioning|"
