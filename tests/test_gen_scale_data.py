@@ -109,3 +109,24 @@ def test_query_domains_match_fixtures(gen_dir):
         "SELECT DISTINCT len(embedding) FROM read_parquet(?)",
         [os.path.join(gen_dir, "embeddings.parquet")]).fetchall()
     assert dims == [(64,)]
+
+
+def test_doc_vocab_heaps_growth():
+    """Vocabulary contract (r12): at or below the sf0.1 base the document
+    vocabulary is EXACTLY the fixture's 31 words (domain parity with the
+    driver testdata); above it, it grows ~sqrt(n) (Heaps' law) with the
+    fixture words as a stable prefix — a fixed vocabulary at 50x makes
+    the ground-truth near-dup pair count itself quadratic, which is a
+    broken benchmark input, not a hard one (see doc_vocab docstring)."""
+    from gen_scale_data import BASE, VOCAB, doc_vocab
+
+    base = BASE["documents"]
+    assert doc_vocab(base // 100) == list(VOCAB)
+    assert doc_vocab(base) == list(VOCAB)
+    for mult in (10, 50):
+        v = doc_vocab(base * mult)
+        assert v[: len(VOCAB)] == list(VOCAB)          # stable prefix
+        assert len(v) == round(len(VOCAB) * mult ** 0.5)
+        assert len(set(v)) == len(v)                   # no collisions
+        # token shape unchanged: lowercase alnum, whitespace-safe
+        assert all(w.isalnum() and w == w.lower() for w in v)

@@ -47,6 +47,36 @@ LANGS = ["en", "en", "en", "en", "es", "fr", "de", "zh"]  # ~40% en, like sf0.1
 SOURCES = [f"src{i}" for i in range(20)]
 
 
+def doc_vocab(n_docs: int) -> list[str]:
+    """Document word vocabulary for a corpus of n_docs, growing with
+    corpus size per Heaps' law (V ∝ n^0.5) above the sf0.1 base.
+
+    Why growth is the REALISTIC scale model and a fixed vocabulary is a
+    broken benchmark input: with 31 words forever, the 3-shingle space
+    saturates at 31³ = 29,791 types, per-shingle document frequency grows
+    linearly with corpus size, and the GROUND-TRUTH number of near-dup
+    pairs (Jaccard ≥ t) itself grows ~quadratically — no algorithm can
+    emit a quadratic answer in linear time, so timing n-gram dedup on
+    that input measures the input, not the operator (r12: at sf5 the
+    candidate join OOM'd an 8 GiB heap and ran >15 min at 48 GiB; the
+    same query on Heaps-grown vocabulary is in-class). Real corpora grow
+    vocabulary with size (Heaps 1978, β≈0.4–0.6 for web text), keeping
+    per-shingle df bounded and near-dup density ~constant.
+
+    At or below the sf0.1 base the vocabulary IS the fixture's 31 words
+    (bit-compat with the driver's testdata domains); above it, extra
+    words are deterministic suffixed variants of the base words, so
+    token shape (lowercase, whitespace-delimited) is unchanged."""
+    base = BASE["documents"]
+    if n_docs <= base:
+        return list(VOCAB)
+    v = int(round(len(VOCAB) * (n_docs / base) ** 0.5))
+    return list(VOCAB) + [
+        f"{VOCAB[k % len(VOCAB)]}{k // len(VOCAB) + 2}"
+        for k in range(v - len(VOCAB))
+    ]
+
+
 def _u(expr: str, salt: int) -> str:
     """Uniform [0,1) from a row expression — pure hash, no RNG state."""
     return f"((hash(({expr}) * 2654435761 + {salt}) % 1000000) / 1000000.0)"
@@ -145,15 +175,17 @@ def generate(sf: float, out_dir: str, ref_dir: str) -> None:
                '{{"k": ' || (hash(i + 65) % 100)::INT || '}}' AS props
         FROM range({n['events']}) t(i)""", "events")
 
-    # documents: 10..100 words from the fixture vocabulary
-    vocab = ", ".join(f"'{w}'" for w in VOCAB)
+    # documents: 10..100 words from the corpus-sized vocabulary (fixture
+    # words at/below the sf0.1 base; Heaps-grown above — see doc_vocab)
+    words = doc_vocab(n["documents"])
+    vocab = ", ".join(f"'{w}'" for w in words)
     copy(f"""
         WITH d AS (
             SELECT i,
                    array_to_string(list_transform(
                        range((10 + hash(i + 71) % 91)::INT),
                        j -> [{vocab}][1 + (hash(i * 131 + j * 7 + 72)
-                                           % {len(VOCAB)})::INT]), ' ')
+                                           % {len(words)})::INT]), ' ')
                        AS text
             FROM range({n['documents']}) t(i))
         SELECT i::BIGINT AS doc_id, text,
