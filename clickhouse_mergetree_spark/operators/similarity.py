@@ -18,6 +18,8 @@ rounding to 9 dp is belt-and-braces for the value hash.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -736,6 +738,22 @@ def q_sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PAIR_TOP_K = 20
 COS_AUDIT_BLOCKS = 25
+# rows per block held constant as the corpus grows: the fixture SFs
+# (n = 20 / 200 / 2000 embeddings) all resolve to B = COS_AUDIT_BLOCKS
+# under max(25, ceil(n/80)) — sf0.1 lands exactly on 2000/80 = 25 — so
+# oracle bit-parity is untouched while scaled corpora stop being
+# quadratic (fixed B means n²/B pair work; holding n/B at 80 keeps the
+# scored-pair budget linear, the same dual-path rule as SemDeDup's k).
+COS_ROWS_PER_BLOCK = 80
+
+
+def _cos_audit_blocks(n_vecs: int | None) -> int:
+    """Block count for the cosine pair audit: ⌈n/80⌉ floored at the
+    fixture literal 25 (see COS_ROWS_PER_BLOCK comment — every fixture
+    SF resolves to exactly 25, scaled corpora grow linearly)."""
+    if n_vecs is None:
+        return COS_AUDIT_BLOCKS
+    return max(COS_AUDIT_BLOCKS, -(-n_vecs // COS_ROWS_PER_BLOCK))
 
 
 @declared_query(
@@ -765,18 +783,23 @@ def q_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a blocked 1/{25} uniform sample of all pairs.
 
     The audit path for the LSH variant below: exact cosine, but pairs are
-    scored only within similarity-agnostic blocks (vec_id % {25}), so the
+    scored only within similarity-agnostic blocks (vec_id % B), so the
     scored pair set is an unbiased 1/B sample of all pairs and the join is
     an EQUI-join on blk — a shuffled hash join, never a nested loop. Total
-    work is n²/B; B scales with n (holding n/B rows per block constant)
-    so per-reducer work and the sampled-pair budget stay fixed at 100 TB.
+    work is n²/B; B = max({25}, ⌈n/{80}⌉) scales with n above the fixture
+    sizes (holding n/B rows per block constant) so per-reducer work and
+    the sampled-pair budget stay LINEAR at 100 TB; at every fixture SF
+    (n ≤ 2000) the formula resolves to exactly B = {25}, matching the
+    oracle's literal. n comes from the parquet footer (zero Spark jobs).
     An audit that estimates the pair-similarity distribution does not need
     every pair — it needs an unbiased sample and bounded cost; the LSH
     variant below is the path that targets the *high-cosine* pairs.
     """
+    blocks = _cos_audit_blocks(
+        _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")))
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "nrm", _norm("embedding")).withColumn(
-        "blk", F.pmod("vec_id", F.lit(COS_AUDIT_BLOCKS)))
+        "blk", F.pmod("vec_id", F.lit(blocks)))
     a = emb.select(F.col("vec_id").alias("id_a"),
                    F.col("embedding").alias("va"), F.col("nrm").alias("na"),
                    F.col("blk").alias("blk_a"))

@@ -255,3 +255,61 @@ def test_offline_artifact_memo_invalidates_on_corpus_regen(spark, tmp_path):
     assert c1 != c2, "stale IVF codebook served after corpus regen"
     assert not np.array_equal(p1, p2), \
         "stale PQ codebook served after corpus regen"
+
+
+def test_cos_audit_block_count_scales_linearly_past_fixtures(spark, tmp_path):
+    """q_near_dedup_cosine's pair-sample blocking: a FIXED block count B
+    means n²/B scored pairs — quadratic at scale, the same
+    fixed-parameter class the sf1 rehearsal caught in SemDeDup's k. The
+    rule is now B = max(25, ⌈n/80⌉): every fixture SF (n = 20/200/2000)
+    resolves to EXACTLY the oracle's literal 25 (sf0.1 lands on
+    2000/80 = 25), scaled corpora hold n/B rows per block constant.
+    Pins the formula AND runs the scaled branch end-to-end against a
+    numpy recomputation of the same blocked top-k."""
+    from clickhouse_mergetree_spark.operators.similarity import (
+        COS_AUDIT_BLOCKS,
+        PAIR_TOP_K,
+        _cos_audit_blocks,
+        q_near_dedup_cosine,
+    )
+
+    # fixture parity: every driver SF floors at the oracle literal
+    for n in (None, 20, 200, 2000):
+        assert _cos_audit_blocks(n) == COS_AUDIT_BLOCKS
+    # linear growth past the fixtures (n/B pinned at 80 rows per block)
+    assert _cos_audit_blocks(2001) == 26
+    assert _cos_audit_blocks(20_000) == 250
+    assert _cos_audit_blocks(200_000) == 2_500
+
+    # end-to-end on a corpus big enough to take the scaled branch
+    n = 2_600  # B = ceil(2600/80) = 33 > 25
+    assert _cos_audit_blocks(n) == 33
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = q_near_dedup_cosine(spark, sf_dir).collect()
+    assert len(out) == PAIR_TOP_K
+
+    # numpy ground truth of the SAME blocked sample at B=33
+    v = vecs.astype(np.float64)
+    nrm = np.sqrt((v * v).sum(axis=1))
+    blk = np.arange(n) % 33
+    truth = []
+    for b in range(33):
+        ids = np.nonzero(blk == b)[0]
+        sub = v[ids] @ v[ids].T / np.outer(nrm[ids], nrm[ids])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        truth += [(int(ids[i]), int(ids[j]), sub[i, j])
+                  for i, j in zip(iu, ju)]
+    truth.sort(key=lambda t: (-t[2], t[0], t[1]))
+    expect = {(a, b) for a, b, _ in truth[:PAIR_TOP_K]}
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == expect
+    by_pair = {(a, b): c for a, b, c in truth[:PAIR_TOP_K]}
+    for r in out:
+        assert abs(by_pair[(r["id_a"], r["id_b"])] - r["cosine"]) < 1e-6
