@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_mergetree_spark.registry import declared_query
 from clickhouse_mergetree_spark.scratch import fixed_scratch_dir
-from clickhouse_mergetree_spark.tables import load
+from clickhouse_mergetree_spark.tables import load, reopen_parquet
 
 # 3-token shingles; MinHash with 16 permutations banded 4×4; verify at 0.5.
 SHINGLE_N = 3
@@ -468,7 +468,7 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # verification joins read the PERSISTED candidates (the exact rows the
     # oracle audits) instead of recomputing the band join from lineage
-    candidates = spark.read.parquet(_NEAR_DEDUP_CAND_DIR)
+    candidates = reopen_parquet(spark, _NEAR_DEDUP_CAND_DIR)
 
     # Exact-Jaccard verification of the candidate set only.
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_mergetree_spark.registry import declared_query
-from clickhouse_mergetree_spark.tables import load, values_df
+from clickhouse_mergetree_spark.tables import load, reopen_parquet, values_df
 from clickhouse_mergetree_spark.scratch import fixed_scratch_dir, scratch_dir
 
 QUERY_VEC_ID = 0
@@ -537,7 +537,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audits) joined back to the vectors — the assignment expression is
     # not recomputed for the scoring pass
     candidates = (
-        spark.read.parquet(_IVF_ASSIGN_DIR)
+        reopen_parquet(spark, _IVF_ASSIGN_DIR)
         .filter(F.col("cent_id").isin(probe_ids))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(emb, "vec_id")
@@ -729,7 +729,7 @@ def q_sim_search_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv, qnrm, probe_ids = _ivf_query_probes(raw, trained, QUERY_VEC_ID)
     _write_probes(spark, probe_ids, _IVF_PART_PROBES_DIR)
     candidates = (
-        spark.read.parquet(_IVF_PART_INDEX_DIR)
+        reopen_parquet(spark, _IVF_PART_INDEX_DIR)
         .filter(F.col("cent_id").isin(probe_ids))   # directory pruning
         .filter(F.col("vec_id") != QUERY_VEC_ID)
     )
@@ -1015,7 +1015,7 @@ def sim_search_pq_on(emb: DataFrame, query_vec_id: int = QUERY_VEC_ID,
     if persist_shortlist is not None:
         shortlist.select("vec_id").write.mode("overwrite") \
             .parquet(persist_shortlist)
-        shortlist = spark.read.parquet(persist_shortlist)
+        shortlist = reopen_parquet(spark, persist_shortlist)
     # exact cosine rerank over the shortlist only (JVM array arithmetic —
     # identical scoring expression to q_sim_search, so doubles match)
     cand = F.broadcast(shortlist).join(
@@ -1366,7 +1366,7 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     values_df(spark, probe_rows, [("q_id", "bigint"), ("cent_id", "int")]) \
         .coalesce(1).write.mode("overwrite").parquet(_KNN_IVF_PROBES_DIR)
 
-    probes = spark.read.parquet(_KNN_IVF_PROBES_DIR)
+    probes = reopen_parquet(spark, _KNN_IVF_PROBES_DIR)
     queries = (
         emb.filter(F.col("vec_id") < KNN_N_QUERIES)
         .select(F.col("vec_id").alias("q_id"),
@@ -1374,7 +1374,7 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nrm").alias("qnrm"))
     )
     candidates = (
-        spark.read.parquet(_KNN_IVF_ASSIGN_DIR)
+        reopen_parquet(spark, _KNN_IVF_ASSIGN_DIR)
         .filter(F.col("vec_id") >= KNN_N_QUERIES)
         .join(F.broadcast(probes), "cent_id")
         .join(emb, "vec_id")

@@ -37,6 +37,18 @@ def ntz_to_utc_ts(col: str):
 _LOAD_MEMO: dict[tuple[int, str, str, bool], DataFrame] = {}
 
 
+def reopen_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a parquet dir this session wrote (and may have read
+    before): Spark's shared FileStatusCache can serve the PRE-overwrite
+    file listing for a path the session listed earlier, so a
+    write→re-read cycle on a fixed scratch dir fails the scan with
+    FAILED_READ_FILE on the deleted part files (observed on
+    q_sim_search_pq's shortlist, second run in one session).
+    refreshByPath drops the stale entries — metadata-only, no job."""
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str,
          redistribute: bool = True) -> DataFrame:
     if name not in TABLE_NAMES:
