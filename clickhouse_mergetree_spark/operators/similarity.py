@@ -106,10 +106,30 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
-    """LSH_BITS deterministic random hyperplanes (seed 42), as plan literals."""
+def _hyperplanes(bits: int = LSH_BITS) -> list[list[float]]:
+    """``bits`` deterministic random hyperplanes (seed 42), as plan
+    literals. Row-major generation from one fixed seed means the first
+    LSH_BITS planes are IDENTICAL for any ``bits`` ≥ LSH_BITS — a scaled
+    bucketing refines the fixture bucketing instead of replacing it."""
     rng = np.random.default_rng(42)
-    return rng.standard_normal((LSH_BITS, DIM)).tolist()
+    return rng.standard_normal((bits, DIM)).tolist()
+
+
+def _lsh_pair_bits(n_vecs: int | None) -> int:
+    """Hyperplane count for the near-dup PAIR join: max(8, ⌈log₂(n/8)⌉),
+    i.e. bucket occupancy n/2^bits held at ≤ ~8 rows as the corpus
+    grows. Every fixture SF (n = 20/200/2000) resolves to exactly the
+    oracle's LSH_BITS = 8 — sf0.1 lands on log₂(2000/8) = 7.97 — so
+    oracle bit-parity is untouched; with fixed bits the within-bucket
+    pair work would be n²/2^8, the quadratic class the sf1/sf5
+    rehearsals exist to catch. Search-path queries (q_sim_search_lsh)
+    keep fixed bits: their per-query probe cost is bucket-sized either
+    way, and recall is the binding constraint there."""
+    if n_vecs is None or n_vecs <= 8:
+        return LSH_BITS
+    import math
+
+    return max(LSH_BITS, math.ceil(math.log2(n_vecs / 8)))
 
 
 def _bucket_of(planes: list[list[float]], vec_col: str) -> Column:
@@ -853,12 +873,18 @@ def q_near_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL, so DuckDB replays bucketing, the same-bucket pair join, and the
     exact cosine top-{20} bit-for-bit (_cosine_lsh_oracle_sql).
 
-    At 100 TB: bucket count scales with n (more hyperplanes), the self-join
-    shuffles on bucket so each reducer sees ~n/2^bits rows, and skewed
-    buckets split under AQE. High-cosine pairs land in the same bucket with
-    probability (1 - θ/π)^bits — multi-probe neighboring buckets for recall.
+    At 100 TB: bucket count scales with n — bits = max(8, ⌈log₂(n/8)⌉)
+    (_lsh_pair_bits) holds bucket occupancy at ~8 rows, so the self-join
+    shuffles on bucket with each reducer seeing a BOUNDED row group and
+    total pair work stays linear; every fixture SF resolves to exactly
+    the oracle's 8 bits, and the scaled plane set is a prefix-stable
+    refinement (same seed, more rows). Skewed buckets split under AQE.
+    High-cosine pairs land in the same bucket with probability
+    (1 - θ/π)^bits — multi-probe neighboring buckets for recall.
     """
-    planes = _hyperplanes()
+    bits = _lsh_pair_bits(
+        _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")))
+    planes = _hyperplanes(bits)
     emb = load(spark, sf_dir, "embeddings")
 
     def bucket_of(vec_col: str) -> Column:

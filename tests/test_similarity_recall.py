@@ -313,3 +313,70 @@ def test_cos_audit_block_count_scales_linearly_past_fixtures(spark, tmp_path):
     by_pair = {(a, b): c for a, b, c in truth[:PAIR_TOP_K]}
     for r in out:
         assert abs(by_pair[(r["id_a"], r["id_b"])] - r["cosine"]) < 1e-6
+
+
+def test_lsh_pair_bits_scale_linearly_past_fixtures(spark, tmp_path):
+    """q_near_dedup_cosine_lsh's bucket count: fixed LSH_BITS=8 means
+    n²/256 within-bucket pair work — the docstring's own 100 TB argument
+    ("bucket count scales with n") was not what the code did. Now
+    bits = max(8, ⌈log₂(n/8)⌉): every fixture SF resolves to exactly the
+    oracle's 8 (sf0.1 lands on log₂(250) = 7.97), occupancy is held at
+    ~8 rows per bucket past that, and the plane set is prefix-stable
+    (same seed, row-major), so a scaled bucketing refines the fixture
+    one. End-to-end: the scaled branch must equal a numpy recomputation
+    of the same bucketed top-k."""
+    from clickhouse_mergetree_spark.operators.similarity import (
+        LSH_BITS,
+        PAIR_TOP_K,
+        _hyperplanes,
+        _lsh_pair_bits,
+        q_near_dedup_cosine_lsh,
+    )
+
+    for n in (None, 8, 20, 200, 2000):
+        assert _lsh_pair_bits(n) == LSH_BITS
+    assert _lsh_pair_bits(2049) == 9          # first step past the fixture
+    assert _lsh_pair_bits(20_000) == 12
+    assert _lsh_pair_bits(100_000) == 14
+    # prefix stability: plane i is identical at any bits >= i+1
+    p8, p14 = _hyperplanes(8), _hyperplanes(14)
+    assert np.allclose(np.asarray(p14)[:8], np.asarray(p8))
+
+    n = 2_600  # bits = ceil(log2(325)) = 9 > 8 — the scaled branch
+    assert _lsh_pair_bits(n) == 9
+    rng = np.random.default_rng(33)
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = q_near_dedup_cosine_lsh(spark, sf_dir).collect()
+    assert len(out) == PAIR_TOP_K
+
+    # numpy ground truth of the same 9-bit sign-projection bucketing.
+    # Bucket via float32→float64 casts matching the Spark fold order is
+    # unnecessary: sign(v·p) flips only at 0, measure-zero for random p.
+    v = vecs.astype(np.float64)
+    planes = np.asarray(_hyperplanes(9))
+    bucket = ((v @ planes.T) > 0).astype(np.int64) @ (1 << np.arange(9))
+    nrm = np.sqrt((v * v).sum(axis=1))
+    truth = []
+    for b in np.unique(bucket):
+        ids = np.nonzero(bucket == b)[0]
+        if len(ids) < 2:
+            continue
+        sub = v[ids] @ v[ids].T / np.outer(nrm[ids], nrm[ids])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        truth += [(int(ids[i]), int(ids[j]), int(b), sub[i, j])
+                  for i, j in zip(iu, ju)]
+    truth.sort(key=lambda t: (-t[3], t[0], t[1]))
+    expect = {(a, b) for a, b, _, _ in truth[:PAIR_TOP_K]}
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == expect
+    by_pair = {(a, b): (bk, c) for a, b, bk, c in truth[:PAIR_TOP_K]}
+    for r in out:
+        bk, c = by_pair[(r["id_a"], r["id_b"])]
+        assert r["bucket"] == bk
+        assert abs(c - r["cosine"]) < 1e-6
