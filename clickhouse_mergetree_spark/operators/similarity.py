@@ -142,6 +142,63 @@ def _bucket_of(planes: list[list[float]], vec_col: str) -> Column:
     return acc
 
 
+def _bucket_arrow(df: DataFrame, planes: list[list[float]],
+                  center: list[float] | None = None) -> DataFrame:
+    """Sign-projection buckets for (vec_id, embedding) rows in ONE
+    Arrow-vectorized pass: bucket = sign((M−μ)·Pᵀ) · 2^b — a numpy
+    matmul instead of ``bits`` interpreted HOF dot folds (the r5
+    lesson: HOF lambdas are the slow path for per-element work).
+    Scaled-branch only (bits > LSH_BITS, where no oracle runs):
+    sign(v·p) can differ from the JVM fold only at an exact 0 dot —
+    measure-zero for random planes. Fixture bucketing stays on the
+    plan-literal fold for oracle bit-parity, the SemDeDup dual-path
+    convention.
+
+    ``center``: per-dim corpus mean subtracted before projection.
+    Hyperplane LSH assumes the cloud straddles every plane; a mean
+    offset biases every sign the same way, so bucket probabilities
+    concentrate and within-bucket pair work goes QUADRATIC regardless
+    of how bits scale (measured at sf5: 34.2M candidate pairs raw vs
+    ~n·occ/2 ≈ 0.3M centered for 100k vectors / 14 bits). Centering is
+    a rigid translation — near-identical vectors stay near-identical —
+    so near-dup recall is preserved while bucket occupancy flattens.
+    Only the sign offsets μ·p_b enter the kernel."""
+    planes_py = [[float(x) for x in p] for p in planes]
+    center_py = [float(x) for x in center] if center is not None else None
+
+    def run(batches):
+        # self-contained closure: runs on workers with any cwd
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(planes_py, dtype=np.float64)
+        off = (P @ np.asarray(center_py, dtype=np.float64)
+               if center_py is not None else np.zeros(P.shape[0]))
+        w = (np.int64(1) << np.arange(P.shape[0], dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(bucket=pd.Series([], dtype="int64"))
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf["embedding"]])
+            pdf = pdf.copy()
+            pdf["bucket"] = ((M @ P.T - off) > 0).astype(np.int64) @ w
+            yield pdf
+
+    return df.mapInPandas(
+        run, "vec_id long, embedding array<float>, bucket long")
+
+
+def _corpus_mean(emb: DataFrame) -> list[float]:
+    """Exact per-dimension corpus mean of ``embedding`` — posexplode +
+    avg(pos): map-side combine reduces every partition to d rows before
+    the d-group shuffle, so the collect is d-sized at any corpus size."""
+    rows = (emb.select(F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("pos").agg(F.avg("x").alias("m"))
+            .orderBy("pos").collect())
+    return [r["m"] for r in rows]
+
+
 LSH_PROBE_RADIUS = 2
 
 
@@ -887,17 +944,21 @@ def q_near_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes(bits)
     emb = load(spark, sf_dir, "embeddings")
 
-    def bucket_of(vec_col: str) -> Column:
-        acc = F.lit(0)
-        for bb, plane in enumerate(planes):
-            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-            acc = acc + F.when(_dot(vec_col, lit_plane) > 0,
-                               F.lit(1 << bb)).otherwise(F.lit(0))
-        return acc
-
-    bucketed = emb.select("vec_id", "embedding",
-                          bucket_of("embedding").alias("bucket"),
-                          _norm("embedding").alias("nrm"))
+    if bits == LSH_BITS:
+        # fixture path: plan-literal fold, bit-identical with the oracle
+        bucketed = emb.select("vec_id", "embedding",
+                              _bucket_of(planes, "embedding").alias("bucket"),
+                              _norm("embedding").alias("nrm"))
+    else:
+        # scaled path (no oracle): one Arrow sign-matmul pass replaces
+        # `bits` interpreted HOF folds, with the corpus mean subtracted
+        # before projection — uncentered data concentrates bucket
+        # probabilities and makes pair work quadratic (see
+        # _bucket_arrow); cosine scoring stays JVM-side on RAW vectors
+        bucketed = _bucket_arrow(
+            emb.select("vec_id", "embedding"), planes,
+            center=_corpus_mean(emb),
+        ).withColumn("nrm", _norm("embedding"))
     a = bucketed.select(F.col("vec_id").alias("id_a"),
                         F.col("embedding").alias("va"),
                         F.col("bucket").alias("ba"),

@@ -130,3 +130,23 @@ def test_doc_vocab_heaps_growth():
         assert len(set(v)) == len(v)                   # no collisions
         # token shape unchanged: lowercase alnum, whitespace-safe
         assert all(w.isalnum() and w == w.lower() for w in v)
+
+
+def test_emb_cluster_count_grows_linearly_past_base():
+    """Embedding cluster contract (r12, companion to doc_vocab): at or
+    below the sf0.1 base the generator uses the fixture's literal 10
+    centroids (byte-identical SQL); above it, cluster count grows
+    linearly so cluster SIZE holds at ~200 rows — a fixed 10 clusters
+    at 50x makes the ground-truth near-dup pair count itself quadratic
+    (see emb_clusters docstring)."""
+    from gen_scale_data import BASE, emb_clusters
+
+    base = BASE["embeddings"]
+    assert emb_clusters(base // 100) == 10
+    assert emb_clusters(base) == 10
+    assert emb_clusters(base * 10) == 100
+    assert emb_clusters(base * 50) == 500
+    # cluster size stays at the base's ~200 rows
+    for mult in (2, 10, 50):
+        n = base * mult
+        assert abs(n / emb_clusters(n) - base / 10) < 1

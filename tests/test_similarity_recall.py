@@ -328,10 +328,13 @@ def test_lsh_pair_bits_scale_linearly_past_fixtures(spark, tmp_path):
     from clickhouse_mergetree_spark.operators.similarity import (
         LSH_BITS,
         PAIR_TOP_K,
+        _bucket_arrow,
+        _bucket_of,
         _hyperplanes,
         _lsh_pair_bits,
         q_near_dedup_cosine_lsh,
     )
+    from clickhouse_mergetree_spark.tables import load
 
     for n in (None, 8, 20, 200, 2000):
         assert _lsh_pair_bits(n) == LSH_BITS
@@ -352,15 +355,30 @@ def test_lsh_pair_bits_scale_linearly_past_fixtures(spark, tmp_path):
         "vec_id long, embedding array<float>",
     ).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
 
+    # branch parity (SemDeDup convention): the scaled Arrow bucketing
+    # must equal the plan-literal fold bucketing row-for-row
+    emb = load(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+    p9 = _hyperplanes(9)
+    lit = emb.select("vec_id", _bucket_of(p9, "embedding").alias("b_lit"))
+    arr = _bucket_arrow(emb.select("vec_id", "embedding"), p9) \
+        .select("vec_id", F.col("bucket").alias("b_arr"))
+    j = lit.join(arr, "vec_id")
+    assert j.count() == n
+    assert j.filter("b_lit <> b_arr").count() == 0
+
     out = q_near_dedup_cosine_lsh(spark, sf_dir).collect()
     assert len(out) == PAIR_TOP_K
 
-    # numpy ground truth of the same 9-bit sign-projection bucketing.
-    # Bucket via float32→float64 casts matching the Spark fold order is
-    # unnecessary: sign(v·p) flips only at 0, measure-zero for random p.
+    # numpy ground truth of the same 9-bit MEAN-CENTERED sign-projection
+    # bucketing (the scaled branch centers; see _bucket_arrow). Bucket
+    # via float32→float64 casts matching the Spark fold order is
+    # unnecessary: sign((v−μ)·p) flips only at 0, measure-zero for
+    # random p.
     v = vecs.astype(np.float64)
     planes = np.asarray(_hyperplanes(9))
-    bucket = ((v @ planes.T) > 0).astype(np.int64) @ (1 << np.arange(9))
+    vc = v - v.mean(axis=0)
+    bucket = ((vc @ planes.T) > 0).astype(np.int64) @ (1 << np.arange(9))
     nrm = np.sqrt((v * v).sum(axis=1))
     truth = []
     for b in np.unique(bucket):

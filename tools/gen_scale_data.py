@@ -77,6 +77,16 @@ def doc_vocab(n_docs: int) -> list[str]:
     ]
 
 
+def emb_clusters(n_emb: int) -> int:
+    """Embedding cluster count: the fixture's literal 10 at or below the
+    sf0.1 base (byte-identical output), growing linearly above it so
+    cluster SIZE stays at the base's ~200 rows. A fixed cluster count
+    makes the ground-truth near-dup pair count quadratic in corpus size
+    (every cluster holds n/10 mutually-similar rows) — a broken
+    benchmark input for embedding dedup, same reasoning as doc_vocab."""
+    return max(10, n_emb * 10 // BASE["embeddings"])
+
+
 def _u(expr: str, salt: int) -> str:
     """Uniform [0,1) from a row expression — pure hash, no RNG state."""
     return f"((hash(({expr}) * 2654435761 + {salt}) % 1000000) / 1000000.0)"
@@ -194,16 +204,27 @@ def generate(sf: float, out_dir: str, ref_dir: str) -> None:
                length(text)::BIGINT AS n_chars
         FROM d""", "documents")
 
-    # embeddings: dim 64, 10 cluster centroids + noise (matches the
-    # fixture's per-component range of roughly ±0.4)
+    # embeddings: dim 64, cluster centroids + noise (matches the
+    # fixture's per-component range of roughly ±0.4). Cluster count
+    # grows with the corpus above the sf0.1 base (same reasoning as
+    # doc_vocab): with 10 clusters forever, every cluster holds n/10
+    # rows and the GROUND-TRUTH near-dup pair count (within-cluster
+    # cosine ≈ 0.85) grows quadratically — timing embedding near-dedup
+    # on that input measures the input, not the operator (r12: 25.4M
+    # candidate pairs at sf5 even under a perfectly uniform 14-bit
+    # bucketing). Real corpora grow topics with size; holding cluster
+    # SIZE at the sf0.1 base (~200 rows) keeps near-dup density linear.
+    # At or below the base this is the fixture's literal 10 clusters —
+    # byte-identical output.
+    n_clusters = emb_clusters(n["embeddings"])
     copy(f"""
         SELECT i::BIGINT AS vec_id,
                list_transform(range(64), j -> (
-                   ((hash((hash(i + 81) % 10) * 64 + j + 82) % 2000)::INT
-                        - 1000) / 1000.0 * 0.3
+                   ((hash((hash(i + 81) % {n_clusters}) * 64 + j + 82)
+                        % 2000)::INT - 1000) / 1000.0 * 0.3
                    + ((hash(i * 64 + j + 83) % 2000)::INT - 1000)
                         / 1000.0 * 0.12)::FLOAT) AS embedding,
-               (hash(i + 81) % 10)::INT AS label
+               (hash(i + 81) % {n_clusters})::INT AS label
         FROM range({n['embeddings']}) t(i)""", "embeddings")
     con.close()
 
