@@ -109,8 +109,11 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hyperplanes(bits: int = LSH_BITS) -> list[list[float]]:
     """``bits`` deterministic random hyperplanes (seed 42), as plan
     literals. Row-major generation from one fixed seed means the first
-    LSH_BITS planes are IDENTICAL for any ``bits`` ≥ LSH_BITS — a scaled
-    bucketing refines the fixture bucketing instead of replacing it."""
+    LSH_BITS planes are IDENTICAL for any ``bits`` ≥ LSH_BITS — the
+    plane set is reproducible and prefix-stable across scale steps.
+    (NOT a bucket-containment guarantee: the scaled pair-join branch
+    additionally mean-centers before signing, so its buckets are not
+    refinements of the fixture buckets.)"""
     rng = np.random.default_rng(42)
     return rng.standard_normal((bits, DIM)).tolist()
 
@@ -189,14 +192,28 @@ def _bucket_arrow(df: DataFrame, planes: list[list[float]],
         run, "vec_id long, embedding array<float>, bucket long")
 
 
-def _corpus_mean(emb: DataFrame) -> list[float]:
+_MEAN_MEMO: dict[tuple, list[float]] = {}
+
+
+def _corpus_mean(emb: DataFrame, sf_dir: str | None = None) -> list[float]:
     """Exact per-dimension corpus mean of ``embedding`` — posexplode +
     avg(pos): map-side combine reduces every partition to d rows before
-    the d-group shuffle, so the collect is d-sized at any corpus size."""
-    rows = (emb.select(F.posexplode("embedding").alias("pos", "x"))
-            .groupBy("pos").agg(F.avg("x").alias("m"))
-            .orderBy("pos").collect())
-    return [r["m"] for r in rows]
+    the d-group shuffle, so the collect is d-sized at any corpus size.
+    Memoized per corpus like the other offline artifacts (same
+    fingerprinted key contract as _TRAIN_MEMO) when ``sf_dir`` is
+    given — the mean is corpus state, not per-query work."""
+    def compute() -> list[float]:
+        rows = (emb.select(F.posexplode("embedding").alias("pos", "x"))
+                .groupBy("pos").agg(F.avg("x").alias("m"))
+                .orderBy("pos").collect())
+        return [r["m"] for r in rows]
+
+    if sf_dir is None:
+        return compute()
+    key = (sf_dir, *_corpus_token(sf_dir))
+    if key not in _MEAN_MEMO:
+        _MEAN_MEMO[key] = compute()
+    return _MEAN_MEMO[key]
 
 
 LSH_PROBE_RADIUS = 2
@@ -872,10 +889,14 @@ def q_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     every pair — it needs an unbiased sample and bounded cost; the LSH
     variant below is the path that targets the *high-cosine* pairs.
     """
-    blocks = _cos_audit_blocks(
-        _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")))
-    emb = load(spark, sf_dir, "embeddings").withColumn(
-        "nrm", _norm("embedding")).withColumn(
+    emb = load(spark, sf_dir, "embeddings")
+    n_vecs = _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    if n_vecs is None:
+        n_vecs = emb.count()  # q_semdedup's fallback convention: never
+        #                       let a footer-read failure silently pin
+        #                       the fixture B (and its n²/25 pair work)
+    blocks = _cos_audit_blocks(n_vecs)
+    emb = emb.withColumn("nrm", _norm("embedding")).withColumn(
         "blk", F.pmod("vec_id", F.lit(blocks)))
     a = emb.select(F.col("vec_id").alias("id_a"),
                    F.col("embedding").alias("va"), F.col("nrm").alias("na"),
@@ -939,10 +960,12 @@ def q_near_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     High-cosine pairs land in the same bucket with probability
     (1 - θ/π)^bits — multi-probe neighboring buckets for recall.
     """
-    bits = _lsh_pair_bits(
-        _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")))
-    planes = _hyperplanes(bits)
     emb = load(spark, sf_dir, "embeddings")
+    n_vecs = _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
+    if n_vecs is None:
+        n_vecs = emb.count()  # never silently fall back to fixture bits
+    bits = _lsh_pair_bits(n_vecs)
+    planes = _hyperplanes(bits)
 
     if bits == LSH_BITS:
         # fixture path: plan-literal fold, bit-identical with the oracle
@@ -957,7 +980,7 @@ def q_near_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _bucket_arrow); cosine scoring stays JVM-side on RAW vectors
         bucketed = _bucket_arrow(
             emb.select("vec_id", "embedding"), planes,
-            center=_corpus_mean(emb),
+            center=_corpus_mean(emb, sf_dir),
         ).withColumn("nrm", _norm("embedding"))
     a = bucketed.select(F.col("vec_id").alias("id_a"),
                         F.col("embedding").alias("va"),
