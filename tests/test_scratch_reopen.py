@@ -37,3 +37,40 @@ def test_persisting_query_is_rerunnable_in_one_session(spark, sf_dir, q):
     second = q(spark, sf_dir)
     assert second.count() == rows1
     spark.catalog.clearCache()
+
+
+def test_corpus_mean_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """_MEAN_MEMO (r12, corpus-mean centering for the scaled LSH branch)
+    keys on (sf_dir, corpus fingerprint) like _TRAIN_MEMO/_PQ_MEMO —
+    VERDICT r12 item 5 asks this to be PINNED: rewrite the embeddings
+    parquet at the SAME path and assert the fingerprint in the key
+    forces recomputation, since a same-session re-run after an
+    in-process corpus regeneration would otherwise silently consume the
+    stale mean (and mis-center every bucket)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_mergetree_spark.operators import similarity as S
+    from clickhouse_mergetree_spark.tables import reopen_parquet
+
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def write(lo: float) -> None:
+        (spark.range(8)
+         .select(F.col("id").alias("vec_id"),
+                 F.array(*[F.lit(lo) for _ in range(4)])
+                 .cast("array<float>").alias("embedding"))
+         .coalesce(1).write.mode("overwrite").parquet(path))
+
+    write(2.0)
+    m1 = S._corpus_mean(reopen_parquet(spark, path), sf_dir)
+    assert m1 == pytest.approx([2.0] * 4)
+
+    write(6.0)  # same path, new corpus — dir mtime/size fingerprint moves
+    m2 = S._corpus_mean(reopen_parquet(spark, path), sf_dir)
+    assert m2 == pytest.approx([6.0] * 4), (
+        "stale _MEAN_MEMO entry served after the corpus was rewritten "
+        "at the same path — the _corpus_token fingerprint must "
+        "invalidate the memo")

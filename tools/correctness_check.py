@@ -44,6 +44,23 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
+    from clickhouse_mergetree_spark.registry import REGISTRY
+
+    def oracle_scale_bound(name: str) -> str | None:
+        """Non-None = the declared oracle embeds fixture literals and the
+        corpus at this sf exceeds its validity bound (registry metadata,
+        ADVICE r12) — running it would report a spurious parity failure,
+        so refuse loudly as unsupported instead."""
+        dq = REGISTRY.get(name)
+        if dq is None or dq.oracle_fixture_max_rows is None:
+            return None
+        n = con.sql(
+            f"SELECT count(*) FROM {dq.oracle_fixture_table}").fetchone()[0]
+        if n > dq.oracle_fixture_max_rows:
+            return (f"oracle_unsupported_at_scale({dq.oracle_fixture_table}="
+                    f"{n}>{dq.oracle_fixture_max_rows})")
+        return None
+
     qs = entry.queries()
     oracles = entry.oracle_sql()
     results: dict[str, str] = {}
@@ -52,7 +69,10 @@ def main() -> None:
             continue
         try:
             df = qs[name](spark, sf_dir)
-            if name in oracles:
+            bound = oracle_scale_bound(name) if name in oracles else None
+            if bound is not None:
+                results[name] = bound
+            elif name in oracles:
                 compare(df, con, oracles[name])
                 results[name] = "pass"
             else:

@@ -65,10 +65,26 @@ def main() -> None:
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    from clickhouse_mergetree_spark.registry import REGISTRY
+
+    def oracle_supported(name: str) -> bool:
+        """False when the declared oracle embeds fixture literals and the
+        corpus at this sf exceeds its validity bound (registry metadata,
+        ADVICE r12): the sweep then skips the oracle side LOUDLY (stderr
+        + unsupported ledger) instead of reporting a spurious parity
+        failure for a formula the Spark side intentionally outgrew."""
+        dq = REGISTRY.get(name)
+        if dq is None or dq.oracle_fixture_max_rows is None:
+            return True
+        n = con.sql(
+            f"SELECT count(*) FROM {dq.oracle_fixture_table}").fetchone()[0]
+        return n <= dq.oracle_fixture_max_rows
+
     qs = entry.queries()
     oracles = entry.oracle_sql()
     flagged: dict[str, dict] = {}
     parity_fail: dict[str, str] = {}
+    oracle_unsupported: list[str] = []
     n_checked = 0
     for name in sorted(qs):
         if only and name not in only:
@@ -78,7 +94,12 @@ def main() -> None:
             s_rows = [tuple(r) for r in df.collect()]
             s_nz = sum(_count_neg_zero(c) for r in s_rows for c in r)
             d_nz = 0
-            if name in oracles:
+            if name in oracles and not oracle_supported(name):
+                oracle_unsupported.append(name)
+                print(f"{name}: oracle unsupported at this scale "
+                      "(fixture-literal oracle) — Spark side swept, "
+                      "parity not compared", file=sys.stderr, flush=True)
+            elif name in oracles:
                 d_rows = con.sql(oracles[name]).fetchall()
                 d_nz = sum(_count_neg_zero(c) for r in d_rows for c in r)
                 try:
@@ -97,7 +118,8 @@ def main() -> None:
             traceback.print_exc(file=sys.stderr)
 
     out = {"sf_dir": sf_dir, "n_checked": n_checked,
-           "neg_zero_queries": flagged, "parity_failures": parity_fail}
+           "neg_zero_queries": flagged, "parity_failures": parity_fail,
+           "oracle_unsupported_at_scale": oracle_unsupported}
     print(json.dumps(out))
     spark.stop()
     sys.exit(1 if (flagged or parity_fail) else 0)
