@@ -638,12 +638,45 @@ class SparkMergeTree:
         metas: list[PartMeta] = []
         part_id = None
         try:
-            for partition, pdf, n_est in splits:
-                with self._lock:
-                    part_id = self.manifest.allocate_part_id()
-                metas.append(self._write_part(
-                    part_id, pdf, n_est, partition=partition,
-                    enforce_constraints=True))
+            # Pre-allocate every split's part id in sorted-partition order
+            # (deterministic id↔partition mapping), then run the
+            # independent per-split write jobs CONCURRENTLY — each split
+            # writes its own part dir with its own uuid-named Observation,
+            # so a 5-partition insert costs ~max(split job) wall-clock
+            # instead of 5 sequential jobs (r13: the partitioned fixture
+            # family — q_attach_from, q_alter_ddl, partition ops — topped
+            # the bench on exactly this loop). Manifest append order stays
+            # the sequential order: metas are collected in split order.
+            with self._lock:
+                ids = [self.manifest.allocate_part_id() for _ in splits]
+            part_id = ids[-1]
+
+            def write_one(pid: int, split) -> PartMeta:
+                partition, pdf, n_est = split
+                return self._write_part(pid, pdf, n_est, partition=partition,
+                                        enforce_constraints=True)
+
+            if len(splits) == 1:
+                metas.append(write_one(ids[0], splits[0]))
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                        max_workers=min(8, len(splits))) as ex:
+                    futs = [ex.submit(write_one, pid, sp)
+                            for pid, sp in zip(ids, splits)]
+                    first_err = None
+                    for f in futs:
+                        try:
+                            metas.append(f.result())
+                        except Exception as exc:  # noqa: PERF203
+                            # keep draining so every split either lands in
+                            # metas (rolled back below) or cleaned itself
+                            # up inside _write_part
+                            if first_err is None:
+                                first_err = exc
+                    if first_err is not None:
+                        raise first_err
         except Exception:
             for m in metas:
                 self._delete_part_dirs(m)

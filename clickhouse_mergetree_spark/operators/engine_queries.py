@@ -2816,8 +2816,13 @@ def q_sharded_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = table.shard_stats()
     assert all(s["rows"] > 0 for s in stats), stats
     probe = table.shard_of(POINT_KEY)
-    for j, s in enumerate(table.shards):
-        n = s.query_key(POINT_KEY).count()
+    # the 4 per-shard probe counts are independent jobs — run concurrent
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(table.shards)) as ex:
+        ns = list(ex.map(
+            lambda s: s.query_key(POINT_KEY).count(), table.shards))
+    for j, n in enumerate(ns):
         assert (n > 0) == (j == probe), (j, probe, n)
     return table.query(RANGE_START, RANGE_END).select("key", "ts_us")
 
@@ -2870,9 +2875,16 @@ def q_attach_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = SparkMergeTree(spark, scratch_dir("q_attachfrom_dst_"),
                          schema=schema, config=cfg)
     src.insert_batch(kv.filter(F.col("key") <= RANGE_END), row_count=1)
-    src.flush()
     dst.insert_batch(kv.filter(F.col("key") > RANGE_END), row_count=1)
-    dst.flush()
+    # the two tables are independent engines over one cached input —
+    # flush them as concurrent jobs (each flush itself parallelizes its
+    # per-partition part writes), the same wall-clock shape a real
+    # two-table backfill would have
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for f in [ex.submit(src.flush), ex.submit(dst.flush)]:
+            f.result()
     before = dst.part_count()
     moved = len(src.parts_in_partition("purchase"))
     dst.attach_partition_from(src, "purchase")

@@ -44,6 +44,13 @@ def _stream_dir(sf_dir: str) -> str:
     import hashlib
     import os
 
+    # abspath BEFORE hashing/linking: a relative sf_dir would both fork
+    # the staging dir from its absolute twin and — worse — create a
+    # relative symlink target, which resolves against the symlink's own
+    # /tmp directory and dangles, so the file source lists ZERO files
+    # and the stream silently replays an empty corpus (caught r13: a
+    # relative --sf5 made q_stream_session "run" in 0.17s on no data).
+    sf_dir = os.path.abspath(sf_dir)
     d = os.path.join(tempfile.gettempdir(),
                      "events_stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
     os.makedirs(d, exist_ok=True)
