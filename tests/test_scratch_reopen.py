@@ -39,6 +39,24 @@ def test_persisting_query_is_rerunnable_in_one_session(spark, sf_dir, q):
     spark.catalog.clearCache()
 
 
+def test_ivf_partitioned_index_rebuilds_on_corpus_switch(spark):
+    """The r13 offline-index memo for q_sim_search_ivf_partitioned is
+    keyed dir→corpus (single slot): every SF shares one fixed scratch
+    dir, so after an interleaved sf0.001 → sf0.01 → sf0.001 sequence
+    the third call MUST rebuild (the dir holds sf0.01's index) — a
+    corpus-keyed memo would skip it and probe the wrong index."""
+    from clickhouse_mergetree_spark.operators.similarity import (
+        q_sim_search_ivf_partitioned as q,
+    )
+
+    a1 = sorted(tuple(r) for r in q(spark, "/root/testdata/sf0.001").collect())
+    b = sorted(tuple(r) for r in q(spark, "/root/testdata/sf0.01").collect())
+    a2 = sorted(tuple(r) for r in q(spark, "/root/testdata/sf0.001").collect())
+    assert a1 == a2, "stale cross-corpus index served after SF switch"
+    assert a1 != b  # the two corpora genuinely differ (guards the test)
+    spark.catalog.clearCache()
+
+
 def test_corpus_mean_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
     """_MEAN_MEMO (r12, corpus-mean centering for the scaled LSH branch)
     keys on (sf_dir, corpus fingerprint) like _TRAIN_MEMO/_PQ_MEMO —
