@@ -635,50 +635,46 @@ class SparkMergeTree:
         # deleted — the ClickHouse contract of validating the whole insert
         # block before any part becomes visible, without a separate
         # pre-scan over the buffer.
+        # A partitioned buffer whose frame evaluates to 0 rows (caller
+        # passed row_count as a non-empty marker) yields zero splits —
+        # nothing to write, same graceful no-op as the sequential loop.
+        if not splits:
+            return None
+        # Pre-allocate every split's part id in sorted-partition order
+        # (deterministic id↔partition mapping), then run the independent
+        # per-split write jobs CONCURRENTLY — each split writes its own
+        # part dir with its own uuid-named Observation, so a 5-partition
+        # insert costs ~max(split job) wall-clock instead of 5 sequential
+        # jobs (r13: the partitioned fixture family — q_attach_from,
+        # q_alter_ddl, partition ops — topped the bench on exactly this
+        # loop). run_concurrently returns results in INPUT order (manifest
+        # append order stays the sequential order) and drains on failure;
+        # ``written`` accumulates completion-side so the rollback sees
+        # every split that finished even when the ordered result list was
+        # never returned.
         metas: list[PartMeta] = []
+        written: list[PartMeta] = []
         part_id = None
         try:
-            # Pre-allocate every split's part id in sorted-partition order
-            # (deterministic id↔partition mapping), then run the
-            # independent per-split write jobs CONCURRENTLY — each split
-            # writes its own part dir with its own uuid-named Observation,
-            # so a 5-partition insert costs ~max(split job) wall-clock
-            # instead of 5 sequential jobs (r13: the partitioned fixture
-            # family — q_attach_from, q_alter_ddl, partition ops — topped
-            # the bench on exactly this loop). Manifest append order stays
-            # the sequential order: metas are collected in split order.
             with self._lock:
                 ids = [self.manifest.allocate_part_id() for _ in splits]
             part_id = ids[-1]
 
             def write_one(pid: int, split) -> PartMeta:
                 partition, pdf, n_est = split
-                return self._write_part(pid, pdf, n_est, partition=partition,
-                                        enforce_constraints=True)
+                m = self._write_part(pid, pdf, n_est, partition=partition,
+                                     enforce_constraints=True)
+                written.append(m)  # list.append is atomic under the GIL
+                return m
 
-            if len(splits) == 1:
-                metas.append(write_one(ids[0], splits[0]))
-            else:
-                from concurrent.futures import ThreadPoolExecutor
+            from clickhouse_mergetree_spark.parallel import run_concurrently
 
-                with ThreadPoolExecutor(
-                        max_workers=min(8, len(splits))) as ex:
-                    futs = [ex.submit(write_one, pid, sp)
-                            for pid, sp in zip(ids, splits)]
-                    first_err = None
-                    for f in futs:
-                        try:
-                            metas.append(f.result())
-                        except Exception as exc:  # noqa: PERF203
-                            # keep draining so every split either lands in
-                            # metas (rolled back below) or cleaned itself
-                            # up inside _write_part
-                            if first_err is None:
-                                first_err = exc
-                    if first_err is not None:
-                        raise first_err
+            metas.extend(run_concurrently(
+                [(lambda pid=pid, sp=sp: write_one(pid, sp))
+                 for pid, sp in zip(ids, splits)],
+                max_workers=min(8, len(splits))))
         except Exception:
-            for m in metas:
+            for m in written:
                 self._delete_part_dirs(m)
             raise
         with self._lock:

@@ -83,13 +83,11 @@ class ShardedMergeTree:
         the sequential per-shard planning put the q_sharded_* family at
         the top of the bench). This mirrors the real topology too: on a
         ClickHouse cluster the N shards execute concurrently by
-        construction. Exceptions propagate (first failure re-raised)."""
-        from concurrent.futures import ThreadPoolExecutor
+        construction. Drains all shards, then re-raises the first
+        failure (shared run_concurrently contract)."""
+        from clickhouse_mergetree_spark.parallel import run_concurrently
 
-        if len(fns) == 1:
-            return [fns[0]()]
-        with ThreadPoolExecutor(max_workers=len(fns)) as ex:
-            return [f.result() for f in [ex.submit(fn) for fn in fns]]
+        return run_concurrently(fns)
 
     def insert_batch(self, df: DataFrame, row_count: int | None = None
                      ) -> None:

@@ -2817,11 +2817,10 @@ def q_sharded_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert all(s["rows"] > 0 for s in stats), stats
     probe = table.shard_of(POINT_KEY)
     # the 4 per-shard probe counts are independent jobs — run concurrent
-    from concurrent.futures import ThreadPoolExecutor
+    from clickhouse_mergetree_spark.parallel import run_concurrently
 
-    with ThreadPoolExecutor(max_workers=len(table.shards)) as ex:
-        ns = list(ex.map(
-            lambda s: s.query_key(POINT_KEY).count(), table.shards))
+    ns = run_concurrently([
+        (lambda s=s: s.query_key(POINT_KEY).count()) for s in table.shards])
     for j, n in enumerate(ns):
         assert (n > 0) == (j == probe), (j, probe, n)
     return table.query(RANGE_START, RANGE_END).select("key", "ts_us")
@@ -2880,11 +2879,9 @@ def q_attach_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flush them as concurrent jobs (each flush itself parallelizes its
     # per-partition part writes), the same wall-clock shape a real
     # two-table backfill would have
-    from concurrent.futures import ThreadPoolExecutor
+    from clickhouse_mergetree_spark.parallel import run_concurrently
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        for f in [ex.submit(src.flush), ex.submit(dst.flush)]:
-            f.result()
+    run_concurrently([src.flush, dst.flush])
     before = dst.part_count()
     moved = len(src.parts_in_partition("purchase"))
     dst.attach_partition_from(src, "purchase")

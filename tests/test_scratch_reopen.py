@@ -30,10 +30,18 @@ from clickhouse_mergetree_spark.operators.similarity import (
     q_near_dedup,
 ], ids=lambda f: f.__name__)
 def test_persisting_query_is_rerunnable_in_one_session(spark, sf_dir, q):
+    from clickhouse_mergetree_spark.operators.similarity import (
+        _IVF_PART_MEMO,
+    )
+
     first = q(spark, sf_dir)
     rows1 = first.count()
     # second run overwrites the same fixed scratch dir and re-reads it —
-    # without the refresh this is where the stale listing detonates
+    # without the refresh this is where the stale listing detonates.
+    # Clear the r13 offline-index memo so the overwrite actually happens
+    # for q_sim_search_ivf_partitioned (a warm memo would skip the
+    # rewrite and leave this test's scenario unexercised).
+    _IVF_PART_MEMO.clear()
     second = q(spark, sf_dir)
     assert second.count() == rows1
     spark.catalog.clearCache()
@@ -45,13 +53,24 @@ def test_ivf_partitioned_index_rebuilds_on_corpus_switch(spark):
     dir, so after an interleaved sf0.001 → sf0.01 → sf0.001 sequence
     the third call MUST rebuild (the dir holds sf0.01's index) — a
     corpus-keyed memo would skip it and probe the wrong index."""
+    import os
+
     from clickhouse_mergetree_spark.operators.similarity import (
         q_sim_search_ivf_partitioned as q,
     )
 
-    a1 = sorted(tuple(r) for r in q(spark, "/root/testdata/sf0.001").collect())
-    b = sorted(tuple(r) for r in q(spark, "/root/testdata/sf0.01").collect())
-    a2 = sorted(tuple(r) for r in q(spark, "/root/testdata/sf0.001").collect())
+    # derive both SFs from the conftest convention so a relocated
+    # fixture tree (SPARK_GRAFT_TEST_SF_DIR) keeps this test portable
+    base = os.path.dirname(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"))
+    sf_a, sf_b = os.path.join(base, "sf0.001"), os.path.join(base, "sf0.01")
+    for d in (sf_a, sf_b):
+        if not os.path.isdir(d):
+            pytest.skip(f"fixture dir {d} not present")
+
+    a1 = sorted(tuple(r) for r in q(spark, sf_a).collect())
+    b = sorted(tuple(r) for r in q(spark, sf_b).collect())
+    a2 = sorted(tuple(r) for r in q(spark, sf_a).collect())
     assert a1 == a2, "stale cross-corpus index served after SF switch"
     assert a1 != b  # the two corpora genuinely differ (guards the test)
     spark.catalog.clearCache()
