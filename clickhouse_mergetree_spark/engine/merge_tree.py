@@ -690,6 +690,34 @@ class SparkMergeTree:
         for ppath in (p.proj_paths or {}).values():
             shutil.rmtree(ppath, ignore_errors=True)
 
+    def _run_part_writes(self, thunks) -> list[PartMeta]:
+        """Run independent part-write thunks (each returns a PartMeta) as
+        CONCURRENT Spark jobs — the same job-level parallelism as flush's
+        split writes: per-part rewrites (mutations, TTL, FINAL merges,
+        backfills) are independent tasks in ClickHouse's background pool,
+        and Spark's scheduler happily overlaps jobs submitted from driver
+        threads. Results come back in input order. On any failure every
+        COMPLETED part dir is deleted before the first error re-raises —
+        the manifest never saw any of the new parts, so the table state
+        is untouched (flush's all-or-nothing write-stage contract)."""
+        written: list[PartMeta] = []
+
+        def wrap(fn):
+            def run() -> PartMeta:
+                m = fn()
+                written.append(m)  # list.append is atomic under the GIL
+                return m
+            return run
+
+        from clickhouse_mergetree_spark.parallel import run_concurrently
+        try:
+            return run_concurrently([wrap(fn) for fn in thunks],
+                                    max_workers=min(8, len(thunks)))
+        except Exception:
+            for m in written:
+                self._delete_part_dirs(m)
+            raise
+
     def _write_part(self, part_id: int, df: DataFrame, n_rows: int,
                     partition: str | None = None,
                     enforce_constraints: bool = False) -> PartMeta:
@@ -1529,13 +1557,14 @@ class SparkMergeTree:
         Returns {"parts_built", "parts_skipped"}."""
         spec = self._spec(name)
         self.flush()
-        built = skipped = 0
         with self._lock:
             parts = list(self.manifest.parts)
-        for p in parts:
+
+        def build(p: PartMeta) -> bool:
+            """True = projection built for this part. Per-part aggregate
+            jobs over disjoint inputs/outputs — run concurrently below."""
             if p.proj_paths and name in p.proj_paths:
-                skipped += 1
-                continue
+                return False
             cols = (set(p.columns) if p.columns is not None
                     else {f.name for f in self.schema.fields})
             part_df = self.spark.read.schema(
@@ -1548,10 +1577,16 @@ class SparkMergeTree:
             with self._lock:
                 p.proj_paths = dict(p.proj_paths or {})
                 p.proj_paths[name] = ppath
-            built += 1
+            return True
+
+        from clickhouse_mergetree_spark.parallel import run_concurrently
+        done = run_concurrently([(lambda part=p: build(part))
+                                 for p in parts],
+                                max_workers=min(8, max(1, len(parts))))
         with self._lock:
             self.manifest.save()
-        return {"parts_built": built, "parts_skipped": skipped}
+        return {"parts_built": sum(1 for d in done if d),
+                "parts_skipped": sum(1 for d in done if not d)}
 
     def drop_projection(self, name: str) -> int:
         """``ALTER TABLE ... DROP PROJECTION`` analog: unregister the
@@ -2418,31 +2453,61 @@ class SparkMergeTree:
         masked/evolved read path, so lightweight-delete masks and ALTER
         defaults materialize) → mode collapse → sorted part write →
         atomic manifest swap → reclaim. Caller holds _merge_lock."""
-        with self._lock:
-            part_id = self.manifest.allocate_part_id()
-        # _read_parts materializes evolved-column defaults into the
-        # merged part (ClickHouse materializes ALTER defaults on merge)
-        merged = self._collapse(self._read_parts(selected))
-        meta = self._write_part(part_id, merged,
-                                sum(p.row_count for p in selected),
-                                partition=selected[0].partition)
+        self._merge_groups([selected])
 
-        retain = self.config.snapshot_retention > 0
+    def _merge_groups(self, groups: list[list[PartMeta]],
+                      transform=None) -> list[PartMeta]:
+        """N independent merge jobs over DISJOINT part groups (FINAL's
+        per-partition merges, pending-transform rewrites, dedup passes).
+
+        Merged part ids are allocated upfront in group order and the
+        commits (atomic swap → lw-delete GC → save → reclaim) run
+        sequentially in that same order, so part ids and the manifest's
+        version history are bit-identical to merging the groups one at a
+        time — only the expensive read→collapse→write jobs overlap
+        (wall-clock ~max(job) instead of sum). A failure in ANY write
+        deletes every completed new part dir and commits nothing.
+        ``transform`` (optional) maps the collapsed frame before the
+        write — OPTIMIZE ... DEDUPLICATE's extra dedup step.
+        Caller holds _merge_lock."""
+        if not groups:
+            return []
         with self._lock:
-            self._swap_or_remove([p.part_id for p in selected], meta,
-                                 retain=retain)
-            # the merged part materialized any lightweight-delete
-            # masks (read path applied them); reclaim satisfied entries
-            self._gc_lw_deletes()
-            self.manifest.save()
-        if retain:
-            # snapshots keep the old parts readable; vacuum reclaims
-            # whatever just fell out of the retention window
-            self.vacuum()
-        else:
-            # commit point passed — old parts unreachable, reclaim disk
-            for p in selected:
-                self._delete_part_dirs(p)
+            ids = [self.manifest.allocate_part_id() for _ in groups]
+
+        def write_one(pid: int, group: list[PartMeta]) -> PartMeta:
+            # _read_parts materializes evolved-column defaults into the
+            # merged part (ClickHouse materializes ALTER defaults on
+            # merge)
+            merged = self._collapse(self._read_parts(group))
+            if transform is not None:
+                merged = transform(merged)
+            return self._write_part(pid, merged,
+                                    sum(p.row_count for p in group),
+                                    partition=group[0].partition)
+
+        metas = self._run_part_writes(
+            [(lambda pid=pid, g=g: write_one(pid, g))
+             for pid, g in zip(ids, groups)])
+        retain = self.config.snapshot_retention > 0
+        for group, meta in zip(groups, metas):
+            with self._lock:
+                self._swap_or_remove([p.part_id for p in group], meta,
+                                     retain=retain)
+                # the merged part materialized any lightweight-delete
+                # masks (read path applied them); reclaim satisfied
+                # entries
+                self._gc_lw_deletes()
+                self.manifest.save()
+            if retain:
+                # snapshots keep the old parts readable; vacuum reclaims
+                # whatever just fell out of the retention window
+                self.vacuum()
+            else:
+                # commit point passed — old parts unreachable, reclaim
+                for p in group:
+                    self._delete_part_dirs(p)
+        return metas
 
     def _swap_or_remove(self, old_part_ids: list[int], meta: PartMeta,
                         retain: bool) -> None:
@@ -2544,23 +2609,28 @@ class SparkMergeTree:
                         return
                     self._merge_group(target)
         if final:
+            # Partitions merge independently (merges never cross them),
+            # and single-part pending-transform rewrites touch disjoint
+            # parts — each round batches every target into one concurrent
+            # write pass (wall-clock ~max(partition) instead of
+            # sum(partitions)); ids/commits keep the sequential order.
             while True:
                 with self._merge_lock:
                     with self._lock:
                         groups: dict[str | None, list[PartMeta]] = {}
                         for p in self.manifest.parts:
                             groups.setdefault(p.partition, []).append(p)
-                        target = next(
-                            (g for g in groups.values() if len(g) > 1), None)
-                        if target is None:
+                        targets = [g for g in groups.values() if len(g) > 1]
+                        if not targets:
                             # every partition is one part: force-rewrite
                             # those still carrying read-time transforms
-                            pending = self._parts_with_pending_transforms(
-                                include_masks=True)
-                            target = [pending[0]] if pending else None
-                    if target is None:
+                            targets = [
+                                [p] for p in
+                                self._parts_with_pending_transforms(
+                                    include_masks=True)]
+                    if not targets:
                         return
-                    self._merge_group(target)
+                    self._merge_groups(targets)
         while self.should_trigger_merge():
             if not self.perform_merge():
                 break
@@ -2571,7 +2641,8 @@ class SparkMergeTree:
                         include_masks=False)
                 if not pending:
                     return
-                self._merge_group([pending[0]])
+                # disjoint single-part rewrites: one concurrent pass
+                self._merge_groups([[p] for p in pending])
 
     def optimize_deduplicate(self, by: tuple[str, ...] | None = None
                              ) -> dict:
@@ -2600,38 +2671,24 @@ class SparkMergeTree:
             if unknown:
                 raise ValueError(f"unknown dedup columns {sorted(unknown)}")
         rows_before = self.total_rows()
+
+        def dedup(df: DataFrame) -> DataFrame:
+            if by:
+                from pyspark.sql import Window as W
+                rest = [c for c in cols if c not in by]
+                w = W.partitionBy(*by).orderBy(
+                    *(rest if rest else [F.lit(1)]))
+                return (df.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") == 1).drop("__rn"))
+            return df.dropDuplicates()
+
         with self._merge_lock:
             with self._lock:
                 groups: dict[str | None, list[PartMeta]] = {}
                 for p in self.manifest.parts:
                     groups.setdefault(p.partition, []).append(p)
-            for group in groups.values():
-                with self._lock:
-                    part_id = self.manifest.allocate_part_id()
-                df = self._collapse(self._read_parts(group))
-                if by:
-                    from pyspark.sql import Window as W
-                    rest = [c for c in cols if c not in by]
-                    w = W.partitionBy(*by).orderBy(
-                        *(rest if rest else [F.lit(1)]))
-                    df = (df.withColumn("__rn", F.row_number().over(w))
-                          .filter(F.col("__rn") == 1).drop("__rn"))
-                else:
-                    df = df.dropDuplicates()
-                meta = self._write_part(part_id, df,
-                                        sum(p.row_count for p in group),
-                                        partition=group[0].partition)
-                retain = self.config.snapshot_retention > 0
-                with self._lock:
-                    self._swap_or_remove([p.part_id for p in group], meta,
-                                         retain=retain)
-                    self._gc_lw_deletes()
-                    self.manifest.save()
-                if retain:
-                    self.vacuum()
-                else:
-                    for p in group:
-                        self._delete_part_dirs(p)
+            # partitions dedup independently — one concurrent write pass
+            self._merge_groups(list(groups.values()), transform=dedup)
         return {"rows_before": rows_before, "rows_after": self.total_rows()}
 
     # ----------------------------------------------------------------- TTL
@@ -2714,20 +2771,28 @@ class SparkMergeTree:
                     for p in drop:
                         self._delete_part_dirs(p)
 
-            # straddling parts: one filtered rewrite each
-            for p in rewrite:
-                kept_df = self._read_parts([p]).filter(
-                    F.col(self._ts) >= F.lit(before_ts))
+            # straddling parts: one filtered rewrite each — independent
+            # per-part jobs, overlapped concurrently with ids/commits in
+            # part order (bit-identical manifest history)
+            if rewrite:
                 with self._lock:
-                    new_id = self.manifest.allocate_part_id()
-                meta = self._write_part(new_id, kept_df, p.row_count,
-                                        partition=p.partition)
-                rows_removed += p.row_count - meta.row_count
-                with self._lock:
-                    self._swap_or_remove([p.part_id], meta, retain=retain)
-                    self.manifest.save()
-                if not retain:
-                    self._delete_part_dirs(p)
+                    ids = [self.manifest.allocate_part_id()
+                           for _ in rewrite]
+                metas = self._run_part_writes([
+                    (lambda pid=pid, part=p: self._write_part(
+                        pid,
+                        self._read_parts([part]).filter(
+                            F.col(self._ts) >= F.lit(before_ts)),
+                        part.row_count, partition=part.partition))
+                    for pid, p in zip(ids, rewrite)])
+                for p, meta in zip(rewrite, metas):
+                    rows_removed += p.row_count - meta.row_count
+                    with self._lock:
+                        self._swap_or_remove([p.part_id], meta,
+                                             retain=retain)
+                        self.manifest.save()
+                    if not retain:
+                        self._delete_part_dirs(p)
             if retain:
                 self.vacuum()
             if drop or rewrite:
@@ -2790,7 +2855,8 @@ class SparkMergeTree:
                       if f.name not in (self._key, self._ts)
                       and f.name not in aggs]
             replaced = rows_before = rows_after = 0
-            for partition, parts in groups.items():
+
+            def rollup_df(parts: list[PartMeta]) -> DataFrame:
                 # collapse FIRST (the merge primitive): unmerged parts can
                 # hold duplicate (key, ts) rows that a read would hide —
                 # rolling up the raw bytes would double-count them into
@@ -2807,24 +2873,35 @@ class SparkMergeTree:
                         *[F.max_by(c, self._ts).alias(c) for c in others],
                     )
                 )
-                new_df = young.unionByName(rolled).select(
+                return young.unionByName(rolled).select(
                     [f.name for f in self.schema.fields])
+
+            # partition groups roll up independently — overlap the
+            # write jobs, commit in group order (ids/history identical
+            # to the sequential loop)
+            items = list(groups.items())
+            if items:
                 with self._lock:
-                    new_id = self.manifest.allocate_part_id()
-                n_in = sum(p.row_count for p in parts)
-                meta = self._write_part(new_id, new_df, n_in,
-                                        partition=partition)
-                with self._lock:
-                    self._swap_or_remove([p.part_id for p in parts], meta,
-                                         retain=retain)
-                    self._gc_lw_deletes()
-                    self.manifest.save()
-                if not retain:
-                    for p in parts:
-                        self._delete_part_dirs(p)
-                replaced += len(parts)
-                rows_before += n_in
-                rows_after += meta.row_count
+                    ids = [self.manifest.allocate_part_id() for _ in items]
+                metas = self._run_part_writes([
+                    (lambda pid=pid, partition=partition, parts=parts:
+                     self._write_part(pid, rollup_df(parts),
+                                      sum(p.row_count for p in parts),
+                                      partition=partition))
+                    for pid, (partition, parts) in zip(ids, items)])
+                for (partition, parts), meta in zip(items, metas):
+                    with self._lock:
+                        self._swap_or_remove(
+                            [p.part_id for p in parts], meta,
+                            retain=retain)
+                        self._gc_lw_deletes()
+                        self.manifest.save()
+                    if not retain:
+                        for p in parts:
+                            self._delete_part_dirs(p)
+                    replaced += len(parts)
+                    rows_before += sum(p.row_count for p in parts)
+                    rows_after += meta.row_count
             if retain and groups:
                 self.vacuum()
             return {"parts_replaced": replaced,
@@ -3163,34 +3240,33 @@ class SparkMergeTree:
         if not any(f.name == name for f in self.schema.fields):
             raise ValueError(f"unknown column {name!r}")
         self.flush()
-        rewritten = rows = 0
-        while True:
-            with self._merge_lock:
-                with self._lock:
-                    added_names = {
-                        a["name"] for a in
-                        self.manifest.table_meta.get("added_columns", [])}
-                    original = [f.name for f in self.schema.fields
-                                if f.name not in added_names]
-                    chain = self._rename_chains().get(name, (name,))
-                    target = None
-                    for p in self.manifest.parts:
-                        present = (set(p.columns) if p.columns is not None
-                                   else set(original))
-                        phys = next((c for c in chain if c in present), None)
-                        if (phys is None                   # lazy default
-                                or phys != name            # pending rename
-                                or (p.cast_cols or {}).get(phys)  # cast
-                                # column-TTL / CLEAR COLUMN expiry mark
-                                or name in (p.expired_cols or ())):
-                            target = p
-                            break
-                    if target is None:
-                        return {"parts_rewritten": rewritten,
-                                "rows_rewritten": rows}
-                rows += target.row_count
-                self._merge_group([target])
-                rewritten += 1
+        with self._merge_lock:
+            with self._lock:
+                added_names = {
+                    a["name"] for a in
+                    self.manifest.table_meta.get("added_columns", [])}
+                original = [f.name for f in self.schema.fields
+                            if f.name not in added_names]
+                chain = self._rename_chains().get(name, (name,))
+                targets = []
+                for p in self.manifest.parts:
+                    present = (set(p.columns) if p.columns is not None
+                               else set(original))
+                    phys = next((c for c in chain if c in present), None)
+                    if (phys is None                   # lazy default
+                            or phys != name            # pending rename
+                            or (p.cast_cols or {}).get(phys)  # cast
+                            # column-TTL / CLEAR COLUMN expiry mark
+                            or name in (p.expired_cols or ())):
+                        targets.append(p)
+            # rewriting one lagging part never changes whether ANOTHER
+            # part lags, so the frontier is fixed upfront and the
+            # independent single-part rewrites overlap as one concurrent
+            # pass (ids/commits in manifest-part order — identical to
+            # the one-at-a-time loop)
+            self._merge_groups([[p] for p in targets])
+        return {"parts_rewritten": len(targets),
+                "rows_rewritten": sum(p.row_count for p in targets)}
 
     def _apply_index_config(self, col: str, kind: str,
                             n: int | None = None) -> None:
@@ -3284,10 +3360,15 @@ class SparkMergeTree:
         them; pruning is pure optimization). Returns
         {"parts_indexed", "parts_skipped"}."""
         self.flush()
-        indexed = skipped = 0
         with self._lock:
             parts = list(self.manifest.parts)
-        for p in parts:
+
+        def backfill(p: PartMeta) -> bool:
+            """True = this part was indexed (False = already current).
+            Touches only ``p``'s own metadata, so the per-part backfills
+            are independent single-column scan jobs — run concurrently
+            below (the 100 TB contract in the docstring, applied
+            locally)."""
             present = (set(p.columns) if p.columns is not None
                        else {f.name for f in self.schema.fields})
 
@@ -3303,8 +3384,7 @@ class SparkMergeTree:
             set_missing = [(c, nn) for c, nn in self.config.set_index_cols
                            if want(c) and c not in (p.col_sets or {})]
             if not (tok_missing or ng_missing or mm_missing or set_missing):
-                skipped += 1
-                continue
+                return False
             if tok_missing:
                 self._attach_token_blooms(p)
             if ng_missing:
@@ -3329,10 +3409,16 @@ class SparkMergeTree:
                         vals = row[f"set_{c}"]
                         p.col_sets[c] = (sorted(vals) if len(vals) <= nn
                                          else None)
-            indexed += 1
+            return True
+
+        from clickhouse_mergetree_spark.parallel import run_concurrently
+        done = run_concurrently([(lambda part=p: backfill(part))
+                                 for p in parts],
+                                max_workers=min(8, max(1, len(parts))))
         with self._lock:
             self.manifest.save()
-        return {"parts_indexed": indexed, "parts_skipped": skipped}
+        return {"parts_indexed": sum(1 for d in done if d),
+                "parts_skipped": sum(1 for d in done if not d)}
 
     def clear_column(self, name: str, partition=None) -> dict:
         """``ALTER TABLE CLEAR COLUMN [IN PARTITION]`` analog: reset the
@@ -3525,6 +3611,7 @@ class SparkMergeTree:
             defaults = {a["name"]: a for a in added}
             meta_expired = rewritten = cells = 0
             dirty = False
+            todo: list[tuple] = []  # (part, full, straddle) rewrites
             for p in parts:
                 already = set(p.expired_cols or ())
                 full = {c for c, cut in cutoffs.items()
@@ -3532,14 +3619,34 @@ class SparkMergeTree:
                 straddle = {c: cut for c, cut in cutoffs.items()
                             if p.min_ts < cut <= p.max_ts}
                 if straddle:
-                    # one rewrite; count cleared cells in a single agg
-                    src = self._read_parts([p])
-                    counts = src.agg(*[
+                    todo.append((p, full, straddle))
+                elif full:
+                    # metadata-only: mark and serve the default at read
+                    with self._lock:
+                        p.expired_cols = sorted(already | full)
+                    cells += p.row_count * len(full)
+                    meta_expired += 1
+                    dirty = True
+            if todo:
+                # straddling parts rewrite independently: overlap the
+                # cell-count aggregates, then the rewrites; commit in
+                # part order (ids/history identical to sequential)
+                from clickhouse_mergetree_spark.parallel import (
+                    run_concurrently,
+                )
+
+                srcs = [self._read_parts([p]) for p, _f, _s in todo]
+                counts = run_concurrently([
+                    (lambda s=s, straddle=straddle: s.agg(*[
                         F.sum(F.when(F.col(self._ts) < F.lit(cut), 1)
                               .otherwise(0)).alias(c)
-                        for c, cut in straddle.items()]).first()
-                    cells += sum(counts[c] or 0 for c in straddle)
-                    cells += p.row_count * len(full)
+                        for c, cut in straddle.items()]).first())
+                    for s, (_p, _f, straddle) in zip(srcs, todo)],
+                    max_workers=min(8, len(todo)))
+                with self._lock:
+                    ids = [self.manifest.allocate_part_id() for _ in todo]
+
+                def rewrite_df(src, full, straddle) -> DataFrame:
                     new_df = src.withColumns({
                         c: F.when(F.col(self._ts) < F.lit(cut),
                                   self._default_col(defaults.get(c)))
@@ -3552,10 +3659,19 @@ class SparkMergeTree:
                             c: self._default_col(defaults.get(c)).cast(
                                 self.schema[c].dataType)
                             for c in full})
-                    with self._lock:
-                        new_id = self.manifest.allocate_part_id()
-                    meta = self._write_part(new_id, new_df, p.row_count,
-                                            partition=p.partition)
+                    return new_df
+
+                metas = self._run_part_writes([
+                    (lambda pid=pid, src=src, part=p, full=full,
+                     straddle=straddle: self._write_part(
+                         pid, rewrite_df(src, full, straddle),
+                         part.row_count, partition=part.partition))
+                    for pid, src, (p, full, straddle)
+                    in zip(ids, srcs, todo)])
+                for (p, full, straddle), row, meta in zip(
+                        todo, counts, metas):
+                    cells += sum(row[c] or 0 for c in straddle)
+                    cells += p.row_count * len(full)
                     with self._lock:
                         self._swap_or_remove([p.part_id], meta,
                                              retain=retain)
@@ -3563,13 +3679,6 @@ class SparkMergeTree:
                     if not retain:
                         self._delete_part_dirs(p)
                     rewritten += 1
-                elif full:
-                    # metadata-only: mark and serve the default at read
-                    with self._lock:
-                        p.expired_cols = sorted(already | full)
-                    cells += p.row_count * len(full)
-                    meta_expired += 1
-                    dirty = True
             # tombstoned snapshot parts: mark fully-expired columns so
             # time-travel reads observe post-TTL values instead of leaking
             # the expired data (straddling tombstoned parts are exempt —
@@ -3681,39 +3790,65 @@ class SparkMergeTree:
                 if am and part_id in am["pending_part_ids"]:
                     am["pending_part_ids"].remove(part_id)
 
-            for p in cands:
-                src = self._read_parts([p])
-                n_match = src.filter(hit).count()
+            # ClickHouse runs per-part mutation tasks from a background
+            # pool; here the independent per-part jobs overlap as
+            # concurrent Spark jobs in two waves (match counts, then
+            # rewrites) with ids allocated and commits applied in
+            # candidate order — part ids and manifest history are
+            # bit-identical to the sequential loop. All writes land
+            # before the first commit, so a failure mid-writes leaves
+            # the table untouched (new dirs deleted, intent record
+            # intact); a crash mid-commits still leaves the documented
+            # applied-to-a-prefix state.
+            from clickhouse_mergetree_spark.parallel import run_concurrently
+
+            srcs = [self._read_parts([p]) for p in cands]
+            n_matches = run_concurrently(
+                [(lambda s=s: s.filter(hit).count()) for s in srcs],
+                max_workers=min(8, max(1, len(cands))))
+            plan: list[tuple] = []  # (part, kind, n_match, new_id|None)
+            writes: list = []       # write thunks, one per "rewrite" row
+            for p, src, n_match in zip(cands, srcs, n_matches):
                 if n_match == 0:
-                    # no manifest save: the stale pending entry only makes
-                    # a crash report conservative (part listed but clean)
-                    with self._lock:
-                        _done(p.part_id)
+                    plan.append((p, "clean", 0, None))
                     continue
                 rows_affected += n_match
                 parts_rewritten += 1
                 if assignments is None and n_match == p.row_count:
                     # whole part deleted: metadata-only, no write job
+                    plan.append((p, "drop", n_match, None))
+                    continue
+                if assignments is None:
+                    new_df = src.filter(~hit)
+                    n_est = max(1, p.row_count - n_match)
+                else:
+                    new_df = src.withColumns({
+                        c: F.when(hit, e).otherwise(F.col(c)).cast(
+                            self.schema[c].dataType)
+                        for c, e in assignments.items()})
+                    n_est = p.row_count
+                with self._lock:
+                    new_id = self.manifest.allocate_part_id()
+                plan.append((p, "rewrite", n_match, new_id))
+                writes.append(
+                    lambda pid=new_id, df=new_df, ne=n_est, part=p:
+                    self._write_part(pid, df, ne, partition=part.partition))
+            metas = iter(self._run_part_writes(writes))
+            for p, kind, _n, _pid in plan:
+                if kind == "clean":
+                    # no manifest save: the stale pending entry only makes
+                    # a crash report conservative (part listed but clean)
+                    with self._lock:
+                        _done(p.part_id)
+                    continue
+                if kind == "drop":
                     with self._lock:
                         self.manifest.remove([p.part_id], retain=retain)
                         _done(p.part_id)
                         self.manifest.save()
                 else:
-                    if assignments is None:
-                        new_df = src.filter(~hit)
-                        n_est = max(1, p.row_count - n_match)
-                    else:
-                        new_df = src.withColumns({
-                            c: F.when(hit, e).otherwise(F.col(c)).cast(
-                                self.schema[c].dataType)
-                            for c, e in assignments.items()})
-                        n_est = p.row_count
                     with self._lock:
-                        new_id = self.manifest.allocate_part_id()
-                    meta = self._write_part(new_id, new_df, n_est,
-                                            partition=p.partition)
-                    with self._lock:
-                        self._swap_or_remove([p.part_id], meta,
+                        self._swap_or_remove([p.part_id], next(metas),
                                              retain=retain)
                         _done(p.part_id)
                         self.manifest.save()
@@ -3818,10 +3953,35 @@ class SparkMergeTree:
                          if p.part_id in masked_ids]
             retain = self.config.snapshot_retention > 0
             rewritten = clean = rows_removed = 0
-            for p in cands:
-                src = self._read_parts([p])  # masks applied here
-                n_kept = src.count()
+            # same two-wave overlap as mutate(): concurrent per-part kept
+            # counts, then concurrent rewrites, with ids/commits in
+            # candidate order (bit-identical manifest history)
+            from clickhouse_mergetree_spark.parallel import run_concurrently
+
+            srcs = [self._read_parts([p]) for p in cands]  # masks applied
+            kepts = run_concurrently(
+                [(lambda s=s: s.count()) for s in srcs],
+                max_workers=min(8, max(1, len(cands))))
+            plan: list[tuple] = []
+            writes: list = []
+            for p, src, n_kept in zip(cands, srcs, kepts):
                 if n_kept == p.row_count:
+                    plan.append((p, "clean", n_kept))
+                    continue
+                rewritten += 1
+                rows_removed += p.row_count - n_kept
+                if n_kept == 0:
+                    plan.append((p, "drop", n_kept))
+                    continue
+                with self._lock:
+                    new_id = self.manifest.allocate_part_id()
+                plan.append((p, "rewrite", n_kept))
+                writes.append(lambda pid=new_id, df=src, nk=n_kept, part=p:
+                              self._write_part(pid, df, nk,
+                                               partition=part.partition))
+            metas = iter(self._run_part_writes(writes))
+            for p, kind, _nk in plan:
+                if kind == "clean":
                     # no mask matches this part's rows: filters are no-ops,
                     # so dropping the part from the entries changes nothing
                     # (for current reads OR snapshots) and unblocks GC
@@ -3833,20 +3993,15 @@ class SparkMergeTree:
                         self._gc_lw_deletes()
                         self.manifest.save()
                     continue
-                rewritten += 1
-                rows_removed += p.row_count - n_kept
-                if n_kept == 0:
+                if kind == "drop":
                     with self._lock:
                         self.manifest.remove([p.part_id], retain=retain)
                         self._gc_lw_deletes()
                         self.manifest.save()
                 else:
                     with self._lock:
-                        new_id = self.manifest.allocate_part_id()
-                    meta = self._write_part(new_id, src, n_kept,
-                                            partition=p.partition)
-                    with self._lock:
-                        self.manifest.swap([p.part_id], meta, retain=retain)
+                        self.manifest.swap([p.part_id], next(metas),
+                                           retain=retain)
                         self._gc_lw_deletes()
                         self.manifest.save()
                 if not retain:
