@@ -50,8 +50,14 @@ class MaterializedView:
 
     def on_batch(self, df: DataFrame) -> None:
         """Ingest hook: aggregate the arriving block, append the partial
-        result. Called by the source table's insert path."""
-        self.target.insert_batch(self.transform(df))
+        result. Called by the source table's insert path.
+
+        ``defer_count=True`` buffers the partial UNCOUNTED: the old
+        insert-time count() was a SECOND full execution of the transform
+        per block (the flush re-runs the lazy plan anyway), doubling the
+        MV maintenance cost at any scale. The exact row count rides the
+        flush write job's Observation instead."""
+        self.target.insert_batch(self.transform(df), defer_count=True)
 
     def query(self) -> DataFrame:
         """The finalized rollup (summing-mode read collapses partials)."""

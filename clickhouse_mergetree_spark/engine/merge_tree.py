@@ -541,9 +541,21 @@ class SparkMergeTree:
                 f"{part_val!r} — merges are not keeping up with inserts; "
                 f"run optimize() or enable background maintenance")
 
-    def insert_batch(self, df: DataFrame, row_count: int | None = None) -> None:
+    def insert_batch(self, df: DataFrame, row_count: int | None = None,
+                     defer_count: bool = False) -> None:
         """Batch insert. ``row_count`` avoids a count() job when the caller
         already knows it (e.g. foreachBatch gives exact micro-batch sizes).
+
+        ``defer_count=True`` skips the count job entirely and buffers the
+        block UNCOUNTED: the exact row count comes later — from the flush
+        write job's own Observation, or lazily (`_resolve_deferred`) if an
+        exact-accounting path (total_rows, system.parts, buffered TTL /
+        partition filtering) runs first. Built for MaterializedView
+        partials, where the insert-time count() was a SECOND full
+        execution of the view transform per block (the flush re-executes
+        the lazy plan anyway). Uncounted blocks do not advance the flush
+        threshold — MV targets buffer under an effectively-infinite
+        threshold, which is exactly the configuration this is for.
 
         Columns with a DDL-declared DEFAULT (create_table_from_ddl) may be
         omitted from ``df`` — they fill from their default expression here,
@@ -558,14 +570,32 @@ class SparkMergeTree:
                     df = df.withColumn(
                         col, F.expr(expr).cast(fld.dataType))
         self._check_parts_throw()
-        n = row_count if row_count is not None else df.count()
-        if n == 0:
+        if row_count is None and not defer_count:
+            row_count = df.count()
+        if row_count == 0:
             return
         with self._lock:
-            self._buffer_dfs.append((df, n))
-            self._buffer_count += n
+            self._buffer_dfs.append((df, row_count))  # None = uncounted
+            self._buffer_count += row_count or 0
         self._notify_views(df)
         self.trigger_flush_if_needed()
+
+    def _resolve_deferred(self) -> None:
+        """Count any defer_count blocks still in the buffer — called by
+        the paths whose contract needs exact pre-flush accounting
+        (total_rows, system.parts buffered_rows, buffered TTL/partition
+        filtering). One count job per uncounted block, only when actually
+        demanded."""
+        with self._lock:
+            pending = [(i, d) for i, (d, n) in enumerate(self._buffer_dfs)
+                       if n is None]
+        for i, d in pending:
+            n = d.count()
+            with self._lock:
+                df, old = self._buffer_dfs[i]
+                if old is None:
+                    self._buffer_dfs[i] = (df, n)
+                    self._buffer_count += n
 
     def insert_rows(self, rows: list[tuple]) -> None:
         self._check_parts_throw()
@@ -583,7 +613,8 @@ class SparkMergeTree:
 
     def _buffer_df(self) -> DataFrame | None:
         with self._lock:
-            if self._buffer_count == 0:
+            if (self._buffer_count == 0
+                    and not any(n is None for _, n in self._buffer_dfs)):
                 return None
             dfs = [d for d, _ in self._buffer_dfs]
             if self._buffer_rows:
@@ -679,6 +710,13 @@ class SparkMergeTree:
             raise
         with self._lock:
             for meta in metas:
+                if meta.row_count == 0:
+                    # possible only via an uncounted (defer_count) block
+                    # that evaluated empty: a 0-row part has None stats
+                    # and would poison pruning/TTL classification (the
+                    # _swap_or_remove rule, applied to inserts)
+                    self._delete_part_dirs(meta)
+                    continue
                 self.manifest.append(meta)
             self.manifest.save()
         return part_id
@@ -1655,6 +1693,7 @@ class SparkMergeTree:
         (buffered rows of the partition are dropped too). Returns rows
         removed. Serialized against merges like expire()."""
         self._require_partitioning()
+        self._resolve_deferred()  # buffered filtering needs exact counts
         pc = self.config.partition_col
         if pc is None:
             # expression partitioning: flush first so the drop is pure
@@ -1703,6 +1742,7 @@ class SparkMergeTree:
         still work afterwards). Satisfied lightweight-delete masks are
         garbage-collected with their parts; the mutation ledger is
         history and is kept. Returns rows removed."""
+        self._resolve_deferred()  # the removed-rows total needs exact counts
         with self._merge_lock:
             with self._lock:
                 victims = list(self.manifest.parts)
@@ -2730,6 +2770,7 @@ class SparkMergeTree:
 
         Returns {"parts_dropped", "parts_rewritten", "rows_removed"}.
         """
+        self._resolve_deferred()  # buffered filtering needs exact counts
         with self._merge_lock:
             with self._lock:
                 # buffer: drop expired rows driver-side / lazily
@@ -4104,6 +4145,7 @@ class SparkMergeTree:
         primitive: "will this query scan 2 parts or 2000" answered from
         metadata at any table size. Buffered (unflushed) rows are
         reported separately — they are scanned regardless of pruning."""
+        self._resolve_deferred()
         with self._lock:
             parts = list(self.manifest.parts)
             total = {"parts": len(parts),
@@ -4333,7 +4375,9 @@ class SparkMergeTree:
 
     def total_rows(self) -> int:
         """R37: buffer + Σ manifest row_count — no scan
-        (reference src/merge_tree.cpp:119-135)."""
+        (reference src/merge_tree.cpp:119-135; uncounted MV blocks are
+        resolved on demand so the contract stays exact)."""
+        self._resolve_deferred()
         with self._lock:
             return self._buffer_count + self.manifest.total_rows()
 

@@ -930,3 +930,37 @@ def test_explain_estimate(spark, base_path):
         assert est["estimate"]["parts"] == 1
         est = t.explain_estimate(100, 120, partition="p0")
         assert est["estimate"]["parts"] == 0
+
+
+def test_insert_batch_defer_count_contract(spark, tmp_path):
+    """r13 optimization pin: defer_count=True buffers a block UNCOUNTED
+    (no insert-time count job — the MV-maintenance double-execution fix)
+    while every exact-accounting surface stays exact:
+
+    - total_rows() resolves the deferred count on demand (pre-flush);
+    - flush writes the part with the exact observed row count;
+    - an uncounted block that evaluates EMPTY commits no part (the
+      0-row-part guard, which would otherwise poison pruning stats).
+    """
+    from pyspark.sql import functions as F
+
+    t = SparkMergeTree(
+        spark, str(tmp_path / "defer"),
+        config=MergeTreeConfig(memtable_flush_threshold=10**9))
+    base = spark.createDataFrame(
+        [("a", "v1", 1), ("b", "v2", 2), ("c", "v3", 3)], t.schema)
+    t.insert_batch(base, defer_count=True)
+    # buffered uncounted; total_rows resolves it lazily and exactly
+    assert t.total_rows() == 3
+    # a second uncounted block left unresolved until flush
+    t.insert_batch(base.filter(F.col("key") == "a"), defer_count=True)
+    t.flush()
+    assert t.part_count() == 1
+    assert t.manifest.parts[0].row_count == 4
+    assert t.total_rows() == 4
+    # an EMPTY uncounted block: flush must not commit a 0-row part
+    t.insert_batch(base.filter(F.col("key") == "zzz"), defer_count=True)
+    t.flush()
+    assert t.part_count() == 1
+    assert t.total_rows() == 4
+    t.close()
