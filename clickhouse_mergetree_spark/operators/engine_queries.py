@@ -2933,6 +2933,10 @@ def q_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                           schema=schema, config=cfg)
     hot = SparkMergeTree(spark, scratch_dir("q_mergetbl_hot_"),
                          schema=schema, config=cfg)
+    # NOT parallelized (r13 measured): the shared kv dedup-window cache
+    # dominates this fixture; overlapping the two ~0.4s part writes
+    # requires materializing the cache in its own job first, which costs
+    # exactly what the overlap saves (interleaved A/B flat at ~2.9s).
     cold.insert_batch(kv.filter(F.col("key") <= RANGE_END), row_count=1)
     cold.flush()
     hot.insert_batch(kv.filter(F.col("key") > RANGE_END), row_count=1)
@@ -4205,7 +4209,10 @@ def q_exchange_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.execute(_EXCHANGE_DDL.format(name="events_live"))
     sess.execute(_EXCHANGE_DDL.format(name="events_staged"))
     kv = _dedup_first(_kv(spark, sf_dir)).persist()
-    # live serves the old (large-key) half; staging loads the new cut
+    # live serves the old (large-key) half; staging loads the new cut.
+    # NOT parallelized (r13 measured): same shared-cache economics as
+    # q_merge_table — the overlap of two small writes costs a cache
+    # materialization job that cancels the saving (A/B flat ~2.8s).
     sess.tables["events_live"].insert_batch(
         kv.filter(F.col("key") > RANGE_END), row_count=1)
     sess.tables["events_live"].flush()
@@ -4262,14 +4269,25 @@ def q_system_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess.execute(_EXCHANGE_DDL.format(name="events_small"))
     kv = _dedup_first(_kv(spark, sf_dir)).persist()
     big = sess.tables["events_big"]
-    for i in range(3):
-        big.insert_batch(kv.filter((F.col("key") <= RANGE_END)
-                                   & (F.pmod("event_id", F.lit(3)) == i)),
-                         row_count=1)
-        big.flush()
     small = sess.tables["events_small"]
-    small.insert_batch(kv.filter(F.col("key") > RANGE_END), row_count=1)
-    small.flush()
+
+    # big's 3-part banded loop is sequential WITHIN its table (the part
+    # ids/bands are the fixture's point); small is an independent table,
+    # so its single load overlaps big's loop as a concurrent job
+    from clickhouse_mergetree_spark.parallel import run_concurrently
+
+    def load_big() -> None:
+        for i in range(3):
+            big.insert_batch(kv.filter((F.col("key") <= RANGE_END)
+                                       & (F.pmod("event_id", F.lit(3)) == i)),
+                             row_count=1)
+            big.flush()
+
+    def load_small() -> None:
+        small.insert_batch(kv.filter(F.col("key") > RANGE_END), row_count=1)
+        small.flush()
+
+    run_concurrently([load_big, load_small])
     rows = [(name, "MergeTree", t.part_count(), t.total_rows())
             for name, t in sorted(sess.tables.items())]
     return spark.createDataFrame(
