@@ -56,8 +56,13 @@ class MaterializedView:
         insert-time count() was a SECOND full execution of the transform
         per block (the flush re-runs the lazy plan anyway), doubling the
         MV maintenance cost at any scale. The exact row count rides the
-        flush write job's Observation instead."""
-        self.target.insert_batch(self.transform(df), defer_count=True)
+        flush write job's Observation instead. Deferral applies only
+        when the target buffers under an effectively-infinite threshold
+        (the standard MV configuration); a finite-threshold target keeps
+        the counted path so uncounted partials can never stall its
+        auto-flush and accumulate unboundedly (r13 review find)."""
+        defer = self.target.config.memtable_flush_threshold >= 10**9
+        self.target.insert_batch(self.transform(df), defer_count=defer)
 
     def query(self) -> DataFrame:
         """The finalized rollup (summing-mode read collapses partials)."""

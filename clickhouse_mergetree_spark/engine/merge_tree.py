@@ -587,15 +587,19 @@ class SparkMergeTree:
         filtering). One count job per uncounted block, only when actually
         demanded."""
         with self._lock:
-            pending = [(i, d) for i, (d, n) in enumerate(self._buffer_dfs)
-                       if n is None]
-        for i, d in pending:
+            pending = [d for d, n in self._buffer_dfs if n is None]
+        for d in pending:
             n = d.count()
             with self._lock:
-                df, old = self._buffer_dfs[i]
-                if old is None:
-                    self._buffer_dfs[i] = (df, n)
-                    self._buffer_count += n
+                # re-locate by IDENTITY, not index: a concurrent flush or
+                # insert may have drained/reordered the buffer while the
+                # count job ran — a stale index would crash or pin the
+                # count on the wrong block (r13 review find)
+                for i, (df, old) in enumerate(self._buffer_dfs):
+                    if old is None and df is d:
+                        self._buffer_dfs[i] = (df, n)
+                        self._buffer_count += n
+                        break
 
     def insert_rows(self, rows: list[tuple]) -> None:
         self._check_parts_throw()
@@ -635,6 +639,12 @@ class SparkMergeTree:
             df = self._buffer_df()
             if df is None:
                 return None
+            # n_rows sizes the part's file count; uncounted defer_count
+            # blocks contribute 0, so a buffer of ONLY deferred MV
+            # partials sizes at the single-file floor — acceptable
+            # because deferral is restricted to bounded-cardinality
+            # aggregate blocks (matview.on_batch), and the manifest's
+            # row_count stays exact via the write job's Observation.
             n_rows = self._buffer_count
             self._buffer_rows = []
             self._buffer_dfs = []
@@ -683,31 +693,14 @@ class SparkMergeTree:
         # ``written`` accumulates completion-side so the rollback sees
         # every split that finished even when the ordered result list was
         # never returned.
-        metas: list[PartMeta] = []
-        written: list[PartMeta] = []
-        part_id = None
-        try:
-            with self._lock:
-                ids = [self.manifest.allocate_part_id() for _ in splits]
-            part_id = ids[-1]
-
-            def write_one(pid: int, split) -> PartMeta:
-                partition, pdf, n_est = split
-                m = self._write_part(pid, pdf, n_est, partition=partition,
-                                     enforce_constraints=True)
-                written.append(m)  # list.append is atomic under the GIL
-                return m
-
-            from clickhouse_mergetree_spark.parallel import run_concurrently
-
-            metas.extend(run_concurrently(
-                [(lambda pid=pid, sp=sp: write_one(pid, sp))
-                 for pid, sp in zip(ids, splits)],
-                max_workers=min(8, len(splits))))
-        except Exception:
-            for m in written:
-                self._delete_part_dirs(m)
-            raise
+        with self._lock:
+            ids = [self.manifest.allocate_part_id() for _ in splits]
+        part_id = ids[-1]
+        metas = self._run_part_writes(
+            [(lambda pid=pid, sp=sp: self._write_part(
+                pid, sp[1], sp[2], partition=sp[0],
+                enforce_constraints=True))
+             for pid, sp in zip(ids, splits)])
         with self._lock:
             for meta in metas:
                 if meta.row_count == 0:
@@ -1716,10 +1709,21 @@ class SparkMergeTree:
                 if pc is not None and self._buffer_dfs:
                     filtered = []
                     for d, n in self._buffer_dfs:
+                        uncounted = n is None
+                        if uncounted:
+                            # deferred block slipped in between the
+                            # pre-lock resolve pass and this lock: count
+                            # it here; it never contributed to
+                            # _buffer_count, so only the kept remainder
+                            # is added back below
+                            n = d.count()
                         fd = d.filter(~F.col(pc).eqNullSafe(value))
                         fn = fd.count()
                         removed += n - fn
-                        self._buffer_count -= n - fn
+                        if uncounted:
+                            self._buffer_count += fn
+                        else:
+                            self._buffer_count -= n - fn
                         if fn:
                             filtered.append((fd, fn))
                     self._buffer_dfs = filtered
@@ -1748,6 +1752,10 @@ class SparkMergeTree:
                 victims = list(self.manifest.parts)
                 removed = sum(p.row_count for p in victims)
                 removed += self._buffer_count
+                # deferred blocks that slipped past the pre-lock resolve
+                # pass: count them so the removed total stays exact
+                removed += sum(d.count() for d, n in self._buffer_dfs
+                               if n is None)
                 self._buffer_rows = []
                 self._buffer_dfs = []
                 self._buffer_count = 0
@@ -2530,23 +2538,35 @@ class SparkMergeTree:
             [(lambda pid=pid, g=g: write_one(pid, g))
              for pid, g in zip(ids, groups)])
         retain = self.config.snapshot_retention > 0
-        for group, meta in zip(groups, metas):
-            with self._lock:
-                self._swap_or_remove([p.part_id for p in group], meta,
-                                     retain=retain)
-                # the merged part materialized any lightweight-delete
-                # masks (read path applied them); reclaim satisfied
-                # entries
-                self._gc_lw_deletes()
-                self.manifest.save()
-            if retain:
-                # snapshots keep the old parts readable; vacuum reclaims
-                # whatever just fell out of the retention window
-                self.vacuum()
-            else:
-                # commit point passed — old parts unreachable, reclaim
-                for p in group:
-                    self._delete_part_dirs(p)
+        attempted = 0
+        try:
+            for group, meta in zip(groups, metas):
+                attempted += 1
+                with self._lock:
+                    self._swap_or_remove([p.part_id for p in group], meta,
+                                         retain=retain)
+                    # the merged part materialized any lightweight-delete
+                    # masks (read path applied them); reclaim satisfied
+                    # entries
+                    self._gc_lw_deletes()
+                    self.manifest.save()
+                if retain:
+                    # snapshots keep the old parts readable; vacuum
+                    # reclaims what just fell out of the retention window
+                    self.vacuum()
+                else:
+                    # commit point passed — old parts unreachable
+                    for p in group:
+                        self._delete_part_dirs(p)
+        except BaseException:
+            # a commit failed mid-batch: parts whose commit was never
+            # ATTEMPTED are invisible to every reclaim path — delete
+            # their dirs before re-raising (the attempted-but-failed one
+            # is left alone: its in-memory manifest state is ambiguous,
+            # exactly the sequential loop's worst case)
+            for m in metas[attempted:]:
+                self._delete_part_dirs(m)
+            raise
         return metas
 
     def _swap_or_remove(self, old_part_ids: list[int], meta: PartMeta,
@@ -2783,6 +2803,12 @@ class SparkMergeTree:
                 if self._buffer_dfs:
                     filtered = []
                     for d, n in self._buffer_dfs:
+                        if n is None:
+                            # deferred block slipped past the pre-lock
+                            # resolve pass: count and register it so the
+                            # removed_buf subtraction below stays exact
+                            n = d.count()
+                            self._buffer_count += n
                         fd = d.filter(F.col(self._ts) >= F.lit(before_ts))
                         fn = fd.count()
                         removed_buf += n - fn
@@ -2826,14 +2852,21 @@ class SparkMergeTree:
                             F.col(self._ts) >= F.lit(before_ts)),
                         part.row_count, partition=part.partition))
                     for pid, p in zip(ids, rewrite)])
-                for p, meta in zip(rewrite, metas):
-                    rows_removed += p.row_count - meta.row_count
-                    with self._lock:
-                        self._swap_or_remove([p.part_id], meta,
-                                             retain=retain)
-                        self.manifest.save()
-                    if not retain:
-                        self._delete_part_dirs(p)
+                attempted = 0
+                try:
+                    for p, meta in zip(rewrite, metas):
+                        attempted += 1
+                        rows_removed += p.row_count - meta.row_count
+                        with self._lock:
+                            self._swap_or_remove([p.part_id], meta,
+                                                 retain=retain)
+                            self.manifest.save()
+                        if not retain:
+                            self._delete_part_dirs(p)
+                except BaseException:
+                    for m in metas[attempted:]:
+                        self._delete_part_dirs(m)
+                    raise
             if retain:
                 self.vacuum()
             if drop or rewrite:
@@ -2930,19 +2963,26 @@ class SparkMergeTree:
                                       sum(p.row_count for p in parts),
                                       partition=partition))
                     for pid, (partition, parts) in zip(ids, items)])
-                for (partition, parts), meta in zip(items, metas):
-                    with self._lock:
-                        self._swap_or_remove(
-                            [p.part_id for p in parts], meta,
-                            retain=retain)
-                        self._gc_lw_deletes()
-                        self.manifest.save()
-                    if not retain:
-                        for p in parts:
-                            self._delete_part_dirs(p)
-                    replaced += len(parts)
-                    rows_before += sum(p.row_count for p in parts)
-                    rows_after += meta.row_count
+                attempted = 0
+                try:
+                    for (partition, parts), meta in zip(items, metas):
+                        attempted += 1
+                        with self._lock:
+                            self._swap_or_remove(
+                                [p.part_id for p in parts], meta,
+                                retain=retain)
+                            self._gc_lw_deletes()
+                            self.manifest.save()
+                        if not retain:
+                            for p in parts:
+                                self._delete_part_dirs(p)
+                        replaced += len(parts)
+                        rows_before += sum(p.row_count for p in parts)
+                        rows_after += meta.row_count
+                except BaseException:
+                    for m in metas[attempted:]:
+                        self._delete_part_dirs(m)
+                    raise
             if retain and groups:
                 self.vacuum()
             return {"parts_replaced": replaced,
@@ -3709,17 +3749,24 @@ class SparkMergeTree:
                          part.row_count, partition=part.partition))
                     for pid, src, (p, full, straddle)
                     in zip(ids, srcs, todo)])
-                for (p, full, straddle), row, meta in zip(
-                        todo, counts, metas):
-                    cells += sum(row[c] or 0 for c in straddle)
-                    cells += p.row_count * len(full)
-                    with self._lock:
-                        self._swap_or_remove([p.part_id], meta,
-                                             retain=retain)
-                        self.manifest.save()
-                    if not retain:
-                        self._delete_part_dirs(p)
-                    rewritten += 1
+                attempted = 0
+                try:
+                    for (p, full, straddle), row, meta in zip(
+                            todo, counts, metas):
+                        attempted += 1
+                        cells += sum(row[c] or 0 for c in straddle)
+                        cells += p.row_count * len(full)
+                        with self._lock:
+                            self._swap_or_remove([p.part_id], meta,
+                                                 retain=retain)
+                            self.manifest.save()
+                        if not retain:
+                            self._delete_part_dirs(p)
+                        rewritten += 1
+                except BaseException:
+                    for m in metas[attempted:]:
+                        self._delete_part_dirs(m)
+                    raise
             # tombstoned snapshot parts: mark fully-expired columns so
             # time-travel reads observe post-TTL values instead of leaking
             # the expired data (straddling tombstoned parts are exempt —
@@ -3874,27 +3921,38 @@ class SparkMergeTree:
                 writes.append(
                     lambda pid=new_id, df=new_df, ne=n_est, part=p:
                     self._write_part(pid, df, ne, partition=part.partition))
-            metas = iter(self._run_part_writes(writes))
-            for p, kind, _n, _pid in plan:
-                if kind == "clean":
-                    # no manifest save: the stale pending entry only makes
-                    # a crash report conservative (part listed but clean)
-                    with self._lock:
-                        _done(p.part_id)
-                    continue
-                if kind == "drop":
-                    with self._lock:
-                        self.manifest.remove([p.part_id], retain=retain)
-                        _done(p.part_id)
-                        self.manifest.save()
-                else:
-                    with self._lock:
-                        self._swap_or_remove([p.part_id], next(metas),
-                                             retain=retain)
-                        _done(p.part_id)
-                        self.manifest.save()
-                if not retain:
-                    self._delete_part_dirs(p)
+            metas = self._run_part_writes(writes)
+            used = 0
+            try:
+                for p, kind, _n, _pid in plan:
+                    if kind == "clean":
+                        # no manifest save: the stale pending entry only
+                        # makes a crash report conservative (part listed
+                        # but clean)
+                        with self._lock:
+                            _done(p.part_id)
+                        continue
+                    if kind == "drop":
+                        with self._lock:
+                            self.manifest.remove([p.part_id],
+                                                 retain=retain)
+                            _done(p.part_id)
+                            self.manifest.save()
+                    else:
+                        used += 1
+                        with self._lock:
+                            self._swap_or_remove([p.part_id],
+                                                 metas[used - 1],
+                                                 retain=retain)
+                            _done(p.part_id)
+                            self.manifest.save()
+                    if not retain:
+                        self._delete_part_dirs(p)
+            except BaseException:
+                # never-attempted rewrites would leak invisibly
+                for m in metas[used:]:
+                    self._delete_part_dirs(m)
+                raise
             with self._lock:
                 self.manifest.table_meta.pop("active_mutation", None)
                 try:
@@ -4020,33 +4078,44 @@ class SparkMergeTree:
                 writes.append(lambda pid=new_id, df=src, nk=n_kept, part=p:
                               self._write_part(pid, df, nk,
                                                partition=part.partition))
-            metas = iter(self._run_part_writes(writes))
-            for p, kind, _nk in plan:
-                if kind == "clean":
-                    # no mask matches this part's rows: filters are no-ops,
-                    # so dropping the part from the entries changes nothing
-                    # (for current reads OR snapshots) and unblocks GC
-                    clean += 1
-                    with self._lock:
-                        for e in self._lw_entries():
-                            if p.part_id in e["parts"]:
-                                e["parts"].remove(p.part_id)
-                        self._gc_lw_deletes()
-                        self.manifest.save()
-                    continue
-                if kind == "drop":
-                    with self._lock:
-                        self.manifest.remove([p.part_id], retain=retain)
-                        self._gc_lw_deletes()
-                        self.manifest.save()
-                else:
-                    with self._lock:
-                        self.manifest.swap([p.part_id], next(metas),
-                                           retain=retain)
-                        self._gc_lw_deletes()
-                        self.manifest.save()
-                if not retain:
-                    self._delete_part_dirs(p)
+            metas = self._run_part_writes(writes)
+            used = 0
+            try:
+                for p, kind, _nk in plan:
+                    if kind == "clean":
+                        # no mask matches this part's rows: filters are
+                        # no-ops, so dropping the part from the entries
+                        # changes nothing (for current reads OR
+                        # snapshots) and unblocks GC
+                        clean += 1
+                        with self._lock:
+                            for e in self._lw_entries():
+                                if p.part_id in e["parts"]:
+                                    e["parts"].remove(p.part_id)
+                            self._gc_lw_deletes()
+                            self.manifest.save()
+                        continue
+                    if kind == "drop":
+                        with self._lock:
+                            self.manifest.remove([p.part_id],
+                                                 retain=retain)
+                            self._gc_lw_deletes()
+                            self.manifest.save()
+                    else:
+                        used += 1
+                        with self._lock:
+                            self.manifest.swap([p.part_id],
+                                               metas[used - 1],
+                                               retain=retain)
+                            self._gc_lw_deletes()
+                            self.manifest.save()
+                    if not retain:
+                        self._delete_part_dirs(p)
+            except BaseException:
+                # never-attempted rewrites would leak invisibly
+                for m in metas[used:]:
+                    self._delete_part_dirs(m)
+                raise
             with self._lock:
                 self._log_mutation(
                     kind="apply_mask", command=None,
