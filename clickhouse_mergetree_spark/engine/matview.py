@@ -28,6 +28,15 @@ from pyspark.sql import DataFrame
 
 from clickhouse_mergetree_spark.engine.merge_tree import SparkMergeTree
 
+# Threshold at or above which a target's memtable_flush_threshold is
+# treated as "effectively infinite" (manual-flush configuration) and MV
+# partials may buffer UNCOUNTED (defer_count). Deliberately far above any
+# real auto-flush setting: a finite-threshold target must keep the counted
+# insert path, or uncounted partials could never advance its auto-flush
+# threshold (ADVICE r13 — named so the coupling to the fixtures' 10**12
+# convention is explicit rather than a magic number).
+DEFER_COUNT_MIN_THRESHOLD = 10**9
+
 
 class MaterializedView:
     """One incremental rollup bound to a source table.
@@ -61,7 +70,8 @@ class MaterializedView:
         (the standard MV configuration); a finite-threshold target keeps
         the counted path so uncounted partials can never stall its
         auto-flush and accumulate unboundedly (r13 review find)."""
-        defer = self.target.config.memtable_flush_threshold >= 10**9
+        defer = (self.target.config.memtable_flush_threshold
+                 >= DEFER_COUNT_MIN_THRESHOLD)
         self.target.insert_batch(self.transform(df), defer_count=defer)
 
     def query(self) -> DataFrame:

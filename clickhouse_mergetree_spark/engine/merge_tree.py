@@ -309,6 +309,16 @@ class SparkMergeTree:
         # (src/merge_tree.cpp:245-288) — this is the same serialization with
         # reads and flushes still concurrent.
         self._merge_lock = threading.Lock()
+        # Serializes _resolve_deferred callers (duplicate-count race,
+        # ADVICE r13). Never held while holding _lock.
+        self._resolve_lock = threading.Lock()
+        # Deferred skip-index builds (token/ngram blooms): part writes
+        # submit the read-back index job here instead of running it
+        # synchronously; consumers drain first (guide §2.6 — overlap the
+        # index job with the caller's next action).
+        self._index_lock = threading.Lock()
+        self._index_pool = None  # lazy ThreadPoolExecutor(max_workers=2)
+        self._pending_index: list[tuple[PartMeta, object]] = []
         self._closed = False
         # system.query_log analog: per-session plan-time read ledger
         # (kind + parts pruned/scanned). In-memory by design — ClickHouse's
@@ -585,7 +595,14 @@ class SparkMergeTree:
         the paths whose contract needs exact pre-flush accounting
         (total_rows, system.parts buffered_rows, buffered TTL/partition
         filtering). One count job per uncounted block, only when actually
-        demanded."""
+        demanded. ``_resolve_lock`` serializes concurrent resolvers: the
+        second caller blocks, then re-snapshots an empty pending list —
+        without it both would run a full count job for the same block
+        and discard one result (ADVICE r13)."""
+        with self._resolve_lock:
+            self._resolve_deferred_locked()
+
+    def _resolve_deferred_locked(self) -> None:
         with self._lock:
             pending = [d for d, n in self._buffer_dfs if n is None]
         for d in pending:
@@ -633,8 +650,10 @@ class SparkMergeTree:
         (reference src/merge_tree.cpp:69-91, src/part.cpp:39-65); with
         ``partition_col`` set, one part PER partition value in the buffer
         (parts never span partitions — the ClickHouse MergeTree insert
-        contract). Returns the last new part id, or None if the buffer was
-        empty."""
+        contract). Returns the last part id actually appended to the
+        manifest, or None if the buffer was empty or every split
+        evaluated to 0 rows (possible with uncounted defer_count blocks —
+        a never-appended id must not leak to callers)."""
         with self._lock:
             df = self._buffer_df()
             if df is None:
@@ -695,12 +714,12 @@ class SparkMergeTree:
         # never returned.
         with self._lock:
             ids = [self.manifest.allocate_part_id() for _ in splits]
-        part_id = ids[-1]
         metas = self._run_part_writes(
             [(lambda pid=pid, sp=sp: self._write_part(
                 pid, sp[1], sp[2], partition=sp[0],
                 enforce_constraints=True))
              for pid, sp in zip(ids, splits)])
+        part_id = None  # last APPENDED id — every meta can be 0-row
         with self._lock:
             for meta in metas:
                 if meta.row_count == 0:
@@ -711,6 +730,7 @@ class SparkMergeTree:
                     self._delete_part_dirs(meta)
                     continue
                 self.manifest.append(meta)
+                part_id = meta.part_id
             self.manifest.save()
         return part_id
 
@@ -744,7 +764,11 @@ class SparkMergeTree:
         try:
             return run_concurrently([wrap(fn) for fn in thunks],
                                     max_workers=min(8, len(thunks)))
-        except Exception:
+        except BaseException:
+            # BaseException, not Exception: run_concurrently re-raises
+            # KeyboardInterrupt etc. from worker thunks, and skipping the
+            # cleanup would leak every completed part dir invisibly (the
+            # manifest never saw them) — same clause as the commit loops
             for m in written:
                 self._delete_part_dirs(m)
             raise
@@ -764,7 +788,7 @@ class SparkMergeTree:
             return self._write_part_files(
                 part_id, df, n_rows, partition=partition,
                 enforce_constraints=enforce_constraints)
-        except Exception:
+        except BaseException:
             shutil.rmtree(os.path.join(self.base_path, f"part_{part_id}"),
                           ignore_errors=True)
             for spec in (self.config.projections or []):

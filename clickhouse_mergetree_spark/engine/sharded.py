@@ -84,10 +84,13 @@ class ShardedMergeTree:
         the top of the bench). This mirrors the real topology too: on a
         ClickHouse cluster the N shards execute concurrently by
         construction. Drains all shards, then re-raises the first
-        failure (shared run_concurrently contract)."""
+        failure (shared run_concurrently contract). Capped at 8 driver
+        threads like every merge_tree fan-out site (VERDICT r13 item 6):
+        an N-shard table at scale must not spawn N driver threads each
+        holding a Spark job — excess thunks queue and back-fill."""
         from clickhouse_mergetree_spark.parallel import run_concurrently
 
-        return run_concurrently(fns)
+        return run_concurrently(fns, max_workers=min(8, max(1, len(fns))))
 
     def insert_batch(self, df: DataFrame, row_count: int | None = None
                      ) -> None:
