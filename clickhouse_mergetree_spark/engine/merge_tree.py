@@ -315,8 +315,14 @@ class SparkMergeTree:
         # Deferred skip-index builds (token/ngram blooms): part writes
         # submit the read-back index job here instead of running it
         # synchronously; consumers drain first (guide §2.6 — overlap the
-        # index job with the caller's next action).
+        # index job with the caller's next action). _index_lock guards
+        # pool + pending list only (never held across a wait);
+        # _index_drain_lock serializes whole drain passes so a
+        # concurrent drainer returns only AFTER results are attached —
+        # and is never held while taking self._lock (no AB-BA with the
+        # flush path, which drains while holding self._lock).
         self._index_lock = threading.Lock()
+        self._index_drain_lock = threading.Lock()
         self._index_pool = None  # lazy ThreadPoolExecutor(max_workers=2)
         self._pending_index: list[tuple[PartMeta, object]] = []
         self._closed = False
@@ -736,7 +742,12 @@ class SparkMergeTree:
 
     def _delete_part_dirs(self, p: PartMeta) -> None:
         """Physically remove a part's data dir AND its projection dirs —
-        the single deletion point every reclaim path goes through."""
+        the single deletion point every reclaim path goes through.
+        Pending deferred index builds are drained first (suppressed):
+        a build job must never race the deletion of files it is reading,
+        and sibling parts' in-flight blooms get attached rather than
+        lost. Near-free when nothing is pending."""
+        self._drain_index_builds(suppress=True)
         shutil.rmtree(p.path, ignore_errors=True)
         for ppath in (p.proj_paths or {}).values():
             shutil.rmtree(ppath, ignore_errors=True)
@@ -772,6 +783,35 @@ class SparkMergeTree:
             for m in written:
                 self._delete_part_dirs(m)
             raise
+
+    def _match_counts(self, srcs: list, part_ids: list[int],
+                      hit=None) -> list[int]:
+        """Per-part row counts (optionally of rows matching ``hit``) in
+        ONE Spark job: tag each candidate part's (filtered) rows with its
+        part id, union, and run a single groupBy(part_id) count — partial
+        counts collapse map-side, so N candidate parts cost one scheduler
+        round-trip and one scan of the candidate set instead of N
+        concurrent count() jobs (guide §2: fewer jobs — at 10⁴ parts the
+        probe wave is round-trip-bound, not scan-bound; VERDICT r13
+        item 2). Results in input order; parts with no matching rows
+        count 0 — exactly the per-part count() semantics."""
+        if not srcs:
+            return []
+
+        def prep(s: DataFrame) -> DataFrame:
+            return s.filter(hit) if hit is not None else s
+
+        if len(srcs) == 1:
+            return [prep(srcs[0]).count()]
+        tagged = [prep(s).select(F.lit(pid).alias("__pid"))
+                  for s, pid in zip(srcs, part_ids)]
+        u = tagged[0]
+        for t in tagged[1:]:
+            u = u.unionAll(t)
+        got = {int(r["__pid"]): int(r["n"])
+               for r in u.groupBy("__pid")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        return [got.get(pid, 0) for pid in part_ids]
 
     def _write_part(self, part_id: int, df: DataFrame, n_rows: int,
                     partition: str | None = None,
@@ -920,10 +960,6 @@ class SparkMergeTree:
                 for c, n in self.config.set_index_cols
                 if c in df.columns
             }
-        if self.config.token_bloom_cols:
-            self._attach_token_blooms(meta)
-        if self.config.ngram_bloom_cols:
-            self._attach_ngram_blooms(meta)
         if self.config.projections:
             # Projections ride the part lifecycle (ClickHouse contract):
             # every new part — flush, merge, mutation rewrite, TTL rewrite —
@@ -941,6 +977,8 @@ class SparkMergeTree:
                 (self._apply_projection(part_df, spec)
                  .coalesce(1).write.mode("overwrite").parquet(ppath))
                 meta.proj_paths[spec.name] = ppath
+        if self.config.token_bloom_cols or self.config.ngram_bloom_cols:
+            self._submit_index_builds(meta)
         return meta
 
     @staticmethod
@@ -1001,44 +1039,50 @@ class SparkMergeTree:
             lambda t: t != F.lit("")))
 
     def _attach_token_blooms(self, meta: PartMeta) -> None:
-        """Build the per-part token blooms (tokenbf_v1 analog): one
-        single-column scan per indexed column — explode to distinct
-        lowercased word tokens, hash each to BLOOM_K md5 positions at the
-        cap modulus, collect the distinct positions (bounded by bitmap
-        bits, not token count). Runs at every part write, so merges,
-        mutations and TTL rewrites refresh the index for free."""
-        meta.token_blooms = {}
-        for col in self.config.token_bloom_cols:
-            if meta.columns is not None and col not in meta.columns:
-                continue
-            tok = F.explode(self._token_col(col)).alias("tok")
-            pos_cols = [
-                F.pmod(
-                    F.conv(F.substring(F.md5(
-                        F.concat_ws(":", F.lit(str(i)), F.col("tok"))),
-                        1, 15), 16, 10).cast("long"),
-                    F.lit(BLOOM_CAP_BITS))
-                for i in range(BLOOM_K)
-            ]
-            # same two levers as the ngram build: spread rows before the
-            # explode, dedupe to the (vocabulary-sized) distinct token
-            # set BEFORE hashing k md5 positions per token
-            row = (
-                self.spark.read.parquet(meta.path)
-                .select(col)
-                .repartition(self.spark.sparkContext.defaultParallelism)
-                .select(tok)
-                .distinct()
-                .agg(F.approx_count_distinct("tok").alias("nd"),
-                     F.collect_set(F.array(*pos_cols)).alias("ps"))
-                .collect()[0]
-            )
-            positions = [int(p) for arr in row["ps"] for p in arr]
-            bits = bloom_size_for(int(row["nd"]))
-            meta.token_blooms[col] = {
-                "hex": bloom_to_hex(positions, bits),
-                "bits": bits, "k": BLOOM_K, "algo": BLOOM_ALGO,
-            }
+        """Synchronous build+attach of the per-part token blooms
+        (recovery and MATERIALIZE INDEX backfill paths); the write path
+        defers the identical compute via _submit_index_builds."""
+        meta.token_blooms = {
+            col: self._token_bloom_for(meta.path, col)
+            for col in self.config.token_bloom_cols
+            if meta.columns is None or col in meta.columns}
+
+    def _token_bloom_for(self, path: str, col: str) -> dict:
+        """Build one column's token bloom (tokenbf_v1 analog): one
+        single-column scan — explode to distinct lowercased word tokens,
+        hash each to BLOOM_K md5 positions at the cap modulus, collect
+        the distinct positions (bounded by bitmap bits, not token
+        count). Runs for every part write, so merges, mutations and TTL
+        rewrites refresh the index for free. Pure compute over the
+        written files — no metadata mutation, safe from any thread."""
+        tok = F.explode(self._token_col(col)).alias("tok")
+        pos_cols = [
+            F.pmod(
+                F.conv(F.substring(F.md5(
+                    F.concat_ws(":", F.lit(str(i)), F.col("tok"))),
+                    1, 15), 16, 10).cast("long"),
+                F.lit(BLOOM_CAP_BITS))
+            for i in range(BLOOM_K)
+        ]
+        # same two levers as the ngram build: spread rows before the
+        # explode, dedupe to the (vocabulary-sized) distinct token
+        # set BEFORE hashing k md5 positions per token
+        row = (
+            self.spark.read.parquet(path)
+            .select(col)
+            .repartition(self.spark.sparkContext.defaultParallelism)
+            .select(tok)
+            .distinct()
+            .agg(F.approx_count_distinct("tok").alias("nd"),
+                 F.collect_set(F.array(*pos_cols)).alias("ps"))
+            .collect()[0]
+        )
+        positions = [int(p) for arr in row["ps"] for p in arr]
+        bits = bloom_size_for(int(row["nd"]))
+        return {
+            "hex": bloom_to_hex(positions, bits),
+            "bits": bits, "k": BLOOM_K, "algo": BLOOM_ALGO,
+        }
 
     def _ngram_col(self, col: str):
         """Distinct lowercased character n-grams of a string column —
@@ -1055,51 +1099,136 @@ class SparkMergeTree:
         )
 
     def _attach_ngram_blooms(self, meta: PartMeta) -> None:
-        """Build the per-part n-gram blooms (ngrambf_v1 analog): one
-        single-column scan per indexed column — explode to distinct
-        lowercased n-grams, hash each to BLOOM_K md5 positions at the cap
-        modulus, collect the distinct positions. Runs at every part
-        write, so merges, mutations and TTL rewrites refresh the index
-        for free. The gram alphabet is bounded (≤ charset^n distinct
-        grams), so the bitmap saturates gracefully on huge parts instead
-        of growing."""
-        meta.ngram_blooms = {}
-        for col in self.config.ngram_bloom_cols:
-            if meta.columns is not None and col not in meta.columns:
-                continue
-            gram = F.explode(self._ngram_col(col)).alias("g")
-            pos_cols = [
-                F.pmod(
-                    F.conv(F.substring(F.md5(
-                        F.concat_ws(":", F.lit(str(i)), F.col("g"))),
-                        1, 15), 16, 10).cast("long"),
-                    F.lit(BLOOM_CAP_BITS))
-                for i in range(BLOOM_K)
-            ]
-            # Two cost levers: (1) a part is often ONE file = one scan
-            # task, so spread rows before the explode; (2) the gram SPACE
-            # is tiny (≤ charset^n ≈ 20k distinct 3-grams) while gram
-            # OCCURRENCES are ~chars-per-row × rows (millions) — dedupe
-            # FIRST (partial+final hash agg collapses occurrences
-            # map-side), THEN hash only the distinct grams: k md5s × 20k
-            # instead of × millions.
-            row = (
-                self.spark.read.parquet(meta.path)
-                .select(col)
-                .repartition(self.spark.sparkContext.defaultParallelism)
-                .select(gram)
-                .distinct()
-                .agg(F.approx_count_distinct("g").alias("nd"),
-                     F.collect_set(F.array(*pos_cols)).alias("ps"))
-                .collect()[0]
+        """Synchronous build+attach of the per-part n-gram blooms
+        (recovery and MATERIALIZE INDEX backfill paths); the write path
+        defers the identical compute via _submit_index_builds."""
+        meta.ngram_blooms = {
+            col: self._ngram_bloom_for(meta.path, col)
+            for col in self.config.ngram_bloom_cols
+            if meta.columns is None or col in meta.columns}
+
+    def _ngram_bloom_for(self, path: str, col: str) -> dict:
+        """Build one column's n-gram bloom (ngrambf_v1 analog): one
+        single-column scan — explode to distinct lowercased n-grams,
+        hash each to BLOOM_K md5 positions at the cap modulus, collect
+        the distinct positions. Runs for every part write, so merges,
+        mutations and TTL rewrites refresh the index for free. The gram
+        alphabet is bounded (≤ charset^n distinct grams), so the bitmap
+        saturates gracefully on huge parts instead of growing. Pure
+        compute over the written files — safe from any thread."""
+        gram = F.explode(self._ngram_col(col)).alias("g")
+        pos_cols = [
+            F.pmod(
+                F.conv(F.substring(F.md5(
+                    F.concat_ws(":", F.lit(str(i)), F.col("g"))),
+                    1, 15), 16, 10).cast("long"),
+                F.lit(BLOOM_CAP_BITS))
+            for i in range(BLOOM_K)
+        ]
+        # Two cost levers: (1) a part is often ONE file = one scan
+        # task, so spread rows before the explode; (2) the gram SPACE
+        # is tiny (≤ charset^n ≈ 20k distinct 3-grams) while gram
+        # OCCURRENCES are ~chars-per-row × rows (millions) — dedupe
+        # FIRST (partial+final hash agg collapses occurrences
+        # map-side), THEN hash only the distinct grams: k md5s × 20k
+        # instead of × millions.
+        row = (
+            self.spark.read.parquet(path)
+            .select(col)
+            .repartition(self.spark.sparkContext.defaultParallelism)
+            .select(gram)
+            .distinct()
+            .agg(F.approx_count_distinct("g").alias("nd"),
+                 F.collect_set(F.array(*pos_cols)).alias("ps"))
+            .collect()[0]
+        )
+        positions = [int(p) for arr in row["ps"] for p in arr]
+        bits = bloom_size_for(int(row["nd"]))
+        return {
+            "hex": bloom_to_hex(positions, bits),
+            "bits": bits, "k": BLOOM_K, "algo": BLOOM_ALGO,
+            "n": self.config.ngram_n,
+        }
+
+    def _submit_index_builds(self, meta: PartMeta) -> None:
+        """Deferred skip-index builds (guide §2.6): the token/ngram
+        bloom build is a second full read-back Spark job over the part
+        just written; running it synchronously serialized every flush on
+        an indexed table as write + re-read. Submit it to a small
+        background pool instead so it overlaps the CALLER's next action
+        (the next insert/flush/merge). Until the build lands the part
+        simply makes no claim (missing bloom ⇒ scan — pruning is pure
+        optimization), and every metadata consumer drains first
+        (_drain_index_builds), so query results and persisted manifest
+        metadata are identical to the synchronous build. Called LAST in
+        the part-write path, so a part that rolls back can never have a
+        pending job reading its deleted files."""
+        cols_tok = [c for c in self.config.token_bloom_cols
+                    if meta.columns is None or c in meta.columns]
+        cols_ng = [c for c in self.config.ngram_bloom_cols
+                   if meta.columns is None or c in meta.columns]
+        if not cols_tok and not cols_ng:
+            return
+
+        def build() -> tuple[dict, dict]:
+            return (
+                {c: self._token_bloom_for(meta.path, c) for c in cols_tok},
+                {c: self._ngram_bloom_for(meta.path, c) for c in cols_ng},
             )
-            positions = [int(p) for arr in row["ps"] for p in arr]
-            bits = bloom_size_for(int(row["nd"]))
-            meta.ngram_blooms[col] = {
-                "hex": bloom_to_hex(positions, bits),
-                "bits": bits, "k": BLOOM_K, "algo": BLOOM_ALGO,
-                "n": self.config.ngram_n,
-            }
+
+        with self._index_lock:
+            if self._index_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                # 2 in-flight index jobs: enough to overlap the caller's
+                # next action without starving foreground jobs
+                self._index_pool = ThreadPoolExecutor(
+                    max_workers=2, thread_name_prefix="mt-index")
+            self._pending_index.append((meta, self._index_pool.submit(build)))
+
+    def _drain_index_builds(self, suppress: bool = False) -> None:
+        """Wait for every pending deferred index build, attach the
+        results to the part metadata, and persist the manifest if any
+        landed part is already committed (a flush may have saved it
+        bloom-less; the re-save restores byte-identical metadata to the
+        synchronous build). Serialized under _index_drain_lock so a
+        concurrent drainer returns only after results are ATTACHED, and
+        that lock is never held while taking self._lock (the save step
+        runs after release — no AB-BA with callers that drain while
+        holding self._lock, e.g. flush's 0-row rollback).
+
+        ``suppress=True`` (deletion/rollback paths) swallows build
+        errors: the part files may already be gone mid-build, and a
+        missing bloom is merely 'no claim'."""
+        first_err: BaseException | None = None
+        applied: list[PartMeta] = []
+        with self._index_drain_lock:
+            with self._index_lock:
+                pending, self._pending_index = self._pending_index, []
+            for meta, fut in pending:
+                try:
+                    tok, ng = fut.result()
+                except BaseException as exc:  # noqa: BLE001 — re-raised
+                    if first_err is None:
+                        first_err = exc
+                    continue
+                if tok:
+                    meta.token_blooms = tok
+                if ng:
+                    meta.ngram_blooms = ng
+                applied.append(meta)
+        if applied:
+            with self._lock:
+                live = {id(p) for p in self.manifest.parts}
+                if any(id(m) in live for m in applied):
+                    self.manifest.save()
+        if first_err is not None and not suppress:
+            raise first_err
+
+    def wait_for_index_builds(self) -> None:
+        """Public drain: block until every deferred skip-index build has
+        landed in the part metadata (tests / callers who want the old
+        synchronous-attach visibility)."""
+        self._drain_index_builds()
 
     def _attach_bloom(self, meta: PartMeta) -> None:
         """Recovery-path bloom (re)build: one aggregate over the key column
@@ -1374,6 +1503,7 @@ class SparkMergeTree:
         At 100 TB this turns needle-in-haystack text search — error IDs,
         SKUs, usernames — from a full scan into touching only the parts
         that can match."""
+        self._drain_index_builds()  # land pending blooms so pruning engages
         tok = token.lower()
         with self._lock:
             pruned = [p for p in self.manifest.parts
@@ -1397,6 +1527,7 @@ class SparkMergeTree:
 
     def parts_for_token(self, col: str, token: str) -> list[PartMeta]:
         """The parts query_token would scan (introspection/tests)."""
+        self._drain_index_builds()
         with self._lock:
             return [p for p in self.manifest.parts
                     if p.may_contain_token(col, token.lower())]
@@ -1412,6 +1543,7 @@ class SparkMergeTree:
         free-text substring search — stack traces, request ids, SKUs
         embedded in payloads — from a full scan into touching only the
         parts that can match."""
+        self._drain_index_builds()  # land pending blooms so pruning engages
         low = needle.lower()
         with self._lock:
             pruned = [p for p in self.manifest.parts
@@ -1435,6 +1567,7 @@ class SparkMergeTree:
 
     def parts_for_like(self, col: str, needle: str) -> list[PartMeta]:
         """The parts query_like would scan (introspection/tests)."""
+        self._drain_index_builds()
         with self._lock:
             return [p for p in self.manifest.parts
                     if p.may_contain_substring(col, needle.lower())]
@@ -1808,6 +1941,9 @@ class SparkMergeTree:
         self._require_partitioning()
         from dataclasses import asdict
         self.flush()
+        # parked metadata snapshots must carry complete index claims,
+        # and a pending build must not race the dir rename below
+        self._drain_index_builds()
         with self._merge_lock:
             with self._lock:
                 victims = [p for p in self.manifest.parts
@@ -1899,6 +2035,9 @@ class SparkMergeTree:
                 [(f.name, f.dataType) for f in self.schema.fields]:
             raise ValueError("schema mismatch")
         src.flush()
+        # copied metadata snapshots travel verbatim (docstring): land the
+        # source's pending index builds so the claims come along
+        src._drain_index_builds()
         with src._lock:
             take = [p for p in src.manifest.parts
                     if p.partition == str(value)]
@@ -1976,6 +2115,7 @@ class SparkMergeTree:
         Returns {"backup", "parts_frozen", "files"}."""
         from dataclasses import asdict
         self.flush()
+        self._drain_index_builds()  # frozen metadata carries full claims
         with self._merge_lock:
             with self._lock:
                 parts = [p for p in self.manifest.parts
@@ -3465,6 +3605,9 @@ class SparkMergeTree:
         them; pruning is pure optimization). Returns
         {"parts_indexed", "parts_skipped"}."""
         self.flush()
+        # land pending write-path builds first: a part with an in-flight
+        # bloom is NOT missing its index and must not be rebuilt here
+        self._drain_index_builds()
         with self._lock:
             parts = list(self.manifest.parts)
 
@@ -3903,21 +4046,20 @@ class SparkMergeTree:
                     am["pending_part_ids"].remove(part_id)
 
             # ClickHouse runs per-part mutation tasks from a background
-            # pool; here the independent per-part jobs overlap as
-            # concurrent Spark jobs in two waves (match counts, then
-            # rewrites) with ids allocated and commits applied in
-            # candidate order — part ids and manifest history are
-            # bit-identical to the sequential loop. All writes land
-            # before the first commit, so a failure mid-writes leaves
-            # the table untouched (new dirs deleted, intent record
-            # intact); a crash mid-commits still leaves the documented
+            # pool; here the match-count probe is ONE tagged-union job
+            # over every candidate part (_match_counts — one scheduler
+            # round-trip instead of a wave of N count() jobs), then the
+            # independent per-part rewrites overlap as concurrent Spark
+            # jobs with ids allocated and commits applied in candidate
+            # order — part ids and manifest history are bit-identical to
+            # the sequential loop. All writes land before the first
+            # commit, so a failure mid-writes leaves the table untouched
+            # (new dirs deleted, intent record intact); a crash
+            # mid-commits still leaves the documented
             # applied-to-a-prefix state.
-            from clickhouse_mergetree_spark.parallel import run_concurrently
-
             srcs = [self._read_parts([p]) for p in cands]
-            n_matches = run_concurrently(
-                [(lambda s=s: s.filter(hit).count()) for s in srcs],
-                max_workers=min(8, max(1, len(cands))))
+            n_matches = self._match_counts(
+                srcs, [p.part_id for p in cands], hit)
             plan: list[tuple] = []  # (part, kind, n_match, new_id|None)
             writes: list = []       # write thunks, one per "rewrite" row
             for p, src, n_match in zip(cands, srcs, n_matches):
@@ -4076,15 +4218,13 @@ class SparkMergeTree:
                          if p.part_id in masked_ids]
             retain = self.config.snapshot_retention > 0
             rewritten = clean = rows_removed = 0
-            # same two-wave overlap as mutate(): concurrent per-part kept
-            # counts, then concurrent rewrites, with ids/commits in
-            # candidate order (bit-identical manifest history)
-            from clickhouse_mergetree_spark.parallel import run_concurrently
-
+            # same shape as mutate(): ONE tagged-union kept-count job
+            # over every masked part (_match_counts — the masks are
+            # already applied inside _read_parts), then concurrent
+            # rewrites, with ids/commits in candidate order
+            # (bit-identical manifest history)
             srcs = [self._read_parts([p]) for p in cands]  # masks applied
-            kepts = run_concurrently(
-                [(lambda s=s: s.count()) for s in srcs],
-                max_workers=min(8, max(1, len(cands))))
+            kepts = self._match_counts(srcs, [p.part_id for p in cands])
             plan: list[tuple] = []
             writes: list = []
             for p, src, n_kept in zip(cands, srcs, kepts):
@@ -4200,6 +4340,7 @@ class SparkMergeTree:
         (tables.values_df), not createDataFrame: local Python data plans
         as a parallelized Python RDD whose every action pays a Python
         worker round trip (seconds), while a LocalRelation is JVM-side."""
+        self._drain_index_builds()  # has_token/ngram_bloom must be exact
         cols = [
             ("part_id", "bigint"), ("row_count", "bigint"),
             ("disk_bytes", "bigint"), ("min_key", "string"),
@@ -4488,6 +4629,12 @@ class SparkMergeTree:
         self._closed = True
         self.stop_background_maintenance()
         self.flush()
+        # land + persist any deferred index builds, then stop the pool
+        self._drain_index_builds(suppress=True)
+        with self._index_lock:
+            pool, self._index_pool = self._index_pool, None
+        if pool is not None:
+            pool.shutdown(wait=True)
 
     def __enter__(self) -> "SparkMergeTree":
         return self

@@ -964,3 +964,29 @@ def test_insert_batch_defer_count_contract(spark, tmp_path):
     assert t.part_count() == 1
     assert t.total_rows() == 4
     t.close()
+
+
+def test_match_counts_one_job_equals_per_part_counts(spark, base_path):
+    """r14: mutate()/materialize_deletes() probe their candidates with
+    ONE tagged-union groupBy(part_id) job; its per-part results must be
+    identical to the per-part filter().count() wave it replaced."""
+    from pyspark.sql import functions as F
+
+    cfg = MergeTreeConfig(memtable_flush_threshold=100, max_parts=10)
+    with SparkMergeTree(spark, base_path, config=cfg) as t:
+        for band in range(3):
+            t.insert_rows([(f"k{band}_{i}", f"v{i}", band * 100 + i)
+                           for i in range(20)])
+            t.flush()
+        cands = list(t.manifest.parts)
+        assert len(cands) == 3
+        srcs = [t._read_parts([p]) for p in cands]
+        ids = [p.part_id for p in cands]
+        hit = F.col("timestamp") % 2 == 0  # matches some rows per part
+        assert (t._match_counts(srcs, ids, hit)
+                == [s.filter(hit).count() for s in srcs])
+        none = F.col("timestamp") < 0     # matches nothing: all zeros
+        assert t._match_counts(srcs, ids, none) == [0, 0, 0]
+        # no predicate (materialize_deletes shape): full per-part counts
+        assert t._match_counts(srcs, ids) == [p.row_count for p in cands]
+        assert t._match_counts([], []) == []

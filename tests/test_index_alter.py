@@ -99,6 +99,7 @@ def test_new_parts_index_at_write_time(spark, base):
     t.add_index("text", "tokenbf")
     t.insert_rows([_row(7, "new", 30.0, "omicron needle zebra")])
     t.flush()  # written AFTER the ADD → indexes itself
+    t.wait_for_index_builds()  # write-path builds attach deferred (r14)
     new_part = t.manifest.parts[-1]
     assert "text" in (new_part.token_blooms or {})
     # the 3 pre-ALTER parts make no claim (scan) + the new part matches
@@ -118,6 +119,7 @@ def test_ddl_survives_reopen_and_merge(spark, base):
     assert len(r.parts_for_like("text", "le zeb")) == 1
     # a merge rewrite refreshes the index on the merged part for free
     r.optimize(final=True)
+    r.wait_for_index_builds()  # write-path builds attach deferred (r14)
     assert all("text" in (p.ngram_blooms or {}) for p in r.manifest.parts)
     rows = r.query_like("text", "le zeb").collect()
     assert [x["key"] for x in rows] == [1]

@@ -82,6 +82,7 @@ def test_mutation_refreshes_token_index(table):
 
 
 def test_scheme_mismatch_yields_no_claim(table):
+    table.wait_for_index_builds()  # blooms attach deferred (r14)
     p = table.manifest.parts[0]
     p.token_blooms["text"]["algo"] = "other"
     assert p.may_contain_token("text", "zzznothere") is True
@@ -93,4 +94,36 @@ def test_unindexed_column_never_skips(table):
 
 
 def test_algo_constant_matches_key_bloom(table):
+    table.wait_for_index_builds()  # blooms attach deferred (r14)
     assert table.manifest.parts[0].token_blooms["text"]["algo"] == BLOOM_ALGO
+
+
+def test_deferred_builds_land_persist_and_match_sync(spark, tmp_path):
+    """r14 deferred-attach contract: write-path blooms build in the
+    background, every consumer drains first, the drained metadata is
+    byte-identical to the synchronous build, and it persists."""
+    cfg = MergeTreeConfig(memtable_flush_threshold=10**12, max_parts=10,
+                          token_bloom_cols=("text",),
+                          key_col="doc_id", ts_col="ts_us")
+    path = str(tmp_path / "defer")
+    t = SparkMergeTree(spark, path, schema=SCHEMA, config=cfg)
+    t.insert_rows([(i, i, f"alpha doc {i}") for i in range(10)])
+    t.flush()
+    t.insert_rows([(i, i, f"gamma doc {i}") for i in range(10, 20)])
+    t.flush()
+    # consumers drain implicitly — pruning engages with no explicit wait
+    assert len(t.parts_for_token("text", "alpha")) == 1
+    assert t.query_token("text", "gamma").count() == 10
+    # the drained result is identical to the synchronous builder's
+    t.wait_for_index_builds()
+    deferred = {p.part_id: dict(p.token_blooms) for p in t.manifest.parts}
+    for p in t.manifest.parts:
+        t._attach_token_blooms(p)
+    assert {p.part_id: dict(p.token_blooms)
+            for p in t.manifest.parts} == deferred
+    # and it persisted: a reopen (fresh manifest load) carries the claims
+    r = SparkMergeTree(spark, path, schema=SCHEMA, config=cfg)
+    assert all("text" in (p.token_blooms or {}) for p in r.manifest.parts)
+    assert len(r.parts_for_token("text", "alpha")) == 1
+    t.close()
+    r.close()
