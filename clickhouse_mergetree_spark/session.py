@@ -36,6 +36,23 @@ def get_spark(app_name: str = "clickhouse_mergetree_spark",
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition-coalescing knobs, env-parameterized (guide §2.2).
+        # parallelismFirst=false (size post-shuffle partitions purely by
+        # the advisory byte target) was MEASURED as the r14 floor-shaving
+        # candidate and REJECTED: 3-round interleaved A/B over 14
+        # mixed-shape queries at sf0.1 read flat-to-worse totals
+        # (11.6→13.6 s round 3), because sort-heavy shapes
+        # (q_agg_percentile 1.1-1.6→1.8 s in ALL rounds,
+        # q_quantile_weighted) lose their parallel per-group sorts when
+        # tiny shuffles coalesce to one partition — the scheduling saved
+        # on 32 micro-tasks is smaller than the sort width lost. Spark's
+        # default (true) stays; production at real data volumes would
+        # raise the advisory toward 256m (guide §9), where the trade
+        # inverts because partitions are byte-bound anyway.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Nanos-era events.parquet stored TIMESTAMP(NANOS), which the Spark
