@@ -960,26 +960,33 @@ class SparkMergeTree:
                 for c, n in self.config.set_index_cols
                 if c in df.columns
             }
-        if self.config.projections:
-            # Projections ride the part lifecycle (ClickHouse contract):
-            # every new part — flush, merge, mutation rewrite, TTL rewrite —
-            # gets its projections recomputed here from the SAME df, so they
-            # can never drift from the data. The input to a merge's
-            # projection job is being read for the merge anyway; the extra
-            # cost is one map-side-heavy aggregate per projection.
-            meta.proj_paths = {}
-            part_df = self.spark.read.schema(
-                T.StructType([f for f in self.schema.fields
-                              if f.name in set(df.columns)])).parquet(path)
-            for spec in self.config.projections:
-                ppath = os.path.join(self.base_path,
-                                     f"part_{part_id}_proj_{spec.name}")
-                (self._apply_projection(part_df, spec)
-                 .coalesce(1).write.mode("overwrite").parquet(ppath))
-                meta.proj_paths[spec.name] = ppath
-        if self.config.token_bloom_cols or self.config.ngram_bloom_cols:
+        if (self.config.projections or self.config.token_bloom_cols
+                or self.config.ngram_bloom_cols):
             self._submit_index_builds(meta)
         return meta
+
+    def _build_projections(self, part_id: int, path: str,
+                           columns: list[str] | None) -> dict[str, str]:
+        """Build one part's projection files from its WRITTEN bytes.
+        Projections ride the part lifecycle (ClickHouse contract): every
+        new part — flush, merge, mutation rewrite, TTL rewrite — gets
+        its projections recomputed from the same rows, so they can never
+        drift from the data. Pure compute + deterministic-path writes —
+        no metadata mutation, safe from any thread (the deferred-build
+        pool runs this; _drain_index_builds attaches the result)."""
+        present = (set(columns) if columns is not None
+                   else {f.name for f in self.schema.fields})
+        part_df = self.spark.read.schema(
+            T.StructType([f for f in self.schema.fields
+                          if f.name in present])).parquet(path)
+        proj_paths: dict[str, str] = {}
+        for spec in self.config.projections:
+            ppath = os.path.join(self.base_path,
+                                 f"part_{part_id}_proj_{spec.name}")
+            (self._apply_projection(part_df, spec)
+             .coalesce(1).write.mode("overwrite").parquet(ppath))
+            proj_paths[spec.name] = ppath
+        return proj_paths
 
     @staticmethod
     def _apply_projection(df: DataFrame, spec: ProjectionSpec) -> DataFrame:
@@ -1151,35 +1158,55 @@ class SparkMergeTree:
         }
 
     def _submit_index_builds(self, meta: PartMeta) -> None:
-        """Deferred skip-index builds (guide §2.6): the token/ngram
-        bloom build is a second full read-back Spark job over the part
-        just written; running it synchronously serialized every flush on
-        an indexed table as write + re-read. Submit it to a small
-        background pool instead so it overlaps the CALLER's next action
-        (the next insert/flush/merge). Until the build lands the part
-        simply makes no claim (missing bloom ⇒ scan — pruning is pure
-        optimization), and every metadata consumer drains first
-        (_drain_index_builds), so query results and persisted manifest
-        metadata are identical to the synchronous build. Called LAST in
-        the part-write path, so a part that rolls back can never have a
-        pending job reading its deleted files."""
+        """Deferred per-part derived builds (guide §2.6): the token/ngram
+        bloom build and the projection-partial writes are extra Spark
+        jobs over the part just written; running them synchronously
+        serialized every flush on an indexed/projected table as write +
+        re-read(s). Submit them to a small background pool instead so
+        they overlap the CALLER's next action (the next
+        insert/flush/merge). Until a build lands the part simply makes
+        no claim — a missing bloom means scan, a missing projection
+        routes the reader to its raw rows (the documented
+        projection-or-raw planner contract) — and every metadata
+        consumer drains first (_drain_index_builds), so query results
+        and persisted manifest metadata are identical to the synchronous
+        build. Called LAST in the part-write path, so a part that rolls
+        back can never have a pending job reading its deleted files."""
         cols_tok = [c for c in self.config.token_bloom_cols
                     if meta.columns is None or c in meta.columns]
         cols_ng = [c for c in self.config.ngram_bloom_cols
                    if meta.columns is None or c in meta.columns]
-        if not cols_tok and not cols_ng:
+        specs = list(self.config.projections or [])
+        if not cols_tok and not cols_ng and not specs:
             return
 
-        def build() -> tuple[dict, dict]:
-            return (
-                {c: self._token_bloom_for(meta.path, c) for c in cols_tok},
-                {c: self._ngram_bloom_for(meta.path, c) for c in cols_ng},
-            )
+        def build() -> tuple[dict, dict, dict | None]:
+            try:
+                proj = (self._build_projections(
+                    meta.part_id, meta.path, meta.columns)
+                    if specs else None)
+                return (
+                    {c: self._token_bloom_for(meta.path, c)
+                     for c in cols_tok},
+                    {c: self._ngram_bloom_for(meta.path, c)
+                     for c in cols_ng},
+                    proj,
+                )
+            except BaseException:
+                # a failed build must not leak half-written projection
+                # dirs: proj_paths is never assigned, so readers fall
+                # back to raw rows and nothing references these files
+                for spec in specs:
+                    shutil.rmtree(
+                        os.path.join(self.base_path,
+                                     f"part_{meta.part_id}_proj_{spec.name}"),
+                        ignore_errors=True)
+                raise
 
         with self._index_lock:
             if self._index_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
-                # 2 in-flight index jobs: enough to overlap the caller's
+                # 2 in-flight build jobs: enough to overlap the caller's
                 # next action without starving foreground jobs
                 self._index_pool = ThreadPoolExecutor(
                     max_workers=2, thread_name_prefix="mt-index")
@@ -1206,7 +1233,7 @@ class SparkMergeTree:
                 pending, self._pending_index = self._pending_index, []
             for meta, fut in pending:
                 try:
-                    tok, ng = fut.result()
+                    tok, ng, proj = fut.result()
                 except BaseException as exc:  # noqa: BLE001 — re-raised
                     if first_err is None:
                         first_err = exc
@@ -1215,6 +1242,8 @@ class SparkMergeTree:
                     meta.token_blooms = tok
                 if ng:
                     meta.ngram_blooms = ng
+                if proj is not None:
+                    meta.proj_paths = proj
                 applied.append(meta)
         if applied:
             with self._lock:
@@ -1608,6 +1637,7 @@ class SparkMergeTree:
         if unknown:
             raise ValueError(f"group_by {sorted(unknown)} not covered by "
                              f"projection {name!r} ({spec.group_by})")
+        self._drain_index_builds()  # land pending partials; missing = raw
         with self._lock:
             # a part under a live lightweight-delete mask cannot serve its
             # pre-aggregated projection (the partials still count deleted
@@ -1745,6 +1775,9 @@ class SparkMergeTree:
         Returns {"parts_built", "parts_skipped"}."""
         spec = self._spec(name)
         self.flush()
+        # a part with an in-flight write-path build is NOT lagging and
+        # must not be rebuilt (and must not race the assignment below)
+        self._drain_index_builds()
         with self._lock:
             parts = list(self.manifest.parts)
 
@@ -1781,6 +1814,10 @@ class SparkMergeTree:
         projection and reclaim its per-part files. Reads route back to
         raw rows from the same commit. Returns files removed."""
         self._spec(name)  # raises on unknown name
+        # land in-flight write-path builds first: an undrained build
+        # would re-create the files after the reclaim below and
+        # resurrect the dropped projection in the part metadata
+        self._drain_index_builds()
         removed = 0
         with self._lock:
             self.config.projections = tuple(
@@ -2327,6 +2364,12 @@ class SparkMergeTree:
 
     def _assemble(self, pred, key_range=None, point_key=None,
                   partition=None, col_range=None) -> DataFrame:
+        if self.config.projections:
+            # land pending write-path projection builds so sort-projection
+            # routing sees them (a pending part would merely fall back to
+            # its raw rows — same result, but the routed plan is the
+            # tested/plan-gated shape)
+            self._drain_index_builds()
         proj_paths: list[str] = []
         with self._lock:
             if key_range is None:

@@ -44,6 +44,7 @@ def table(spark, tmp_path):
     for i in range(3):
         t.insert_rows(rows[i * 100:(i + 1) * 100])
         t.flush()
+    t.wait_for_index_builds()  # projection builds attach deferred (r14)
     yield t
     t.close()
 
@@ -243,6 +244,7 @@ def bare_table(spark, tmp_path):
     for i in range(3):
         t.insert_rows(rows[i * 100:(i + 1) * 100])
         t.flush()
+    t.wait_for_index_builds()  # projection builds attach deferred (r14)
     yield t
     t.close()
 
@@ -271,6 +273,7 @@ def test_add_projection_persists_and_new_parts_build_it(bare_table, spark):
     t.add_projection(SPEC2)
     t.insert_rows([(99, 9999, "a", Decimal(5))])
     t.flush()  # post-ALTER part builds the projection at write time
+    t.wait_for_index_builds()  # projection builds attach deferred (r14)
     assert "by_cat" in (t.manifest.parts[-1].proj_paths or {})
     # reopen with the ORIGINAL projection-less config: DDL replays
     r = SparkMergeTree(spark, t.base_path, schema=SCHEMA,
@@ -345,6 +348,7 @@ class TestSortProjections:
         for i in range(3):
             t.insert_rows(rows[i * 100:(i + 1) * 100])
             t.flush()
+        t.wait_for_index_builds()  # builds attach deferred (r14)
         yield t
         t.close()
 
@@ -480,17 +484,20 @@ class TestSortProjections:
             assert _reads_proj(df, "by_value") and df.count() == 5
 
 
-def test_failed_part_write_leaves_no_orphan_dirs(table, monkeypatch):
-    """A part write that fails AFTER the parquet lands (here: the
-    projection build) must delete the in-flight part dir and any
-    projection dirs before re-raising — the manifest never saw the
-    part, so an orphan would be invisible to every reclaim path
-    (r11 review find: only the CHECK branch rolled back)."""
+def test_failed_projection_build_no_orphans_error_at_drain(table,
+                                                           monkeypatch):
+    """r14 deferred-build contract: the projection build runs as a
+    background job AFTER the part commits, so a build failure no longer
+    un-commits the insert — the flush succeeds, the error surfaces at
+    the next drain point, the part stays committed WITHOUT a projection
+    entry (readers fall back to its raw rows), and the failed build
+    leaves no half-written projection dirs on disk (the r11 no-orphans
+    invariant, restated for the deferred path)."""
     import os
 
     base = table.base_path
     n_parts = len(table.manifest.parts)
-    on_disk_before = {d for d in os.listdir(base) if d.startswith("part_")}
+    proj_before = {d for d in os.listdir(base) if "_proj_" in d}
 
     def boom(df, spec):
         raise RuntimeError("projection build exploded")
@@ -498,9 +505,16 @@ def test_failed_part_write_leaves_no_orphan_dirs(table, monkeypatch):
     monkeypatch.setattr(type(table), "_apply_projection",
                         staticmethod(boom))
     table.insert_rows([(99, 9999, "a", Decimal(1))])
+    table.flush()  # commits the part; the build job fails in background
     with pytest.raises(RuntimeError, match="projection build exploded"):
-        table.flush()
-    # manifest untouched AND no orphan part/projection dirs on disk
-    assert len(table.manifest.parts) == n_parts
-    on_disk_after = {d for d in os.listdir(base) if d.startswith("part_")}
-    assert on_disk_after == on_disk_before
+        table.wait_for_index_builds()
+    # the part IS committed (data is durable), with no projection claim
+    assert len(table.manifest.parts) == n_parts + 1
+    victim = table.manifest.parts[-1]
+    assert not (victim.proj_paths or {})
+    # and no half-written projection dirs leaked for the failed build
+    proj_after = {d for d in os.listdir(base) if "_proj_" in d}
+    assert proj_after == proj_before
+    # reads stay consistent: the new row serves from raw rows
+    monkeypatch.undo()
+    assert table.query_all().filter("key = 99").count() == 1
